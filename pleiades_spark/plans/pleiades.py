@@ -1,0 +1,413 @@
+"""Pleiades-parity queries (SURVEY.md §2.2-2.4, §7 M1).
+
+Every operator the reference applies to data, re-expressed as a declarative
+Spark plan over the ``events`` fixture, each paired with its DuckDB oracle.
+
+Reference anchors: counter derivation /root/reference/pkg/aggregator/
+aggregator.go:32-66; dual-grain aggregation pkg/aggregator/kafka/
+aggregator.go:174-199; serving ops pkg/web/handler.go + web/src/script/
+store.js.
+
+Scale notes: all plans are pure built-in expressions (whole-stage codegen);
+the only shuffles are the final hash aggregations on low-cardinality keys
+(day × counter), with map-side partial aggregation, so they scale to
+arbitrary event volume. The dimension join is explicitly broadcast.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
+
+from pleiades_spark import catalog
+from pleiades_spark.functions.counters import (
+    aggregate_counters,
+    day_number,
+    derive_counters,
+    props_k,
+)
+from pleiades_spark.plans import Query
+from pleiades_spark.session import apply_runtime_confs
+
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    apply_runtime_confs(spark)
+    return catalog.load(spark, sf_dir, "events")
+
+
+# DuckDB twin of functions/counters.py::derive_counters (P1-P9).
+_DERIVED_SQL = """
+  SELECT CAST(floor(epoch(ts)/86400) AS BIGINT) AS day,
+         unnest(list_filter([
+            'pleiades_total',
+            CASE WHEN event_type IS NOT NULL AND event_type <> ''
+                 THEN 'pleiades_type_' || event_type END,
+            CASE WHEN user_id % 2 = 0 THEN 'pleiades_bot' END,
+            CASE WHEN k IS NOT NULL THEN
+              (CASE WHEN value > k THEN 'pleiades_value_inc'
+                    ELSE 'pleiades_value_dec' END) END
+         ], x -> x IS NOT NULL)) AS counter,
+         coalesce(value - k, 0) AS lendiff
+  FROM (SELECT *, CAST(props->>'$.k' AS BIGINT) AS k FROM events)
+"""
+
+# All-time grain of the counters table (A1/A2, FIXTURES.md §A.4).
+_COUNTERS_SQL = f"""
+  SELECT counter AS name, count(*) AS value, round(sum(lendiff), 4) AS growth
+  FROM ({_DERIVED_SQL}) GROUP BY counter
+"""
+
+
+def _counters_alltime(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All-time counters (name, value, growth) — the serving-layer input."""
+    return (
+        derive_counters(_events(spark, sf_dir))
+        .groupBy(F.col("counter").alias("name"))
+        .agg(
+            F.count(F.lit(1)).alias("value"),
+            F.round(F.sum("lendiff"), 4).alias("growth"),
+        )
+    )
+
+
+# --- A1/A2: the flagship dual-grain aggregation ---------------------------
+
+
+def q_counters_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return aggregate_counters(_events(spark, sf_dir))
+
+
+ORACLE_COUNTERS_ROLLUP = f"""
+SELECT day, counter, count(*) AS events, round(sum(lendiff), 4) AS growth
+FROM ({_DERIVED_SQL})
+GROUP BY GROUPING SETS ((counter), (day, counter))
+"""
+
+
+# --- P9 window variant: per-day grain via tumbling event-time window ------
+
+
+def q_counters_window_day(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-day tumbling window on event time (the streaming-shaped grouping).
+
+    window(ts, '1 day') ≡ the reference's ms/86400000 day bucketing
+    (kafka/aggregator.go:174-175); the window start is surfaced as an ISO
+    date string so the oracle compares on a timezone-free value.
+    """
+    ev = _events(spark, sf_dir)
+    derived = ev.select(
+        F.window(F.col("ts"), "1 day").alias("win"),
+        F.explode(
+            F.array_compact(
+                F.array(
+                    F.lit("pleiades_total"),
+                    F.when(
+                        F.col("event_type").isNotNull() & (F.col("event_type") != ""),
+                        F.concat(F.lit("pleiades_type_"), F.col("event_type")),
+                    ),
+                )
+            )
+        ).alias("counter"),
+        F.col("value"),
+    )
+    return derived.groupBy(
+        F.date_format(F.col("win.start"), "yyyy-MM-dd").alias("day_date"),
+        F.col("counter"),
+    ).agg(
+        F.count(F.lit(1)).alias("events"),
+        F.round(F.sum("value"), 4).alias("total_value"),
+    )
+
+
+ORACLE_COUNTERS_WINDOW_DAY = """
+SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day_date,
+       unnest(list_filter([
+          'pleiades_total',
+          CASE WHEN event_type IS NOT NULL AND event_type <> ''
+               THEN 'pleiades_type_' || event_type END
+       ], x -> x IS NOT NULL)) AS counter,
+       value
+FROM events
+"""
+ORACLE_COUNTERS_WINDOW_DAY = f"""
+SELECT day_date, counter, count(*) AS events, round(sum(value), 4) AS total_value
+FROM ({ORACLE_COUNTERS_WINDOW_DAY}) GROUP BY day_date, counter
+"""
+
+
+# --- P1: JSON payload parsing ----------------------------------------------
+
+
+def q_props_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """from_json / get_json_object on the raw payload column (P1)."""
+    ev = _events(spark, sf_dir)
+    k = props_k(F.col("props"))
+    return ev.select(
+        F.col("event_id"), k.alias("k"), F.col("event_type")
+    ).filter(k.isNotNull() & (k > 80))
+
+
+ORACLE_PROPS_JSON = """
+SELECT event_id, k, event_type
+FROM (SELECT event_id, event_type, CAST(props->>'$.k' AS BIGINT) AS k FROM events)
+WHERE k IS NOT NULL AND k > 80
+"""
+
+
+# --- P8: regex field extraction from a raw string --------------------------
+
+
+def q_regex_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regex numeric extraction — the reference's event-ID timestamp parse
+    (aggregator.go:20,79-89: `"timestamp":([0-9]+)` on a JSON-array string)
+    transposed to the props payload. try_cast keeps no-match rows NULL.
+    """
+    ev = _events(spark, sf_dir)
+    return ev.select(
+        F.col("event_id"),
+        F.expr(
+            "try_cast(regexp_extract(props, '\"k\": ([0-9]+)', 1) AS bigint)"
+        ).alias("k_regex"),
+    )
+
+
+ORACLE_REGEX_EXTRACT = """
+SELECT event_id,
+       TRY_CAST(regexp_extract(props, '"k": ([0-9]+)', 1) AS BIGINT) AS k_regex
+FROM events
+"""
+
+
+# --- A4: distinct days + guard filter + sort -------------------------------
+
+
+def q_day_list(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct day numbers, spurious-data guard, sorted (handler.go:178-205).
+
+    The reference filters `day > 18488`; here the guard drops the first day
+    present in the fixture (same shape: constant predicate on the grouping
+    key — Catalyst folds it into the aggregate's pre-shuffle filter).
+    """
+    ev = _events(spark, sf_dir)
+    days = ev.select(day_number(F.col("ts")).alias("day")).distinct()
+    first_day = 19723  # fixture epoch start (2024-01-01) — constant guard
+    return days.filter(F.col("day") > first_day).orderBy("day")
+
+
+ORACLE_DAY_LIST = """
+SELECT DISTINCT CAST(floor(epoch(ts)/86400) AS BIGINT) AS day
+FROM events WHERE CAST(floor(epoch(ts)/86400) AS BIGINT) > 19723
+ORDER BY day
+"""
+
+
+# --- F1: prefix/suffix LIKE filtering on counter names ---------------------
+
+
+def q_counter_like_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """startswith + exclusion + endswith (store.js:21-23 semantics)."""
+    counters = _counters_alltime(spark, sf_dir)
+    return counters.filter(
+        F.col("name").startswith("pleiades_type_")
+        & (F.col("name") != "pleiades_type_error")
+        & F.col("name").endswith("e")
+    ).select("name", "value")
+
+
+ORACLE_COUNTER_LIKE_FILTER = f"""
+SELECT name, value FROM ({_COUNTERS_SQL})
+WHERE name LIKE 'pleiades_type_%' AND name <> 'pleiades_type_error'
+  AND name LIKE '%e'
+"""
+
+
+# --- F2: top-k by value desc ------------------------------------------------
+
+
+def q_top_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 type counters by count (store.js:23-27 top-14 wikis pattern).
+
+    Deterministic total order (value DESC, name ASC) via row_number — the
+    scale-safe formulation (a global sort-limit on k rows, not a full sort).
+    """
+    counters = _counters_alltime(spark, sf_dir).filter(
+        F.col("name").startswith("pleiades_type_")
+    )
+    w = W.orderBy(F.col("value").desc(), F.col("name").asc())
+    return (
+        counters.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select("rank", "name", "value")
+    )
+
+
+ORACLE_TOP_TYPES = f"""
+SELECT rank, name, value FROM (
+  SELECT row_number() OVER (ORDER BY value DESC, name ASC) AS rank, name, value
+  FROM ({_COUNTERS_SQL}) WHERE name LIKE 'pleiades\\_type\\_%' ESCAPE '\\'
+) WHERE rank <= 3
+"""
+
+
+# --- F3: string surgery to a join key ---------------------------------------
+
+
+def q_strip_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Strip counter prefix → dimension code (store.js:30,67)."""
+    counters = _counters_alltime(spark, sf_dir)
+    return counters.filter(F.col("name").startswith("pleiades_type_")).select(
+        F.regexp_replace(F.col("name"), "^pleiades_type_", "").alias("code"),
+        F.col("value"),
+    )
+
+
+ORACLE_STRIP_PREFIX = f"""
+SELECT regexp_replace(name, '^pleiades_type_', '') AS code, value
+FROM ({_COUNTERS_SQL}) WHERE name LIKE 'pleiades\\_type\\_%' ESCAPE '\\'
+"""
+
+
+# --- F4: broadcast dimension join with coalesce fallback chain --------------
+
+# The reference enriches language codes against ISO-639-1/2B/3 lists with a
+# fallback chain (store.js:31-53). Same shape: two small dims, left joins,
+# coalesce. Both dims are literal VALUES — broadcast by construction.
+_TYPE_DIM_PRIMARY = [
+    ("click", "Click Event"),
+    ("view", "Page View"),
+    ("purchase", "Purchase"),
+]
+_TYPE_DIM_FALLBACK = [
+    ("signup", "Sign-up (fallback)"),
+    ("click", "SHOULD NOT WIN"),  # primary must shadow the fallback
+]
+
+
+def q_dim_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    codes = q_strip_prefix(spark, sf_dir)
+    dim1 = spark.createDataFrame(_TYPE_DIM_PRIMARY, "code string, label string")
+    dim2 = spark.createDataFrame(_TYPE_DIM_FALLBACK, "code string, label string")
+    return (
+        codes.join(F.broadcast(dim1.withColumnRenamed("label", "l1")), "code", "left")
+        .join(F.broadcast(dim2.withColumnRenamed("label", "l2")), "code", "left")
+        .select(
+            "code",
+            F.coalesce(F.col("l1"), F.col("l2"), F.concat(F.lit("unknown:"), F.col("code"))).alias(
+                "label"
+            ),
+            "value",
+        )
+    )
+
+
+ORACLE_DIM_JOIN = f"""
+WITH codes AS (
+  SELECT regexp_replace(name, '^pleiades_type_', '') AS code, value
+  FROM ({_COUNTERS_SQL}) WHERE name LIKE 'pleiades\\_type\\_%' ESCAPE '\\'
+),
+dim1(code, l1) AS (VALUES ('click','Click Event'),('view','Page View'),('purchase','Purchase')),
+dim2(code, l2) AS (VALUES ('signup','Sign-up (fallback)'),('click','SHOULD NOT WIN'))
+SELECT codes.code, coalesce(l1, l2, 'unknown:' || codes.code) AS label, value
+FROM codes LEFT JOIN dim1 USING (code) LEFT JOIN dim2 USING (code)
+"""
+
+
+# --- F5: big-number projection with unit conversion -------------------------
+
+
+def q_big_numbers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Non-dimensional counters with descriptions + unit conversion
+    (store.js:94-132: growth/1048576 MiB)."""
+    counters = _counters_alltime(spark, sf_dir)
+    return counters.filter(~F.col("name").startswith("pleiades_type_")).select(
+        "name",
+        F.when(F.col("name") == "pleiades_total", F.lit("Total events"))
+        .when(F.col("name") == "pleiades_bot", F.lit("Bot events"))
+        .when(F.col("name") == "pleiades_value_inc", F.lit("Value increased"))
+        .when(F.col("name") == "pleiades_value_dec", F.lit("Value decreased"))
+        .otherwise(F.lit("Other"))
+        .alias("description"),
+        "value",
+        F.round(F.col("growth") / 1048576, 8).alias("growth_mib"),
+    )
+
+
+ORACLE_BIG_NUMBERS = f"""
+SELECT name,
+       CASE name WHEN 'pleiades_total' THEN 'Total events'
+                 WHEN 'pleiades_bot' THEN 'Bot events'
+                 WHEN 'pleiades_value_inc' THEN 'Value increased'
+                 WHEN 'pleiades_value_dec' THEN 'Value decreased'
+                 ELSE 'Other' END AS description,
+       value,
+       round(growth / 1048576, 8) AS growth_mib
+FROM ({_COUNTERS_SQL}) WHERE name NOT LIKE 'pleiades\\_type\\_%' ESCAPE '\\'
+"""
+
+
+# --- F6: point lookup + number formatting ------------------------------------
+
+
+def q_point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """find(name == 'pleiades_total') + thousands separator (store.js:169-170)."""
+    counters = _counters_alltime(spark, sf_dir)
+    return counters.filter(F.col("name") == "pleiades_total").select(
+        "name", "value", F.format_number(F.col("value"), 0).alias("pretty")
+    )
+
+
+ORACLE_POINT_LOOKUP = f"""
+SELECT name, value, format('{{:,}}', value) AS pretty
+FROM ({_COUNTERS_SQL}) WHERE name = 'pleiades_total'
+"""
+
+
+# --- F7/F8: julian day → ISO date presentation -------------------------------
+
+
+def q_days_iso(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day list as ISO dates, newest first (store.js:186-193)."""
+    ev = _events(spark, sf_dir)
+    days = ev.select(day_number(F.col("ts")).alias("day")).distinct()
+    return days.select(
+        "day",
+        F.date_format(F.timestamp_seconds(F.col("day") * 86400), "yyyy-MM-dd").alias(
+            "iso_date"
+        ),
+    ).orderBy(F.col("day").desc())
+
+
+ORACLE_DAYS_ISO = """
+SELECT day, strftime(make_timestamp(day * 86400 * 1000000), '%Y-%m-%d') AS iso_date
+FROM (SELECT DISTINCT CAST(floor(epoch(ts)/86400) AS BIGINT) AS day FROM events)
+ORDER BY day DESC
+"""
+
+
+QUERIES = [
+    Query("counters_rollup", q_counters_rollup, ORACLE_COUNTERS_ROLLUP,
+          "A1+A2 dual-grain conditional count + signed sum (flagship)"),
+    Query("counters_window_day", q_counters_window_day, ORACLE_COUNTERS_WINDOW_DAY,
+          "P9 tumbling 1-day event-time window grouping"),
+    Query("props_json", q_props_json, ORACLE_PROPS_JSON,
+          "P1 JSON payload parse + predicate"),
+    Query("regex_extract", q_regex_extract, ORACLE_REGEX_EXTRACT,
+          "P8 regex numeric extraction with null-on-no-match"),
+    Query("day_list", q_day_list, ORACLE_DAY_LIST,
+          "A4 distinct + guard filter + sort"),
+    Query("counter_like_filter", q_counter_like_filter, ORACLE_COUNTER_LIKE_FILTER,
+          "F1 prefix/suffix LIKE filters"),
+    Query("top_types", q_top_types, ORACLE_TOP_TYPES,
+          "F2 deterministic top-k by value"),
+    Query("strip_prefix", q_strip_prefix, ORACLE_STRIP_PREFIX,
+          "F3 string surgery to join key"),
+    Query("dim_join", q_dim_join, ORACLE_DIM_JOIN,
+          "F4 broadcast dim join + coalesce fallback chain"),
+    Query("big_numbers", q_big_numbers, ORACLE_BIG_NUMBERS,
+          "F5 description mapping + unit conversion"),
+    Query("point_lookup", q_point_lookup, ORACLE_POINT_LOOKUP,
+          "F6 point lookup + format_number"),
+    Query("days_iso", q_days_iso, ORACLE_DAYS_ISO,
+          "F7/F8 julian day → ISO date"),
+]
