@@ -1,0 +1,81 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}.
+
+Each query executes end-to-end via the noop sink (full plan runs, no
+driver-side result transfer skewing the number). A warmup query first
+absorbs JVM/codegen startup.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from pleiades_spark.plans import collect_queries  # noqa: E402
+from pleiades_spark.session import get_spark  # noqa: E402
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+# Headline set: the flagship streaming-analog aggregation, the heavy
+# relational joins/aggs/windows, and the LLM-pipeline extensions.
+HEADLINE = [
+    "counters_rollup",
+    "pricing_summary",
+    "shipping_priority",
+    "local_supplier_volume",
+    "order_fill_rate",
+    "customer_running_total",
+    "above_avg_lineitems",
+    "distinct_counts",
+    # LLM-pipeline extensions (present from M5 on; skipped if absent)
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "knn_cosine_brute",
+    "text_quality_scores",
+    "word_frequency_topk",
+]
+
+
+def main() -> None:
+    m = re.search(r"sf([0-9.]+)", SF_DIR)
+    sf = float(m.group(1)) if m else -1.0
+    spark = get_spark("pleiades_bench")
+    registry = collect_queries()
+
+    # Warmup: JVM + codegen + parquet footer caches.
+    registry["counters_rollup"].fn(spark, SF_DIR).write.format("noop").mode(
+        "overwrite"
+    ).save()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        q = registry.get(name)
+        if q is None:
+            continue
+        t0 = time.time()
+        q.fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.time() - t0, 3)
+
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_runtime",
+                "value": round(sum(timings.values()), 3),
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

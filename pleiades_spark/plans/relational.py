@@ -1,3 +1,611 @@
-"""Placeholder — populated in a later milestone."""
+"""Relational breadth over the TPC-H-ish star schema (SURVEY.md §7 M2).
 
-QUERIES = []
+The reference has no joins/windows/set-ops (SURVEY.md §2.6) — this module
+supplies the standard relational coverage the engine needs to be a complete
+analytics surface, expressed with built-in DataFrame ops so Catalyst owns
+the physical plan.
+
+Scale notes per query are inline; the recurring ones:
+  * fact⋈fact joins (orders⋈lineitem) shuffle on the join key — at 100 TB
+    both sides would be bucketed by orderkey at write time to skip it;
+  * dim joins (nation/region/part/supplier at fixture scale) are broadcast
+    hinted — no shuffle of the fact side;
+  * every agg is a hash aggregate with map-side partial combine;
+  * top-k uses row_number with a deterministic total order, never a full
+    global sort of the fact table.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
+
+from pleiades_spark import catalog
+from pleiades_spark.plans import Query
+from pleiades_spark.session import apply_runtime_confs
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    apply_runtime_confs(spark)
+    return catalog.load(spark, sf_dir, name)
+
+
+# --- TPC-H Q1 shape: scan → filter → wide hash agg ---------------------------
+
+
+def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1: one pass over lineitem, 8 aggregates, 2 grouping keys.
+
+    The filter reaches the parquet scan (PushedFilters) and only 7 of 11
+    columns are read (ReadSchema) — verified via .explain("formatted").
+    """
+    li = _t(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1999-12-01").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 4).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 4).alias("sum_base_price"),
+            F.round(F.sum(disc_price), 4).alias("sum_disc_price"),
+            F.round(F.sum(disc_price * (1 + F.col("l_tax"))), 4).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+ORACLE_PRICING_SUMMARY = """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 4) AS sum_qty,
+       round(sum(l_extendedprice), 4) AS sum_base_price,
+       round(sum(l_extendedprice * (1 - l_discount)), 4) AS sum_disc_price,
+       round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 4) AS sum_charge,
+       round(avg(l_quantity), 4) AS avg_qty,
+       round(avg(l_extendedprice), 4) AS avg_price,
+       round(avg(l_discount), 4) AS avg_disc,
+       count(*) AS count_order
+FROM lineitem WHERE l_shipdate <= TIMESTAMP '1999-12-01'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+# --- TPC-H Q3 shape: 3-way join → agg → deterministic top-k ------------------
+
+
+def q_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """customer ⋈ orders ⋈ lineitem, revenue per order, top-10.
+
+    customer is broadcast (small side); orders⋈lineitem shuffles on
+    o_orderkey — the natural bucketing key at scale. Top-k is a window
+    row_number, which AQE executes as a partial top-k per partition.
+    """
+    cust = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    orders = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp")
+    )
+    li = _t(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1998-01-01").cast("timestamp")
+    )
+    joined = li.join(
+        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey),
+        F.col("l_orderkey") == F.col("o_orderkey"),
+    )
+    rev = joined.groupBy("l_orderkey", "o_orderdate", "o_orderpriority").agg(
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4).alias(
+            "revenue"
+        )
+    )
+    w = W.orderBy(F.col("revenue").desc(), F.col("l_orderkey").asc())
+    return (
+        rev.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 10)
+        .select(
+            "l_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+            "o_orderpriority",
+            "revenue",
+            "rk",
+        )
+    )
+
+
+ORACLE_SHIPPING_PRIORITY = """
+WITH rev AS (
+  SELECT l_orderkey, o_orderdate, o_orderpriority,
+         round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue
+  FROM customer
+  JOIN orders ON c_custkey = o_custkey
+  JOIN lineitem ON l_orderkey = o_orderkey
+  WHERE c_mktsegment = 'BUILDING'
+    AND o_orderdate < TIMESTAMP '1998-01-01'
+    AND l_shipdate > TIMESTAMP '1998-01-01'
+  GROUP BY l_orderkey, o_orderdate, o_orderpriority
+)
+SELECT l_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS orderdate,
+       o_orderpriority, revenue, rk
+FROM (SELECT *, row_number() OVER (ORDER BY revenue DESC, l_orderkey ASC) AS rk FROM rev)
+WHERE rk <= 10
+"""
+
+
+# --- TPC-H Q5 shape: snowflake join chain → agg ------------------------------
+
+
+def q_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """6-way snowflake join, revenue by nation within one region.
+
+    region→nation are broadcast; the c_nationkey = s_nationkey equality is
+    a join condition, not a post-filter, so Catalyst keeps it in the hash
+    join. At 100 TB the only shuffles are orders⋈lineitem and the final
+    25-key agg.
+    """
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    supp = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    joined = (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .join(
+            F.broadcast(supp),
+            (F.col("l_suppkey") == F.col("s_suppkey"))
+            & (F.col("c_nationkey") == F.col("s_nationkey")),
+        )
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+    )
+    return joined.groupBy("n_name").agg(
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4).alias(
+            "revenue"
+        )
+    )
+
+
+ORACLE_LOCAL_SUPPLIER_VOLUME = """
+SELECT n_name, round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1998-01-01'
+GROUP BY n_name
+"""
+
+
+# --- semi / anti joins --------------------------------------------------------
+
+
+def q_customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT ANTI join (NOT EXISTS): customers with no URGENT order.
+
+    (Filtered on the right side so the result is non-empty at every SF —
+    every fixture customer has at least one order.)
+    """
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left_anti")
+        .select("c_custkey", "c_name", "c_mktsegment")
+    )
+
+
+ORACLE_CUSTOMERS_WITHOUT_ORDERS = """
+SELECT c_custkey, c_name, c_mktsegment FROM customer
+WHERE NOT EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
+"""
+
+
+def q_nations_with_big_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT SEMI join (EXISTS) through a 2-hop lookup + agg."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 400000)
+    nation = _t(spark, sf_dir, "nation")
+    big_cust = cust.join(orders, cust.c_custkey == orders.o_custkey, "left_semi")
+    return (
+        big_cust.join(F.broadcast(nation), big_cust.c_nationkey == nation.n_nationkey)
+        .groupBy("n_name")
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+    )
+
+
+ORACLE_NATIONS_WITH_BIG_ORDERS = """
+SELECT n_name, count(*) AS n_customers
+FROM customer JOIN nation ON c_nationkey = n_nationkey
+WHERE EXISTS (SELECT 1 FROM orders
+              WHERE o_custkey = c_custkey AND o_totalprice > 400000)
+GROUP BY n_name
+"""
+
+
+# --- outer join + null handling ----------------------------------------------
+
+
+def q_order_fill_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT OUTER join orders→lineitem with null-aware aggregation
+    (TPC-H Q13 shape: distribution of lineitem counts per order)."""
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    per_order = orders.join(
+        li, orders.o_orderkey == li.l_orderkey, "left"
+    ).groupBy("o_orderkey").agg(F.count("l_linenumber").alias("n_items"))
+    return per_order.groupBy("n_items").agg(F.count(F.lit(1)).alias("n_orders"))
+
+
+ORACLE_ORDER_FILL_RATE = """
+SELECT n_items, count(*) AS n_orders FROM (
+  SELECT o_orderkey, count(l_linenumber) AS n_items
+  FROM orders LEFT JOIN lineitem ON o_orderkey = l_orderkey
+  GROUP BY o_orderkey
+) GROUP BY n_items
+"""
+
+
+# --- set operations ------------------------------------------------------------
+
+
+def q_segment_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNION / INTERSECT / EXCEPT over derived key sets, tagged per-op.
+
+    Sets: customers with an URGENT order vs customers with a '1998+' order.
+    """
+    cust_urgent = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority") == "1-URGENT")
+        .select(F.col("o_custkey").alias("custkey"))
+        .distinct()
+    )
+    cust_late = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate") >= F.lit("1999-01-01").cast("timestamp"))
+        .select(F.col("o_custkey").alias("custkey"))
+        .distinct()
+    )
+    return (
+        cust_urgent.intersect(cust_late).select(F.lit("both").alias("op"), "custkey")
+        .unionAll(
+            cust_urgent.exceptAll(cust_late).select(
+                F.lit("urgent_only").alias("op"), "custkey"
+            )
+        )
+        .unionAll(
+            cust_late.exceptAll(cust_urgent).select(
+                F.lit("late_only").alias("op"), "custkey"
+            )
+        )
+    )
+
+
+ORACLE_SEGMENT_SET_OPS = """
+WITH u AS (SELECT DISTINCT o_custkey AS custkey FROM orders
+           WHERE o_orderpriority = '1-URGENT'),
+     l AS (SELECT DISTINCT o_custkey AS custkey FROM orders
+           WHERE o_orderdate >= TIMESTAMP '1999-01-01')
+SELECT 'both' AS op, custkey FROM (SELECT custkey FROM u INTERSECT SELECT custkey FROM l)
+UNION ALL
+SELECT 'urgent_only' AS op, custkey FROM (SELECT custkey FROM u EXCEPT SELECT custkey FROM l)
+UNION ALL
+SELECT 'late_only' AS op, custkey FROM (SELECT custkey FROM l EXCEPT SELECT custkey FROM u)
+"""
+
+
+# --- window functions: running totals, rank, lag ------------------------------
+
+
+def q_customer_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-customer running order total + order sequence + gap since the
+    previous order (window frame rowsBetween, row_number, lag).
+
+    One shuffle on o_custkey serves all three window functions (same
+    partitioning + ordering).
+    """
+    orders = _t(spark, sf_dir, "orders")
+    w = W.partitionBy("o_custkey").orderBy(F.col("o_orderdate").asc(), F.col("o_orderkey").asc())
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+        F.row_number().over(w).alias("order_seq"),
+        F.round(
+            F.sum("o_totalprice").over(w.rowsBetween(W.unboundedPreceding, 0)), 4
+        ).alias("running_total"),
+        F.datediff(
+            F.col("o_orderdate"), F.lag("o_orderdate", 1).over(w)
+        ).alias("days_since_prev"),
+    )
+
+
+ORACLE_CUSTOMER_RUNNING_TOTAL = """
+SELECT o_custkey, o_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS orderdate,
+       row_number() OVER w AS order_seq,
+       round(sum(o_totalprice) OVER (PARTITION BY o_custkey
+             ORDER BY o_orderdate ASC, o_orderkey ASC
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4) AS running_total,
+       datediff('day', lag(o_orderdate, 1) OVER w, o_orderdate) AS days_since_prev
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC)
+"""
+
+
+def q_top_parts_per_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 parts by retail price per brand — partitioned top-k
+    (the scale-safe form: no global sort, k rows kept per partition)."""
+    part = _t(spark, sf_dir, "part")
+    w = W.partitionBy("p_brand").orderBy(
+        F.col("p_retailprice").desc(), F.col("p_partkey").asc()
+    )
+    return (
+        part.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select("p_brand", "rk", "p_partkey", "p_name", "p_retailprice")
+    )
+
+
+ORACLE_TOP_PARTS_PER_BRAND = """
+SELECT p_brand, rk, p_partkey, p_name, p_retailprice FROM (
+  SELECT *, row_number() OVER (PARTITION BY p_brand
+            ORDER BY p_retailprice DESC, p_partkey ASC) AS rk
+  FROM part
+) WHERE rk <= 3
+"""
+
+
+# --- rollup / cube (multi-grain aggregation) -----------------------------------
+
+
+def q_order_priority_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP (status, priority) — the generalized form of the reference's
+    dual-grain counter families (all-time + per-day ≡ rollup grains)."""
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        orders.rollup("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 4).alias("total"),
+        )
+    )
+
+
+ORACLE_ORDER_PRIORITY_ROLLUP = """
+SELECT o_orderstatus, o_orderpriority, count(*) AS n_orders,
+       round(sum(o_totalprice), 4) AS total
+FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+"""
+
+
+# --- pivot (conditional aggregation) -------------------------------------------
+
+
+def q_status_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot order status → columns per priority (oracle = conditional agg;
+    Spark's pivot plans to exactly that)."""
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        orders.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["O", "F", "P"])
+        .agg(F.count(F.lit(1)))
+        .na.fill(0, ["O", "F", "P"])
+    )
+
+
+ORACLE_STATUS_PIVOT = """
+SELECT o_orderpriority,
+       CAST(count(*) FILTER (o_orderstatus = 'O') AS BIGINT) AS "O",
+       CAST(count(*) FILTER (o_orderstatus = 'F') AS BIGINT) AS "F",
+       CAST(count(*) FILTER (o_orderstatus = 'P') AS BIGINT) AS "P"
+FROM orders GROUP BY o_orderpriority
+"""
+
+
+# --- scalar function breadth ----------------------------------------------------
+
+
+def q_scalar_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String / date / math scalar coverage in one projection (all
+    whole-stage-codegen'd, no UDFs)."""
+    orders = _t(spark, sf_dir, "orders")
+    return orders.filter(F.col("o_orderkey") % 100 == 0).select(
+        "o_orderkey",
+        F.upper(F.col("o_orderstatus")).alias("status_upper"),
+        F.substring(F.col("o_orderpriority"), 1, 1).cast("int").alias("prio_num"),
+        F.length(F.col("o_orderpriority")).alias("prio_len"),
+        F.concat_ws("-", F.col("o_orderstatus"), F.col("o_orderpriority")).alias("tag"),
+        F.year("o_orderdate").alias("o_year"),
+        F.month("o_orderdate").alias("o_month"),
+        F.dayofweek("o_orderdate").alias("o_dow"),
+        F.quarter("o_orderdate").alias("o_quarter"),
+        F.round(F.sqrt(F.col("o_totalprice")), 4).alias("price_sqrt"),
+        F.round(F.log(F.col("o_totalprice")), 4).alias("price_ln"),
+        F.round(F.pow(F.col("o_totalprice"), F.lit(0.25)), 4).alias("price_pow"),
+        F.abs(F.col("o_totalprice") - 100000).alias("price_dev"),
+        (F.col("o_totalprice") % 1000).cast("double").alias("price_mod"),
+        F.greatest(F.col("o_totalprice"), F.lit(50000.0)).alias("price_floor50k"),
+    )
+
+
+# DuckDB dayofweek: Sunday=0; Spark dayofweek: Sunday=1 → +1 to align.
+ORACLE_SCALAR_FUNCTIONS = """
+SELECT o_orderkey,
+       upper(o_orderstatus) AS status_upper,
+       CAST(substring(o_orderpriority, 1, 1) AS INT) AS prio_num,
+       length(o_orderpriority) AS prio_len,
+       concat_ws('-', o_orderstatus, o_orderpriority) AS tag,
+       CAST(year(o_orderdate) AS INT) AS o_year,
+       CAST(month(o_orderdate) AS INT) AS o_month,
+       CAST(dayofweek(o_orderdate) + 1 AS INT) AS o_dow,
+       CAST(quarter(o_orderdate) AS INT) AS o_quarter,
+       round(sqrt(o_totalprice), 4) AS price_sqrt,
+       round(ln(o_totalprice), 4) AS price_ln,
+       round(pow(o_totalprice, 0.25), 4) AS price_pow,
+       abs(o_totalprice - 100000) AS price_dev,
+       CAST(o_totalprice % 1000 AS DOUBLE) AS price_mod,
+       greatest(o_totalprice, 50000.0) AS price_floor50k
+FROM orders WHERE o_orderkey % 100 = 0
+"""
+
+
+# --- distinct counting: exact + approximate --------------------------------------
+
+
+def q_distinct_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact multi-column COUNT(DISTINCT) per group (expand + two-phase agg)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_partkey").alias("n_parts"),
+        F.countDistinct("l_suppkey").alias("n_supps"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
+ORACLE_DISTINCT_COUNTS = """
+SELECT l_returnflag, count(DISTINCT l_partkey) AS n_parts,
+       count(DISTINCT l_suppkey) AS n_supps, count(*) AS n_rows
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
+def q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_count_distinct (HyperLogLog++) — the 100 TB path for
+    distincts. Sketch internals differ across engines, so the driver runs
+    the rows-only check (no oracle); exactness is covered by
+    ``distinct_counts``. A sanity test asserts <5% error vs exact."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_partkey", 0.01).alias("approx_parts")
+    )
+
+
+# --- exact percentiles (interpolated) --------------------------------------------
+
+
+def q_price_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles + median per group.
+
+    At 100 TB these become approx_percentile (t-digest); exact is kept here
+    because it is oracle-checkable (Spark percentile ≡ DuckDB
+    quantile_cont).
+    """
+    orders = _t(spark, sf_dir, "orders")
+    return orders.groupBy("o_orderstatus").agg(
+        F.round(F.expr("percentile(o_totalprice, 0.5)"), 4).alias("p50"),
+        F.round(F.expr("percentile(o_totalprice, 0.95)"), 4).alias("p95"),
+        F.round(F.min("o_totalprice"), 4).alias("lo"),
+        F.round(F.max("o_totalprice"), 4).alias("hi"),
+    )
+
+
+ORACLE_PRICE_PERCENTILES = """
+SELECT o_orderstatus,
+       round(quantile_cont(o_totalprice, 0.5), 4) AS p50,
+       round(quantile_cont(o_totalprice, 0.95), 4) AS p95,
+       round(min(o_totalprice), 4) AS lo,
+       round(max(o_totalprice), 4) AS hi
+FROM orders GROUP BY o_orderstatus
+"""
+
+
+# --- correlated scalar subquery shape (decorrelated by Catalyst) ------------------
+
+
+def q_above_avg_lineitems(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape: rows above 1.3× their group average — written as a
+    join against a pre-aggregated subquery (the decorrelated plan Catalyst
+    would produce; avoids per-row subquery execution at scale)."""
+    li = _t(spark, sf_dir, "lineitem")
+    avg_qty = li.groupBy(F.col("l_partkey").alias("ap_partkey")).agg(
+        F.avg("l_quantity").alias("avg_qty")
+    )
+    return (
+        li.join(avg_qty, li.l_partkey == F.col("ap_partkey"))
+        .filter(F.col("l_quantity") > 1.3 * F.col("avg_qty"))
+        .groupBy("l_partkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_above"),
+            F.round(F.sum("l_extendedprice"), 4).alias("price_above"),
+        )
+    )
+
+
+ORACLE_ABOVE_AVG_LINEITEMS = """
+SELECT l_partkey, count(*) AS n_above, round(sum(l_extendedprice), 4) AS price_above
+FROM lineitem l1
+WHERE l_quantity > 1.3 * (SELECT avg(l_quantity) FROM lineitem l2
+                          WHERE l2.l_partkey = l1.l_partkey)
+GROUP BY l_partkey
+"""
+
+
+# --- CASE-heavy conditional aggregation (TPC-H Q8/Q12 shape) -----------------------
+
+
+def q_priority_shipmode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional sums inside one aggregation pass (TPC-H Q12 shape)."""
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    joined = li.join(orders, li.l_orderkey == orders.o_orderkey)
+    is_high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return joined.groupBy("l_linestatus").agg(
+        F.sum(F.when(is_high, 1).otherwise(0)).alias("high_line_count"),
+        F.sum(F.when(~is_high, 1).otherwise(0)).alias("low_line_count"),
+    )
+
+
+ORACLE_PRIORITY_SHIPMODE = """
+SELECT l_linestatus,
+       CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY l_linestatus
+"""
+
+
+QUERIES = [
+    Query("pricing_summary", q_pricing_summary, ORACLE_PRICING_SUMMARY,
+          "TPC-H Q1: wide hash agg with pushdown filter"),
+    Query("shipping_priority", q_shipping_priority, ORACLE_SHIPPING_PRIORITY,
+          "TPC-H Q3: 3-way join + agg + deterministic top-k"),
+    Query("local_supplier_volume", q_local_supplier_volume, ORACLE_LOCAL_SUPPLIER_VOLUME,
+          "TPC-H Q5: snowflake join chain, broadcast dims"),
+    Query("customers_without_orders", q_customers_without_orders,
+          ORACLE_CUSTOMERS_WITHOUT_ORDERS, "anti join (NOT EXISTS)"),
+    Query("nations_with_big_orders", q_nations_with_big_orders,
+          ORACLE_NATIONS_WITH_BIG_ORDERS, "semi join (EXISTS) + lookup + agg"),
+    Query("order_fill_rate", q_order_fill_rate, ORACLE_ORDER_FILL_RATE,
+          "TPC-H Q13: left outer join + null-aware double agg"),
+    Query("segment_set_ops", q_segment_set_ops, ORACLE_SEGMENT_SET_OPS,
+          "UNION ALL / INTERSECT / EXCEPT"),
+    Query("customer_running_total", q_customer_running_total,
+          ORACLE_CUSTOMER_RUNNING_TOTAL, "window frame running sum + lag + row_number"),
+    Query("top_parts_per_brand", q_top_parts_per_brand, ORACLE_TOP_PARTS_PER_BRAND,
+          "partitioned top-k via row_number"),
+    Query("order_priority_rollup", q_order_priority_rollup,
+          ORACLE_ORDER_PRIORITY_ROLLUP, "ROLLUP multi-grain agg"),
+    Query("status_pivot", q_status_pivot, ORACLE_STATUS_PIVOT,
+          "pivot ≡ conditional aggregation"),
+    Query("scalar_functions", q_scalar_functions, ORACLE_SCALAR_FUNCTIONS,
+          "string/date/math scalar breadth"),
+    Query("distinct_counts", q_distinct_counts, ORACLE_DISTINCT_COUNTS,
+          "exact multi-column count distinct"),
+    Query("approx_distinct", q_approx_distinct, None,
+          "HyperLogLog++ approx distinct (rows-only; sketch differs per engine)"),
+    Query("price_percentiles", q_price_percentiles, ORACLE_PRICE_PERCENTILES,
+          "exact interpolated percentiles"),
+    Query("above_avg_lineitems", q_above_avg_lineitems, ORACLE_ABOVE_AVG_LINEITEMS,
+          "correlated-subquery shape, decorrelated join form"),
+    Query("priority_shipmode", q_priority_shipmode, ORACLE_PRIORITY_SHIPMODE,
+          "TPC-H Q12: conditional sums in one pass"),
+]
