@@ -1,0 +1,59 @@
+"""Cross-engine deterministic hashing.
+
+Sketch-based operators (MinHash, SimHash, fingerprinting) are normally
+impossible to oracle-check because every engine ships a different hash
+function. Here the base hash is derived from md5 — identical in Spark and
+DuckDB — so the ENTIRE sketch pipeline (signatures, bands, candidate
+pairs) is reproducible in the oracle, giving the dedup operators the same
+full-strength hash-match gate as plain SQL queries.
+
+h32(s) = first 8 hex chars of md5(s) parsed as an integer ∈ [0, 2^32).
+Permutation hashes h_i(s) = (a_i * h32(s) + b_i) mod P with P = 2^31 - 1
+and a_i < 2^20 keep every intermediate < 2^63 (no overflow under Spark
+ANSI mode or DuckDB).
+
+Scale note: md5 is marginally slower than xxhash64, but it is a JVM
+built-in evaluated inside whole-stage codegen — no Python crossing. For a
+pure-Spark deployment where oracle parity is not needed, swap H32_SPARK
+for xxhash64 and everything else stands.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Modulus for permutation hashes (Mersenne prime 2^31 - 1).
+MINHASH_P = 2_147_483_647
+
+# Fixed permutation parameters (a, b) — generated once from a seeded PRNG,
+# frozen as literals so Spark and DuckDB share them. a < 2^20 bounds
+# a * h32 < 2^52.
+MINHASH_PERMS: tuple[tuple[int, int], ...] = (
+    (370440, 550468), (918772, 707105), (264925, 652466), (962222, 921966),
+    (731400, 121936), (646415, 317244), (91977, 434126), (313373, 817678),
+    (506645, 120835), (579818, 437641), (683, 738083), (973541, 135221),
+)
+
+NUM_PERM = len(MINHASH_PERMS)  # 12
+LSH_BANDS = 4
+LSH_ROWS = 3  # NUM_PERM = LSH_BANDS * LSH_ROWS; threshold ≈ (1/4)^(1/3) ≈ 0.63
+
+
+def h32(col: Column) -> Column:
+    """32-bit deterministic hash of a string column (md5-derived, JVM-side)."""
+    return F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast("long")
+
+
+def h32_sql(expr: str) -> str:
+    """DuckDB twin of :func:`h32`."""
+    return f"CAST('0x' || substring(md5({expr}), 1, 8) AS BIGINT)"
+
+
+def perm_hash(hash_col: Column, a: int, b: int) -> Column:
+    """One universal-hash permutation of a pre-computed h32 value."""
+    return (F.lit(a) * hash_col + F.lit(b)) % F.lit(MINHASH_P)
+
+
+def perm_hash_sql(expr: str, a: int, b: int) -> str:
+    return f"(({a} * {expr} + {b}) % {MINHASH_P})"

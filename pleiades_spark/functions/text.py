@@ -1,0 +1,83 @@
+"""Text-analysis column functions for the LLM-data-pipeline operators.
+
+All pure built-in expressions (split/transform/aggregate/regexp_*) —
+JVM-side, whole-stage-codegen'd, no Python in the hot path. Each has a
+DuckDB twin (the *_sql constants/functions) used by the oracle harness.
+
+Scale: per-row expression work parallelizes embarrassingly; the only
+shuffles downstream are the aggregations/joins declared by the plans.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Stopword list shared by quality scoring (frozen; must match _SQL twin).
+STOPWORDS = ("the", "a", "of", "and", "to", "in", "is", "it")
+STOPWORDS_SQL = "['the','a','of','and','to','in','is','it']"
+
+# BPE-ish token pattern: word pieces, digit runs, single punctuation.
+BPE_PATTERN = "[a-z]+|[0-9]+|[^a-z0-9 ]"
+
+
+def tokens(text: Column) -> Column:
+    """Whitespace tokenization (fixture text is lowercased single-spaced)."""
+    return F.split(text, " ")
+
+
+TOKENS_SQL = "string_split({t}, ' ')"
+
+
+def word_shingles(text: Column, n: int = 3) -> Column:
+    """Distinct n-word shingles; short docs fall back to the whole text.
+
+    The shingle set is the dedup unit for MinHash / Jaccard — 3-word
+    shingles are discriminative where raw token sets saturate (small
+    vocabulary ⇒ most docs share most tokens).
+    """
+    toks = tokens(text)
+    return F.when(
+        F.size(toks) >= n,
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(0), F.size(toks) - n),
+                lambda i: F.array_join(F.slice(toks, i + 1, n), " "),
+            )
+        ),
+    ).otherwise(F.array(text))
+
+
+def word_shingles_sql(t: str, n: int = 3) -> str:
+    return (
+        f"CASE WHEN len(string_split({t},' ')) >= {n} THEN "
+        f"list_distinct(list_transform(range(0, len(string_split({t},' ')) - {n - 1}), "
+        f"i -> array_to_string(string_split({t},' ')[i+1:i+{n}], ' '))) "
+        f"ELSE [{t}] END"
+    )
+
+
+def char_shingles(text: Column, n: int = 5) -> Column:
+    """Distinct character n-grams (fingerprinting / langid unit)."""
+    return F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(F.length(text) - n + 1, F.lit(1))),
+            lambda i: F.substring(text, i, n),
+        )
+    )
+
+
+def char_shingles_sql(t: str, n: int = 5) -> str:
+    return (
+        f"list_distinct(list_transform("
+        f"range(1, greatest(length({t}) - {n - 1}, 1) + 1), "
+        f"i -> substring({t}, i, {n})))"
+    )
+
+
+def stopword_count(toks: Column) -> Column:
+    return F.size(F.filter(toks, lambda t: t.isin(*STOPWORDS)))
+
+
+def stopword_count_sql(toks: str) -> str:
+    return f"len(list_filter({toks}, t -> list_contains({STOPWORDS_SQL}, t)))"

@@ -1,0 +1,46 @@
+"""Vector (embedding) column functions — built-in higher-order functions.
+
+The fixture `embeddings.embedding` is ARRAY<FLOAT>; everything is cast to
+double before arithmetic so Spark and the DuckDB oracle fold in the same
+precision, and folds are left-to-right in both engines (bit-stable).
+
+Scale: dot products over array columns run inside codegen — at 100 TB the
+pattern is broadcast-the-queries × scan-the-corpus with per-partition
+top-k; see operators/similarity.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def as_double(vec: Column) -> Column:
+    return F.transform(vec, lambda x: x.cast("double"))
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Σ aᵢ·bᵢ via zip_with + left fold (deterministic order)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(dot(a, a))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+# DuckDB twins (list_inner_product folds left-to-right like F.aggregate).
+def dot_sql(a: str, b: str) -> str:
+    return f"list_inner_product({a}, {b})"
+
+
+def cosine_sql(a: str, b: str) -> str:
+    return (
+        f"(list_inner_product({a}, {b}) / "
+        f"(sqrt(list_inner_product({a}, {a})) * sqrt(list_inner_product({b}, {b}))))"
+    )

@@ -1,0 +1,291 @@
+"""Deduplication operators over the ``documents`` table.
+
+Five strategies, all Spark-built-in (no Python UDFs anywhere):
+
+  exact            hash-groupBy on the full text (canonical rep = min id)
+  minhash_lsh      shingle → minhash signature → banded LSH → candidate
+                   pairs → exact-Jaccard verification
+  simhash          32-bit simhash → byte-chunk blocking → Hamming ≤ r pairs
+  ngram_jaccard    exact blocked all-pairs shingle Jaccard (ground truth)
+  embedding_pairs  cosine near-dup pairs on the embeddings table
+
+Scale design (the reason each shape was chosen):
+  * exact: one shuffle on the text hash; at 100 TB hash first (md5) so the
+    shuffle key is 16 bytes, not the document body.
+  * minhash_lsh: cost is O(docs × bands) explode + a shuffle on band keys;
+    candidate verification touches only colliding pairs. This is THE scale
+    path — never all-pairs. Hot band buckets (boilerplate docs) are the
+    skew risk: cap bucket size or salt in production.
+  * simhash: signature is one long; blocking on 4 byte-chunks bounds the
+    self-join. Hamming check is bit_count(xor) — codegen'd.
+  * ngram_jaccard: all-pairs with a length-band block — quadratic, kept as
+    the small-SF ground truth the LSH variants are judged against.
+  * embedding_pairs: brute at fixture scale; the ANN path for 100 TB is in
+    operators/similarity.py (IVF bucketing).
+
+All sketches use the md5-derived h32 (functions/hashing.py) so the DuckDB
+oracle reproduces signatures bit-for-bit (see plans/llm.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from pleiades_spark.functions.hashing import (
+    LSH_BANDS,
+    LSH_ROWS,
+    MINHASH_PERMS,
+    h32,
+    perm_hash,
+)
+from pleiades_spark.functions.text import word_shingles
+from pleiades_spark.functions.vectors import as_double, cosine
+
+
+# --- exact ---------------------------------------------------------------
+
+
+def exact_dedup_groups(docs: DataFrame) -> DataFrame:
+    """(text_md5, rep_doc_id, n_copies) per distinct text.
+
+    Deterministic canonical representative (min doc_id) — NOT
+    dropDuplicates, whose survivor is partition-order-dependent.
+    """
+    return (
+        docs.groupBy(F.md5(F.col("text")).alias("text_md5"))
+        .agg(
+            F.min("doc_id").alias("rep_doc_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+    )
+
+
+# --- minhash + LSH -------------------------------------------------------
+
+
+def minhash_signature(shingles: Column) -> Column:
+    """Array of NUM_PERM minima over the shingle set's permuted hashes.
+
+    h32 per shingle is computed once; each permutation is an affine map of
+    it (array of transforms over the same hashed array).
+    """
+    hashed = F.transform(shingles, h32)
+
+    def _perm(a: int, b: int):
+        # real closure: PySpark counts lambda parameters, so default-arg
+        # captures (lambda h, a=a: ...) would be read as a 3-ary HOF
+        return lambda h: perm_hash(h, a, b)
+
+    return F.array(
+        *[F.array_min(F.transform(hashed, _perm(a, b))) for a, b in MINHASH_PERMS]
+    )
+
+
+def with_signature(docs: DataFrame) -> DataFrame:
+    return docs.select(
+        "doc_id",
+        word_shingles(F.col("text")).alias("sh"),
+    ).withColumn("sig", minhash_signature(F.col("sh")))
+
+
+def band_keys(sig: Column) -> Column:
+    """Array of LSH_BANDS strings, each joining LSH_ROWS signature slots."""
+    return F.array(
+        *[
+            F.array_join(
+                F.transform(
+                    F.slice(sig, j * LSH_ROWS + 1, LSH_ROWS),
+                    lambda x: x.cast("string"),
+                ),
+                "-",
+            )
+            for j in range(LSH_BANDS)
+        ]
+    )
+
+
+def minhash_lsh_pairs(docs: DataFrame, threshold: float = 0.6) -> DataFrame:
+    """Near-duplicate pairs: LSH candidates verified by exact Jaccard.
+
+    Plan: docs → (doc_id, shingles, sig) → posexplode(bands) → self-join on
+    (band_idx, band_key) → distinct candidate pairs → re-join shingle sets
+    → exact Jaccard filter. Signatures are computed once and reused via the
+    banded explode; the self-join shuffles on the band key.
+    """
+    signed = with_signature(docs).cache()
+    bands = signed.select(
+        "doc_id", F.posexplode(band_keys(F.col("sig"))).alias("band_idx", "band_key")
+    )
+    left = bands.alias("l")
+    right = bands.alias("r")
+    cand = (
+        left.join(
+            right,
+            (F.col("l.band_idx") == F.col("r.band_idx"))
+            & (F.col("l.band_key") == F.col("r.band_key"))
+            & (F.col("l.doc_id") < F.col("r.doc_id")),
+        )
+        .select(
+            F.col("l.doc_id").alias("doc_a"), F.col("r.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+    sh = signed.select("doc_id", "sh")
+    verified = (
+        cand.join(sh.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("sh", "sh_a"), "doc_a")
+        .join(sh.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("sh", "sh_b"), "doc_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.size(F.array_intersect("sh_a", "sh_b"))
+                / F.size(F.array_union("sh_a", "sh_b")),
+                6,
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+    return verified
+
+
+# --- simhash -------------------------------------------------------------
+
+SIMHASH_BITS = 32
+
+
+def simhash(toks: Column) -> Column:
+    """32-bit SimHash over the distinct token set.
+
+    Bit k is set when more than half the token hashes have bit k set
+    (majority vote with ties → 0, the classic >0 threshold on ±1 sums:
+    2·cnt > n ⇔ Σ(2b−1) > 0).
+    """
+    hashed = F.transform(F.array_distinct(toks), h32)
+    n = F.size(hashed)
+
+    def _bit_sum(k: int):
+        return lambda acc, h: acc + F.shiftright(h, k).bitwiseAND(1)
+
+    terms = [
+        F.when(
+            F.lit(2) * F.aggregate(hashed, F.lit(0).cast("long"), _bit_sum(k)) > n,
+            F.lit(2**k).cast("long"),
+        ).otherwise(F.lit(0).cast("long"))
+        for k in range(SIMHASH_BITS)
+    ]
+    out = terms[0]
+    for t in terms[1:]:
+        out = out + t
+    return out
+
+
+def simhash_pairs(docs: DataFrame, max_hamming: int = 3) -> DataFrame:
+    """Pairs with Hamming(simhash_a, simhash_b) ≤ max_hamming.
+
+    Blocking: the 32-bit signature splits into 4 byte chunks; by pigeonhole
+    any pair within Hamming ≤ 3 shares at least one chunk, so the self-join
+    on (chunk_idx, chunk_value) is lossless while bounding the pair space.
+    """
+    from pleiades_spark.functions.text import tokens
+
+    sigs = docs.select(
+        "doc_id", simhash(tokens(F.col("text"))).alias("sig")
+    ).cache()
+    chunks = sigs.select(
+        "doc_id",
+        "sig",
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftright(F.col("sig"), 8 * i).bitwiseAND(255)
+                    for i in range(4)
+                ]
+            )
+        ).alias("chunk_idx", "chunk_val"),
+    )
+    left = chunks.alias("l")
+    right = chunks.alias("r")
+    return (
+        left.join(
+            right,
+            (F.col("l.chunk_idx") == F.col("r.chunk_idx"))
+            & (F.col("l.chunk_val") == F.col("r.chunk_val"))
+            & (F.col("l.doc_id") < F.col("r.doc_id")),
+        )
+        .select(
+            F.col("l.doc_id").alias("doc_a"),
+            F.col("r.doc_id").alias("doc_b"),
+            F.bit_count(
+                F.col("l.sig").bitwiseXOR(F.col("r.sig"))
+            ).alias("hamming"),
+        )
+        .distinct()
+        .filter(F.col("hamming") <= max_hamming)
+    )
+
+
+# --- exact n-gram jaccard (ground truth) ---------------------------------
+
+
+def ngram_jaccard_pairs(docs: DataFrame, threshold: float = 0.6) -> DataFrame:
+    """Exact all-pairs shingle Jaccard with a length-band block.
+
+    Near-dups have near-equal length, so requiring
+    |len_a − len_b| ≤ 20 % · max(len) prunes the quadratic space without
+    losing pairs above any reasonable threshold. Quadratic — ground truth
+    for small SF; the LSH operators are the scale path.
+    """
+    sh = docs.select(
+        "doc_id", F.col("n_chars"), word_shingles(F.col("text")).alias("sh")
+    )
+    a = sh.alias("a")
+    b = sh.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.doc_id") < F.col("b.doc_id"))
+            & (
+                F.abs(F.col("a.n_chars") - F.col("b.n_chars"))
+                <= 0.2 * F.greatest(F.col("a.n_chars"), F.col("b.n_chars"))
+            ),
+        )
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.size(F.array_intersect("a.sh", "b.sh"))
+                / F.size(F.array_union("a.sh", "b.sh")),
+                6,
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            "jaccard",
+        )
+    )
+
+
+# --- embedding cosine near-dup -------------------------------------------
+
+
+def embedding_near_dup_pairs(emb: DataFrame, threshold: float = 0.45) -> DataFrame:
+    """Vector pairs with cosine ≥ threshold (brute-force at fixture scale).
+
+    At 100 TB: assign vectors to IVF buckets (similarity.ivf_assign) and
+    self-join within buckets only.
+    """
+    v = emb.select("vec_id", as_double(F.col("embedding")).alias("v"))
+    a = v.alias("a")
+    b = v.alias("b")
+    return (
+        a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
+        .withColumn("cos", F.round(cosine(F.col("a.v"), F.col("b.v")), 6))
+        .filter(F.col("cos") >= threshold)
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            "cos",
+        )
+    )

@@ -1,3 +1,499 @@
-"""Placeholder — populated in a later milestone."""
+"""LLM-data-pipeline queries (SURVEY.md §7 M5 + driver contract).
 
-QUERIES = []
+Dedup (exact / MinHash-LSH / SimHash / exact n-gram Jaccard / embedding
+cosine), similarity search (brute top-k + IVF bucketed), and text analysis
+(quality scoring, n-gram language ID, token counting, fingerprinting,
+word frequencies) over the ``documents`` / ``embeddings`` fixtures.
+
+Every sketch uses the md5-derived h32 hash (functions/hashing.py), so the
+DuckDB oracles reproduce signatures, bands, candidate pairs, and verdicts
+BIT-FOR-BIT — the dedup operators get the same full-strength hash-match
+gate as plain SQL queries, not a weak rows-only check.
+
+The oracle SQL strings are generated from the same frozen constants
+(MINHASH_PERMS, STOPWORDS, band/chunk layout) as the Spark plans — one
+source of truth, two dialects.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
+
+from pleiades_spark import catalog
+from pleiades_spark.functions.hashing import (
+    LSH_BANDS,
+    LSH_ROWS,
+    MINHASH_P,
+    MINHASH_PERMS,
+    h32,
+    h32_sql,
+)
+from pleiades_spark.functions.text import (
+    BPE_PATTERN,
+    char_shingles,
+    char_shingles_sql,
+    stopword_count,
+    stopword_count_sql,
+    tokens,
+    word_shingles_sql,
+)
+from pleiades_spark.operators.dedup import (
+    SIMHASH_BITS,
+    embedding_near_dup_pairs,
+    exact_dedup_groups,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash_pairs,
+)
+from pleiades_spark.operators.similarity import ivf_knn, knn_brute
+from pleiades_spark.plans import Query
+from pleiades_spark.session import apply_runtime_confs
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    apply_runtime_confs(spark)
+    return catalog.load(spark, sf_dir, name)
+
+
+# =========================== dedup =======================================
+
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return exact_dedup_groups(_t(spark, sf_dir, "documents"))
+
+
+ORACLE_DEDUP_EXACT = """
+SELECT md5(text) AS text_md5, min(doc_id) AS rep_doc_id, count(*) AS n_copies
+FROM documents GROUP BY md5(text)
+"""
+
+
+# --- minhash LSH ----------------------------------------------------------
+
+JACCARD_THRESHOLD = 0.6
+
+_SIG_SQL = "[" + ", ".join(
+    f"list_min(list_transform(hs, h -> ({a} * h + {b}) % {MINHASH_P}))"
+    for a, b in MINHASH_PERMS
+) + "]"
+
+_BANDS_RANGE_SQL = f"(SELECT unnest(range(0, {LSH_BANDS})) AS band_idx)"
+
+
+def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return minhash_lsh_pairs(_t(spark, sf_dir, "documents"), JACCARD_THRESHOLD)
+
+
+ORACLE_DEDUP_MINHASH = f"""
+WITH sh AS (
+  SELECT doc_id, {word_shingles_sql('text')} AS sh FROM documents
+), hashed AS (
+  SELECT doc_id, sh, list_transform(sh, s -> {h32_sql('s')}) AS hs FROM sh
+), sig AS (
+  SELECT doc_id, {_SIG_SQL} AS sig FROM hashed
+), bands AS (
+  SELECT doc_id, band_idx,
+         array_to_string(sig[band_idx*{LSH_ROWS}+1 : band_idx*{LSH_ROWS}+{LSH_ROWS}], '-') AS band_key
+  FROM sig, {_BANDS_RANGE_SQL}
+), cand AS (
+  SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
+  FROM bands l JOIN bands r
+    ON l.band_idx = r.band_idx AND l.band_key = r.band_key AND l.doc_id < r.doc_id
+), verified AS (
+  SELECT doc_a, doc_b,
+         round(len(list_intersect(a.sh, b.sh)) * 1.0
+               / len(list_distinct(list_concat(a.sh, b.sh))), 6) AS jaccard
+  FROM cand JOIN sh a ON a.doc_id = cand.doc_a JOIN sh b ON b.doc_id = cand.doc_b
+)
+SELECT doc_a, doc_b, jaccard FROM verified WHERE jaccard >= {JACCARD_THRESHOLD}
+"""
+
+
+# --- simhash --------------------------------------------------------------
+
+MAX_HAMMING = 3
+
+_SIMHASH_SQL = "CAST(" + " + ".join(
+    f"(CASE WHEN 2 * list_sum(list_transform(hs, x -> (x >> {k}) & 1)) > len(hs) "
+    f"THEN {2**k} ELSE 0 END)"
+    for k in range(SIMHASH_BITS)
+) + " AS BIGINT)"
+
+
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = simhash_pairs(_t(spark, sf_dir, "documents"), MAX_HAMMING)
+    return out.select("doc_a", "doc_b", F.col("hamming").cast("int").alias("hamming"))
+
+
+ORACLE_DEDUP_SIMHASH = f"""
+WITH t AS (
+  SELECT doc_id, list_distinct(string_split(text, ' ')) AS toks FROM documents
+), h AS (
+  SELECT doc_id, list_transform(toks, tk -> {h32_sql('tk')}) AS hs FROM t
+), s AS (
+  SELECT doc_id, {_SIMHASH_SQL} AS sig FROM h
+), chunks AS (
+  SELECT doc_id, sig, chunk_idx, (sig >> (8 * chunk_idx)) & 255 AS chunk_val
+  FROM s, (SELECT unnest(range(0, 4)) AS chunk_idx)
+), pairs AS (
+  SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b,
+         CAST(bit_count(xor(l.sig, r.sig)) AS INT) AS hamming
+  FROM chunks l JOIN chunks r
+    ON l.chunk_idx = r.chunk_idx AND l.chunk_val = r.chunk_val AND l.doc_id < r.doc_id
+)
+SELECT doc_a, doc_b, hamming FROM pairs WHERE hamming <= {MAX_HAMMING}
+"""
+
+
+# --- exact n-gram jaccard (ground truth for the LSH recall) ----------------
+
+
+def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ngram_jaccard_pairs(_t(spark, sf_dir, "documents"), JACCARD_THRESHOLD)
+
+
+ORACLE_DEDUP_NGRAM_JACCARD = f"""
+WITH sh AS (
+  SELECT doc_id, n_chars, {word_shingles_sql('text')} AS sh FROM documents
+), pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         round(len(list_intersect(a.sh, b.sh)) * 1.0
+               / len(list_distinct(list_concat(a.sh, b.sh))), 6) AS jaccard
+  FROM sh a JOIN sh b
+    ON a.doc_id < b.doc_id
+   AND abs(a.n_chars - b.n_chars) <= 0.2 * greatest(a.n_chars, b.n_chars)
+)
+SELECT doc_a, doc_b, jaccard FROM pairs WHERE jaccard >= {JACCARD_THRESHOLD}
+"""
+
+
+# --- embedding cosine near-dup --------------------------------------------
+
+COSINE_DUP_THRESHOLD = 0.45
+
+_COS_SQL = (
+    "round(list_inner_product(a.v, b.v) / "
+    "(sqrt(list_inner_product(a.v, a.v)) * sqrt(list_inner_product(b.v, b.v))), 6)"
+)
+
+
+def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return embedding_near_dup_pairs(
+        _t(spark, sf_dir, "embeddings"), COSINE_DUP_THRESHOLD
+    )
+
+
+ORACLE_DEDUP_EMBEDDING = f"""
+WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+SELECT vec_a, vec_b, cos FROM (
+  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, {_COS_SQL} AS cos
+  FROM v a JOIN v b ON a.vec_id < b.vec_id
+) WHERE cos >= {COSINE_DUP_THRESHOLD}
+"""
+
+
+# =========================== similarity search ============================
+
+KNN_QUERIES = 5
+KNN_K = 8
+IVF_CENTROIDS = 16
+IVF_K = 5
+
+
+def q_knn_brute(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return knn_brute(_t(spark, sf_dir, "embeddings"), KNN_QUERIES, KNN_K)
+
+
+_QCOS_SQL = (
+    "round(list_inner_product(q.qv, v.v) / "
+    "(sqrt(list_inner_product(q.qv, q.qv)) * sqrt(list_inner_product(v.v, v.v))), 6)"
+)
+
+ORACLE_KNN_BRUTE = f"""
+WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+q AS (SELECT vec_id AS query_id, v AS qv FROM v WHERE vec_id < {KNN_QUERIES}),
+scored AS (
+  SELECT query_id, vec_id, {_QCOS_SQL} AS cos
+  FROM v JOIN q ON vec_id <> query_id
+)
+SELECT query_id, rank, vec_id, cos FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+            ORDER BY cos DESC, vec_id ASC) AS rank
+  FROM scored
+) WHERE rank <= {KNN_K}
+"""
+
+
+def q_ivf_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ivf_knn(_t(spark, sf_dir, "embeddings"), KNN_QUERIES, IVF_K, IVF_CENTROIDS)
+
+
+_CCOS_SQL = (
+    "round(list_inner_product(v.v, c.cv) / "
+    "(sqrt(list_inner_product(v.v, v.v)) * sqrt(list_inner_product(c.cv, c.cv))), 6)"
+)
+
+ORACLE_IVF_KNN = f"""
+WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+c AS (SELECT vec_id AS centroid_id, v AS cv FROM v WHERE vec_id < {IVF_CENTROIDS}),
+assigned AS (
+  SELECT vec_id, v, centroid_id FROM (
+    SELECT v.vec_id, v.v, c.centroid_id,
+           row_number() OVER (PARTITION BY v.vec_id
+             ORDER BY {_CCOS_SQL} DESC, c.centroid_id ASC) AS rk
+    FROM v CROSS JOIN c
+  ) WHERE rk = 1
+),
+q AS (SELECT vec_id AS query_id, v AS qv, centroid_id AS qc
+      FROM assigned WHERE vec_id < {KNN_QUERIES}),
+scored AS (
+  SELECT q.query_id, a.vec_id,
+         round(list_inner_product(q.qv, a.v) /
+               (sqrt(list_inner_product(q.qv, q.qv)) * sqrt(list_inner_product(a.v, a.v))), 6) AS cos
+  FROM assigned a JOIN q ON a.centroid_id = q.qc AND a.vec_id <> q.query_id
+)
+SELECT query_id, rank, vec_id, cos FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+            ORDER BY cos DESC, vec_id ASC) AS rank
+  FROM scored
+) WHERE rank <= {IVF_K}
+"""
+
+
+# =========================== text analysis ================================
+
+
+def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document quality scoring: type-token ratio, stopword ratio,
+    average token length, digit count → composite score + low flag.
+
+    All codegen'd expressions; at 100 TB this is a pure map stage.
+    """
+    docs = _t(spark, sf_dir, "documents")
+    toks = tokens(F.col("text"))
+    n_tok = F.size(toks)
+    n_distinct = F.size(F.array_distinct(toks))
+    ttr = n_distinct / n_tok
+    sw_ratio = stopword_count(toks) / n_tok
+    avg_len = F.aggregate(
+        toks, F.lit(0).cast("long"), lambda acc, t: acc + F.length(t)
+    ) / n_tok
+    quality = F.round(
+        0.4 * ttr + 0.4 * (1 - sw_ratio) + 0.2 * F.least(n_tok / 100, F.lit(1.0)), 6
+    )
+    return docs.select(
+        "doc_id",
+        "lang",
+        n_tok.alias("n_tokens"),
+        n_distinct.alias("n_distinct"),
+        F.round(ttr, 6).alias("ttr"),
+        F.round(sw_ratio, 6).alias("stopword_ratio"),
+        F.round(avg_len, 6).alias("avg_token_len"),
+        F.regexp_count(F.col("text"), F.lit("[0-9]")).alias("n_digits"),
+        quality.alias("quality"),
+        (quality < 0.5).alias("low_quality"),
+    )
+
+
+_TOKS = "string_split(text, ' ')"
+
+ORACLE_TEXT_QUALITY = f"""
+SELECT doc_id, lang,
+       CAST(n_tokens AS INT) AS n_tokens,
+       CAST(n_distinct AS INT) AS n_distinct,
+       round(ttr, 6) AS ttr,
+       round(stopword_ratio, 6) AS stopword_ratio,
+       round(avg_token_len, 6) AS avg_token_len,
+       CAST(n_digits AS INT) AS n_digits,
+       round(0.4 * ttr + 0.4 * (1 - stopword_ratio)
+             + 0.2 * least(n_tokens / 100.0, 1.0), 6) AS quality,
+       (round(0.4 * ttr + 0.4 * (1 - stopword_ratio)
+             + 0.2 * least(n_tokens / 100.0, 1.0), 6) < 0.5) AS low_quality
+FROM (
+  SELECT doc_id, lang,
+         len({_TOKS}) AS n_tokens,
+         len(list_distinct({_TOKS})) AS n_distinct,
+         len(list_distinct({_TOKS})) * 1.0 / len({_TOKS}) AS ttr,
+         {stopword_count_sql(_TOKS)} * 1.0 / len({_TOKS}) AS stopword_ratio,
+         list_sum(list_transform({_TOKS}, t -> length(t))) * 1.0
+           / len({_TOKS}) AS avg_token_len,
+         len(regexp_extract_all(text, '[0-9]')) AS n_digits
+  FROM documents
+)
+"""
+
+
+# --- n-gram language ID -----------------------------------------------------
+
+# Character-trigram profiles (tiny frozen codebook). The classifier shape is
+# the real thing — extract trigrams, score against profiles, argmax — even
+# though the synthetic corpus is English-ish for every label.
+LANG_PROFILES: tuple[tuple[str, str], ...] = (
+    ("en", "the"), ("en", "ing"), ("en", "er "), ("en", " th"),
+    ("es", "que"), ("es", " de"), ("es", "los"), ("es", "ión"),
+    ("de", "der"), ("de", "sch"), ("de", "ein"), ("de", "ich"),
+    ("fr", "les"), ("fr", "ent"), ("fr", "eau"), ("fr", " la"),
+    ("zh", "shi"), ("zh", "zho"), ("zh", "ng "), ("zh", "ian"),
+)
+
+_PROFILE_VALUES = ", ".join(f"('{lang}', '{tg}')" for lang, tg in LANG_PROFILES)
+
+
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """n-gram language ID: doc trigrams ⋈ profile codebook → per-lang match
+    count → argmax (ties → lang ASC). Docs matching no profile trigram drop
+    out (same semantics in the oracle)."""
+    docs = _t(spark, sf_dir, "documents")
+    profiles = F.broadcast(
+        spark.createDataFrame(list(LANG_PROFILES), "cand_lang string, trigram string")
+    )
+    doc_tg = docs.select(
+        "doc_id", F.explode(char_shingles(F.col("text"), 3)).alias("trigram")
+    )
+    scores = (
+        doc_tg.join(profiles, "trigram")
+        .groupBy("doc_id", "cand_lang")
+        .agg(F.count(F.lit(1)).alias("matches"))
+    )
+    w = W.partitionBy("doc_id").orderBy(F.col("matches").desc(), F.col("cand_lang").asc())
+    return (
+        scores.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select("doc_id", F.col("cand_lang").alias("predicted_lang"), "matches")
+    )
+
+
+ORACLE_LANG_ID = f"""
+WITH profiles(cand_lang, trigram) AS (VALUES {_PROFILE_VALUES}),
+doc_tg AS (
+  SELECT doc_id, unnest({char_shingles_sql('text', 3)}) AS trigram FROM documents
+),
+scores AS (
+  SELECT doc_id, cand_lang, count(*) AS matches
+  FROM doc_tg JOIN profiles USING (trigram)
+  GROUP BY doc_id, cand_lang
+)
+SELECT doc_id, cand_lang AS predicted_lang, matches FROM (
+  SELECT *, row_number() OVER (PARTITION BY doc_id
+            ORDER BY matches DESC, cand_lang ASC) AS rk
+  FROM scores
+) WHERE rk = 1
+"""
+
+
+# --- token counting ---------------------------------------------------------
+
+
+def q_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitespace tokens vs BPE-ish regex tokens + chars-per-token ratio."""
+    docs = _t(spark, sf_dir, "documents")
+    ws = F.size(tokens(F.col("text")))
+    bpe = F.regexp_count(F.col("text"), F.lit(BPE_PATTERN))
+    return docs.select(
+        "doc_id",
+        ws.alias("ws_tokens"),
+        bpe.alias("bpe_tokens"),
+        F.round(F.col("n_chars") / bpe, 6).alias("chars_per_token"),
+    )
+
+
+ORACLE_TOKEN_COUNTS = f"""
+SELECT doc_id,
+       CAST(len(string_split(text, ' ')) AS INT) AS ws_tokens,
+       CAST(len(regexp_extract_all(text, '{BPE_PATTERN}')) AS INT) AS bpe_tokens,
+       round(n_chars * 1.0 / len(regexp_extract_all(text, '{BPE_PATTERN}')), 6)
+         AS chars_per_token
+FROM documents
+"""
+
+
+# --- fingerprinting ----------------------------------------------------------
+
+
+def q_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content fingerprint: min-hash over character 5-gram shingles (one
+    64-bit-safe value per doc) + shingle cardinality — the building block
+    for shingle-level containment checks."""
+    docs = _t(spark, sf_dir, "documents")
+    sh = char_shingles(F.col("text"), 5)
+    hashed = F.transform(sh, h32)
+    return docs.select(
+        "doc_id",
+        F.array_min(hashed).alias("fingerprint"),
+        F.size(sh).alias("n_shingles"),
+    )
+
+
+ORACLE_FINGERPRINTS = f"""
+SELECT doc_id,
+       list_min(list_transform(sh, s -> {h32_sql('s')})) AS fingerprint,
+       CAST(len(sh) AS INT) AS n_shingles
+FROM (SELECT doc_id, {char_shingles_sql('text', 5)} AS sh FROM documents)
+"""
+
+
+# --- word frequencies ---------------------------------------------------------
+
+
+def q_word_freq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 tokens per language (explode → count → partitioned top-k).
+
+    The scale shape: one shuffle on (lang, token) with map-side combine,
+    then the k-row window per lang — no global sort.
+    """
+    docs = _t(spark, sf_dir, "documents")
+    counts = (
+        docs.select("lang", F.explode(tokens(F.col("text"))).alias("token"))
+        .groupBy("lang", "token")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w = W.partitionBy("lang").orderBy(F.col("n").desc(), F.col("token").asc())
+    return (
+        counts.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 10)
+        .select("lang", "rank", "token", "n")
+    )
+
+
+ORACLE_WORD_FREQ_TOPK = """
+WITH counts AS (
+  SELECT lang, unnest(string_split(text, ' ')) AS token FROM documents
+), agg AS (
+  SELECT lang, token, count(*) AS n FROM counts GROUP BY lang, token
+)
+SELECT lang, rank, token, n FROM (
+  SELECT *, row_number() OVER (PARTITION BY lang
+            ORDER BY n DESC, token ASC) AS rank
+  FROM agg
+) WHERE rank <= 10
+"""
+
+
+QUERIES = [
+    Query("dedup_exact", q_dedup_exact, ORACLE_DEDUP_EXACT,
+          "exact dedup via text-hash groupBy, deterministic representative"),
+    Query("dedup_minhash_lsh", q_dedup_minhash, ORACLE_DEDUP_MINHASH,
+          "MinHash signatures → banded LSH → verified Jaccard pairs"),
+    Query("dedup_simhash", q_dedup_simhash, ORACLE_DEDUP_SIMHASH,
+          "32-bit SimHash, chunk blocking, Hamming ≤ 3 pairs"),
+    Query("dedup_ngram_jaccard", q_dedup_ngram_jaccard, ORACLE_DEDUP_NGRAM_JACCARD,
+          "exact blocked all-pairs shingle Jaccard (LSH ground truth)"),
+    Query("dedup_embedding_cosine", q_dedup_embedding, ORACLE_DEDUP_EMBEDDING,
+          "embedding cosine near-dup pairs"),
+    Query("knn_cosine_brute", q_knn_brute, ORACLE_KNN_BRUTE,
+          "exact top-k cosine neighbors (broadcast queries × corpus scan)"),
+    Query("ivf_knn", q_ivf_knn, ORACLE_IVF_KNN,
+          "IVF-bucketed approximate top-k (nprobe=1)"),
+    Query("text_quality_scores", q_text_quality, ORACLE_TEXT_QUALITY,
+          "per-doc quality: TTR, stopword/digit ratios, composite score"),
+    Query("lang_id_ngram", q_lang_id, ORACLE_LANG_ID,
+          "character-trigram language ID vs profile codebook"),
+    Query("token_counts", q_token_counts, ORACLE_TOKEN_COUNTS,
+          "whitespace + BPE-ish regex token counting"),
+    Query("doc_fingerprints", q_fingerprints, ORACLE_FINGERPRINTS,
+          "min-hash char-shingle fingerprint per doc"),
+    Query("word_frequency_topk", q_word_freq_topk, ORACLE_WORD_FREQ_TOPK,
+          "top-10 tokens per language"),
+]
