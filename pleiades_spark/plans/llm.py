@@ -471,6 +471,34 @@ SELECT lang, rank, token, n FROM (
 """
 
 
+# =========================== multimodal ===================================
+
+
+def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-column feature extraction via Arrow-batched mapInPandas
+    (operators/multimodal.py). The oracle recomputes the byte-level
+    features in SQL — identical because the fixture payload is the
+    ASCII text's utf-8 bytes."""
+    from pleiades_spark.operators.multimodal import extract_features
+
+    return extract_features(_t(spark, sf_dir, "documents"))
+
+
+ORACLE_MULTIMODAL_FEATURES = """
+SELECT doc_id,
+       CAST(n_bytes AS INT) AS n_bytes,
+       hex(encode(substring(text, 1, 4))) AS header_hex,
+       CAST(n_frames AS INT) AS n_frames,
+       [0, CAST((n_frames // 2) * 256 AS INT),
+        CAST((n_frames - 1) * 256 AS INT)] AS sample_frame_offsets
+FROM (
+  SELECT doc_id, text, octet_length(encode(text)) AS n_bytes,
+         greatest(1, CAST(ceil(octet_length(encode(text)) / 256.0) AS BIGINT)) AS n_frames
+  FROM documents
+)
+"""
+
+
 QUERIES = [
     Query("dedup_exact", q_dedup_exact, ORACLE_DEDUP_EXACT,
           "exact dedup via text-hash groupBy, deterministic representative"),
@@ -496,4 +524,6 @@ QUERIES = [
           "min-hash char-shingle fingerprint per doc"),
     Query("word_frequency_topk", q_word_freq_topk, ORACLE_WORD_FREQ_TOPK,
           "top-10 tokens per language"),
+    Query("multimodal_features", q_multimodal_features, ORACLE_MULTIMODAL_FEATURES,
+          "binary-column feature extraction via Arrow mapInPandas"),
 ]

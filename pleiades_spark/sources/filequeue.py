@@ -1,0 +1,56 @@
+"""File-queue source/sink — reference parity for S7/S8.
+
+The reference's file publisher writes ONE FILE PER EVENT: line 1 = event
+ID, line 2 = raw JSON body, named ``<unixprefix>-event-<n>.dat``
+(/root/reference/pkg/ingester/publisher/file/filepublisher.go:76-111); the
+file aggregator polls a directory, parses the two lines, and deletes each
+file after processing (pkg/aggregator/file/aggregator.go:115-217).
+
+Spark-first mapping: ``wholetext`` read → split first line vs rest →
+(id, value) rows — the same shape the Kafka source yields, so every
+downstream plan is source-agnostic. Resume (`.pleiades_resumeID`) is
+subsumed by checkpointing; delete-after-processing is the streaming file
+source's ``cleanSource=delete`` option.
+
+Scale note: one-file-per-event is pathological for any engine at 100 TB
+(the reference documents it as a debugging path). The reader exists for
+parity and migration; real deployments land events in Kafka or batched
+parquet.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pleiades_spark.session import apply_runtime_confs
+
+
+def read_filequeue(spark: SparkSession, path: str) -> DataFrame:
+    """Directory of 2-line event files → (id STRING, value STRING)."""
+    apply_runtime_confs(spark)
+    raw = spark.read.text(os.path.join(path, "*-event-*.dat"), wholetext=True)
+    first_nl = F.instr(F.col("value"), "\n")
+    return raw.select(
+        F.substring(F.col("value"), 1, first_nl - 1).alias("id"),
+        # rtrim() strips spaces only — trailing newline needs the regexp form
+        F.regexp_replace(
+            F.expr("substring(value, instr(value, '\\n') + 1)"), "[\\r\\n]+$", ""
+        ).alias("value"),
+    )
+
+
+def write_filequeue(df: DataFrame, path: str, prefix: str = "0") -> int:
+    """(id, value) rows → one ``<prefix>-event-<n>.dat`` file each.
+
+    Driver-side writer (mirrors the reference's single-process publisher);
+    only suitable for tests/small exports — see module scale note.
+    """
+    os.makedirs(path, exist_ok=True)
+    rows = df.select("id", "value").collect()
+    for n, row in enumerate(rows):
+        with open(os.path.join(path, f"{prefix}-event-{n}.dat"), "w") as f:
+            f.write(f"{row['id']}\n{row['value']}\n")
+    return len(rows)

@@ -1,0 +1,166 @@
+"""Structured Streaming pipelines — the reference's true shape (§3.2).
+
+The reference's aggregate personality is a Kafka consumer that increments
+Redis counters per event (2·(N+1) Redis round-trips per event,
+pkg/aggregator/kafka/aggregator.go:159-204). Here the standing query is ONE
+incremental streaming aggregation: state lives in Spark's state store,
+sinks are batched through foreachBatch — exactly-once instead of the
+reference's at-least-once, and per-batch instead of per-event I/O.
+
+Source matrix (SURVEY.md §2.1):
+  S1/S4/S9  Kafka  → kafka_raw_stream (option-driven; needs the Kafka jars
+            on the classpath — gated, documented, untested in this image)
+  S7/S8     file   → events_file_stream over the fixture events schema;
+            filequeue.py handles the reference's 2-line-per-file format
+  test      memory sink via run_counters_to_memory (processAllAvailable)
+
+Watermark: the reference admits arbitrarily-late events (SURVEY.md §2.5);
+Spark needs a watermark to bound state, so day-grain state is kept 7 days
+past the max seen event time — later stragglers belong to the batch
+recompute path (plans/pleiades.q_counters_rollup over the archive).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming import StreamingQuery
+
+from pleiades_spark.functions.counters import counter_array, lendiff
+from pleiades_spark.schemas import EVENTS_SCHEMA_NANOS
+from pleiades_spark.session import apply_runtime_confs
+
+DEFAULT_WATERMARK = "7 days"
+
+
+def events_file_stream(spark: SparkSession, path: str) -> DataFrame:
+    """Streaming scan of fixture-format events parquet (nanos ts → micros).
+
+    ``cleanSource`` can be set to 'delete' upstream to reproduce the
+    reference's consume-then-delete file queue (file/aggregator.go:151-217);
+    left at default here because fixtures are read-only.
+    """
+    apply_runtime_confs(spark)
+    reader = spark.readStream.schema(EVENTS_SCHEMA_NANOS)
+    if path.endswith(".parquet"):
+        # The streaming file source needs a directory basePath; a single
+        # fixture file is addressed as dir + glob.
+        base, _, fname = path.rpartition("/")
+        reader = reader.option("pathGlobFilter", fname)
+        path = base
+    raw = reader.parquet(path)
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def kafka_raw_stream(
+    spark: SparkSession, bootstrap: str, topic: str, starting: str = "earliest"
+) -> DataFrame:
+    """Kafka source → (id, value) raw strings (S9).
+
+    Requires the spark-sql-kafka package on the classpath; in environments
+    without it this raises at load time — callers gate accordingly. Offset
+    tracking/resume (the reference's GetResumeID dance, S6) is the
+    checkpoint's job.
+    """
+    apply_runtime_confs(spark)
+    raw = (
+        spark.readStream.format("kafka")
+        .option("kafka.bootstrap.servers", bootstrap)
+        .option("subscribe", topic)
+        .option("startingOffsets", starting)
+        .load()
+    )
+    return raw.select(
+        F.col("key").cast("string").alias("id"),
+        F.col("value").cast("string").alias("value"),
+    )
+
+
+def counters_stream(events: DataFrame, watermark: str = DEFAULT_WATERMARK) -> DataFrame:
+    """The standing aggregation: 1-day tumbling event-time window × counter.
+
+    Equivalent to the batch aggregate_counters per-day grain; the all-time
+    grain is a trivial rollup of the materialized result (serving reads
+    SUM over days), so streaming state stays bounded.
+    """
+    derived = events.withWatermark("ts", watermark).select(
+        F.col("ts"),
+        F.explode(counter_array(events)).alias("counter"),
+        lendiff(events).alias("lendiff"),
+    )
+    return derived.groupBy(
+        F.window(F.col("ts"), "1 day").alias("win"), F.col("counter")
+    ).agg(
+        F.count(F.lit(1)).alias("events"),
+        F.round(F.sum("lendiff"), 4).alias("growth"),
+    )
+
+
+def run_counters_to_memory(
+    spark: SparkSession, path: str, query_name: str = "counters_mem"
+) -> DataFrame:
+    """Drive the streaming aggregation to completion on a bounded directory
+    (memory sink, complete mode) and return the result as a batch frame.
+
+    complete mode emits every window regardless of watermark progress, so a
+    bounded input yields the full aggregate (append mode would hold back
+    the final day, whose window the watermark never passes).
+    """
+    agg = counters_stream(events_file_stream(spark, path))
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(query_name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+        q.awaitTermination()
+    return spark.table(query_name)
+
+
+def start_counters_to_parquet(
+    spark: SparkSession,
+    source: DataFrame,
+    out_path: str,
+    checkpoint: str,
+) -> StreamingQuery:
+    """Production sink: foreachBatch overwrite of day partitions (S10).
+
+    Update-mode batches arrive keyed by (window, counter); each batch
+    rewrites only the day partitions it touches (dynamic partition
+    overwrite) — idempotent on replay, so end-to-end exactly-once.
+    """
+    agg = counters_stream(source)
+
+    def _merge(batch: DataFrame, epoch_id: int) -> None:
+        if batch.isEmpty():
+            return
+        # foreachBatch hands a frame bound to a CLONED session — the conf
+        # must be set there, or the write falls back to static overwrite
+        # (which would truncate the table on any later partial batch).
+        batch.sparkSession.conf.set(
+            "spark.sql.sources.partitionOverwriteMode", "dynamic"
+        )
+        (
+            batch.select(
+                F.floor(F.unix_timestamp("win.start") / 86400)
+                .cast("long")
+                .alias("day"),
+                "counter",
+                "events",
+                "growth",
+            )
+            .write.mode("overwrite")
+            .partitionBy("day")
+            .parquet(out_path)
+        )
+
+    return (
+        agg.writeStream.outputMode("update")
+        .foreachBatch(_merge)
+        .option("checkpointLocation", checkpoint)
+        .start()
+    )

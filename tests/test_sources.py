@@ -1,0 +1,66 @@
+"""Tests for the SSE protocol parser and the file-queue source/sink."""
+
+import textwrap
+
+from pleiades_spark.sources.filequeue import read_filequeue, write_filequeue
+from pleiades_spark.sources.sse import parse_sse_lines
+
+
+def test_sse_single_event():
+    wire = textwrap.dedent(
+        """\
+        id: evt-1
+        event: message
+        data: {"wiki":"hewiki"}
+
+        """
+    )
+    events = list(parse_sse_lines(wire.splitlines()))
+    assert len(events) == 1
+    assert events[0].id == "evt-1"
+    assert events[0].type == "message"
+    assert events[0].body == '{"wiki":"hewiki"}'
+
+
+def test_sse_multiline_data_joined_with_newline():
+    lines = ["id: e2", "data: line1", "data: line2", "", ""]
+    (ev,) = parse_sse_lines(lines)
+    assert ev.body == "line1\nline2"
+
+
+def test_sse_comments_skipped_and_multiple_events():
+    lines = [
+        ": heartbeat comment",
+        "id: a",
+        "data: 1",
+        "",
+        "id: b",
+        "event: custom",
+        "data: 2",
+        "",
+    ]
+    evs = list(parse_sse_lines(lines))
+    assert [e.id for e in evs] == ["a", "b"]
+    assert evs[1].type == "custom"
+
+
+def test_sse_no_space_after_colon():
+    (ev,) = parse_sse_lines(["id:abc", "data:x", ""])
+    assert ev.id == "abc" and ev.body == "x"
+
+
+def test_sse_flushes_trailing_partial_event():
+    evs = list(parse_sse_lines(["id: tail", "data: unfinished"]))
+    assert len(evs) == 1 and evs[0].id == "tail"
+
+
+def test_filequeue_roundtrip(spark, tmp_path):
+    qdir = str(tmp_path / "queue")
+    src = spark.createDataFrame(
+        [("id-0", '{"a":1}'), ("id-1", '{"b":2}')], "id string, value string"
+    )
+    n = write_filequeue(src, qdir)
+    assert n == 2
+    back = read_filequeue(spark, qdir)
+    got = sorted((r.id, r.value) for r in back.collect())
+    assert got == [("id-0", '{"a":1}'), ("id-1", '{"b":2}')]
