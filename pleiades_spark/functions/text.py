@@ -35,16 +35,25 @@ def word_shingles(text: Column, n: int = 3) -> Column:
     The shingle set is the dedup unit for MinHash / Jaccard — 3-word
     shingles are discriminative where raw token sets saturate (small
     vocabulary ⇒ most docs share most tokens).
+
+    Formulated as zip_with over shifted slices rather than
+    ``transform(sequence, i -> slice(toks, i, n))``: a lambda body
+    re-evaluates outer expressions PER ELEMENT, which would re-split the
+    text O(tokens²) times. Here each slice is evaluated once per row;
+    zip_with pads the shorter side with null and concat propagates it, so
+    the trailing partial windows drop out in the filter.
     """
+    assert n == 3, "shingle builder is specialized for n=3"
     toks = tokens(text)
+    pairs = F.zip_with(
+        F.slice(toks, 2, F.greatest(F.size(toks) - 1, F.lit(0))),
+        F.slice(toks, 3, F.greatest(F.size(toks) - 2, F.lit(0))),
+        lambda x, y: F.concat(x, F.lit(" "), y),
+    )
+    tri = F.zip_with(toks, pairs, lambda x, y: F.concat(x, F.lit(" "), y))
     return F.when(
         F.size(toks) >= n,
-        F.array_distinct(
-            F.transform(
-                F.sequence(F.lit(0), F.size(toks) - n),
-                lambda i: F.array_join(F.slice(toks, i + 1, n), " "),
-            )
-        ),
+        F.array_distinct(F.filter(tri, lambda x: x.isNotNull())),
     ).otherwise(F.array(text))
 
 

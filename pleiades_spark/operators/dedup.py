@@ -35,7 +35,9 @@ from pyspark.sql import functions as F
 from pleiades_spark.functions.hashing import (
     LSH_BANDS,
     LSH_ROWS,
+    MINHASH_P,
     MINHASH_PERMS,
+    NUM_PERM,
     h32,
     perm_hash,
 )
@@ -67,26 +69,33 @@ def exact_dedup_groups(docs: DataFrame) -> DataFrame:
 def minhash_signature(shingles: Column) -> Column:
     """Array of NUM_PERM minima over the shingle set's permuted hashes.
 
-    h32 per shingle is computed once; each permutation is an affine map of
-    it (array of transforms over the same hashed array).
+    ONE left fold computes everything: the md5-derived h32 is evaluated
+    exactly once per shingle (as the fold's transformed input), and the
+    accumulator is the running element-wise minimum of the NUM_PERM affine
+    permutations. (The naive "NUM_PERM × transform(hashed, …)" form
+    re-evaluates the md5 array once per permutation — Catalyst does not CSE
+    across higher-order-function arguments.)
     """
     hashed = F.transform(shingles, h32)
+    start = F.array_repeat(F.lit(MINHASH_P + 1).cast("long"), NUM_PERM)
 
-    def _perm(a: int, b: int):
-        # real closure: PySpark counts lambda parameters, so default-arg
-        # captures (lambda h, a=a: ...) would be read as a 3-ary HOF
-        return lambda h: perm_hash(h, a, b)
+    def _step(acc: Column, h: Column) -> Column:
+        perms = F.array(*[perm_hash(h, a, b) for a, b in MINHASH_PERMS])
+        return F.zip_with(acc, perms, lambda x, y: F.least(x, y))
 
-    return F.array(
-        *[F.array_min(F.transform(hashed, _perm(a, b))) for a, b in MINHASH_PERMS]
-    )
+    return F.aggregate(hashed, start, _step)
 
 
 def with_signature(docs: DataFrame) -> DataFrame:
-    return docs.select(
-        "doc_id",
-        word_shingles(F.col("text")).alias("sh"),
-    ).withColumn("sig", minhash_signature(F.col("sh")))
+    # Fixture tables arrive as one parquet file → one partition; hashing is
+    # the CPU hot spot, so spread it before computing signatures. (At real
+    # scale the scan already has many splits and this shuffle is a no-op to
+    # keep — it also pre-partitions by doc_id for the verification joins.)
+    return (
+        docs.repartition(F.col("doc_id"))
+        .select("doc_id", word_shingles(F.col("text")).alias("sh"))
+        .withColumn("sig", minhash_signature(F.col("sh")))
+    )
 
 
 def band_keys(sig: Column) -> Column:
@@ -161,23 +170,31 @@ def simhash(toks: Column) -> Column:
     (majority vote with ties → 0, the classic >0 threshold on ±1 sums:
     2·cnt > n ⇔ Σ(2b−1) > 0).
     """
-    hashed = F.transform(F.array_distinct(toks), h32)
-    n = F.size(hashed)
+    dtoks = F.array_distinct(toks)
+    hashed = F.transform(dtoks, h32)
+    n = F.size(dtoks)  # NOT size(hashed): that would re-run the md5 transform
 
-    def _bit_sum(k: int):
-        return lambda acc, h: acc + F.shiftright(h, k).bitwiseAND(1)
+    # One fold over the token hashes accumulates all 32 per-bit counts
+    # (md5 evaluated once per token; the naive 32×aggregate form would
+    # re-hash the tokens once per bit — no CSE across HOF arguments).
+    start = F.array_repeat(F.lit(0).cast("long"), SIMHASH_BITS)
 
-    terms = [
-        F.when(
-            F.lit(2) * F.aggregate(hashed, F.lit(0).cast("long"), _bit_sum(k)) > n,
-            F.lit(2**k).cast("long"),
-        ).otherwise(F.lit(0).cast("long"))
-        for k in range(SIMHASH_BITS)
-    ]
-    out = terms[0]
-    for t in terms[1:]:
-        out = out + t
-    return out
+    def _step(acc: Column, h: Column) -> Column:
+        bits = F.array(
+            *[F.shiftright(h, k).bitwiseAND(1) for k in range(SIMHASH_BITS)]
+        )
+        return F.zip_with(acc, bits, lambda x, y: x + y)
+
+    counts = F.aggregate(hashed, start, _step)
+    # counts must be referenced exactly ONCE (element_at per bit would
+    # re-run the fold 32×): zip with the bit weights and sum.
+    powers = F.array(*[F.lit(2**k).cast("long") for k in range(SIMHASH_BITS)])
+    contrib = F.zip_with(
+        counts,
+        powers,
+        lambda c, p: F.when(F.lit(2) * c > n, p).otherwise(F.lit(0).cast("long")),
+    )
+    return F.aggregate(contrib, F.lit(0).cast("long"), lambda acc, x: acc + x)
 
 
 def simhash_pairs(docs: DataFrame, max_hamming: int = 3) -> DataFrame:
@@ -189,9 +206,11 @@ def simhash_pairs(docs: DataFrame, max_hamming: int = 3) -> DataFrame:
     """
     from pleiades_spark.functions.text import tokens
 
-    sigs = docs.select(
-        "doc_id", simhash(tokens(F.col("text"))).alias("sig")
-    ).cache()
+    sigs = (
+        docs.repartition(F.col("doc_id"))  # parallelize hashing (see with_signature)
+        .select("doc_id", simhash(tokens(F.col("text"))).alias("sig"))
+        .cache()
+    )
     chunks = sigs.select(
         "doc_id",
         "sig",
