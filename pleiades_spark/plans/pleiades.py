@@ -385,6 +385,162 @@ ORDER BY day DESC
 """
 
 
+# --- A5: min/max/avg gauges --------------------------------------------------
+
+
+def q_gauges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Writer-stats gauges (prometheus.go:71-79) as grouped min/max/avg."""
+    ev = _events(spark, sf_dir)
+    return ev.groupBy("event_type").agg(
+        F.round(F.min("value"), 4).alias("min_value"),
+        F.round(F.max("value"), 4).alias("max_value"),
+        F.round(F.avg("value"), 4).alias("avg_value"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+ORACLE_GAUGES = """
+SELECT event_type, round(min(value), 4) AS min_value,
+       round(max(value), 4) AS max_value, round(avg(value), 4) AS avg_value,
+       count(*) AS n
+FROM events GROUP BY event_type
+"""
+
+
+# --- A6: histogram bucketing -------------------------------------------------
+
+# Bucket upper bounds, mirroring the reference's lag histogram shape
+# (aggregator.go:22-28: fixed cumulative buckets {1s,5s,15s,1m,10m,2h}).
+HISTOGRAM_EDGES = (10.0, 50.0, 100.0, 250.0, 500.0)
+
+
+def q_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-bucket histogram of event values per type — a width_bucket-
+    style when-chain (codegen'd; one shuffle on the tiny group key)."""
+    ev = _events(spark, sf_dir)
+    bucket = F.lit(f"gt_{HISTOGRAM_EDGES[-1]:g}")
+    for edge in reversed(HISTOGRAM_EDGES):
+        bucket = F.when(F.col("value") <= edge, F.lit(f"le_{edge:g}")).otherwise(bucket)
+    return (
+        ev.select("event_type", bucket.alias("bucket"))
+        .groupBy("event_type", "bucket")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+_BUCKET_CASE = "CASE " + " ".join(
+    f"WHEN value <= {e:g} THEN 'le_{e:g}'" for e in HISTOGRAM_EDGES
+) + f" ELSE 'gt_{HISTOGRAM_EDGES[-1]:g}' END"
+
+ORACLE_VALUE_HISTOGRAM = f"""
+SELECT event_type, {_BUCKET_CASE} AS bucket, count(*) AS n
+FROM events GROUP BY event_type, {_BUCKET_CASE}
+"""
+
+
+# --- P10-adjacent: sessionization over the event stream ----------------------
+
+SESSION_GAP_MIN = 30
+
+
+def q_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user sessions: a gap > 30 min starts a new session (lag +
+    running sum of boundary flags — one shuffle on user_id serves both
+    window functions). Returns per-session summaries."""
+    ev = _events(spark, sf_dir)
+    w = W.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
+    gap = F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts", 1).over(w))
+    flagged = ev.withColumn(
+        "new_session",
+        F.when(gap.isNull() | (gap > SESSION_GAP_MIN * 60), 1).otherwise(0),
+    ).withColumn(
+        "session_id",
+        F.sum("new_session").over(w.rowsBetween(W.unboundedPreceding, 0)),
+    )
+    return flagged.groupBy("user_id", "session_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum("value"), 4).alias("session_value"),
+        F.date_format(F.min("ts"), "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+    )
+
+
+ORACLE_SESSIONIZATION = f"""
+WITH flagged AS (
+  SELECT *, CASE WHEN prev_ts IS NULL
+                  OR floor(epoch(ts)) - floor(epoch(prev_ts)) > {SESSION_GAP_MIN * 60}
+             THEN 1 ELSE 0 END AS new_session
+  FROM (SELECT *, lag(ts, 1) OVER w AS prev_ts FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC))
+), numbered AS (
+  SELECT *, CAST(sum(new_session) OVER (PARTITION BY user_id
+            ORDER BY ts ASC, event_id ASC
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+  FROM flagged
+)
+SELECT user_id, session_id, count(*) AS n_events,
+       round(sum(value), 4) AS session_value,
+       strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start
+FROM numbered GROUP BY user_id, session_id
+"""
+
+
+# --- as-of join (Spark lacks a native one) -----------------------------------
+
+
+def q_asof_signup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: each event matched to the user's most recent signup at
+    or before it.
+
+    Spark has no ASOF JOIN; the scalable single-shuffle formulation is a
+    conditional marker + last(ignorenulls) running window — no self-join,
+    no range explosion, partition-pruned by user_id at scale. (DuckDB's
+    native ASOF JOIN would be the oracle, but the window form is expressed
+    identically there.)
+    """
+    ev = _events(spark, sf_dir)
+    w = (
+        W.partitionBy("user_id")
+        .orderBy(F.col("ts").asc(), F.col("event_id").asc())
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    marker = F.when(F.col("event_type") == "signup", F.col("ts"))
+    return (
+        ev.withColumn(
+            "last_signup_ts", F.last(marker, ignorenulls=True).over(w)
+        )
+        .filter(F.col("event_type") != "signup")
+        .select(
+            "event_id",
+            "user_id",
+            F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("event_ts"),
+            F.date_format("last_signup_ts", "yyyy-MM-dd HH:mm:ss").alias(
+                "asof_signup_ts"
+            ),
+            F.round(
+                (
+                    F.unix_timestamp("ts") - F.unix_timestamp("last_signup_ts")
+                ) / 3600.0,
+                4,
+            ).alias("hours_since_signup"),
+        )
+    )
+
+
+ORACLE_ASOF_SIGNUP = """
+SELECT event_id, user_id,
+       strftime(ts, '%Y-%m-%d %H:%M:%S') AS event_ts,
+       strftime(last_signup_ts, '%Y-%m-%d %H:%M:%S') AS asof_signup_ts,
+       round((floor(epoch(ts)) - floor(epoch(last_signup_ts))) / 3600.0, 4)
+         AS hours_since_signup
+FROM (
+  SELECT *, last(CASE WHEN event_type = 'signup' THEN ts END IGNORE NULLS)
+            OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_signup_ts
+  FROM events
+) WHERE event_type <> 'signup'
+"""
+
+
 QUERIES = [
     Query("counters_rollup", q_counters_rollup, ORACLE_COUNTERS_ROLLUP,
           "A1+A2 dual-grain conditional count + signed sum (flagship)"),
@@ -410,4 +566,12 @@ QUERIES = [
           "F6 point lookup + format_number"),
     Query("days_iso", q_days_iso, ORACLE_DAYS_ISO,
           "F7/F8 julian day → ISO date"),
+    Query("gauges_min_max_avg", q_gauges, ORACLE_GAUGES,
+          "A5 min/max/avg gauges per dimension"),
+    Query("value_histogram", q_value_histogram, ORACLE_VALUE_HISTOGRAM,
+          "A6 fixed-bucket histogram (width_bucket-style when chain)"),
+    Query("sessionization", q_sessionization, ORACLE_SESSIONIZATION,
+          "gap-based sessionization via lag + running sum"),
+    Query("asof_join_signup", q_asof_signup, ORACLE_ASOF_SIGNUP,
+          "as-of join via conditional last(ignorenulls) window"),
 ]
