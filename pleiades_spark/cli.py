@@ -1,0 +1,166 @@
+"""The three pleiades personalities as one CLI (cmd/main.go:67-69 parity).
+
+    python -m pleiades_spark ingest    --sse-file WIRE --out-dir DIR
+    python -m pleiades_spark aggregate --in-dir DIR --out COUNTERS_DIR
+    python -m pleiades_spark serve     --counters COUNTERS_DIR --port 8000
+
+ingest    SSE wire format (live URL, or a captured file for offline use)
+          → the reference's one-file-per-event queue (sources/filequeue).
+aggregate file queue → recentchange counter derivation → dual-grain
+          aggregate → day-partitioned parquet counters table. (The Kafka
+          path is streaming/pipeline.kafka_raw_stream + kafka_sink when
+          the Kafka package is on the classpath.)
+serve     /api/stats, /api/stats/{day}, /api/days over the counters table
+          (pkg/web/frontend.go:35-38 route parity), stdlib HTTP.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+from pleiades_spark.sources.filequeue import write_filequeue
+from pleiades_spark.sources.sse import SSEEvent, parse_sse_lines
+
+
+def cmd_ingest(args: argparse.Namespace) -> int:
+    """SSE → file queue. ``--sse-file`` replays a captured wire dump
+    (offline path); ``--url`` subscribes live."""
+    events: list[SSEEvent] = []
+    if args.sse_file:
+        with open(args.sse_file) as f:
+            events = list(parse_sse_lines(f))
+    elif args.url:
+        from pleiades_spark.sources.sse import subscribe
+
+        subscribe(args.url, events.append, resume_id=args.resume_id)
+    else:
+        raise SystemExit("ingest needs --sse-file or --url")
+    os.makedirs(args.out_dir, exist_ok=True)
+    for n, ev in enumerate(events):
+        with open(os.path.join(args.out_dir, f"0-event-{n}.dat"), "w") as f:
+            f.write(f"{ev.id}\n{ev.body}\n")
+    print(f"ingested {len(events)} events → {args.out_dir}")
+    return 0
+
+
+def cmd_aggregate(args: argparse.Namespace) -> int:
+    """File queue → counters parquet (day-partitioned)."""
+    from pleiades_spark.functions.recentchange import aggregate_recentchange
+    from pleiades_spark.session import get_spark
+    from pleiades_spark.sources.filequeue import read_filequeue
+
+    spark = get_spark("pleiades_aggregate")
+    raw = read_filequeue(spark, args.in_dir)
+    agg = aggregate_recentchange(raw)
+    # day=NULL rows (the all-time grain) land in the default partition and
+    # read back as NULL — preserved round-trip.
+    agg.write.mode("overwrite").partitionBy("day").parquet(args.out)
+    print(f"counters written → {args.out}")
+    return 0
+
+
+def _counters_payload(rows, day: int | None) -> dict:
+    return {
+        "Since": (day or 0) * 86400,
+        "Counters": [
+            {"Name": r["counter"], "Value": r["events"], "Growth": r["growth"]}
+            for r in rows
+        ],
+    }
+
+
+def make_handler(spark, counters_path: str):
+    from pyspark.sql import functions as F
+
+    counters = spark.read.parquet(counters_path).cache()
+    counters.count()  # materialize once; serving reads are driver-local
+
+    class Handler(BaseHTTPRequestHandler):
+        def _json(self, obj, code: int = 200) -> None:
+            body = json.dumps(obj).encode()
+            self.send_response(code)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def log_message(self, *a):  # quiet test output
+            pass
+
+        def do_GET(self) -> None:  # noqa: N802 (stdlib API)
+            parts = [p for p in self.path.split("/") if p]
+            if parts == ["api", "days"]:
+                days = [
+                    r["day"]
+                    for r in counters.select("day")
+                    .distinct()
+                    .dropna()
+                    .orderBy(F.col("day").desc())
+                    .collect()
+                ]
+                self._json({"Days": days})
+                return
+            if parts[:2] == ["api", "stats"]:
+                if len(parts) == 3:
+                    try:
+                        day = int(parts[2])
+                    except ValueError:
+                        self._json({"error": "bad day"}, 400)
+                        return
+                else:
+                    row = counters.agg(F.max("day")).collect()[0]
+                    day = row[0]
+                rows = counters.filter(F.col("day") == day).collect()
+                self._json(_counters_payload(rows, day))
+                return
+            self._json({"error": "not found"}, 404)
+
+    return Handler
+
+
+def cmd_serve(args: argparse.Namespace) -> int:
+    from pleiades_spark.session import get_spark
+
+    spark = get_spark("pleiades_serve")
+    server = ThreadingHTTPServer(
+        (args.host, args.port), make_handler(spark, args.counters)
+    )
+    print(f"serving counters on http://{args.host}:{args.port}")
+    server.serve_forever()
+    return 0
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(prog="pleiades_spark")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    ing = sub.add_parser("ingest", help="SSE → file queue")
+    ing.add_argument("--url")
+    ing.add_argument("--sse-file")
+    ing.add_argument("--resume-id", default="")
+    ing.add_argument("--out-dir", required=True)
+    ing.set_defaults(fn=cmd_ingest)
+
+    agg = sub.add_parser("aggregate", help="file queue → counters parquet")
+    agg.add_argument("--in-dir", required=True)
+    agg.add_argument("--out", required=True)
+    agg.set_defaults(fn=cmd_aggregate)
+
+    srv = sub.add_parser("serve", help="REST API over counters")
+    srv.add_argument("--counters", required=True)
+    srv.add_argument("--host", default="127.0.0.1")
+    srv.add_argument("--port", type=int, default=8000)
+    srv.set_defaults(fn=cmd_serve)
+    return p
+
+
+def main(argv: list[str] | None = None) -> int:
+    args = build_parser().parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -471,6 +471,59 @@ SELECT lang, rank, token, n FROM (
 """
 
 
+# --- language dimension enrichment (FIXTURES.md §A.5 langdim) --------------
+
+# ISO-639-ish two-standard dim with a coalesce fallback chain, mirroring
+# the frontend's 639-1 → 639-2B → 639-3 lookup (store.js:31-53).
+LANGDIM_PRIMARY: tuple[tuple[str, str], ...] = (
+    ("en", "English"), ("es", "Spanish"), ("fr", "French"),
+)
+LANGDIM_FALLBACK: tuple[tuple[str, str], ...] = (
+    ("de", "German"), ("zh", "Chinese"), ("en", "SHOULD NOT WIN"),
+)
+
+
+def q_doc_lang_enrichment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language doc stats enriched via broadcast dim join with a
+    coalesce fallback chain (the serving layer's language lookup,
+    engine-side)."""
+    docs = _t(spark, sf_dir, "documents")
+    stats = docs.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(F.avg("n_chars"), 4).alias("avg_chars"),
+    )
+    d1 = spark.createDataFrame(list(LANGDIM_PRIMARY), "lang string, l1 string")
+    d2 = spark.createDataFrame(list(LANGDIM_FALLBACK), "lang string, l2 string")
+    return (
+        stats.join(F.broadcast(d1), "lang", "left")
+        .join(F.broadcast(d2), "lang", "left")
+        .select(
+            "lang",
+            F.coalesce(
+                F.col("l1"), F.col("l2"), F.concat(F.lit("unknown:"), F.col("lang"))
+            ).alias("language"),
+            "n_docs",
+            "avg_chars",
+        )
+    )
+
+
+_D1_VALUES = ", ".join(f"('{c}', '{n}')" for c, n in LANGDIM_PRIMARY)
+_D2_VALUES = ", ".join(f"('{c}', '{n}')" for c, n in LANGDIM_FALLBACK)
+
+ORACLE_DOC_LANG_ENRICHMENT = f"""
+WITH stats AS (
+  SELECT lang, count(*) AS n_docs, round(avg(n_chars), 4) AS avg_chars
+  FROM documents GROUP BY lang
+),
+d1(lang, l1) AS (VALUES {_D1_VALUES}),
+d2(lang, l2) AS (VALUES {_D2_VALUES})
+SELECT stats.lang, coalesce(l1, l2, 'unknown:' || stats.lang) AS language,
+       n_docs, avg_chars
+FROM stats LEFT JOIN d1 USING (lang) LEFT JOIN d2 USING (lang)
+"""
+
+
 # =========================== multimodal ===================================
 
 
@@ -481,7 +534,13 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     ASCII text's utf-8 bytes."""
     from pleiades_spark.operators.multimodal import extract_features
 
-    return extract_features(_t(spark, sf_dir, "documents"))
+    feats = extract_features(_t(spark, sf_dir, "documents"))
+    # array column serialized for the gate: engines stringify lists
+    # differently, a scalar column hashes identically everywhere
+    return feats.withColumn(
+        "sample_frame_offsets",
+        F.array_join(F.col("sample_frame_offsets"), "-"),
+    )
 
 
 ORACLE_MULTIMODAL_FEATURES = """
@@ -489,8 +548,8 @@ SELECT doc_id,
        CAST(n_bytes AS INT) AS n_bytes,
        hex(encode(substring(text, 1, 4))) AS header_hex,
        CAST(n_frames AS INT) AS n_frames,
-       [0, CAST((n_frames // 2) * 256 AS INT),
-        CAST((n_frames - 1) * 256 AS INT)] AS sample_frame_offsets
+       concat('0-', (n_frames // 2) * 256, '-', (n_frames - 1) * 256)
+         AS sample_frame_offsets
 FROM (
   SELECT doc_id, text, octet_length(encode(text)) AS n_bytes,
          greatest(1, CAST(ceil(octet_length(encode(text)) / 256.0) AS BIGINT)) AS n_frames
@@ -526,4 +585,6 @@ QUERIES = [
           "top-10 tokens per language"),
     Query("multimodal_features", q_multimodal_features, ORACLE_MULTIMODAL_FEATURES,
           "binary-column feature extraction via Arrow mapInPandas"),
+    Query("doc_lang_enrichment", q_doc_lang_enrichment, ORACLE_DOC_LANG_ENRICHMENT,
+          "langdim broadcast join with coalesce fallback chain"),
 ]

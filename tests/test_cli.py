@@ -1,0 +1,77 @@
+"""End-to-end test of the three personalities: ingest → aggregate → serve."""
+
+import json
+import threading
+import urllib.request
+from http.server import ThreadingHTTPServer
+
+from pleiades_spark.cli import build_parser, make_handler
+
+WIRE = """\
+id: [{{"topic":"t","partition":0,"timestamp":{ts1}}}]
+event: message
+data: {{"wiki":"hewiki","type":"edit","bot":true,"minor":true,"length":{{"old":10,"new":25}},"timestamp":1596207527}}
+
+: comment line heartbeats are skipped
+id: [{{"topic":"t","partition":0,"timestamp":{ts2}}}]
+event: message
+data: {{"wiki":"enwiki","type":"new","bot":false,"length":{{"old":0,"new":40}},"timestamp":1596293927}}
+
+""".format(ts1=1596207527001, ts2=1596293927001)
+
+
+def test_ingest_aggregate_serve_roundtrip(spark, tmp_path):
+    wire = tmp_path / "events.sse"
+    wire.write_text(WIRE)
+    queue_dir = tmp_path / "queue"
+    counters_dir = tmp_path / "counters"
+    parser = build_parser()
+
+    # ingest: SSE wire → file queue
+    args = parser.parse_args(
+        ["ingest", "--sse-file", str(wire), "--out-dir", str(queue_dir)]
+    )
+    assert args.fn(args) == 0
+    assert len(list(queue_dir.glob("*-event-*.dat"))) == 2
+
+    # aggregate: file queue → counters parquet
+    args = parser.parse_args(
+        ["aggregate", "--in-dir", str(queue_dir), "--out", str(counters_dir)]
+    )
+    assert args.fn(args) == 0
+    counters = spark.read.parquet(str(counters_dir))
+    rows = {(r.day, r.counter): (r.events, r.growth) for r in counters.collect()}
+    assert rows[(None, "pleiades_total")] == (2, 55)  # 15 + 40
+    assert rows[(18474, "pleiades_length_inc")] == (1, 15)
+    assert rows[(18475, "pleiades_wiki_enwiki")] == (1, 40)
+
+    # serve: REST API over the counters table
+    server = ThreadingHTTPServer(
+        ("127.0.0.1", 0), make_handler(spark, str(counters_dir))
+    )
+    t = threading.Thread(target=server.serve_forever, daemon=True)
+    t.start()
+    try:
+        base = f"http://127.0.0.1:{server.server_port}"
+        days = json.load(urllib.request.urlopen(f"{base}/api/days"))
+        assert days["Days"] == [18475, 18474]
+        stats = json.load(urllib.request.urlopen(f"{base}/api/stats"))
+        assert stats["Since"] == 18475 * 86400
+        names = {c["Name"] for c in stats["Counters"]}
+        assert "pleiades_wiki_enwiki" in names and "pleiades_total" in names
+        day_stats = json.load(urllib.request.urlopen(f"{base}/api/stats/18474"))
+        got = {c["Name"]: c["Value"] for c in day_stats["Counters"]}
+        assert got["pleiades_bot"] == 1 and got["pleiades_minor"] == 1
+        # error paths
+        try:
+            urllib.request.urlopen(f"{base}/api/stats/notaday")
+            raise AssertionError("expected 400")
+        except urllib.error.HTTPError as e:
+            assert e.code == 400
+        try:
+            urllib.request.urlopen(f"{base}/nope")
+            raise AssertionError("expected 404")
+        except urllib.error.HTTPError as e:
+            assert e.code == 404
+    finally:
+        server.shutdown()
