@@ -1,0 +1,127 @@
+"""Property-based tests (hypothesis): pure-Python models vs the engine.
+
+The SSE roundtrip runs entirely driver-side (cheap, many examples); the
+Spark expression properties batch each example into one job and cap
+example counts to keep the suite fast.
+"""
+
+import hashlib
+
+from hypothesis import given, settings, strategies as st
+
+from pleiades_spark.functions.hashing import MINHASH_P, MINHASH_PERMS
+from pleiades_spark.sources.sse import SSEEvent, parse_sse_lines
+
+# --- SSE wire roundtrip ----------------------------------------------------
+
+_id_text = st.text(
+    st.characters(blacklist_characters="\r\n", blacklist_categories=("Cs",)),
+    max_size=40,
+).filter(lambda s: not s.startswith(" "))
+_data_line = st.text(
+    st.characters(blacklist_characters="\r\n", blacklist_categories=("Cs",)),
+    max_size=60,
+).filter(lambda s: not s.startswith(" "))
+
+
+@st.composite
+def sse_events(draw):
+    return SSEEvent(
+        id=draw(_id_text),
+        type=draw(st.sampled_from(["", "message", "custom"])),
+        data=draw(st.lists(_data_line, min_size=1, max_size=4)),
+    )
+
+
+def to_wire(events):
+    lines = []
+    for ev in events:
+        if ev.id:
+            lines.append(f"id: {ev.id}")
+        if ev.type:
+            lines.append(f"event: {ev.type}")
+        for d in ev.data:
+            lines.append(f"data: {d}")
+        lines.append("")
+    return lines
+
+
+@given(st.lists(sse_events(), min_size=0, max_size=8))
+@settings(max_examples=200)
+def test_sse_wire_roundtrip(events):
+    parsed = list(parse_sse_lines(to_wire(events)))
+    assert len(parsed) == len(events)
+    for got, want in zip(parsed, events):
+        assert got.id == want.id
+        assert got.type == want.type
+        assert got.data == want.data
+
+
+# --- Spark expression twins vs Python models --------------------------------
+
+_word = st.text(st.sampled_from("abcdefg"), min_size=1, max_size=6)
+_doc = st.lists(_word, min_size=1, max_size=30).map(" ".join)
+
+
+def _py_h32(s: str) -> int:
+    return int(hashlib.md5(s.encode()).hexdigest()[:8], 16)
+
+
+def _py_shingles(text: str, n: int = 3) -> list[str]:
+    toks = text.split(" ")
+    if len(toks) < n:
+        return [text]
+    seen, out = set(), []
+    for i in range(len(toks) - n + 1):
+        s = " ".join(toks[i : i + n])
+        if s not in seen:
+            seen.add(s)
+            out.append(s)
+    return out
+
+
+def _py_minhash(text: str) -> list[int]:
+    hs = [_py_h32(s) for s in _py_shingles(text)]
+    return [min((a * h + b) % MINHASH_P for h in hs) for a, b in MINHASH_PERMS]
+
+
+@given(st.lists(_doc, min_size=1, max_size=12))
+@settings(max_examples=12, deadline=None)
+def test_word_shingles_match_python_model(spark, docs):
+    from pyspark.sql import functions as F
+
+    from pleiades_spark.functions.text import word_shingles
+
+    df = spark.createDataFrame([(d,) for d in docs], "text string")
+    got = [r.sh for r in df.select(word_shingles(F.col("text")).alias("sh")).collect()]
+    assert got == [_py_shingles(d) for d in docs]
+
+
+@given(st.lists(_doc, min_size=1, max_size=10))
+@settings(max_examples=10, deadline=None)
+def test_minhash_signature_matches_python_model(spark, docs):
+    from pyspark.sql import functions as F
+
+    from pleiades_spark.functions.text import word_shingles
+    from pleiades_spark.operators.dedup import minhash_signature
+
+    df = spark.createDataFrame([(d,) for d in docs], "text string")
+    got = [
+        list(r.sig)
+        for r in df.select(
+            minhash_signature(word_shingles(F.col("text"))).alias("sig")
+        ).collect()
+    ]
+    assert got == [_py_minhash(d) for d in docs]
+
+
+@given(st.lists(st.text(max_size=20), min_size=1, max_size=20))
+@settings(max_examples=10, deadline=None)
+def test_h32_matches_python_md5(spark, strings):
+    from pyspark.sql import functions as F
+
+    from pleiades_spark.functions.hashing import h32
+
+    df = spark.createDataFrame([(s,) for s in strings], "s string")
+    got = [r.h for r in df.select(h32(F.col("s")).alias("h")).collect()]
+    assert got == [_py_h32(s) for s in strings]
