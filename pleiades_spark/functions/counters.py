@@ -52,13 +52,17 @@ def props_k(props: Column) -> Column:
     return F.get_json_object(props, "$.k").cast("long")
 
 
-def counter_array(df: DataFrame) -> Column:
+def counter_array(df: DataFrame, k: Column | None = None) -> Column:
     """P2-P6: the per-event set of counter names, as a null-compacted array.
 
     One slot per conditional; ``array_compact`` drops the conditions that
     didn't fire, exactly like the reference appending to a Go slice.
+
+    Pass a pre-projected ``k`` column to avoid re-running the JSON path
+    (derive_counters does; see its plan note).
     """
-    k = props_k(F.col("props"))
+    if k is None:
+        k = props_k(F.col("props"))
     return F.array_compact(
         F.array(
             # P2 — unconditional total (malformed payloads still count).
@@ -82,21 +86,28 @@ def counter_array(df: DataFrame) -> Column:
     )
 
 
-def lendiff(df: DataFrame) -> Column:
+def lendiff(df: DataFrame, k: Column | None = None) -> Column:
     """P7: signed growth delta; 0 when the payload field is absent."""
-    return F.coalesce(F.col("value") - props_k(F.col("props")), F.lit(0.0))
+    if k is None:
+        k = props_k(F.col("props"))
+    return F.coalesce(F.col("value") - k, F.lit(0.0))
 
 
 def derive_counters(events: DataFrame) -> DataFrame:
     """events → (day, counter, lendiff) — one row per fired counter.
 
-    This is the full per-event "SELECT" of the reference in one projection,
-    ready for the dual-grain aggregation.
+    The JSON payload field is projected ONCE before the explode — the
+    inline form would run the JsonPath three times per row (null check,
+    comparison, lendiff), visible in the physical plan's Generate args.
     """
-    return events.select(
+    with_k = events.select(
+        "ts", "user_id", "event_type", "value", props_k(F.col("props")).alias("k")
+    )
+    k = F.col("k")
+    return with_k.select(
         day_number(F.col("ts")).alias("day"),
-        F.explode(counter_array(events)).alias("counter"),
-        lendiff(events).alias("lendiff"),
+        F.explode(counter_array(with_k, k)).alias("counter"),
+        lendiff(with_k, k).alias("lendiff"),
     )
 
 

@@ -26,7 +26,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
 
-from pleiades_spark.functions.counters import counter_array, lendiff
+from pleiades_spark.functions.counters import counter_array, lendiff, props_k
 from pleiades_spark.schemas import EVENTS_SCHEMA_NANOS
 from pleiades_spark.session import apply_runtime_confs
 
@@ -83,10 +83,14 @@ def counters_stream(events: DataFrame, watermark: str = DEFAULT_WATERMARK) -> Da
     grain is a trivial rollup of the materialized result (serving reads
     SUM over days), so streaming state stays bounded.
     """
-    derived = events.withWatermark("ts", watermark).select(
+    with_k = events.select(
+        "ts", "user_id", "event_type", "value", props_k(F.col("props")).alias("k")
+    )
+    k = F.col("k")
+    derived = with_k.withWatermark("ts", watermark).select(
         F.col("ts"),
-        F.explode(counter_array(events)).alias("counter"),
-        lendiff(events).alias("lendiff"),
+        F.explode(counter_array(with_k, k)).alias("counter"),
+        lendiff(with_k, k).alias("lendiff"),
     )
     return derived.groupBy(
         F.window(F.col("ts"), "1 day").alias("win"), F.col("counter")
