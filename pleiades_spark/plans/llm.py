@@ -471,6 +471,49 @@ SELECT lang, rank, token, n FROM (
 """
 
 
+# --- salted aggregation (skew path) -----------------------------------------
+
+
+def q_word_freq_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 tokens per language computed through the SALTED two-phase
+    aggregation (operators/skew.py) — same result as word_frequency_topk,
+    proving salting-invariance, while the plan spreads hot (lang, token)
+    keys over 16 sub-partitions. Salt derives from doc_id (deterministic).
+    """
+    from pyspark.sql.window import Window as W
+
+    from pleiades_spark.operators.skew import salted_count_sum
+
+    docs = _t(spark, sf_dir, "documents")
+    exploded = docs.select(
+        "doc_id", "lang", F.explode(tokens(F.col("text"))).alias("token")
+    )
+    counts = salted_count_sum(
+        exploded, ["lang", "token"], salt_source=F.col("doc_id")
+    )
+    w = W.partitionBy("lang").orderBy(F.col("n").desc(), F.col("token").asc())
+    return (
+        counts.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 10)
+        .select("lang", "rank", "token", "n")
+    )
+
+
+# identical result to the unsalted oracle — salting is plan-internal
+ORACLE_WORD_FREQ_SALTED = """
+WITH counts AS (
+  SELECT lang, unnest(string_split(text, ' ')) AS token FROM documents
+), agg AS (
+  SELECT lang, token, count(*) AS n FROM counts GROUP BY lang, token
+)
+SELECT lang, rank, token, n FROM (
+  SELECT *, row_number() OVER (PARTITION BY lang
+            ORDER BY n DESC, token ASC) AS rank
+  FROM agg
+) WHERE rank <= 10
+"""
+
+
 # --- language dimension enrichment (FIXTURES.md §A.5 langdim) --------------
 
 # ISO-639-ish two-standard dim with a coalesce fallback chain, mirroring
@@ -587,4 +630,6 @@ QUERIES = [
           "binary-column feature extraction via Arrow mapInPandas"),
     Query("doc_lang_enrichment", q_doc_lang_enrichment, ORACLE_DOC_LANG_ENRICHMENT,
           "langdim broadcast join with coalesce fallback chain"),
+    Query("word_frequency_salted", q_word_freq_salted, ORACLE_WORD_FREQ_SALTED,
+          "salted two-phase aggregation (skew path), salting-invariant result"),
 ]

@@ -56,6 +56,10 @@ def get_spark(app_name: str = "pleiades_spark", cpus: int | None = None) -> Spar
         .config("spark.sql.shuffle.partitions", str(max(cpus, 8)))
         .config("spark.driver.memory", os.environ.get("PLEIADES_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
+        # static conf: bucketed-table tests use saveAsTable; keep the
+        # warehouse out of the repo tree
+        .config("spark.sql.warehouse.dir", "/tmp/pleiades_warehouse")
+        .config("spark.sql.sources.bucketing.autoBucketedScan.enabled", "true")
     )
     for k, v in RUNTIME_CONFS.items():
         builder = builder.config(k, v)

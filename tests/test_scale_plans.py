@@ -1,0 +1,97 @@
+"""Plan-shape assertions — the 100 TB design claims, checked mechanically.
+
+These tests read physical plans, not results: filters must reach the
+scan, dims must broadcast, bucketing must eliminate the join shuffle,
+and the salted aggregation must contain two aggregation phases.
+"""
+
+import io
+from contextlib import redirect_stdout
+
+from pyspark.sql import functions as F
+
+
+def _plan(df) -> str:
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def test_q1_filter_pushdown_and_column_pruning(spark, sf_dir):
+    from pleiades_spark.plans.relational import q_pricing_summary
+
+    plan = _plan(q_pricing_summary(spark, sf_dir))
+    assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate" in plan
+    # 7 of 11 lineitem columns read — orderkey/partkey/suppkey/linenumber pruned
+    assert "l_orderkey" not in plan.split("ReadSchema")[1].splitlines()[0]
+
+
+def test_snowflake_dims_broadcast(spark, sf_dir):
+    from pleiades_spark.plans.relational import q_local_supplier_volume
+
+    plan = _plan(q_local_supplier_volume(spark, sf_dir))
+    assert plan.count("BroadcastExchange") >= 3  # cust/supp/nation/region hints
+    assert "EqualTo(r_name,ASIA)" in plan  # region filter pushed to its scan
+
+
+def test_counter_rollup_single_exchange(spark, sf_dir):
+    from pleiades_spark.plans.pleiades import q_counters_rollup
+
+    import re
+
+    plan = _plan(q_counters_rollup(spark, sf_dir))
+    # exactly one shuffle node in the tree ("(n) Exchange" detail headers);
+    # partial agg before it; grouping sets via Expand
+    assert len(re.findall(r"\(\d+\) Exchange$", plan, re.M)) == 1
+    assert "Expand" in plan
+    assert "partial_count" in plan
+
+
+def test_salted_agg_has_two_phases(spark, sf_dir):
+    from pleiades_spark.plans.llm import q_word_freq_salted
+
+    import re
+
+    plan = _plan(q_word_freq_salted(spark, sf_dir))
+    # phase 1 groups on (lang, token, salt) — Catalyst renames the salt
+    # alias to _groupingexpression; phase 2 on (lang, token) alone
+    assert "_groupingexpression" in plan
+    assert len(re.findall(r"\(\d+\) HashAggregate$", plan, re.M)) >= 4
+    # bonus: the rank<=k filter becomes a partial top-k (WindowGroupLimit)
+    assert "WindowGroupLimit" in plan
+
+
+def test_bucketed_join_eliminates_shuffle(spark, tmp_path):
+    """Bucket both fact tables on the join key at write time → the join
+    plans with ZERO shuffle exchanges (the 100 TB fact⋈fact strategy)."""
+    import uuid
+
+    from pleiades_spark import catalog
+
+    sf_dir = "/root/testdata/sf0.001"
+    orders = catalog.load(spark, sf_dir, "orders")
+    lineitem = catalog.load(spark, sf_dir, "lineitem")
+    t1, t2 = f"o_{uuid.uuid4().hex[:8]}", f"l_{uuid.uuid4().hex[:8]}"
+    (
+        orders.write.bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+        .format("parquet").saveAsTable(t1)
+    )
+    (
+        lineitem.write.bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+        .format("parquet").saveAsTable(t2)
+    )
+    try:
+        joined = (
+            spark.table(t2)
+            .join(spark.table(t1), F.col("l_orderkey") == F.col("o_orderkey"))
+            .groupBy("o_orderstatus")
+            .agg(F.sum("l_quantity").alias("qty"))
+        )
+        plan = _plan(joined)
+        join_section = plan.split("SortMergeJoin")[0]
+        assert "Exchange hashpartitioning" not in join_section
+        assert joined.count() > 0
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {t1}")
+        spark.sql(f"DROP TABLE IF EXISTS {t2}")
