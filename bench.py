@@ -38,9 +38,15 @@ HEADLINE = [
     # LLM-pipeline extensions (present from M5 on; skipped if absent)
     "dedup_exact",
     "dedup_minhash_lsh",
+    "dedup_simhash",
     "knn_cosine_brute",
+    "ivf_knn",
     "text_quality_scores",
     "word_frequency_topk",
+    "word_frequency_salted",
+    "sessionization",
+    "asof_join_signup",
+    "multimodal_features",
 ]
 
 

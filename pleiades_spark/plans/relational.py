@@ -573,6 +573,99 @@ GROUP BY l_linestatus
 """
 
 
+# --- TPC-H Q4 shape: correlated EXISTS → semi join ---------------------------
+
+
+def q_order_priority_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Orders (in a quarter) having at least one late-shipped lineitem —
+    the correlated-EXISTS pattern as a left-semi join (Catalyst's
+    decorrelated form), counted per priority."""
+    orders = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-04-01").cast("timestamp"))
+    )
+    # "late" ≡ shipped more than 90 days after order date — the correlation
+    # lives in the join condition, so the semi join carries both predicates.
+    li = _t(spark, sf_dir, "lineitem")
+    semi = orders.join(
+        li,
+        (orders.o_orderkey == li.l_orderkey)
+        & (li.l_shipdate > F.date_add(orders.o_orderdate, 90)),
+        "left_semi",
+    )
+    return semi.groupBy("o_orderpriority").agg(F.count(F.lit(1)).alias("order_count"))
+
+
+ORACLE_ORDER_PRIORITY_CHECK = """
+SELECT o_orderpriority, count(*) AS order_count
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1997-01-01' AND o_orderdate < TIMESTAMP '1997-04-01'
+  AND EXISTS (SELECT 1 FROM lineitem
+              WHERE l_orderkey = o_orderkey
+                AND l_shipdate > o_orderdate + INTERVAL 90 DAY)
+GROUP BY o_orderpriority
+"""
+
+
+# --- TPC-H Q7 shape: bi-nation volume with derived year ----------------------
+
+
+def q_nation_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Supplier-nation → customer-nation trade volume per year for two
+    nation pairs (join chain + expression grouping key)."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    supp = _t(spark, sf_dir, "supplier")
+    n1 = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("s_nkey"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("c_nkey"), F.col("n_name").alias("cust_nation")
+    )
+    joined = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("s_nkey"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("c_nkey"))
+        .filter(
+            (
+                (F.col("supp_nation") == "NATION_3") & (F.col("cust_nation") == "NATION_7")
+            )
+            | (
+                (F.col("supp_nation") == "NATION_7") & (F.col("cust_nation") == "NATION_3")
+            )
+        )
+    )
+    return joined.groupBy(
+        "supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year")
+    ).agg(
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4).alias(
+            "volume"
+        )
+    )
+
+
+ORACLE_NATION_VOLUME_SHIPPING = """
+SELECT supp_nation, cust_nation, l_year, round(sum(vol), 4) AS volume
+FROM (
+  SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+         CAST(year(l_shipdate) AS INT) AS l_year,
+         l_extendedprice * (1 - l_discount) AS vol
+  FROM lineitem
+  JOIN orders ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation n1 ON s_nationkey = n1.n_nationkey
+  JOIN nation n2 ON c_nationkey = n2.n_nationkey
+  WHERE (n1.n_name = 'NATION_3' AND n2.n_name = 'NATION_7')
+     OR (n1.n_name = 'NATION_7' AND n2.n_name = 'NATION_3')
+)
+GROUP BY supp_nation, cust_nation, l_year
+"""
+
+
 QUERIES = [
     Query("pricing_summary", q_pricing_summary, ORACLE_PRICING_SUMMARY,
           "TPC-H Q1: wide hash agg with pushdown filter"),
@@ -608,4 +701,9 @@ QUERIES = [
           "correlated-subquery shape, decorrelated join form"),
     Query("priority_shipmode", q_priority_shipmode, ORACLE_PRIORITY_SHIPMODE,
           "TPC-H Q12: conditional sums in one pass"),
+    Query("order_priority_check", q_order_priority_check, ORACLE_ORDER_PRIORITY_CHECK,
+          "TPC-H Q4: correlated EXISTS as semi join with join-condition predicate"),
+    Query("nation_volume_shipping", q_nation_volume_shipping,
+          ORACLE_NATION_VOLUME_SHIPPING,
+          "TPC-H Q7: bi-nation join chain, expression grouping key"),
 ]
