@@ -155,6 +155,31 @@ WHERE k IS NOT NULL AND k > 80
 """
 
 
+# --- P1 variant: schemaless JSON → map type ---------------------------------
+
+
+def q_props_map_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Payload parsed as MAP<STRING,STRING> (the schemaless path for
+    tolerated-extras payloads, §1.3) → key frequency."""
+    ev = _events(spark, sf_dir)
+    return (
+        ev.select(
+            F.explode(
+                F.map_keys(F.from_json(F.col("props"), "map<string,string>"))
+            ).alias("prop_key")
+        )
+        .groupBy("prop_key")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+ORACLE_PROPS_MAP_KEYS = """
+SELECT prop_key, count(*) AS n
+FROM (SELECT unnest(json_keys(props)) AS prop_key FROM events)
+GROUP BY prop_key
+"""
+
+
 # --- P8: regex field extraction from a raw string --------------------------
 
 
@@ -548,6 +573,8 @@ QUERIES = [
           "P9 tumbling 1-day event-time window grouping"),
     Query("props_json", q_props_json, ORACLE_PROPS_JSON,
           "P1 JSON payload parse + predicate"),
+    Query("props_map_keys", q_props_map_keys, ORACLE_PROPS_MAP_KEYS,
+          "P1 schemaless map-type JSON parse + key frequency"),
     Query("regex_extract", q_regex_extract, ORACLE_REGEX_EXTRACT,
           "P8 regex numeric extraction with null-on-no-match"),
     Query("day_list", q_day_list, ORACLE_DAY_LIST,

@@ -666,6 +666,60 @@ GROUP BY supp_nation, cust_nation, l_year
 """
 
 
+# --- statistical aggregates ---------------------------------------------------
+
+
+def q_stats_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """stddev/variance/correlation per group (Welford-style distributed
+    moments — single pass, map-side combinable)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.stddev_samp("l_extendedprice"), 4).alias("price_stddev"),
+        F.round(F.var_samp("l_quantity"), 4).alias("qty_var"),
+        F.round(F.corr("l_extendedprice", "l_quantity"), 4).alias("price_qty_corr"),
+        F.round(F.covar_samp("l_extendedprice", "l_discount"), 4).alias(
+            "price_disc_covar"
+        ),
+    )
+
+
+ORACLE_STATS_AGGREGATES = """
+SELECT l_returnflag,
+       round(stddev_samp(l_extendedprice), 4) AS price_stddev,
+       round(var_samp(l_quantity), 4) AS qty_var,
+       round(corr(l_extendedprice, l_quantity), 4) AS price_qty_corr,
+       round(covar_samp(l_extendedprice, l_discount), 4) AS price_disc_covar
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
+# --- unpivot (wide → long) -----------------------------------------------------
+
+
+def q_status_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot then unpivot back to long form (melt) — the wide table comes
+    from q_status_pivot, the unpivot is the built-in DataFrame.unpivot."""
+    wide = q_status_pivot(spark, sf_dir)
+    return wide.unpivot(
+        ids=["o_orderpriority"],
+        values=["O", "F", "P"],
+        variableColumnName="status",
+        valueColumnName="n",
+    )
+
+
+ORACLE_STATUS_UNPIVOT = """
+SELECT o_orderpriority, status, CAST(n AS BIGINT) AS n
+FROM (
+  SELECT o_orderpriority,
+         CAST(count(*) FILTER (o_orderstatus = 'O') AS BIGINT) AS "O",
+         CAST(count(*) FILTER (o_orderstatus = 'F') AS BIGINT) AS "F",
+         CAST(count(*) FILTER (o_orderstatus = 'P') AS BIGINT) AS "P"
+  FROM orders GROUP BY o_orderpriority
+) UNPIVOT (n FOR status IN ("O", "F", "P"))
+"""
+
+
 QUERIES = [
     Query("pricing_summary", q_pricing_summary, ORACLE_PRICING_SUMMARY,
           "TPC-H Q1: wide hash agg with pushdown filter"),
@@ -706,4 +760,8 @@ QUERIES = [
     Query("nation_volume_shipping", q_nation_volume_shipping,
           ORACLE_NATION_VOLUME_SHIPPING,
           "TPC-H Q7: bi-nation join chain, expression grouping key"),
+    Query("stats_aggregates", q_stats_aggregates, ORACLE_STATS_AGGREGATES,
+          "stddev/variance/corr/covar distributed moments"),
+    Query("status_unpivot", q_status_unpivot, ORACLE_STATUS_UNPIVOT,
+          "unpivot (melt) wide → long"),
 ]
