@@ -509,6 +509,56 @@ FROM numbered GROUP BY user_id, session_id
 """
 
 
+# --- native session_window aggregation ---------------------------------------
+
+
+def q_session_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The BUILT-IN session_window (gap-merged event-time sessions) — the
+    streaming-capable twin of q_sessionization. Session end = last event
+    + gap, so the oracle derives it as max(ts) + 30 min over the same
+    lag/cumsum session numbering."""
+    ev = _events(spark, sf_dir)
+    return (
+        ev.groupBy(
+            F.col("user_id"),
+            F.session_window(F.col("ts"), f"{SESSION_GAP_MIN} minutes").alias("sw"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 4).alias("session_value"),
+        )
+        .select(
+            "user_id",
+            F.date_format("sw.start", "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+            F.date_format("sw.end", "yyyy-MM-dd HH:mm:ss").alias("session_end"),
+            "n_events",
+            "session_value",
+        )
+    )
+
+
+ORACLE_SESSION_WINDOW_AGG = f"""
+WITH flagged AS (
+  SELECT *, CASE WHEN prev_ts IS NULL
+                  OR epoch(ts) - epoch(prev_ts) > {SESSION_GAP_MIN * 60}
+             THEN 1 ELSE 0 END AS new_session
+  FROM (SELECT *, lag(ts, 1) OVER w AS prev_ts FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC))
+), numbered AS (
+  SELECT *, sum(new_session) OVER (PARTITION BY user_id
+            ORDER BY ts ASC, event_id ASC
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+  FROM flagged
+)
+SELECT user_id,
+       strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+       strftime(max(ts) + INTERVAL {SESSION_GAP_MIN} MINUTE,
+                '%Y-%m-%d %H:%M:%S') AS session_end,
+       count(*) AS n_events, round(sum(value), 4) AS session_value
+FROM numbered GROUP BY user_id, session_id
+"""
+
+
 # --- as-of join (Spark lacks a native one) -----------------------------------
 
 
@@ -599,6 +649,8 @@ QUERIES = [
           "A6 fixed-bucket histogram (width_bucket-style when chain)"),
     Query("sessionization", q_sessionization, ORACLE_SESSIONIZATION,
           "gap-based sessionization via lag + running sum"),
+    Query("session_window_agg", q_session_window_agg, ORACLE_SESSION_WINDOW_AGG,
+          "native session_window gap-merged aggregation"),
     Query("asof_join_signup", q_asof_signup, ORACLE_ASOF_SIGNUP,
           "as-of join via conditional last(ignorenulls) window"),
 ]

@@ -666,6 +666,35 @@ GROUP BY supp_nation, cust_nation, l_year
 """
 
 
+# --- TPC-H Q2 shape: correlated MIN subquery ---------------------------------
+
+
+def q_cheapest_part_per_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parts priced at their brand's minimum — correlated scalar-MIN
+    subquery in its decorrelated form (pre-aggregate ⋈ equi-join), the
+    plan Catalyst produces for TPC-H Q2's min(ps_supplycost) pattern."""
+    part = _t(spark, sf_dir, "part")
+    brand_min = part.groupBy(F.col("p_brand").alias("bm_brand")).agg(
+        F.min("p_retailprice").alias("min_price")
+    )
+    return (
+        part.join(
+            F.broadcast(brand_min),
+            (part.p_brand == F.col("bm_brand"))
+            & (part.p_retailprice == F.col("min_price")),
+        )
+        .select("p_brand", "p_partkey", "p_name", "p_retailprice")
+    )
+
+
+ORACLE_CHEAPEST_PART_PER_BRAND = """
+SELECT p_brand, p_partkey, p_name, p_retailprice
+FROM part p1
+WHERE p_retailprice = (SELECT min(p_retailprice) FROM part p2
+                       WHERE p2.p_brand = p1.p_brand)
+"""
+
+
 # --- statistical aggregates ---------------------------------------------------
 
 
@@ -764,4 +793,7 @@ QUERIES = [
           "stddev/variance/corr/covar distributed moments"),
     Query("status_unpivot", q_status_unpivot, ORACLE_STATUS_UNPIVOT,
           "unpivot (melt) wide → long"),
+    Query("cheapest_part_per_brand", q_cheapest_part_per_brand,
+          ORACLE_CHEAPEST_PART_PER_BRAND,
+          "TPC-H Q2: correlated MIN subquery, decorrelated join form"),
 ]

@@ -32,6 +32,18 @@ from pleiades_spark.session import apply_runtime_confs
 
 DEFAULT_WATERMARK = "7 days"
 
+# RocksDB-backed state store: spillable, incremental-checkpoint state for
+# large key spaces (the default in-memory HDFSBackedStateStore holds every
+# key on-heap — fine for (day × counter) cardinality, not for per-user or
+# dedup state at 100 TB).
+ROCKSDB_PROVIDER = (
+    "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+)
+
+
+def use_rocksdb_state(spark: SparkSession) -> None:
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass", ROCKSDB_PROVIDER)
+
 
 def events_file_stream(spark: SparkSession, path: str) -> DataFrame:
     """Streaming scan of fixture-format events parquet (nanos ts → micros).
@@ -85,6 +97,15 @@ def counters_stream(events: DataFrame, watermark: str = DEFAULT_WATERMARK) -> Da
     """
     with_k = events.select(
         "ts", "user_id", "event_type", "value", props_k(F.col("props")).alias("k")
+    )
+    # P10 observability: per-batch row count + malformed-payload count as
+    # named metrics on the stream (the reference's prometheus counters,
+    # aggregator.go:69-76) — readable from StreamingQueryProgress
+    # .observedMetrics["ingest"], zero extra passes over the data.
+    with_k = with_k.observe(
+        "ingest",
+        F.count(F.lit(1)).alias("rows"),
+        F.count(F.when(F.col("k").isNull(), 1)).alias("malformed"),
     )
     k = F.col("k")
     derived = with_k.withWatermark("ts", watermark).select(
