@@ -21,7 +21,6 @@ import json
 import os
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 
-from pleiades_spark.sources.filequeue import write_filequeue
 from pleiades_spark.sources.sse import SSEEvent, parse_sse_lines
 
 

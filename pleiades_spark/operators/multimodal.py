@@ -87,5 +87,15 @@ def _extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
 
 
 def extract_features(docs: DataFrame) -> DataFrame:
-    """documents → byte-level features via mapInPandas over binary batches."""
-    return attach_blob(docs).mapInPandas(_extract, schema=FEATURE_SCHEMA)
+    """documents → byte-level features via mapInPandas over binary batches.
+
+    The repartition spreads the Python stage across cores — fixture tables
+    arrive as one file ⇒ one partition ⇒ one Python worker otherwise. At
+    real scale the scan has many splits and the shuffle is harmless
+    (payload-bearing rows shuffle once, before the Python stage).
+    """
+    from pyspark.sql import functions as F
+
+    return attach_blob(docs.repartition(F.col("doc_id"))).mapInPandas(
+        _extract, schema=FEATURE_SCHEMA
+    )
