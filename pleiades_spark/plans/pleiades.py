@@ -36,6 +36,11 @@ def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return catalog.load(spark, sf_dir, "events")
 
 
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    apply_runtime_confs(spark)
+    return catalog.load(spark, sf_dir, name)
+
+
 # DuckDB twin of functions/counters.py::derive_counters (P1-P9).
 _DERIVED_SQL = """
   SELECT CAST(floor(epoch(ts)/86400) AS BIGINT) AS day,
@@ -509,6 +514,132 @@ FROM numbered GROUP BY user_id, session_id
 """
 
 
+# --- sliding (hopping) window aggregation ------------------------------------
+
+
+def q_counters_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-hour windows hopping every hour — each event lands in exactly two
+    windows. The streaming-capable form of overlapping-window analytics;
+    the oracle unnests the two hour-truncated starts per event."""
+    ev = _events(spark, sf_dir)
+    return (
+        ev.groupBy(
+            F.window(F.col("ts"), "2 hours", "1 hour").alias("win"),
+            F.col("event_type"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("events"),
+            F.round(F.sum("value"), 4).alias("total_value"),
+        )
+        .select(
+            F.date_format("win.start", "yyyy-MM-dd HH:mm").alias("win_start"),
+            "event_type",
+            "events",
+            "total_value",
+        )
+    )
+
+
+ORACLE_COUNTERS_SLIDING_WINDOW = """
+SELECT strftime(win_start, '%Y-%m-%d %H:%M') AS win_start, event_type,
+       count(*) AS events, round(sum(value), 4) AS total_value
+FROM (
+  SELECT unnest([date_trunc('hour', ts),
+                 date_trunc('hour', ts) - INTERVAL 1 HOUR]) AS win_start,
+         event_type, value
+  FROM events
+) GROUP BY win_start, event_type
+"""
+
+
+# --- range join (bucketized strategy demo) ------------------------------------
+
+PRICE_TIERS: tuple[tuple[float, float, str], ...] = (
+    (0.0, 100000.0, "small"),
+    (100000.0, 300000.0, "medium"),
+    (300000.0, 1e12, "large"),
+)
+
+
+def q_price_tier_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range (interval) join: orders → price tier where lo ≤ price < hi.
+
+    With a literal dim the join broadcasts and the range predicate is a
+    filter inside the broadcast nested loop — fine at any fact size. For
+    big-big range joins the strategy is bucketization: equi-join on
+    floor(value/step) with the interval table exploded per overlapped
+    bucket, turning the range predicate into a hash join (same pattern as
+    the length-banded dedup block in operators/dedup.py).
+    """
+    orders = _t(spark, sf_dir, "orders")
+    tiers = spark.createDataFrame(
+        list(PRICE_TIERS), "lo double, hi double, tier string"
+    )
+    return (
+        orders.join(
+            F.broadcast(tiers),
+            (orders.o_totalprice >= tiers.lo) & (orders.o_totalprice < tiers.hi),
+        )
+        .groupBy("tier")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.avg("o_totalprice"), 4).alias("avg_price"),
+        )
+    )
+
+
+_TIER_VALUES = ", ".join(f"({lo}, {hi}, '{t}')" for lo, hi, t in PRICE_TIERS)
+
+ORACLE_PRICE_TIER_RANGE_JOIN = f"""
+WITH tiers(lo, hi, tier) AS (VALUES {_TIER_VALUES})
+SELECT tier, count(*) AS n_orders, round(avg(o_totalprice), 4) AS avg_price
+FROM orders JOIN tiers ON o_totalprice >= lo AND o_totalprice < hi
+GROUP BY tier
+"""
+
+
+# --- min_by / max_by (argmin/argmax aggregates) -------------------------------
+
+
+def q_extreme_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-status argmax/argmin: which order hit the extreme price."""
+    orders = _t(spark, sf_dir, "orders")
+    return orders.groupBy("o_orderstatus").agg(
+        F.max_by("o_orderkey", "o_totalprice").alias("priciest_order"),
+        F.min_by("o_orderkey", "o_totalprice").alias("cheapest_order"),
+        F.round(F.max("o_totalprice"), 4).alias("max_price"),
+    )
+
+
+ORACLE_EXTREME_ORDERS = """
+SELECT o_orderstatus,
+       arg_max(o_orderkey, o_totalprice) AS priciest_order,
+       arg_min(o_orderkey, o_totalprice) AS cheapest_order,
+       round(max(o_totalprice), 4) AS max_price
+FROM orders GROUP BY o_orderstatus
+"""
+
+
+# --- global sort + limit (TakeOrderedAndProject) ------------------------------
+
+
+def q_top_orders_global(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global top-100 by price — plans as TakeOrderedAndProject (per-
+    partition heaps + driver merge), NOT a full range-partitioned sort."""
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        orders.orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
+        .limit(100)
+        .select("o_orderkey", "o_totalprice", "o_orderstatus")
+    )
+
+
+ORACLE_TOP_ORDERS_GLOBAL = """
+SELECT o_orderkey, o_totalprice, o_orderstatus
+FROM orders ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 100
+"""
+
+
 # --- native session_window aggregation ---------------------------------------
 
 
@@ -651,6 +782,14 @@ QUERIES = [
           "gap-based sessionization via lag + running sum"),
     Query("session_window_agg", q_session_window_agg, ORACLE_SESSION_WINDOW_AGG,
           "native session_window gap-merged aggregation"),
+    Query("counters_sliding_window", q_counters_sliding_window,
+          ORACLE_COUNTERS_SLIDING_WINDOW, "2h/1h hopping window aggregation"),
+    Query("price_tier_range_join", q_price_tier_range_join,
+          ORACLE_PRICE_TIER_RANGE_JOIN, "interval/range join (broadcast form)"),
+    Query("extreme_orders", q_extreme_orders, ORACLE_EXTREME_ORDERS,
+          "min_by/max_by argmin-argmax aggregates"),
+    Query("top_orders_global", q_top_orders_global, ORACLE_TOP_ORDERS_GLOBAL,
+          "global sort+limit (TakeOrderedAndProject)"),
     Query("asof_join_signup", q_asof_signup, ORACLE_ASOF_SIGNUP,
           "as-of join via conditional last(ignorenulls) window"),
 ]
