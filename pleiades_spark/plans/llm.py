@@ -567,6 +567,56 @@ FROM stats LEFT JOIN d1 USING (lang) LEFT JOIN d2 USING (lang)
 """
 
 
+# --- composed training-data pipeline ----------------------------------------
+
+
+def q_clean_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The end-to-end training-data flow as ONE declarative DAG:
+    quality-filter → exact-dedup (keep canonical rep) → tokenize →
+    per-language corpus stats. Catalyst pipelines the filter into the
+    scan and fuses the projections; the only shuffles are the dedup
+    groupBy and the final per-lang aggregation.
+    """
+    docs = _t(spark, sf_dir, "documents")
+    toks = tokens(F.col("text"))
+    n_tok = F.size(toks)
+    ttr = F.size(F.array_distinct(toks)) / n_tok
+    quality = 0.4 * ttr + 0.4 * (
+        1 - stopword_count(toks) / n_tok
+    ) + 0.2 * F.least(n_tok / 100, F.lit(1.0))
+    scored = docs.withColumn("q", F.round(quality, 6)).filter(
+        (F.col("q") >= 0.5) & (F.col("n_chars") >= 60)
+    )
+    # exact dedup: canonical representative = min doc_id per text
+    canonical = scored.groupBy("text", "lang").agg(
+        F.min("doc_id").alias("doc_id")
+    )
+    return canonical.select(
+        "lang", F.explode(tokens(F.col("text"))).alias("token")
+    ).groupBy("lang").agg(
+        F.count(F.lit(1)).alias("total_tokens"),
+        F.countDistinct("token").alias("vocab"),
+    )
+
+
+ORACLE_CLEAN_CORPUS_PIPELINE = f"""
+WITH scored AS (
+  SELECT *, round(
+      0.4 * (len(list_distinct({_TOKS})) * 1.0 / len({_TOKS}))
+    + 0.4 * (1 - {stopword_count_sql(_TOKS)} * 1.0 / len({_TOKS}))
+    + 0.2 * least(len({_TOKS}) / 100.0, 1.0), 6) AS q
+  FROM documents
+), kept AS (
+  SELECT * FROM scored WHERE q >= 0.5 AND n_chars >= 60
+), canonical AS (
+  SELECT text, lang, min(doc_id) AS doc_id FROM kept GROUP BY text, lang
+)
+SELECT lang, count(*) AS total_tokens, count(DISTINCT token) AS vocab
+FROM (SELECT lang, unnest(string_split(text, ' ')) AS token FROM canonical)
+GROUP BY lang
+"""
+
+
 # =========================== multimodal ===================================
 
 
@@ -632,4 +682,7 @@ QUERIES = [
           "langdim broadcast join with coalesce fallback chain"),
     Query("word_frequency_salted", q_word_freq_salted, ORACLE_WORD_FREQ_SALTED,
           "salted two-phase aggregation (skew path), salting-invariant result"),
+    Query("clean_corpus_pipeline", q_clean_corpus_pipeline,
+          ORACLE_CLEAN_CORPUS_PIPELINE,
+          "composed flow: quality filter → dedup → tokenize → corpus stats"),
 ]
