@@ -567,6 +567,66 @@ FROM stats LEFT JOIN d1 USING (lang) LEFT JOIN d2 USING (lang)
 """
 
 
+# --- UDF / UDAF surface ------------------------------------------------------
+# The reference exposes no UDF surface (§2.6); the engine's contract for
+# user extensions is: vectorized @pandas_udf for scalar work, grouped
+# applyInPandas for UDAF-shaped work — never row-at-a-time Python UDFs.
+
+
+def q_quality_pandas_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar extension point: an Arrow-vectorized @pandas_udf computing a
+    log-scaled length score. (Deliberately simple — the point is the
+    batch-vectorized plumbing; anything expressible as builtins should BE
+    builtins, per the hot-path rule.)"""
+    from pyspark.sql import types as T
+
+    # no pd.Series type hints: this module's `from __future__ import
+    # annotations` stringifies them and pyspark can't resolve the names;
+    # the explicit returnType makes hints redundant
+    @F.pandas_udf(T.DoubleType())
+    def length_score(n_chars):
+        import numpy as np
+
+        return (np.log1p(n_chars) / 10.0).round(6)
+
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select("doc_id", length_score(F.col("n_chars")).alias("len_score"))
+
+
+ORACLE_QUALITY_PANDAS_UDF = """
+SELECT doc_id, round(ln(1 + n_chars) / 10.0, 6) AS len_score FROM documents
+"""
+
+
+def q_lang_stats_udaf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UDAF shape: applyInPandas emitting ONE summary row per language
+    group (mean/std over n_chars) — the grouped-map extension point."""
+    import pandas as pd
+
+    def summarize(pdf: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "lang": [pdf["lang"].iloc[0]],
+                "n_docs": [len(pdf)],
+                "mean_chars": [round(float(pdf["n_chars"].mean()), 4)],
+                "std_chars": [round(float(pdf["n_chars"].std(ddof=1)), 4)],
+            }
+        )
+
+    docs = _t(spark, sf_dir, "documents")
+    return docs.groupBy("lang").applyInPandas(
+        summarize, schema="lang string, n_docs long, mean_chars double, std_chars double"
+    )
+
+
+ORACLE_LANG_STATS_UDAF = """
+SELECT lang, count(*) AS n_docs,
+       round(avg(n_chars), 4) AS mean_chars,
+       round(stddev_samp(n_chars), 4) AS std_chars
+FROM documents GROUP BY lang
+"""
+
+
 # --- composed training-data pipeline ----------------------------------------
 
 
@@ -685,4 +745,8 @@ QUERIES = [
     Query("clean_corpus_pipeline", q_clean_corpus_pipeline,
           ORACLE_CLEAN_CORPUS_PIPELINE,
           "composed flow: quality filter → dedup → tokenize → corpus stats"),
+    Query("quality_pandas_udf", q_quality_pandas_udf, ORACLE_QUALITY_PANDAS_UDF,
+          "Arrow-vectorized @pandas_udf scalar extension point"),
+    Query("lang_stats_udaf", q_lang_stats_udaf, ORACLE_LANG_STATS_UDAF,
+          "UDAF via grouped applyInPandas (one row per group)"),
 ]
