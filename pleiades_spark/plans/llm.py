@@ -169,6 +169,57 @@ SELECT doc_a, doc_b, jaccard FROM pairs WHERE jaccard >= {JACCARD_THRESHOLD}
 """
 
 
+# --- dedup clusters: iterative connected components -------------------------
+
+
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup PAIRS → CLUSTERS via iterative min-label propagation
+    (operators/graph.py): each doc in a near-dup component mapped to the
+    component's min doc_id (the canonical keeper). The oracle replays the
+    same reachability with a recursive CTE — full hash-match for an
+    iterative algorithm."""
+    from pleiades_spark.operators.graph import connected_components
+
+    pairs = minhash_lsh_pairs(_t(spark, sf_dir, "documents"), JACCARD_THRESHOLD)
+    return connected_components(pairs.select("doc_a", "doc_b"))
+
+
+# reuse the minhash pair pipeline, then a recursive reachability closure
+ORACLE_DEDUP_CLUSTERS = f"""
+WITH RECURSIVE sh AS (
+  SELECT doc_id, {word_shingles_sql('text')} AS sh FROM documents
+), hashed AS (
+  SELECT doc_id, sh, list_transform(sh, s -> {h32_sql('s')}) AS hs FROM sh
+), sig AS (
+  SELECT doc_id, {_SIG_SQL} AS sig FROM hashed
+), bands AS (
+  SELECT doc_id, band_idx,
+         array_to_string(sig[band_idx*{LSH_ROWS}+1 : band_idx*{LSH_ROWS}+{LSH_ROWS}], '-') AS band_key
+  FROM sig, {_BANDS_RANGE_SQL}
+), cand AS (
+  SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
+  FROM bands l JOIN bands r
+    ON l.band_idx = r.band_idx AND l.band_key = r.band_key AND l.doc_id < r.doc_id
+), pairs AS (
+  SELECT doc_a, doc_b FROM (
+    SELECT doc_a, doc_b,
+           round(len(list_intersect(a.sh, b.sh)) * 1.0
+                 / len(list_distinct(list_concat(a.sh, b.sh))), 6) AS jaccard
+    FROM cand JOIN sh a ON a.doc_id = cand.doc_a JOIN sh b ON b.doc_id = cand.doc_b
+  ) WHERE jaccard >= {JACCARD_THRESHOLD}
+), edges AS (
+  SELECT doc_a AS u, doc_b AS v FROM pairs
+  UNION SELECT doc_b, doc_a FROM pairs
+), reach(node, r) AS (
+  SELECT u, u FROM edges
+  UNION
+  SELECT e.v, reach.r FROM reach JOIN edges e ON e.u = reach.node
+)
+SELECT node AS doc_id, CAST(min(r) AS BIGINT) AS cluster
+FROM reach GROUP BY node
+"""
+
+
 # --- embedding cosine near-dup --------------------------------------------
 
 COSINE_DUP_THRESHOLD = 0.45
@@ -722,6 +773,8 @@ QUERIES = [
           "exact blocked all-pairs shingle Jaccard (LSH ground truth)"),
     Query("dedup_embedding_cosine", q_dedup_embedding, ORACLE_DEDUP_EMBEDDING,
           "embedding cosine near-dup pairs"),
+    Query("dedup_clusters", q_dedup_clusters, ORACLE_DEDUP_CLUSTERS,
+          "iterative connected components over near-dup pairs (recursive CTE oracle)"),
     Query("knn_cosine_brute", q_knn_brute, ORACLE_KNN_BRUTE,
           "exact top-k cosine neighbors (broadcast queries × corpus scan)"),
     Query("ivf_knn", q_ivf_knn, ORACLE_IVF_KNN,
