@@ -670,8 +670,10 @@ def q_session_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ORACLE_SESSION_WINDOW_AGG = f"""
 WITH flagged AS (
+  -- full-precision epoch + >= : Spark's session end is EXCLUSIVE (an event
+  -- exactly gap after the last one starts a NEW session)
   SELECT *, CASE WHEN prev_ts IS NULL
-                  OR epoch(ts) - epoch(prev_ts) > {SESSION_GAP_MIN * 60}
+                  OR epoch(ts) - epoch(prev_ts) >= {SESSION_GAP_MIN * 60}
              THEN 1 ELSE 0 END AS new_session
   FROM (SELECT *, lag(ts, 1) OVER w AS prev_ts FROM events
         WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC))

@@ -45,6 +45,21 @@ def test_ingest_aggregate_serve_roundtrip(spark, tmp_path):
     assert rows[(18474, "pleiades_length_inc")] == (1, 15)
     assert rows[(18475, "pleiades_wiki_enwiki")] == (1, 40)
 
+    # day-partitioned layout: a single-day read prunes to one partition
+    # (the Redis KEYS day_<d>_* scan become partition pruning)
+    import io
+    from contextlib import redirect_stdout
+
+    from pyspark.sql import functions as F
+
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        spark.read.parquet(str(counters_dir)).filter(
+            F.col("day") == 18474
+        ).explain("formatted")
+    plan = buf.getvalue()
+    assert "PartitionFilters: [isnotnull(day" in plan and "= 18474" in plan
+
     # serve: REST API over the counters table
     server = ThreadingHTTPServer(
         ("127.0.0.1", 0), make_handler(spark, str(counters_dir))
