@@ -11,7 +11,9 @@ aggregate file queue → recentchange counter derivation → dual-grain
           path is streaming/pipeline.kafka_raw_stream + kafka_sink when
           the Kafka package is on the classpath.)
 serve     /api/stats, /api/stats/{day}, /api/days over the counters table
-          (pkg/web/frontend.go:35-38 route parity), stdlib HTTP.
+          (pkg/web/frontend.go:35-38 route parity) plus /metrics in
+          Prometheus text format (prom_middleware.go:42-51 parity),
+          stdlib HTTP.
 """
 
 from __future__ import annotations
@@ -74,23 +76,76 @@ def _counters_payload(rows, day: int | None) -> dict:
 def make_handler(spark, counters_path: str):
     from pyspark.sql import functions as F
 
+    from pleiades_spark.metrics import PromRegistry
+
     counters = spark.read.parquet(counters_path).cache()
     counters.count()  # materialize once; serving reads are driver-local
 
+    registry = PromRegistry()
+    registry.describe(
+        "pleiades_http_requests_total", "counter",
+        "HTTP requests served, by route and status (prom_middleware.go parity)",
+    )
+    registry.describe(
+        "pleiades_counter_events", "gauge",
+        "all-time event count per pleiades counter",
+    )
+    registry.describe(
+        "pleiades_counter_growth", "gauge",
+        "all-time growth (lendiff sum) per pleiades counter",
+    )
+
     class Handler(BaseHTTPRequestHandler):
-        def _json(self, obj, code: int = 200) -> None:
-            body = json.dumps(obj).encode()
+        def _send(self, body: bytes, ctype: str, code: int) -> None:
             self.send_response(code)
-            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Type", ctype)
             self.send_header("Content-Length", str(len(body)))
             self.end_headers()
             self.wfile.write(body)
+            registry.inc(
+                "pleiades_http_requests_total",
+                {"route": getattr(self, "_route", "other"), "status": str(code)},
+            )
+
+        def _json(self, obj, code: int = 200) -> None:
+            self._send(json.dumps(obj).encode(), "application/json", code)
 
         def log_message(self, *a):  # quiet test output
             pass
 
+        def _alltime_counter_rows(self):
+            # The aggregate-personality table carries the all-time grain as
+            # day IS NULL rows (GROUPING SETS); the streaming sink table is
+            # per-day only — roll it up. Both are (counter)-cardinality,
+            # driver-local over the cached frame.
+            null_grain = counters.filter(F.col("day").isNull())
+            if null_grain.limit(1).count() > 0:
+                return null_grain.select("counter", "events", "growth").collect()
+            return (
+                counters.groupBy("counter")
+                .agg(
+                    F.sum("events").alias("events"),
+                    F.round(F.sum("growth"), 4).alias("growth"),
+                )
+                .collect()
+            )
+
         def do_GET(self) -> None:  # noqa: N802 (stdlib API)
             parts = [p for p in self.path.split("/") if p]
+            self._route = "/" + "/".join(parts[:2]) if parts else "/"
+            if parts == ["metrics"]:
+                for r in self._alltime_counter_rows():
+                    labels = {"counter": r["counter"]}
+                    registry.set_gauge("pleiades_counter_events", r["events"], labels)
+                    registry.set_gauge(
+                        "pleiades_counter_growth", float(r["growth"] or 0), labels
+                    )
+                self._send(
+                    registry.render().encode(),
+                    "text/plain; version=0.0.4; charset=utf-8",
+                    200,
+                )
+                return
             if parts == ["api", "days"]:
                 days = [
                     r["day"]
@@ -102,7 +157,7 @@ def make_handler(spark, counters_path: str):
                 ]
                 self._json({"Days": days})
                 return
-            if parts[:2] == ["api", "stats"]:
+            if parts[:2] == ["api", "stats"] and len(parts) in (2, 3):
                 if len(parts) == 3:
                     try:
                         day = int(parts[2])

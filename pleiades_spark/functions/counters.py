@@ -12,11 +12,20 @@ hash aggregation with map-side partial aggregation — the single biggest
 architectural win of the rebuild (see SURVEY.md §3.2).
 
 Semantics preserved from the reference (SURVEY.md §7 "quirks"):
-  * every event contributes the total counter, even malformed payloads
-    (aggregator.go:34-40);
   * the inc/dec comparison counts *equality as dec* (aggregator.go:58-62);
   * the signed delta is 0 when the compared field is absent
     (aggregator.go:63).
+
+DELIBERATE DEVIATION — malformed payloads: ``CountersFromEventData``
+itself appends the total counter before parsing can fail
+(aggregator.go:34-40), but both reference callers bail on its error
+return BEFORE any Redis increment (kafka/aggregator.go:159-204,
+file/aggregator.go:151-217), so in the reference a malformed event
+increments *nothing* — it is retried forever (kafka) or the file is left
+in place (file). Here malformed events count once toward the total:
+at-most-once visibility of bad input beats the reference's
+poison-pill retry loop, and the malformed count is surfaced as an
+observed metric (streaming/pipeline.py ``observe``).
 
 Fixture mapping (FIXTURES.md §B): ``event_type`` ↔ wiki/type dimension,
 ``ts`` ↔ event time, ``value`` vs JSON ``props.k`` ↔ length.old/new,

@@ -4,9 +4,14 @@ This is the exact-parity twin of ``CountersFromEventData``
 (/root/reference/pkg/aggregator/aggregator.go:32-66) on the reference's
 native schema, preserving its quirks:
 
-  * every event → ``pleiades_total`` — including malformed JSON
-    (aggregator.go:34-40): parse failures null every field, the
-    unconditional slot still fires;
+  * every *processed* event → ``pleiades_total``. DELIBERATE DEVIATION
+    for malformed JSON: the reference's callers return on the
+    CountersFromEventData error before any increment
+    (kafka/aggregator.go:159-204, file/aggregator.go:151-217), so a
+    malformed event increments nothing there (and poisons the partition —
+    kafka retries it forever). Here parse failures null every field but
+    the unconditional total slot still fires: counted once, never
+    retried, surfaced via the ``malformed`` observed metric;
   * ``wiki != ""`` → ``pleiades_wiki_<wiki>`` (go treats missing string
     fields as "", so NULL and "" both skip — aggregator.go:41-45);
   * ``type != ""`` → ``pleiades_type_<type>`` (aggregator.go:46-50);
@@ -56,11 +61,15 @@ def recentchange_counter_array(rc: Column) -> Column:
             ),
             F.when(rc.getField("bot"), F.lit("pleiades_bot")),
             F.when(rc.getField("minor"), F.lit("pleiades_minor")),
+            # Go unmarshals absent numeric fields to 0 (page creations carry
+            # only length.new) — coalesce BOTH sides to 0 before comparing,
+            # or a NULL comparison would fall to the dec branch and diverge
+            # from the reference on real streams.
             F.when(
                 rc.getField("length").isNotNull(),
                 F.when(
-                    rc.getField("length").getField("old")
-                    < rc.getField("length").getField("new"),
+                    F.coalesce(rc.getField("length").getField("old"), F.lit(0))
+                    < F.coalesce(rc.getField("length").getField("new"), F.lit(0)),
                     F.lit("pleiades_length_inc"),
                 ).otherwise(F.lit("pleiades_length_dec")),
             ),
@@ -76,10 +85,14 @@ def derive_recentchange_counters(raw: DataFrame) -> DataFrame:
     ``pleiades_total`` fires, matching the reference's error path.
     """
     rc = F.from_json(F.col("value"), RECENTCHANGE_SCHEMA)
-    lendiff = F.coalesce(
-        rc.getField("length").getField("new") - rc.getField("length").getField("old"),
-        F.lit(0).cast("long"),
-    )
+    # Zero-value semantics (Go): an absent old/new inside a present length
+    # struct reads as 0, so a creation event's lendiff is +new, not 0.
+    # Length absent entirely → 0 (aggregator.go:63).
+    lendiff = F.when(
+        rc.getField("length").isNotNull(),
+        F.coalesce(rc.getField("length").getField("new"), F.lit(0).cast("long"))
+        - F.coalesce(rc.getField("length").getField("old"), F.lit(0).cast("long")),
+    ).otherwise(F.lit(0).cast("long"))
     ts_ms = event_id_timestamp_ms(F.col("id"))
     return raw.select(
         F.floor(ts_ms / MS_PER_DAY).cast("long").alias("day"),

@@ -19,6 +19,8 @@ only needed when components span millions of nodes — not the dedup case.
 
 from __future__ import annotations
 
+import warnings
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -66,4 +68,15 @@ def connected_components(
         labels = new_labels
         if changed == 0:
             break
+    else:
+        # Exiting via exhaustion means some component has diameter >
+        # max_iter and its labels are split across multiple clusters —
+        # silently returning them would under-merge dedup groups.
+        warnings.warn(
+            f"connected_components did not converge in {max_iter} iterations; "
+            "labels are partial (some components split). Raise max_iter or "
+            "switch to a large-star/small-star implementation.",
+            RuntimeWarning,
+            stacklevel=2,
+        )
     return labels.select(F.col("node").alias("doc_id"), F.col("label").alias("cluster"))

@@ -45,12 +45,27 @@ def read_filequeue(spark: SparkSession, path: str) -> DataFrame:
 def write_filequeue(df: DataFrame, path: str, prefix: str = "0") -> int:
     """(id, value) rows → one ``<prefix>-event-<n>.dat`` file each.
 
-    Driver-side writer (mirrors the reference's single-process publisher);
-    only suitable for tests/small exports — see module scale note.
+    Distributed writer: each partition writes its own files from the
+    executor (``mapPartitionsWithIndex``), so nothing funnels through the
+    driver. File names carry (partition id, in-partition ordinal) —
+    globally unique without any cross-partition coordination, and still
+    matched by ``read_filequeue``'s ``*-event-*.dat`` glob. The format
+    itself (one file per event, filepublisher.go:76-111) remains
+    pathological at scale — see module note; the writer just stops being
+    the extra bottleneck.
     """
     os.makedirs(path, exist_ok=True)
-    rows = df.select("id", "value").collect()
-    for n, row in enumerate(rows):
-        with open(os.path.join(path, f"{prefix}-event-{n}.dat"), "w") as f:
-            f.write(f"{row['id']}\n{row['value']}\n")
-    return len(rows)
+
+    def _write_partition(pid: int, rows) -> "list[int]":
+        n = 0
+        for row in rows:
+            fname = os.path.join(path, f"{prefix}-event-{pid}-{n}.dat")
+            with open(fname, "w") as f:
+                f.write(f"{row['id']}\n{row['value']}\n")
+            n += 1
+        return [n]
+
+    counts = (
+        df.select("id", "value").rdd.mapPartitionsWithIndex(_write_partition).collect()
+    )
+    return sum(counts)

@@ -152,11 +152,16 @@ def start_counters_to_parquet(
     out_path: str,
     checkpoint: str,
 ) -> StreamingQuery:
-    """Production sink: foreachBatch overwrite of day partitions (S10).
+    """Production sink: foreachBatch overwrite of (day, counter) partitions
+    (S10).
 
-    Update-mode batches arrive keyed by (window, counter); each batch
-    rewrites only the day partitions it touches (dynamic partition
-    overwrite) — idempotent on replay, so end-to-end exactly-once.
+    Update-mode batches arrive keyed by (window, counter), so the overwrite
+    granularity MUST be (day, counter): a batch that updates a subset of a
+    day's counters must not clobber that day's other counter rows. Dynamic
+    partition overwrite at exactly the update key is idempotent on replay —
+    end-to-end exactly-once. (Partition count = days × counter names; the
+    counter dimension is small and fixed, so this stays directory-friendly
+    at any event volume.)
     """
     agg = counters_stream(source)
 
@@ -179,7 +184,7 @@ def start_counters_to_parquet(
                 "growth",
             )
             .write.mode("overwrite")
-            .partitionBy("day")
+            .partitionBy("day", "counter")
             .parquet(out_path)
         )
 

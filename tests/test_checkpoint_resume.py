@@ -79,3 +79,50 @@ def test_exactly_once_across_restart(spark, tmp_path):
         .collect()[0][0]
     )
     assert total == total_rows  # nothing lost, nothing double-counted
+
+
+def test_partial_batch_preserves_sibling_counters(spark, tmp_path):
+    """A micro-batch that updates a SUBSET of a day's counters must not
+    delete that day's other counter rows.
+
+    Update-mode batches carry only changed (window, counter) keys; if the
+    sink overwrote whole day=X partitions, a later subset batch would
+    silently drop the untouched counters. Batch 1 fires four counters;
+    batch 2 (same day) fires only pleiades_total — the other three must
+    survive.
+    """
+    base = str(tmp_path / "in")
+    out = str(tmp_path / "counters")
+    ckpt = str(tmp_path / "ckpt")
+
+    # user_id=0 → bot; event_type=click → type; k=1 vs value=1.0 → value_dec
+    spark.createDataFrame(
+        [(0, TS, 0, "click", 1.0, '{"k": 1}')],
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    ).coalesce(1).write.parquet(f"{base}/f0")
+
+    q = start_counters_to_parquet(spark, _stream(spark, base + "/f*"), out, ckpt)
+    try:
+        q.processAllAvailable()
+        # batch 2: odd user, empty type, malformed props → ONLY pleiades_total
+        spark.createDataFrame(
+            [(1, TS, 1, "", 2.0, "not json")],
+            "event_id long, ts timestamp, user_id long, event_type string, "
+            "value double, props string",
+        ).coalesce(1).write.parquet(f"{base}/f1")
+        q.processAllAvailable()
+    finally:
+        q.stop()
+        q.awaitTermination()
+
+    got = {
+        r["counter"]: r["events"]
+        for r in spark.read.parquet(out).select("counter", "events").collect()
+    }
+    assert got == {
+        "pleiades_total": 2,
+        "pleiades_type_click": 1,
+        "pleiades_bot": 1,
+        "pleiades_value_dec": 1,
+    }

@@ -88,5 +88,20 @@ def test_ingest_aggregate_serve_roundtrip(spark, tmp_path):
             raise AssertionError("expected 404")
         except urllib.error.HTTPError as e:
             assert e.code == 404
+        # over-long stats path must 404, not fall back to latest-day stats
+        try:
+            urllib.request.urlopen(f"{base}/api/stats/18474/extra")
+            raise AssertionError("expected 404")
+        except urllib.error.HTTPError as e:
+            assert e.code == 404
+
+        # /metrics: Prometheus text with request counters + counter gauges
+        resp = urllib.request.urlopen(f"{base}/metrics")
+        assert resp.headers["Content-Type"].startswith("text/plain")
+        body = resp.read().decode()
+        assert "# TYPE pleiades_http_requests_total counter" in body
+        assert 'pleiades_http_requests_total{route="/api/days",status="200"} 1' in body
+        assert 'pleiades_counter_events{counter="pleiades_total"} 2' in body
+        assert 'pleiades_counter_growth{counter="pleiades_total"} 55' in body
     finally:
         server.shutdown()

@@ -81,6 +81,28 @@ def test_missing_length_no_inc_dec(spark):
     assert "pleiades_length_inc" not in got and "pleiades_length_dec" not in got
 
 
+def test_page_creation_zero_value_semantics(spark):
+    """length present with only .new (page creation): Go zero-values the
+    absent old → 0 < new → length_inc, lendiff = +new (not dec/0)."""
+    ev = dict(GOLDEN_EVENT, length={"new": 250})
+    raw = _raw(spark, [(GOLDEN_ID, json.dumps(ev))])
+    rows = derive_recentchange_counters(raw).collect()
+    got = {r.counter for r in rows}
+    assert "pleiades_length_inc" in got and "pleiades_length_dec" not in got
+    assert all(r.lendiff == 250 for r in rows)
+
+
+def test_page_blank_only_old_zero_value_semantics(spark):
+    """length with only .old: new reads as 0 → old < 0 false → length_dec,
+    lendiff = -old."""
+    ev = dict(GOLDEN_EVENT, length={"old": 40})
+    raw = _raw(spark, [(GOLDEN_ID, json.dumps(ev))])
+    rows = derive_recentchange_counters(raw).collect()
+    got = {r.counter for r in rows}
+    assert "pleiades_length_dec" in got and "pleiades_length_inc" not in got
+    assert all(r.lendiff == -40 for r in rows)
+
+
 def test_event_id_timestamp_field_order_tolerant(spark):
     # field-order permutation, as in the reference's table test
     flipped = '[{"timestamp":1596207527001,"topic":"x","partition":0}]'

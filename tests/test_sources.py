@@ -64,3 +64,20 @@ def test_filequeue_roundtrip(spark, tmp_path):
     back = read_filequeue(spark, qdir)
     got = sorted((r.id, r.value) for r in back.collect())
     assert got == [("id-0", '{"a":1}'), ("id-1", '{"b":2}')]
+
+
+def test_filequeue_write_is_distributed_over_partitions(spark, tmp_path):
+    """Multi-partition input: every partition writes its own files (no
+    driver collect), names stay glob-compatible, nothing lost."""
+    qdir = str(tmp_path / "mpqueue")
+    rows = [(f"id-{i:02d}", f'{{"n":{i}}}') for i in range(20)]
+    src = spark.createDataFrame(rows, "id string, value string").repartition(8)
+    n = write_filequeue(src, qdir)
+    assert n == 20
+    files = sorted(p.name for p in (tmp_path / "mpqueue").glob("*-event-*.dat"))
+    assert len(files) == 20
+    # more than one partition actually wrote (distinct partition-id infix)
+    pids = {name.split("-")[2] for name in files}
+    assert len(pids) > 1
+    back = sorted((r.id, r.value) for r in read_filequeue(spark, qdir).collect())
+    assert back == sorted(rows)
