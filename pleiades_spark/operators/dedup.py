@@ -31,6 +31,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
 
 from pleiades_spark.functions.hashing import (
     LSH_BANDS,
@@ -114,18 +115,42 @@ def band_keys(sig: Column) -> Column:
     )
 
 
-def minhash_lsh_pairs(docs: DataFrame, threshold: float = 0.6) -> DataFrame:
+def minhash_lsh_pairs(
+    docs: DataFrame,
+    threshold: float = 0.6,
+    max_bucket_size: int | None = None,
+) -> DataFrame:
     """Near-duplicate pairs: LSH candidates verified by exact Jaccard.
 
     Plan: docs → (doc_id, shingles, sig) → posexplode(bands) → self-join on
     (band_idx, band_key) → distinct candidate pairs → re-join shingle sets
     → exact Jaccard filter. Signatures are computed once and reused via the
     banded explode; the self-join shuffles on the band key.
+
+    ``max_bucket_size`` is the hot-bucket guard for boilerplate-heavy
+    corpora: a band bucket shared by B docs yields B² candidate pairs in
+    ONE task (the join key is the bucket), so a template shared by 10⁶
+    docs is both a skew straggler and a quadratic blowup. Buckets larger
+    than the cap are dropped from candidate generation — near-identical
+    boilerplate docs collide in *every* band, so recall for true
+    near-dups survives unless all LSH_BANDS buckets blow the cap at once;
+    exact-identical docs are exact_dedup_groups' job anyway. None (the
+    default, used by the oracle gate) keeps candidate generation
+    lossless.
     """
     signed = with_signature(docs).cache()
     bands = signed.select(
         "doc_id", F.posexplode(band_keys(F.col("sig"))).alias("band_idx", "band_key")
     )
+    if max_bucket_size is not None:
+        # windowed count shuffles on the same (band_idx, band_key) the
+        # self-join needs — co-located, no extra exchange in the joined plan
+        wb = W.partitionBy("band_idx", "band_key")
+        bands = (
+            bands.withColumn("bucket_size", F.count(F.lit(1)).over(wb))
+            .filter(F.col("bucket_size") <= max_bucket_size)
+            .drop("bucket_size")
+        )
     left = bands.alias("l")
     right = bands.alias("r")
     cand = (
@@ -289,11 +314,46 @@ def ngram_jaccard_pairs(docs: DataFrame, threshold: float = 0.6) -> DataFrame:
 # --- embedding cosine near-dup -------------------------------------------
 
 
+def embedding_near_dup_ivf(
+    emb: DataFrame, threshold: float = 0.45, n_centroids: int = 16
+) -> DataFrame:
+    """Scale path for embedding near-dup: self-join WITHIN IVF buckets.
+
+    Vectors are assigned to their nearest codebook centroid
+    (similarity.ivf_assign — deterministic codebook so the DuckDB oracle
+    replays the bucketing exactly); pair search then shuffles on
+    centroid_id and compares only intra-bucket pairs. Cost drops from
+    O(N²) to O(Σ bucket²) ≈ O(N²/K) — and the bucket self-join
+    parallelizes per centroid instead of one giant cartesian task.
+    Approximate by construction: a near-dup pair straddling two buckets
+    is missed (mitigate with more/better centroids or multi-assignment);
+    the brute variant is the ground truth that quantifies that recall.
+    """
+    from pleiades_spark.operators.similarity import ivf_assign
+
+    assigned = ivf_assign(emb, n_centroids)
+    a = assigned.alias("a")
+    b = assigned.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.centroid_id") == F.col("b.centroid_id"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .withColumn("cos", F.round(cosine(F.col("a.v"), F.col("b.v")), 6))
+        .filter(F.col("cos") >= threshold)
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            "cos",
+        )
+    )
+
+
 def embedding_near_dup_pairs(emb: DataFrame, threshold: float = 0.45) -> DataFrame:
     """Vector pairs with cosine ≥ threshold (brute-force at fixture scale).
 
-    At 100 TB: assign vectors to IVF buckets (similarity.ivf_assign) and
-    self-join within buckets only.
+    At 100 TB: embedding_near_dup_ivf — same contract, bucketed plan.
     """
     v = emb.select("vec_id", as_double(F.col("embedding")).alias("v"))
     a = v.alias("a")

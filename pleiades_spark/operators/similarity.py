@@ -71,6 +71,107 @@ def ivf_assign(emb: DataFrame, n_centroids: int = 16) -> DataFrame:
     )
 
 
+def fit_ivf_codebook(
+    emb: DataFrame, n_centroids: int = 16, seed: int = 7, max_iter: int = 20
+) -> DataFrame:
+    """Production codebook: KMeans-fit centroids (cosine distance).
+
+    Returns (centroid_id, cv array<double>) — a tiny frame, always
+    broadcast. The fit is one pass over a sample-able corpus; at 100 TB
+    fit on a ~1M-vector sample (KMeans cost is O(n·k·d·iter), and
+    centroid quality saturates long before the full corpus).
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    v = emb.select(as_double(F.col("embedding")).alias("v"))
+    feats = v.select(array_to_vector(F.col("v")).alias("features"))
+    model = KMeans(
+        k=n_centroids, seed=seed, maxIter=max_iter, distanceMeasure="cosine"
+    ).fit(feats)
+    rows = [
+        (i, [float(x) for x in center])
+        for i, center in enumerate(model.clusterCenters())
+    ]
+    return emb.sparkSession.createDataFrame(
+        rows, "centroid_id int, cv array<double>"
+    )
+
+
+def ivf_assign_with_codebook(emb: DataFrame, codebook: DataFrame) -> DataFrame:
+    """Nearest-centroid assignment against an arbitrary codebook frame.
+
+    Same shape as ivf_assign but the codebook is an input (KMeans-fit in
+    production, deterministic fixture for the oracle gate). Broadcast ×
+    corpus scan; at scale the output is written partitioned by
+    centroid_id so probes prune partitions.
+    """
+    v = emb.select("vec_id", as_double(F.col("embedding")).alias("v"))
+    scored = v.crossJoin(F.broadcast(codebook)).withColumn(
+        "ccos", F.round(cosine(F.col("v"), F.col("cv")), 6)
+    )
+    w = W.partitionBy("vec_id").orderBy(F.col("ccos").desc(), F.col("centroid_id").asc())
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select("vec_id", "v", "centroid_id")
+    )
+
+
+def ivf_knn_fitted(
+    emb: DataFrame,
+    n_queries: int = 5,
+    k: int = 8,
+    n_centroids: int = 16,
+    nprobe: int = 4,
+    seed: int = 7,
+) -> DataFrame:
+    """ANN with a KMeans-fit codebook and multi-probe search.
+
+    Each query searches its nprobe nearest centroid buckets (nprobe=1 is
+    the fastest/least-recall corner; nprobe=n_centroids degenerates to
+    brute force). Plan: tiny probe table broadcast against the assigned
+    corpus — the scan touches only probed buckets, which at scale is
+    partition pruning on centroid_id.
+    """
+    codebook = fit_ivf_codebook(emb, n_centroids, seed=seed)
+    assigned = ivf_assign_with_codebook(emb, codebook)
+    queries = emb.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"),
+        as_double(F.col("embedding")).alias("qv"),
+    )
+    qscore = queries.crossJoin(F.broadcast(codebook)).withColumn(
+        "qcos", F.round(cosine(F.col("qv"), F.col("cv")), 6)
+    )
+    wq = W.partitionBy("query_id").orderBy(
+        F.col("qcos").desc(), F.col("centroid_id").asc()
+    )
+    probes = (
+        qscore.withColumn("prk", F.row_number().over(wq))
+        .filter(F.col("prk") <= nprobe)
+        .select("query_id", "qv", "centroid_id")
+    )
+    a = assigned.alias("a")
+    p = probes.alias("p")
+    scored = a.join(
+        F.broadcast(p),
+        (F.col("a.centroid_id") == F.col("p.centroid_id"))
+        & (F.col("a.vec_id") != F.col("p.query_id")),
+    ).select(
+        F.col("p.query_id").alias("query_id"),
+        F.col("a.vec_id").alias("vec_id"),
+        F.round(cosine(F.col("p.qv"), F.col("a.v")), 6).alias("cos"),
+    )
+    # no dedup needed: each vector lives in exactly one bucket, and a
+    # query's probe list has distinct centroids → at most one match per pair
+    w = W.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("vec_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "vec_id", "cos")
+    )
+
+
 def ivf_knn(
     emb: DataFrame, n_queries: int = 5, k: int = 5, n_centroids: int = 16
 ) -> DataFrame:

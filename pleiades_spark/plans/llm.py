@@ -41,6 +41,7 @@ from pleiades_spark.functions.text import (
 )
 from pleiades_spark.operators.dedup import (
     SIMHASH_BITS,
+    embedding_near_dup_ivf,
     embedding_near_dup_pairs,
     exact_dedup_groups,
     minhash_lsh_pairs,
@@ -310,6 +311,34 @@ SELECT query_id, rank, vec_id, cos FROM (
             ORDER BY cos DESC, vec_id ASC) AS rank
   FROM scored
 ) WHERE rank <= {IVF_K}
+"""
+
+
+# --- IVF-bucketed embedding near-dup (the 100 TB dedup path) --------------
+
+
+def q_dedup_embedding_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return embedding_near_dup_ivf(
+        _t(spark, sf_dir, "embeddings"), COSINE_DUP_THRESHOLD, IVF_CENTROIDS
+    )
+
+
+ORACLE_DEDUP_EMBEDDING_IVF = f"""
+WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+c AS (SELECT vec_id AS centroid_id, v AS cv FROM v WHERE vec_id < {IVF_CENTROIDS}),
+assigned AS (
+  SELECT vec_id, v, centroid_id FROM (
+    SELECT v.vec_id, v.v, c.centroid_id,
+           row_number() OVER (PARTITION BY v.vec_id
+             ORDER BY {_CCOS_SQL} DESC, c.centroid_id ASC) AS rk
+    FROM v CROSS JOIN c
+  ) WHERE rk = 1
+)
+SELECT vec_a, vec_b, cos FROM (
+  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, {_COS_SQL} AS cos
+  FROM assigned a JOIN assigned b
+    ON a.centroid_id = b.centroid_id AND a.vec_id < b.vec_id
+) WHERE cos >= {COSINE_DUP_THRESHOLD}
 """
 
 
@@ -772,7 +801,9 @@ QUERIES = [
     Query("dedup_ngram_jaccard", q_dedup_ngram_jaccard, ORACLE_DEDUP_NGRAM_JACCARD,
           "exact blocked all-pairs shingle Jaccard (LSH ground truth)"),
     Query("dedup_embedding_cosine", q_dedup_embedding, ORACLE_DEDUP_EMBEDDING,
-          "embedding cosine near-dup pairs"),
+          "embedding cosine near-dup pairs (brute ground truth)"),
+    Query("dedup_embedding_ivf", q_dedup_embedding_ivf, ORACLE_DEDUP_EMBEDDING_IVF,
+          "embedding near-dup within IVF buckets (scale path, O(N²/K))"),
     Query("dedup_clusters", q_dedup_clusters, ORACLE_DEDUP_CLUSTERS,
           "iterative connected components over near-dup pairs (recursive CTE oracle)"),
     Query("knn_cosine_brute", q_knn_brute, ORACLE_KNN_BRUTE,

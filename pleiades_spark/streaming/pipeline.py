@@ -26,7 +26,12 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
 
-from pleiades_spark.functions.counters import counter_array, lendiff, props_k
+from pleiades_spark.functions.counters import (
+    counter_array,
+    derive_counters,
+    lendiff,
+    props_k,
+)
 from pleiades_spark.schemas import EVENTS_SCHEMA_NANOS
 from pleiades_spark.session import apply_runtime_confs
 
@@ -194,3 +199,57 @@ def start_counters_to_parquet(
         .option("checkpointLocation", checkpoint)
         .start()
     )
+
+
+def backfill_counters(
+    spark: SparkSession,
+    events: DataFrame,
+    counters_path: str,
+    days: list[int] | None = None,
+) -> list[int]:
+    """Late-data reconciliation: batch-recompute days from the archive and
+    replace them in the streaming counters table.
+
+    The stream drops events older than the watermark (module docstring);
+    the reference instead tolerates infinite lateness by incrementing
+    Redis whenever an event shows up (kafka/aggregator.go:174-199). This
+    job closes that gap kappa-style: the archive is the source of truth,
+    and any day it recomputes REPLACES the streaming result for that day
+    — idempotent, re-runnable, safe to run while the stream is live
+    (day-atomic: readers see old or new day content, never a blend of a
+    partially-applied day).
+
+    ``days`` limits the recompute (the usual call passes the late events'
+    days); None recomputes every day present in ``events``.
+    """
+    apply_runtime_confs(spark)
+    derived = derive_counters(events)
+    if days is not None:
+        derived = derived.filter(F.col("day").isin([int(d) for d in days]))
+    agg = derived.groupBy("day", "counter").agg(
+        F.count(F.lit(1)).alias("events"),
+        F.round(F.sum("lendiff"), 4).alias("growth"),
+    )
+    target_days = (
+        sorted(int(d) for d in days)
+        if days is not None
+        else sorted(r["day"] for r in agg.select("day").distinct().collect())
+    )
+    # Dynamic overwrite only replaces (day, counter) partitions present in
+    # the recompute — a counter the stream wrote for a recomputed day that
+    # the authoritative recompute lacks (e.g. replay overcounts being
+    # corrected) would linger. Drop each day's subtree first, through the
+    # Hadoop FS API so the same code works on HDFS/S3A, not just local.
+    jvm = spark._jvm
+    hconf = spark._jsc.hadoopConfiguration()
+    for d in target_days:
+        p = jvm.org.apache.hadoop.fs.Path(f"{counters_path}/day={d}")
+        p.getFileSystem(hconf).delete(p, True)
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    (
+        agg.select("day", "counter", "events", "growth")
+        .write.mode("overwrite")
+        .partitionBy("day", "counter")
+        .parquet(counters_path)
+    )
+    return target_days

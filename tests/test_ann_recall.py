@@ -1,0 +1,125 @@
+"""Recall audits for the approximate operators against their exact ground
+truths (VERDICT r01 next-round items 3 and 4).
+
+The approximate paths (KMeans-fit IVF ANN, MinHash LSH) are the 100 TB
+designs; these tests pin their quality so a tuning change that silently
+destroys recall fails CI, not production.
+"""
+
+import pytest
+
+from pleiades_spark import catalog
+from pleiades_spark.operators.dedup import minhash_lsh_pairs, ngram_jaccard_pairs
+from pleiades_spark.operators.similarity import (
+    fit_ivf_codebook,
+    ivf_assign_with_codebook,
+    ivf_knn_fitted,
+    knn_brute,
+)
+
+SF_DIR = "/root/testdata/sf0.01"  # per-VERDICT: audit at sf0.01
+
+
+@pytest.fixture(scope="module")
+def embeddings(spark):
+    return catalog.load(spark, SF_DIR, "embeddings").cache()
+
+
+@pytest.fixture(scope="module")
+def documents(spark):
+    return catalog.load(spark, SF_DIR, "documents").cache()
+
+
+def _pair_set(df):
+    return {(r[0], r[1]) for r in df.collect()}
+
+
+def test_fitted_ivf_recall_at_k(embeddings, spark):
+    """KMeans-fit IVF must reach recall@8 ≥ 0.9 vs brute.
+
+    nprobe calibration note: the fixture embeddings are near-uniform
+    random (brute top-8 cosines are 0.24–0.49 — noise level), so there is
+    no cluster structure for the codebook to exploit and recall@8 needs
+    nprobe=12 of 16 buckets. On real embedding corpora (which cluster
+    hard) the same 0.9 arrives at nprobe≈2-4; this test pins the
+    WORST-CASE data shape, so a regression can only be the operator.
+    """
+    n_queries, k = 20, 8
+    brute = {
+        (r.query_id, r.vec_id)
+        for r in knn_brute(embeddings, n_queries, k).collect()
+    }
+    fitted = {
+        (r.query_id, r.vec_id)
+        for r in ivf_knn_fitted(
+            embeddings, n_queries, k, n_centroids=16, nprobe=12
+        ).collect()
+    }
+    recall = len(brute & fitted) / len(brute)
+    assert recall >= 0.9, f"fitted IVF recall@{k} = {recall:.3f}"
+
+
+def test_fitted_codebook_buckets_are_balanced(embeddings):
+    """KMeans buckets must actually partition the corpus (no empty/all-in-one
+    degeneracy), or the IVF cost model is fiction."""
+    codebook = fit_ivf_codebook(embeddings, n_centroids=16)
+    assigned = ivf_assign_with_codebook(embeddings, codebook)
+    sizes = [r["cnt"] for r in assigned.groupBy("centroid_id").count().withColumnRenamed("count", "cnt").collect()]
+    total = sum(sizes)
+    assert total == embeddings.count()
+    assert len(sizes) >= 8  # most centroids own vectors
+    assert max(sizes) < total * 0.5  # no single bucket dominates
+
+
+def test_minhash_lsh_recall_vs_exact_jaccard(documents):
+    """LSH candidate generation must not lose verified-true pairs: recall
+    vs the exact (quadratic) n-gram Jaccard ground truth ≥ 0.9."""
+    gt = _pair_set(ngram_jaccard_pairs(documents, 0.6).select("doc_a", "doc_b"))
+    lsh = _pair_set(minhash_lsh_pairs(documents, 0.6).select("doc_a", "doc_b"))
+    assert gt, "ground truth unexpectedly empty — test is vacuous"
+    recall = len(gt & lsh) / len(gt)
+    assert recall >= 0.9, f"LSH recall = {recall:.3f} over {len(gt)} true pairs"
+    # and LSH must not invent pairs the exact verifier would reject
+    assert lsh <= gt
+
+
+def _boilerplate_corpus(spark, n_boiler=40):
+    """A corpus dominated by one exact-duplicate template (the hot-bucket
+    skew case) plus two genuine near-dup pairs and one unrelated doc.
+
+    Near-dup docs use distinct word streams (repeated phrases would
+    collapse to a handful of distinct shingles and sink below the Jaccard
+    threshold); one appended word ⇒ J ≈ 57/60 ≈ 0.95.
+    """
+    template = "terms of service boilerplate " * 20
+    near_a = " ".join(f"alpha{i}" for i in range(60))
+    near_b = near_a + " omega"
+    near_c = " ".join(f"beta{i}" for i in range(60))
+    near_d = near_c + " sigma"
+    rows = [(i, template, len(template)) for i in range(n_boiler)]
+    rows += [
+        (100, near_a, len(near_a)),
+        (101, near_b, len(near_b)),
+        (200, near_c, len(near_c)),
+        (201, near_d, len(near_d)),
+        (300, "an entirely unrelated short document about spark", 48),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string, n_chars long")
+
+
+def test_hot_bucket_cap_drops_boilerplate_keeps_near_dups(spark):
+    docs = _boilerplate_corpus(spark)
+    capped = _pair_set(
+        minhash_lsh_pairs(docs, 0.6, max_bucket_size=10).select("doc_a", "doc_b")
+    )
+    # the 40-doc template bucket blows the cap in every band → none of its
+    # 780 pairs emitted; the per-pair buckets (size 2) survive
+    assert (100, 101) in capped and (200, 201) in capped
+    assert not any(a < 40 and b < 40 for a, b in capped)
+
+
+def test_uncapped_lsh_still_lossless_on_boilerplate(spark):
+    docs = _boilerplate_corpus(spark)
+    pairs = _pair_set(minhash_lsh_pairs(docs, 0.6).select("doc_a", "doc_b"))
+    assert (0, 1) in pairs  # identical template docs are pairs when uncapped
+    assert (100, 101) in pairs and (200, 201) in pairs

@@ -1,0 +1,115 @@
+"""Late-data backfill: the batch-recompute path that reconciles the
+streaming counters table with events the watermark dropped.
+
+The reference tolerates infinite lateness (every arriving event just
+increments Redis); Spark bounds streaming state with a watermark, so
+beyond-watermark stragglers are reconciled by backfill_counters — feed a
+too-late event, prove the stream dropped it, prove backfill restores the
+batch-oracle truth.
+"""
+
+import datetime
+
+from pyspark.sql import functions as F
+
+from pleiades_spark.functions.counters import derive_counters
+from pleiades_spark.streaming.pipeline import (
+    backfill_counters,
+    start_counters_to_parquet,
+)
+
+EVT_SCHEMA = (
+    "event_id long, ts timestamp, user_id long, event_type string, "
+    "value double, props string"
+)
+ON_TIME = datetime.datetime(2024, 2, 1, 12, 0, 0)  # day 19754
+LATE = datetime.datetime(2024, 1, 1, 12, 0, 0)  # day 19723, ≫ 7d older
+
+
+def _stream(spark, glob_path):
+    return (
+        spark.readStream.schema(EVT_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(glob_path)
+    )
+
+
+def _batch_truth(spark, base):
+    events = spark.read.schema(EVT_SCHEMA).parquet(f"{base}/f*")
+    return {
+        (r.day, r.counter): (r.events, r.growth)
+        for r in derive_counters(events)
+        .groupBy("day", "counter")
+        .agg(
+            F.count(F.lit(1)).alias("events"),
+            F.round(F.sum("lendiff"), 4).alias("growth"),
+        )
+        .collect()
+    }
+
+
+def test_backfill_reconciles_dropped_late_event(spark, tmp_path):
+    base = str(tmp_path / "archive")
+    out = str(tmp_path / "counters")
+    ckpt = str(tmp_path / "ckpt")
+
+    on_time = [(i, ON_TIME, i, "click", 2.0, '{"k": 1}') for i in range(3)]
+    spark.createDataFrame(on_time, EVT_SCHEMA).coalesce(1).write.parquet(f"{base}/f0")
+
+    q = start_counters_to_parquet(spark, _stream(spark, base + "/f*"), out, ckpt)
+    try:
+        q.processAllAvailable()
+        # a straggler a month older than the watermark (7d behind max ts)
+        spark.createDataFrame(
+            [(99, LATE, 1, "view", 5.0, '{"k": 2}')], EVT_SCHEMA
+        ).coalesce(1).write.parquet(f"{base}/f1")
+        q.processAllAvailable()
+    finally:
+        q.stop()
+        q.awaitTermination()
+
+    streamed = spark.read.parquet(out)
+    late_day = 19723
+    assert streamed.filter(F.col("day") == late_day).count() == 0  # dropped
+
+    # plant a stale counter the authoritative recompute does not contain —
+    # backfill must remove it, not just add the missing rows
+    spark.createDataFrame(
+        [(19754, "pleiades_stale", 7, 0.0)],
+        "day long, counter string, events long, growth double",
+    ).write.mode("append").partitionBy("day", "counter").parquet(out)
+
+    archive = spark.read.schema(EVT_SCHEMA).parquet(f"{base}/f*")
+    recomputed_days = backfill_counters(spark, archive, out)
+    assert recomputed_days == [19723, 19754]
+
+    got = {
+        (r.day, r.counter): (r.events, float(r.growth))
+        for r in spark.read.parquet(out).collect()
+    }
+    truth = {k: (v[0], float(v[1])) for k, v in _batch_truth(spark, base).items()}
+    assert got == truth  # late day restored, stale counter gone, on-time intact
+    assert (late_day, "pleiades_total") in got
+
+
+def test_backfill_targeted_days_leaves_other_days_alone(spark, tmp_path):
+    base = str(tmp_path / "archive")
+    out = str(tmp_path / "counters")
+
+    rows = [(1, ON_TIME, 2, "click", 2.0, '{"k": 1}'), (2, LATE, 4, "view", 1.0, "x")]
+    spark.createDataFrame(rows, EVT_SCHEMA).coalesce(1).write.parquet(f"{base}/f0")
+    archive = spark.read.schema(EVT_SCHEMA).parquet(f"{base}/f*")
+
+    # seed the table with BOTH days, then corrupt day 19754 and backfill
+    # only the late day — the corrupted day must remain untouched
+    backfill_counters(spark, archive, out)
+    spark.createDataFrame(
+        [(19754, "pleiades_planted", 1, 0.0)],
+        "day long, counter string, events long, growth double",
+    ).write.mode("append").partitionBy("day", "counter").parquet(out)
+
+    assert backfill_counters(spark, archive, out, days=[19723]) == [19723]
+    remaining = {
+        r.counter for r in spark.read.parquet(out).filter(F.col("day") == 19754).collect()
+    }
+    assert "pleiades_planted" in remaining  # untouched day kept as-is

@@ -47,7 +47,7 @@ def to_wire(events):
 
 
 @given(st.lists(sse_events(), min_size=0, max_size=8))
-@settings(max_examples=200)
+@settings(max_examples=200, deadline=None)  # CI box may be CPU-saturated
 def test_sse_wire_roundtrip(events):
     parsed = list(parse_sse_lines(to_wire(events)))
     assert len(parsed) == len(events)
