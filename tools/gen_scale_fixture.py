@@ -1,0 +1,122 @@
+"""Scale-up fixture generator: replicate an SF directory K× with key
+shifts that preserve referential integrity (VERDICT r01 next-round #9 —
+an sf1 scaling bench needs sf1 data, and /root/testdata is read-only).
+
+    python tools/gen_scale_fixture.py /root/testdata/sf0.1 testdata_sf1 10
+
+Design (mirrors how TPC-H scales):
+  * region/nation stay fixed (real dims don't grow with volume);
+  * every fact/entity table is unioned K times, copy i shifting each key
+    column by i·stride — the SAME shift lands on both sides of every FK
+    (orders.o_custkey and customer.c_custkey, etc.), so join fan-outs are
+    identical to the source SF and scaling should be ~linear;
+  * event timestamps are left alone: day cardinality is a property of
+    the collection window, not the volume (10× events/day, same days);
+  * document text gets a per-copy token suffix for copies > 0 — without
+    it every doc would have K-1 exact twins and the dedup queries would
+    measure a 45×-pairs corpus, not a 10×-rows one;
+  * embeddings get deterministic per-copy perturbation (direction, not
+    scale — cosine is scale-invariant) for the same reason.
+
+Copy 0 is bit-identical to the source, so id-anchored query constants
+(query vectors vec_id < 5, point lookups) keep their originals.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+STRIDES = {
+    "c_custkey": 10**7,
+    "s_suppkey": 10**6,
+    "p_partkey": 10**7,
+    "o_orderkey": 10**8,
+    "o_custkey": 10**7,
+    "l_orderkey": 10**8,
+    "l_partkey": 10**7,
+    "l_suppkey": 10**6,
+    "event_id": 10**8,
+    "user_id": 10**7,
+    "doc_id": 10**7,
+    "vec_id": 10**7,
+}
+
+FIXED_DIMS = ("region", "nation")
+SCALED = (
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+def _one_copy(df: DataFrame, table: str, i: int) -> DataFrame:
+    if i == 0:
+        return df
+    for col in df.columns:
+        if col in STRIDES:
+            df = df.withColumn(col, F.col(col) + F.lit(i * STRIDES[col]))
+    if table == "documents":
+        # suffix every token → no shingle survives across copies
+        df = df.withColumn(
+            "text", F.regexp_replace(F.col("text"), r"(\S+)", f"$1zw{i}")
+        ).withColumn("n_chars", F.length("text").cast("long"))
+    if table == "embeddings":
+        # deterministic direction perturbation; keeps FLOAT[] schema
+        df = df.withColumn(
+            "embedding",
+            F.transform(
+                F.col("embedding"),
+                lambda x, j: x
+                + (
+                    F.pmod(F.col("vec_id") * 131 + j * 31 + F.lit(i * 17), F.lit(97))
+                    / 97.0
+                    - 0.5
+                )
+                * 0.05,
+            ).cast("array<float>"),
+        )
+    return df
+
+
+def scale_table(spark: SparkSession, src: str, out: str, table: str, k: int) -> int:
+    df = spark.read.parquet(os.path.join(src, f"{table}.parquet"))
+    if table in FIXED_DIMS:
+        scaled = df
+    else:
+        scaled = _one_copy(df, table, 0)
+        for i in range(1, k):
+            scaled = scaled.unionAll(_one_copy(df, table, i))
+    dest = os.path.join(out, f"{table}.parquet")
+    # repartition: multi-file output like a real warehouse table (and the
+    # downstream scans parallelize without relying on parquet row groups)
+    n_out = 1 if table in FIXED_DIMS else max(4, min(32, k * 2))
+    scaled.repartition(n_out).write.mode("overwrite").parquet(dest)
+    return spark.read.parquet(dest).count()
+
+
+def main() -> None:
+    src = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    out = sys.argv[2] if len(sys.argv) > 2 else "testdata_sf1"
+    k = int(sys.argv[3]) if len(sys.argv) > 3 else 10
+
+    from pleiades_spark.session import get_spark
+
+    spark = get_spark("gen_scale_fixture")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    for table in FIXED_DIMS + SCALED:
+        n = scale_table(spark, src, out, table, k)
+        print(f"{table}: {n} rows")
+
+
+if __name__ == "__main__":
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    main()
