@@ -35,6 +35,12 @@ HEADLINE = [
     "customer_running_total",
     "above_avg_lineitems",
     "distinct_counts",
+    # TPC-H completion (round 2)
+    "forecast_revenue",
+    "product_type_profit",
+    "returned_item_revenue",
+    "large_volume_customers",
+    "waiting_suppliers",
     # LLM-pipeline extensions (present from M5 on; skipped if absent)
     "dedup_exact",
     "dedup_minhash_lsh",
