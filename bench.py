@@ -53,6 +53,10 @@ HEADLINE = [
     "sessionization",
     "asof_join_signup",
     "multimodal_features",
+    # training-corpus operators (round 2)
+    "doc_chunks",
+    "tfidf_top_terms",
+    "bigram_counts",
 ]
 
 

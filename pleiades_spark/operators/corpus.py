@@ -1,0 +1,186 @@
+"""Training-corpus preparation operators over the ``documents`` table.
+
+The operators a large-scale LLM-data pipeline runs between raw crawl and
+tokenized shards: chunking, TF-IDF term scoring, stratified sampling,
+deterministic train/val/test splitting, and PII scrubbing. All are pure
+built-in-expression map/agg stages (no Python in the hot path); the
+sampling/split operators use the md5-derived h32 (functions/hashing.py)
+so membership is (a) stable across runs/engines — re-running the
+pipeline on a grown corpus keeps prior assignments — and (b) replayable
+by the DuckDB oracle bit-for-bit.
+
+Scale notes:
+  * chunking multiplies rows by ~docs×chunks_per_doc before any shuffle —
+    it is a Generate inside the scan stage, no exchange at all;
+  * TF-IDF is two shuffles (doc-term tf, term df) + one broadcast of the
+    1-row corpus size — the df table is vocabulary-sized, NOT corpus-sized;
+  * sampling/splitting are stateless filters on a hash — embarrassingly
+    parallel, no shuffle, no RNG state to coordinate across executors
+    (rand() would be non-reproducible across retries; a seeded hash is
+    the only correct distributed sampler);
+  * PII scrubbing is a regex map stage; patterns compile once per task.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
+
+from pleiades_spark.functions.hashing import h32
+from pleiades_spark.functions.text import tokens
+
+CHUNK_SIZE = 32
+CHUNK_STRIDE = 24  # 8-token overlap between consecutive chunks
+
+
+def chunk_documents(
+    docs: DataFrame, chunk_size: int = CHUNK_SIZE, stride: int = CHUNK_STRIDE
+) -> DataFrame:
+    """Split each document into overlapping token-window chunks.
+
+    chunk i covers tokens [i·stride, i·stride + chunk_size); the last
+    chunk may be short. n_chunks = 1 + ceil((n_tok − chunk_size)/stride)
+    for long docs, 1 otherwise — every token is covered, consecutive
+    chunks overlap by (chunk_size − stride) tokens (context continuity
+    for training windows).
+
+    The token array is materialized ONCE per row before the explode
+    (HOF-CSE rule, CLAUDE.md): posexplode over a sequence of chunk
+    indices, then slice the pre-computed array.
+    """
+    toked = docs.select(
+        "doc_id", "lang", "source", tokens(F.col("text")).alias("toks")
+    ).withColumn("n_tok", F.size("toks"))
+    n_chunks = F.greatest(
+        F.lit(1),
+        (
+            F.floor(
+                (F.col("n_tok") - chunk_size + stride - 1) / F.lit(stride)
+            ).cast("int")
+            + 1
+        ),
+    )
+    return (
+        toked.withColumn("chunk_idx", F.explode(F.sequence(F.lit(0), n_chunks - 1)))
+        .withColumn(
+            "chunk", F.slice(F.col("toks"), F.col("chunk_idx") * stride + 1, chunk_size)
+        )
+        .select(
+            "doc_id",
+            "lang",
+            "chunk_idx",
+            F.size("chunk").alias("n_chunk_tokens"),
+            F.array_join("chunk", " ").alias("chunk_text"),
+        )
+    )
+
+
+def tfidf_top_terms(docs: DataFrame, k: int = 5) -> DataFrame:
+    """Top-k distinctive terms per document by smoothed TF-IDF.
+
+    tf = term count within the doc; df = number of docs containing the
+    term; idf = ln((N+1)/(df+1)) (add-one smoothing keeps corpus-wide
+    terms finite). Plan: one explode → (doc, term) agg → term-level df
+    agg (vocabulary-sized) joined back, corpus size N broadcast as a
+    1-row frame. Ties break (score DESC, term ASC) for determinism.
+    """
+    terms = docs.select("doc_id", F.explode(tokens(F.col("text"))).alias("term"))
+    tf = terms.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df_ = terms.distinct().groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        tf.join(df_, "term")
+        .join(F.broadcast(n))
+        .withColumn(
+            "score",
+            F.round(
+                F.col("tf")
+                * F.log((F.col("n_docs") + 1) / (F.col("df") + 1)),
+                6,
+            ),
+        )
+    )
+    w = W.partitionBy("doc_id").orderBy(F.col("score").desc(), F.col("term").asc())
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select("doc_id", "term", "tf", "df", "score", "rk")
+    )
+
+
+# per-language keep-rate (percent): downsample the high-resource head,
+# keep the low-resource tail — the standard corpus-balancing move.
+SAMPLE_RATES = {"en": 20, "de": 60, "es": 60, "fr": 60, "zh": 100}
+DEFAULT_RATE = 50
+
+
+def sample_bucket(doc_id: Column, salt: str = "sample") -> Column:
+    """Deterministic [0, 100) bucket for a document (md5-derived h32)."""
+    return h32(F.concat(F.lit(salt + ":"), doc_id.cast("string"))) % 100
+
+
+def stratified_sample(docs: DataFrame, rates: dict[str, int] | None = None) -> DataFrame:
+    """Per-language deterministic downsampling.
+
+    Membership depends only on (salt, doc_id) — NOT on partitioning, task
+    retries, or corpus growth — so incremental pipeline runs keep their
+    previous sample and the oracle can replay selection exactly.
+    rand()-based sampling has none of these properties.
+    """
+    rates = SAMPLE_RATES if rates is None else rates
+    rate = F.lit(DEFAULT_RATE)
+    for lang, r in sorted(rates.items()):
+        rate = F.when(F.col("lang") == lang, F.lit(r)).otherwise(rate)
+    return docs.filter(sample_bucket(F.col("doc_id")) < rate).select(
+        "doc_id", "lang", "source"
+    )
+
+
+SPLIT_TRAIN, SPLIT_VAL = 80, 90  # train <80, val 80-89, test 90-99
+
+
+def hash_split(docs: DataFrame) -> DataFrame:
+    """Deterministic train/val/test assignment (80/10/10).
+
+    Same hash-bucket idea as sampling with an independent salt — a doc's
+    split never changes as the corpus grows, the property that prevents
+    silent train/test contamination across dataset versions.
+    """
+    bucket = sample_bucket(F.col("doc_id"), salt="split")
+    return docs.select(
+        "doc_id",
+        "lang",
+        F.when(bucket < SPLIT_TRAIN, F.lit("train"))
+        .when(bucket < SPLIT_VAL, F.lit("val"))
+        .otherwise(F.lit("test"))
+        .alias("split"),
+    )
+
+
+# PII patterns: pragmatic scrub set (emails, international-ish phone
+# numbers, US SSNs, 16-digit card numbers). Order matters: cards before
+# phones so a 16-digit run isn't half-eaten as a phone number.
+PII_PATTERNS = (
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("card", r"\b(?:\d[ -]?){15}\d\b", "<CARD>"),
+    ("ssn", r"\b\d{3}-\d{2}-\d{4}\b", "<SSN>"),
+    ("phone", r"\+?\d{1,3}[ .-]?\(?\d{2,4}\)?[ .-]?\d{3,4}[ .-]?\d{3,4}\b", "<PHONE>"),
+)
+
+
+def pii_scrub(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Redact PII spans, keeping per-kind counts for audit.
+
+    Counts are computed BEFORE scrubbing (on the original column — each
+    count is an independent regexp_count, one pass each); the scrub
+    itself is a chained regexp_replace in pattern order.
+    """
+    out = docs
+    scrubbed = F.col(text_col)
+    for kind, pattern, token in PII_PATTERNS:
+        out = out.withColumn(
+            f"n_{kind}", F.regexp_count(F.col(text_col), F.lit(pattern))
+        )
+        scrubbed = F.regexp_replace(scrubbed, pattern, token)
+    return out.withColumn("scrubbed_text", scrubbed)

@@ -35,10 +35,17 @@ class Query:
 
 def collect_queries() -> dict[str, Query]:
     """Flatten all plan modules' registries into one dict (name → Query)."""
-    from pleiades_spark.plans import llm, pleiades, relational, serving, streaming_batch
+    from pleiades_spark.plans import (
+        corpus,
+        llm,
+        pleiades,
+        relational,
+        serving,
+        streaming_batch,
+    )
 
     out: dict[str, Query] = {}
-    for mod in (pleiades, relational, llm, serving, streaming_batch):
+    for mod in (pleiades, relational, llm, corpus, serving, streaming_batch):
         for q in mod.QUERIES:
             if q.name in out:
                 raise ValueError(f"duplicate query name {q.name!r}")

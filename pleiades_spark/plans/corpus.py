@@ -1,0 +1,241 @@
+"""Gate queries for the training-corpus operators (operators/corpus.py).
+
+Every query has a DuckDB oracle twin; the hash-based sampling/splitting
+oracles replay the md5-derived h32 (functions/hashing.py) so membership
+matches bit-for-bit — determinism is the point of those operators, and
+the gate proves it across engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
+
+from pleiades_spark import catalog
+from pleiades_spark.functions.hashing import h32_sql
+from pleiades_spark.functions.text import tokens
+from pleiades_spark.operators.corpus import (
+    CHUNK_SIZE,
+    CHUNK_STRIDE,
+    DEFAULT_RATE,
+    SAMPLE_RATES,
+    SPLIT_TRAIN,
+    SPLIT_VAL,
+    chunk_documents,
+    hash_split,
+    stratified_sample,
+    tfidf_top_terms,
+)
+from pleiades_spark.plans import Query
+from pleiades_spark.session import apply_runtime_confs
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    apply_runtime_confs(spark)
+    return catalog.load(spark, sf_dir, name)
+
+
+# --- chunking ------------------------------------------------------------
+
+
+def q_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return chunk_documents(_t(spark, sf_dir, "documents"))
+
+
+ORACLE_DOC_CHUNKS = f"""
+WITH toked AS (
+  SELECT doc_id, lang, string_split(text, ' ') AS toks,
+         len(string_split(text, ' ')) AS n_tok
+  FROM documents
+), chunked AS (
+  SELECT doc_id, lang, toks, n_tok,
+         unnest(range(0, greatest(1,
+           CAST(floor((n_tok - {CHUNK_SIZE} + {CHUNK_STRIDE} - 1) / {CHUNK_STRIDE}) AS INT) + 1
+         ))) AS chunk_idx
+  FROM toked
+)
+SELECT doc_id, lang, CAST(chunk_idx AS INT) AS chunk_idx,
+       CAST(len(toks[chunk_idx * {CHUNK_STRIDE} + 1 : chunk_idx * {CHUNK_STRIDE} + {CHUNK_SIZE}]) AS INT)
+         AS n_chunk_tokens,
+       array_to_string(toks[chunk_idx * {CHUNK_STRIDE} + 1 : chunk_idx * {CHUNK_STRIDE} + {CHUNK_SIZE}], ' ')
+         AS chunk_text
+FROM chunked
+"""
+
+
+# --- TF-IDF --------------------------------------------------------------
+
+TFIDF_K = 5
+
+
+def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return tfidf_top_terms(_t(spark, sf_dir, "documents"), TFIDF_K)
+
+
+ORACLE_TFIDF_TOP_TERMS = f"""
+WITH terms AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+), tf AS (
+  SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf FROM terms GROUP BY doc_id, term
+), df AS (
+  SELECT term, CAST(count(*) AS BIGINT) AS df
+  FROM (SELECT DISTINCT doc_id, term FROM terms) GROUP BY term
+), n AS (SELECT count(*) AS n_docs FROM documents),
+scored AS (
+  SELECT doc_id, tf.term AS term, tf, df.df AS df,
+         round(tf * ln((n_docs + 1) * 1.0 / (df.df + 1)), 6) AS score
+  FROM tf JOIN df ON tf.term = df.term CROSS JOIN n
+)
+SELECT doc_id, term, tf, df, score, rk FROM (
+  SELECT *, row_number() OVER (PARTITION BY doc_id
+            ORDER BY score DESC, term ASC) AS rk
+  FROM scored
+) WHERE rk <= {TFIDF_K}
+"""
+
+
+# --- stratified sampling --------------------------------------------------
+
+_RATE_CASE_SQL = (
+    "CASE "
+    + " ".join(
+        f"WHEN lang = '{lang}' THEN {rate}" for lang, rate in sorted(SAMPLE_RATES.items())
+    )
+    + f" ELSE {DEFAULT_RATE} END"
+)
+
+_SAMPLE_BUCKET_SQL = (
+    h32_sql("concat('sample:', CAST(doc_id AS VARCHAR))") + " % 100"
+)
+_SPLIT_BUCKET_SQL = h32_sql("concat('split:', CAST(doc_id AS VARCHAR))") + " % 100"
+
+
+def q_corpus_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return stratified_sample(_t(spark, sf_dir, "documents"))
+
+
+ORACLE_CORPUS_SAMPLE = f"""
+SELECT doc_id, lang, source FROM documents
+WHERE {_SAMPLE_BUCKET_SQL} < {_RATE_CASE_SQL}
+"""
+
+
+def q_corpus_split_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        hash_split(_t(spark, sf_dir, "documents"))
+        .groupBy("split", "lang")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+
+
+ORACLE_CORPUS_SPLIT_COUNTS = f"""
+SELECT CASE WHEN {_SPLIT_BUCKET_SQL} < {SPLIT_TRAIN} THEN 'train'
+            WHEN {_SPLIT_BUCKET_SQL} < {SPLIT_VAL} THEN 'val'
+            ELSE 'test' END AS split,
+       lang, CAST(count(*) AS BIGINT) AS n_docs
+FROM documents GROUP BY 1, 2
+"""
+
+
+# --- bigram language-model counts ----------------------------------------
+
+BIGRAM_K = 10
+
+
+def q_bigram_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k bigrams per language — the n-gram LM counting stage.
+
+    Bigrams come from zipping the token array with its shift — the array
+    is computed once per row (HOF-CSE rule); the count is a map-side-
+    combined agg on (lang, bigram), then a partitioned top-k.
+    """
+    docs = _t(spark, sf_dir, "documents")
+    toked = docs.select("lang", tokens(F.col("text")).alias("toks")).withColumn(
+        "n", F.size("toks")
+    )
+    bigrams = toked.select(
+        "lang",
+        F.explode(
+            F.zip_with(
+                F.slice(F.col("toks"), 1, F.col("n") - 1),
+                F.slice(F.col("toks"), 2, F.col("n") - 1),
+                lambda a, b: F.concat(a, F.lit(" "), b),
+            )
+        ).alias("bigram"),
+    )
+    counted = bigrams.groupBy("lang", "bigram").agg(F.count(F.lit(1)).alias("n"))
+    w = W.partitionBy("lang").orderBy(F.col("n").desc(), F.col("bigram").asc())
+    return (
+        counted.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= BIGRAM_K)
+        .select("lang", "bigram", "n", "rk")
+    )
+
+
+ORACLE_BIGRAM_COUNTS = f"""
+WITH toked AS (
+  SELECT lang, string_split(text, ' ') AS toks FROM documents
+), bigrams AS (
+  SELECT lang, unnest(list_transform(range(1, len(toks)),
+                      i -> toks[i] || ' ' || toks[i + 1])) AS bigram
+  FROM toked
+), counted AS (
+  SELECT lang, bigram, CAST(count(*) AS BIGINT) AS n
+  FROM bigrams GROUP BY lang, bigram
+)
+SELECT lang, bigram, n, rk FROM (
+  SELECT *, row_number() OVER (PARTITION BY lang
+            ORDER BY n DESC, bigram ASC) AS rk
+  FROM counted
+) WHERE rk <= {BIGRAM_K}
+"""
+
+
+# --- corpus composition ---------------------------------------------------
+
+
+def q_corpus_composition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per (source, lang) corpus accounting with share-of-total — the
+    dataset-card table every training corpus ships with."""
+    docs = _t(spark, sf_dir, "documents")
+    per = docs.groupBy("source", "lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.size(tokens(F.col("text")))).alias("n_tokens"),
+        F.sum("n_chars").alias("sum_chars"),
+    )
+    total = docs.agg(F.count(F.lit(1)).alias("total_docs"))
+    return (
+        per.join(F.broadcast(total))
+        .withColumn("share", F.round(F.col("n_docs") / F.col("total_docs"), 6))
+        .select("source", "lang", "n_docs", "n_tokens", "sum_chars", "share")
+    )
+
+
+ORACLE_CORPUS_COMPOSITION = """
+WITH per AS (
+  SELECT source, lang, CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens,
+         CAST(sum(n_chars) AS BIGINT) AS sum_chars
+  FROM documents GROUP BY source, lang
+), tot AS (SELECT count(*) AS total_docs FROM documents)
+SELECT source, lang, n_docs, n_tokens, sum_chars,
+       round(n_docs * 1.0 / total_docs, 6) AS share
+FROM per, tot
+"""
+
+
+QUERIES = [
+    Query("doc_chunks", q_doc_chunks, ORACLE_DOC_CHUNKS,
+          "overlapping token-window chunking (Generate, no shuffle)"),
+    Query("tfidf_top_terms", q_tfidf_top_terms, ORACLE_TFIDF_TOP_TERMS,
+          "smoothed TF-IDF top-k distinctive terms per doc"),
+    Query("corpus_sample", q_corpus_sample, ORACLE_CORPUS_SAMPLE,
+          "deterministic hash-bucket stratified sampling per language"),
+    Query("corpus_split_counts", q_corpus_split_counts, ORACLE_CORPUS_SPLIT_COUNTS,
+          "stable train/val/test hash split (contamination-proof)"),
+    Query("bigram_counts", q_bigram_counts, ORACLE_BIGRAM_COUNTS,
+          "bigram LM counts, top-k per language"),
+    Query("corpus_composition", q_corpus_composition, ORACLE_CORPUS_COMPOSITION,
+          "dataset-card accounting per (source, lang) with share-of-total"),
+]
