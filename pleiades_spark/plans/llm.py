@@ -314,6 +314,87 @@ SELECT query_id, rank, vec_id, cos FROM (
 """
 
 
+# --- label-centroid classification (embedding analytics) ------------------
+
+
+def q_centroid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-label-centroid classification confusion matrix.
+
+    Everything runs in LONG form — (vec_id, pos, x) rows — so no
+    array-typed output and every step is a plain join/agg: per-label
+    element-wise centroid means, vector/centroid norms, dot products via
+    a join on the dimension index, argmax by rounded cosine
+    (deterministic ties → lowest label). The centroid table is
+    (labels × dims) rows — broadcast at any corpus size; the wide work
+    shuffles once on vec_id.
+    """
+    from pleiades_spark.functions.vectors import as_double
+
+    emb = _t(spark, sf_dir, "embeddings")
+    dims = emb.select(
+        "vec_id",
+        "label",
+        F.posexplode(as_double(F.col("embedding"))).alias("pos", "x"),
+    )
+    cent = dims.groupBy(F.col("label").alias("clabel"), "pos").agg(
+        F.avg("x").alias("c")
+    )
+    vnorm = dims.groupBy("vec_id").agg(F.sqrt(F.sum(F.col("x") * F.col("x"))).alias("nv"))
+    cnorm = cent.groupBy("clabel").agg(F.sqrt(F.sum(F.col("c") * F.col("c"))).alias("nc"))
+    dots = (
+        dims.join(F.broadcast(cent), "pos")
+        .groupBy("vec_id", "label", "clabel")
+        .agg(F.sum(F.col("x") * F.col("c")).alias("dot"))
+    )
+    scored = (
+        dots.join(vnorm, "vec_id")
+        .join(F.broadcast(cnorm), "clabel")
+        .withColumn("cos", F.round(F.col("dot") / (F.col("nv") * F.col("nc")), 6))
+    )
+    w = W.partitionBy("vec_id").orderBy(F.col("cos").desc(), F.col("clabel").asc())
+    pred = (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select("vec_id", "label", "clabel")
+    )
+    return pred.groupBy("label", F.col("clabel").alias("pred_label")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+
+
+ORACLE_CENTROID_CONFUSION = """
+WITH dims AS (
+  SELECT vec_id, label,
+         unnest(range(0, len(embedding))) AS pos,
+         CAST(unnest(embedding) AS DOUBLE) AS x
+  FROM embeddings
+), cent AS (
+  SELECT label AS clabel, pos, avg(x) AS c FROM dims GROUP BY label, pos
+), vnorm AS (
+  SELECT vec_id, sqrt(sum(x * x)) AS nv FROM dims GROUP BY vec_id
+), cnorm AS (
+  SELECT clabel, sqrt(sum(c * c)) AS nc FROM cent GROUP BY clabel
+), dots AS (
+  SELECT d.vec_id, d.label, c.clabel, sum(d.x * c.c) AS dot
+  FROM dims d JOIN cent c ON d.pos = c.pos
+  GROUP BY d.vec_id, d.label, c.clabel
+), scored AS (
+  SELECT dots.vec_id, label, dots.clabel,
+         round(dot / (nv * nc), 6) AS cos
+  FROM dots JOIN vnorm ON dots.vec_id = vnorm.vec_id
+            JOIN cnorm ON dots.clabel = cnorm.clabel
+), pred AS (
+  SELECT vec_id, label, clabel FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id
+              ORDER BY cos DESC, clabel ASC) AS rk
+    FROM scored
+  ) WHERE rk = 1
+)
+SELECT label, clabel AS pred_label, CAST(count(*) AS BIGINT) AS n
+FROM pred GROUP BY label, clabel
+"""
+
+
 # --- IVF-bucketed embedding near-dup (the 100 TB dedup path) --------------
 
 
@@ -808,6 +889,8 @@ QUERIES = [
           "iterative connected components over near-dup pairs (recursive CTE oracle)"),
     Query("knn_cosine_brute", q_knn_brute, ORACLE_KNN_BRUTE,
           "exact top-k cosine neighbors (broadcast queries × corpus scan)"),
+    Query("centroid_confusion", q_centroid_confusion, ORACLE_CENTROID_CONFUSION,
+          "nearest-label-centroid classification confusion matrix (long form)"),
     Query("ivf_knn", q_ivf_knn, ORACLE_IVF_KNN,
           "IVF-bucketed approximate top-k (nprobe=1)"),
     Query("text_quality_scores", q_text_quality, ORACLE_TEXT_QUALITY,

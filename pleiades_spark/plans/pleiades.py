@@ -749,6 +749,95 @@ FROM (
 """
 
 
+# --- event analytics: funnel + retention ---------------------------------
+
+
+def q_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel view → click → purchase, strictly increasing event
+    times per user.
+
+    The correlated "first X after Y" steps decorrelate into per-user min
+    aggregations chained through joins — each stage's output is
+    user-cardinality (tiny), so stages 2 and 3 broadcast back against
+    the event scan. One wide shuffle total (the per-user aggs share the
+    user_id key), then three 1-row counts cross-joined.
+    """
+    ev = _events(spark, sf_dir)
+    views = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("vt"))
+    )
+    clicks = (
+        ev.filter(F.col("event_type") == "click")
+        .join(F.broadcast(views), "user_id")
+        .filter(F.col("ts") > F.col("vt"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("ct"))
+    )
+    buys = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(F.broadcast(clicks), "user_id")
+        .filter(F.col("ts") > F.col("ct"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("pt"))
+    )
+    return (
+        views.agg(F.count(F.lit(1)).alias("n_view_users"))
+        .crossJoin(clicks.agg(F.count(F.lit(1)).alias("n_click_after_view")))
+        .crossJoin(buys.agg(F.count(F.lit(1)).alias("n_full_funnel")))
+    )
+
+
+ORACLE_FUNNEL_CONVERSION = """
+WITH v AS (
+  SELECT user_id, min(ts) AS vt FROM events WHERE event_type = 'view' GROUP BY user_id
+), c AS (
+  SELECT e.user_id, min(ts) AS ct
+  FROM events e JOIN v ON e.user_id = v.user_id
+  WHERE event_type = 'click' AND ts > vt GROUP BY e.user_id
+), p AS (
+  SELECT e.user_id, min(ts) AS pt
+  FROM events e JOIN c ON e.user_id = c.user_id
+  WHERE event_type = 'purchase' AND ts > ct GROUP BY e.user_id
+)
+SELECT (SELECT count(*) FROM v) AS n_view_users,
+       (SELECT count(*) FROM c) AS n_click_after_view,
+       (SELECT count(*) FROM p) AS n_full_funnel
+"""
+
+
+def q_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention triangle: users grouped by first-active day,
+    counted on each later active day (day_offset).
+
+    Two aggs on the same user_id shuffle key (first-day, distinct
+    activity) + a broadcast of the user→cohort map. The result is
+    (cohorts × offsets) — thousands of rows regardless of event volume.
+    """
+    ev = _events(spark, sf_dir)
+    days = ev.select("user_id", day_number(F.col("ts")).alias("day")).distinct()
+    cohort = days.groupBy("user_id").agg(F.min("day").alias("cohort_day"))
+    return (
+        days.join(F.broadcast(cohort), "user_id")
+        .groupBy("cohort_day", (F.col("day") - F.col("cohort_day")).alias("day_offset"))
+        .agg(F.count(F.lit(1)).alias("n_users"))
+    )
+
+
+ORACLE_RETENTION_COHORTS = """
+WITH days AS (
+  SELECT DISTINCT user_id, CAST(floor(floor(epoch(ts)) / 86400) AS BIGINT) AS day
+  FROM events
+), cohort AS (
+  SELECT user_id, min(day) AS cohort_day FROM days GROUP BY user_id
+)
+SELECT cohort_day, day - cohort_day AS day_offset, CAST(count(*) AS BIGINT) AS n_users
+FROM days JOIN cohort USING (user_id)
+GROUP BY cohort_day, day - cohort_day
+"""
+
+
 QUERIES = [
     Query("counters_rollup", q_counters_rollup, ORACLE_COUNTERS_ROLLUP,
           "A1+A2 dual-grain conditional count + signed sum (flagship)"),
@@ -794,4 +883,8 @@ QUERIES = [
           "global sort+limit (TakeOrderedAndProject)"),
     Query("asof_join_signup", q_asof_signup, ORACLE_ASOF_SIGNUP,
           "as-of join via conditional last(ignorenulls) window"),
+    Query("funnel_conversion", q_funnel_conversion, ORACLE_FUNNEL_CONVERSION,
+          "ordered view→click→purchase funnel, decorrelated per-user mins"),
+    Query("retention_cohorts", q_retention_cohorts, ORACLE_RETENTION_COHORTS,
+          "cohort retention triangle (first-day cohort × day offset)"),
 ]

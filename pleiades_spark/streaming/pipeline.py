@@ -93,6 +93,24 @@ def kafka_raw_stream(
     )
 
 
+def dedup_events_stream(
+    events: DataFrame, watermark: str = DEFAULT_WATERMARK
+) -> DataFrame:
+    """Exactly-once events from an at-least-once source (§2.5).
+
+    The reference's Kafka consumer replays and overcounts on restart
+    (SURVEY.md §2.5); upstream of any aggregation this drops replayed
+    event_ids with ``dropDuplicatesWithinWatermark`` — state holds one
+    key per event_id inside the watermark horizon and is dropped past
+    it, so memory is bounded by the horizon's event count, not history.
+    Use the RocksDB provider (use_rocksdb_state) when that horizon is
+    large.
+    """
+    return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+        ["event_id"]
+    )
+
+
 def counters_stream(events: DataFrame, watermark: str = DEFAULT_WATERMARK) -> DataFrame:
     """The standing aggregation: 1-day tumbling event-time window × counter.
 

@@ -1,12 +1,21 @@
 """Structured Streaming pipeline tests (memory sink + parquet foreachBatch)."""
 
+import datetime
+
 from pyspark.sql import functions as F
 
 from pleiades_spark.streaming.pipeline import (
+    dedup_events_stream,
     events_file_stream,
     run_counters_to_memory,
     start_counters_to_parquet,
 )
+
+EVT_SCHEMA = (
+    "event_id long, ts timestamp, user_id long, event_type string, "
+    "value double, props string"
+)
+T0 = datetime.datetime(2024, 3, 1, 12, 0, 0)
 
 
 def test_memory_sink_matches_batch(spark, sf_dir):
@@ -57,3 +66,89 @@ def test_foreachbatch_parquet_sink(spark, sf_dir, tmp_path):
         .collect()[0]["n"]
     )
     assert total == 1000  # sf0.001 events rows
+
+
+def _rows(ids):
+    return [(i, T0, i % 5, "click", 1.0, "{}") for i in ids]
+
+
+def test_stream_dedup_drops_replayed_events(spark, tmp_path):
+    """An at-least-once source replays events across micro-batches;
+    dropDuplicatesWithinWatermark must emit each event_id exactly once."""
+    base = tmp_path / "in"
+    base.mkdir()
+    spark.createDataFrame(_rows(range(10)), EVT_SCHEMA).coalesce(1).write.parquet(
+        str(base / "f0")
+    )
+    # replay of 5..9 (duplicate ids, same payload) + fresh 10..14
+    spark.createDataFrame(
+        _rows(list(range(5, 10)) + list(range(10, 15))), EVT_SCHEMA
+    ).coalesce(1).write.parquet(str(base / "f1"))
+
+    stream = (
+        spark.readStream.schema(EVT_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(base / "f*"))
+    )
+    q = (
+        dedup_events_stream(stream)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("dedup_mem")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+        q.awaitTermination()
+    got = [r.event_id for r in spark.table("dedup_mem").collect()]
+    assert sorted(got) == list(range(15))  # every id exactly once
+
+
+def test_stream_static_join_matches_batch(spark, tmp_path):
+    """Stream-static join: enrich a stream with a dimension frame; the
+    static side is re-broadcast per micro-batch (no state), so the
+    result must equal the batch join exactly."""
+    base = tmp_path / "in"
+    base.mkdir()
+    events = _rows(range(40))
+    spark.createDataFrame(events[:20], EVT_SCHEMA).coalesce(1).write.parquet(
+        str(base / "f0")
+    )
+    spark.createDataFrame(events[20:], EVT_SCHEMA).coalesce(1).write.parquet(
+        str(base / "f1")
+    )
+    tiers = spark.createDataFrame(
+        [(u, f"tier{u % 3}") for u in range(5)], "user_id long, tier string"
+    )
+
+    stream = (
+        spark.readStream.schema(EVT_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(base / "f*"))
+    )
+    agg = (
+        stream.join(F.broadcast(tiers), "user_id")
+        .groupBy("tier")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("tier_mem")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+        q.awaitTermination()
+    got = {r.tier: r.n for r in spark.table("tier_mem").collect()}
+    batch = (
+        spark.createDataFrame(events, EVT_SCHEMA)
+        .join(tiers, "user_id")
+        .groupBy("tier")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    assert got == {r.tier: r.n for r in batch.collect()}
