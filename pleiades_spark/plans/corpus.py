@@ -14,7 +14,7 @@ from pyspark.sql.window import Window as W
 
 from pleiades_spark import catalog
 from pleiades_spark.functions.hashing import h32_sql
-from pleiades_spark.functions.text import tokens
+from pleiades_spark.functions.text import tokens, word_shingles_sql
 from pleiades_spark.operators.corpus import (
     CHUNK_SIZE,
     CHUNK_STRIDE,
@@ -225,6 +225,113 @@ FROM per, tot
 """
 
 
+# --- quality percentile cut -----------------------------------------------
+
+
+def q_quality_percentile_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language quality gate: keep docs above the 25th percentile of
+    a quality proxy (type-token ratio) WITHIN their language.
+
+    percent_rank over a per-language window — the idiomatic distributed
+    quantile filter (no global sort, one shuffle on lang). Emits the
+    survivors with their rank for auditability.
+    """
+    docs = _t(spark, sf_dir, "documents")
+    toks = tokens(F.col("text"))
+    scored = docs.select(
+        "doc_id",
+        "lang",
+        F.round(F.size(F.array_distinct(toks)) / F.size(toks), 6).alias("ttr"),
+    )
+    w = W.partitionBy("lang").orderBy(F.col("ttr").asc(), F.col("doc_id").asc())
+    return (
+        scored.withColumn("pr", F.round(F.percent_rank().over(w), 6))
+        .filter(F.col("pr") >= 0.25)
+        .select("doc_id", "lang", "ttr", "pr")
+    )
+
+
+ORACLE_QUALITY_PERCENTILE_CUT = """
+WITH scored AS (
+  SELECT doc_id, lang,
+         round(len(list_distinct(string_split(text, ' '))) * 1.0
+               / len(string_split(text, ' ')), 6) AS ttr
+  FROM documents
+)
+SELECT doc_id, lang, ttr, pr FROM (
+  SELECT *, round(percent_rank() OVER (PARTITION BY lang
+            ORDER BY ttr ASC, doc_id ASC), 6) AS pr
+  FROM scored
+) WHERE pr >= 0.25
+"""
+
+
+# --- repetition (boilerplate) metric ---------------------------------------
+
+
+def q_repetition_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repeated-trigram fraction per doc — the cheap boilerplate/spam
+    signal (high repetition ⇒ templated or degenerate text). Pure map
+    stage: 1 − distinct_shingles/total_shingles on the once-materialized
+    shingle array."""
+    from pleiades_spark.functions.text import word_shingles
+
+    docs = _t(spark, sf_dir, "documents")
+    toked = docs.select(
+        "doc_id", "lang", word_shingles(F.col("text")).alias("sh"),
+        F.size(tokens(F.col("text"))).alias("n_tok"),
+    )
+    n_sh = F.greatest(F.col("n_tok") - 2, F.lit(1))  # total trigram windows
+    return toked.select(
+        "doc_id",
+        "lang",
+        F.round(1 - F.size("sh") / n_sh, 6).alias("repetition"),
+    )
+
+
+ORACLE_REPETITION_SCORES = """
+SELECT doc_id, lang,
+       round(1 - len(sh) * 1.0 / greatest(n_tok - 2, 1), 6) AS repetition
+FROM (
+  SELECT doc_id, lang,
+         {shingles} AS sh,
+         len(string_split(text, ' ')) AS n_tok
+  FROM documents
+)
+""".format(shingles=word_shingles_sql("text"))
+
+
+# --- vocabulary statistics -------------------------------------------------
+
+
+def q_vocab_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language vocabulary accounting: vocab size, hapax count
+    (tokens seen once — the Zipf tail that dominates tokenizer training
+    decisions), and token totals. Two stacked aggs on the same lang key."""
+    docs = _t(spark, sf_dir, "documents")
+    terms = docs.select("lang", F.explode(tokens(F.col("text"))).alias("term"))
+    per_term = terms.groupBy("lang", "term").agg(F.count(F.lit(1)).alias("n"))
+    return per_term.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("vocab_size"),
+        F.sum(F.when(F.col("n") == 1, 1).otherwise(0)).alias("hapax_count"),
+        F.sum("n").alias("total_tokens"),
+        F.max("n").alias("max_token_freq"),
+    )
+
+
+ORACLE_VOCAB_STATS = """
+SELECT lang, CAST(count(*) AS BIGINT) AS vocab_size,
+       CAST(sum(CASE WHEN n = 1 THEN 1 ELSE 0 END) AS BIGINT) AS hapax_count,
+       CAST(sum(n) AS BIGINT) AS total_tokens,
+       CAST(max(n) AS BIGINT) AS max_token_freq
+FROM (
+  SELECT lang, term, count(*) AS n
+  FROM (SELECT lang, unnest(string_split(text, ' ')) AS term FROM documents)
+  GROUP BY lang, term
+) GROUP BY lang
+"""
+
+
 QUERIES = [
     Query("doc_chunks", q_doc_chunks, ORACLE_DOC_CHUNKS,
           "overlapping token-window chunking (Generate, no shuffle)"),
@@ -238,4 +345,11 @@ QUERIES = [
           "bigram LM counts, top-k per language"),
     Query("corpus_composition", q_corpus_composition, ORACLE_CORPUS_COMPOSITION,
           "dataset-card accounting per (source, lang) with share-of-total"),
+    Query("quality_percentile_cut", q_quality_percentile_cut,
+          ORACLE_QUALITY_PERCENTILE_CUT,
+          "per-language quantile quality gate via percent_rank"),
+    Query("repetition_scores", q_repetition_scores, ORACLE_REPETITION_SCORES,
+          "repeated-trigram boilerplate signal (pure map stage)"),
+    Query("vocab_stats", q_vocab_stats, ORACLE_VOCAB_STATS,
+          "per-language vocab size / hapax count / token totals"),
 ]

@@ -62,6 +62,60 @@ def test_salted_agg_has_two_phases(spark, sf_dir):
     assert "WindowGroupLimit" in plan
 
 
+def test_q6_all_predicates_pushed(spark, sf_dir):
+    from pleiades_spark.plans.relational import q_forecast_revenue
+
+    plan = _plan(q_forecast_revenue(spark, sf_dir))
+    pushed = plan.split("PushedFilters: ")[1].splitlines()[0]
+    # every predicate reaches the scan: shipdate range, discount range, qty
+    for frag in ("l_shipdate", "l_discount", "LessThan(l_quantity,24"):
+        assert frag in pushed, f"{frag} not pushed: {pushed}"
+    # only the 4 needed columns read
+    read = plan.split("ReadSchema")[1].splitlines()[0]
+    assert "l_orderkey" not in read and "l_returnflag" not in read
+
+
+def test_q9_dims_broadcast_single_fact_shuffle_join(spark, sf_dir):
+    from pleiades_spark.plans.relational import q_product_type_profit
+
+    plan = _plan(q_product_type_profit(spark, sf_dir))
+    assert plan.count("BroadcastExchange") >= 3  # part, supplier, nation
+    # the part name filter is pushed to the part scan, not evaluated post-join
+    assert "StringContains(p_name,red)" in plan
+
+
+def test_doc_chunks_no_exchange(spark, sf_dir):
+    """Chunking must be a pure Generate stage — zero shuffles."""
+    from pleiades_spark.plans.corpus import q_doc_chunks
+
+    import re
+
+    plan = _plan(q_doc_chunks(spark, sf_dir))
+    assert len(re.findall(r"\(\d+\) Exchange$", plan, re.M)) == 0
+    assert "Generate" in plan and "explode(sequence" in plan
+
+
+def test_corpus_sample_no_shuffle_no_rand(spark, sf_dir):
+    """The deterministic sampler is a stateless filter: no exchange, and
+    no rand() anywhere (reproducibility is the operator's contract)."""
+    from pleiades_spark.plans.corpus import q_corpus_sample
+
+    import re
+
+    plan = _plan(q_corpus_sample(spark, sf_dir))
+    assert len(re.findall(r"\(\d+\) Exchange$", plan, re.M)) == 0
+    assert "rand(" not in plan
+
+
+def test_funnel_stage_aggs_share_user_key(spark, sf_dir):
+    """Funnel stages must broadcast the tiny per-user frames, never
+    shuffle the event scan more than once per stage."""
+    from pleiades_spark.plans.pleiades import q_funnel_conversion
+
+    plan = _plan(q_funnel_conversion(spark, sf_dir))
+    assert plan.count("BroadcastExchange") >= 2  # views into clicks, clicks into buys
+
+
 def test_bucketed_join_eliminates_shuffle(spark, tmp_path):
     """Bucket both fact tables on the join key at write time → the join
     plans with ZERO shuffle exchanges (the 100 TB fact⋈fact strategy)."""
