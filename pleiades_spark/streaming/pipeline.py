@@ -219,6 +219,73 @@ def start_counters_to_parquet(
     )
 
 
+def forget_user(
+    spark: SparkSession,
+    archive_path: str,
+    counters_path: str,
+    user_id: int,
+) -> list[int]:
+    """Right-to-be-forgotten: purge one user from the event archive and
+    reconcile every derived counter day they touched.
+
+    Composition of existing primitives — rewrite the archive without the
+    user's rows (dynamic overwrite of ONLY the day partitions they appear
+    in, not the whole archive), then backfill_counters recomputes exactly
+    those days from the now-clean archive. Idempotent; re-running after a
+    partial failure converges. At scale the archive rewrite touches
+    O(days_user_was_active) partitions — the reason event archives are
+    day-partitioned in the first place.
+
+    The archive at ``archive_path`` must be day-partitioned parquet with
+    the fixture events schema (write_events_archive produces it).
+    """
+    apply_runtime_confs(spark)
+    events = spark.read.parquet(archive_path)
+    touched = sorted(
+        r["day"]
+        for r in events.filter(F.col("user_id") == user_id)
+        .select(F.floor(F.unix_timestamp("ts") / 86400).cast("long").alias("day"))
+        .distinct()
+        .collect()
+    )
+    if not touched:
+        return []
+    # Materialize the surviving rows BEFORE deleting their partitions
+    # (lazy scan over a deleted dir would read nothing), then drop each
+    # touched day dir — a day whose only events were this user's must
+    # vanish, and dynamic overwrite alone never deletes an
+    # empty-in-new-data partition.
+    survivors = (
+        events.withColumn(
+            "day", F.floor(F.unix_timestamp("ts") / 86400).cast("long")
+        )
+        .filter(F.col("day").isin(touched) & (F.col("user_id") != user_id))
+        .localCheckpoint(eager=True)
+    )
+    jvm = spark._jvm
+    hconf = spark._jsc.hadoopConfiguration()
+    for d in touched:
+        p = jvm.org.apache.hadoop.fs.Path(f"{archive_path}/day={d}")
+        p.getFileSystem(hconf).delete(p, True)
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    survivors.write.mode("overwrite").partitionBy("day").parquet(archive_path)
+    clean = spark.read.parquet(archive_path).drop("day")
+    return backfill_counters(spark, clean, counters_path, days=touched)
+
+
+def write_events_archive(events: DataFrame, archive_path: str) -> None:
+    """Land events as the day-partitioned archive (the batch source of
+    truth that backfill/forget jobs operate on)."""
+    (
+        events.withColumn(
+            "day", F.floor(F.unix_timestamp("ts") / 86400).cast("long")
+        )
+        .write.mode("overwrite")
+        .partitionBy("day")
+        .parquet(archive_path)
+    )
+
+
 def backfill_counters(
     spark: SparkSession,
     events: DataFrame,

@@ -92,6 +92,54 @@ def test_backfill_reconciles_dropped_late_event(spark, tmp_path):
     assert (late_day, "pleiades_total") in got
 
 
+def test_forget_user_purges_archive_and_reconciles_counters(spark, tmp_path):
+    """Right-to-be-forgotten: the user's events leave the archive, the
+    derived counters re-aggregate without them, untouched days stay."""
+    from pleiades_spark.streaming.pipeline import forget_user, write_events_archive
+
+    archive = str(tmp_path / "archive")
+    out = str(tmp_path / "counters")
+    day3 = datetime.datetime(2024, 2, 3, 9, 0, 0)  # day 19756
+    rows = [
+        (1, ON_TIME, 7, "click", 2.0, '{"k": 1}'),   # user 7, day 19754
+        (2, ON_TIME, 8, "view", 1.0, '{"k": 1}'),    # user 8, day 19754
+        (3, LATE, 7, "click", 3.0, '{"k": 1}'),      # user 7 ALONE on day 19723
+        (4, day3, 8, "view", 4.0, '{"k": 2}'),       # user 8, day 19756 (untouched)
+    ]
+    events = spark.createDataFrame(rows, EVT_SCHEMA)
+    write_events_archive(events, archive)
+    backfill_counters(spark, spark.read.parquet(archive).drop("day"), out)
+
+    touched = forget_user(spark, archive, out, user_id=7)
+    assert touched == [19723, 19754]
+
+    left = spark.read.parquet(archive)
+    assert left.filter(F.col("user_id") == 7).count() == 0
+    assert left.count() == 2
+    # the user-7-only day is gone entirely from archive AND counters
+    assert left.filter(F.col("day") == 19723).count() == 0
+    counters = spark.read.parquet(out)
+    assert counters.filter(F.col("day") == 19723).count() == 0
+    # reconciled table equals a fresh batch aggregate over the clean archive
+    got = {
+        (r.day, r.counter): (r.events, float(r.growth))
+        for r in counters.collect()
+    }
+    truth = {
+        (r.day, r.counter): (r.events, float(r.growth))
+        for r in derive_counters(left.drop("day"))
+        .groupBy("day", "counter")
+        .agg(
+            F.count(F.lit(1)).alias("events"),
+            F.round(F.sum("lendiff"), 4).alias("growth"),
+        )
+        .collect()
+    }
+    assert got == truth
+    # idempotent: forgetting again is a no-op
+    assert forget_user(spark, archive, out, user_id=7) == []
+
+
 def test_backfill_targeted_days_leaves_other_days_alone(spark, tmp_path):
     base = str(tmp_path / "archive")
     out = str(tmp_path / "counters")
