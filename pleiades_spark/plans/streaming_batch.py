@@ -6,15 +6,136 @@ driven to completion with processAllAvailable — then returns the sink
 contents as a batch DataFrame. The oracle recomputes the same result in
 SQL, so the gate covers the streaming execution path end-to-end, not just
 a batch re-statement.
+
+``stateful_running_totals`` / ``stateful_stream_dedup`` do the same for
+the applyInPandasWithState custom operators (streaming/stateful.py): the
+fixture events are staged as TWO source files and streamed with
+maxFilesPerTrigger=1, so state provably carries across micro-batches —
+the oracle is the plain batch SQL the stateful run must converge to.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+import os
+import shutil
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from pleiades_spark import catalog
 from pleiades_spark.plans import Query
+from pleiades_spark.session import apply_runtime_confs
 from pleiades_spark.streaming.pipeline import run_counters_to_memory
+from pleiades_spark.streaming.stateful import running_user_totals, streaming_dedup
+
+EVENTS_MICROS_SCHEMA = (
+    "event_id long, ts timestamp, user_id long, event_type string, "
+    "value double, props string"
+)
+
+
+def _stage_event_files(spark: SparkSession, sf_dir: str, out_dir: str, *, split: bool) -> None:
+    """Write fixture events into ``out_dir`` as two parquet files.
+
+    split=True  → disjoint halves (even/odd event_id): each key's state
+                  accumulates across batches.
+    split=False → the full table twice: batch 2 is 100 % re-delivery, the
+                  dedup operator must emit nothing for it.
+    """
+    events = catalog.load(spark, sf_dir, "events")
+    halves = (
+        [events.filter(F.col("event_id") % 2 == 0), events.filter(F.col("event_id") % 2 == 1)]
+        if split
+        else [events, events]
+    )
+    for i, half in enumerate(halves):
+        tmp = f"{out_dir}/_stage{i}"
+        half.coalesce(1).write.mode("overwrite").parquet(tmp)
+        part = next(f for f in os.listdir(tmp) if f.endswith(".parquet"))
+        shutil.copyfile(f"{tmp}/{part}", f"{out_dir}/{i:02d}.parquet")
+        shutil.rmtree(tmp)
+
+
+def _run_stateful(
+    spark: SparkSession,
+    src_dir: str,
+    op,
+    output_mode: str,
+    query_name: str,
+) -> DataFrame:
+    stream = (
+        spark.readStream.schema(EVENTS_MICROS_SCHEMA)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src_dir)
+        .drop("props")
+    )
+    q = (
+        op(stream)
+        .writeStream.outputMode(output_mode)
+        .format("memory")
+        .queryName(query_name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+        q.awaitTermination()
+    return spark.table(query_name)
+
+
+def q_stateful_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user all-time running (count, sum) via explicit GroupState,
+    driven across two micro-batches; the LAST update per user must equal
+    the batch aggregate (streaming/stateful.py running_user_totals)."""
+    apply_runtime_confs(spark)
+    src = tempfile.mkdtemp(prefix="stateful_totals_")
+    _stage_event_files(spark, sf_dir, src, split=True)
+    mem = _run_stateful(
+        spark, src, running_user_totals, "update", "stateful_totals_gate"
+    )
+    # update mode emits one row per (user, batch-with-activity); the final
+    # state is the row with the largest n_events (strictly increasing).
+    w = Window.partitionBy("user_id").orderBy(F.col("n_events").desc())
+    return (
+        mem.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "n_events", F.round("total_value", 4).alias("total_value"))
+    )
+
+
+ORACLE_STATEFUL_RUNNING_TOTALS = """
+SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+       round(sum(value), 4) AS total_value
+FROM events GROUP BY user_id
+"""
+
+
+def q_stateful_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-batch exactly-once repair: the full events table re-delivered
+    as a second micro-batch must contribute zero output rows
+    (streaming/stateful.py streaming_dedup)."""
+    apply_runtime_confs(spark)
+    src = tempfile.mkdtemp(prefix="stateful_dedup_")
+    _stage_event_files(spark, sf_dir, src, split=False)
+    mem = _run_stateful(
+        spark, src, streaming_dedup, "append", "stateful_dedup_gate"
+    )
+    return mem.select(
+        "event_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts_s"),
+        "user_id",
+        "event_type",
+        "value",
+    )
+
+
+ORACLE_STATEFUL_STREAM_DEDUP = """
+SELECT event_id, strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_s,
+       user_id, event_type, value
+FROM events
+"""
 
 
 def q_streaming_counters(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -52,4 +173,10 @@ FROM (
 QUERIES = [
     Query("streaming_counters", q_streaming_counters, ORACLE_STREAMING_COUNTERS,
           "real Structured Streaming run: file source → window agg → memory sink"),
+    Query("stateful_running_totals", q_stateful_running_totals,
+          ORACLE_STATEFUL_RUNNING_TOTALS,
+          "applyInPandasWithState running totals across 2 micro-batches"),
+    Query("stateful_stream_dedup", q_stateful_stream_dedup,
+          ORACLE_STATEFUL_STREAM_DEDUP,
+          "applyInPandasWithState cross-batch dedup: replayed batch emits 0 rows"),
 ]
