@@ -28,7 +28,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
 
 from pleiades_spark.functions.hashing import h32
-from pleiades_spark.functions.text import tokens
+from pleiades_spark.functions.text import tokens, word_shingles
 
 CHUNK_SIZE = 32
 CHUNK_STRIDE = 24  # 8-token overlap between consecutive chunks
@@ -155,6 +155,63 @@ def hash_split(docs: DataFrame) -> DataFrame:
         .when(bucket < SPLIT_VAL, F.lit("val"))
         .otherwise(F.lit("test"))
         .alias("split"),
+    )
+
+
+# Decontamination: a shingle present in more than this many eval docs is
+# boilerplate, not leaked benchmark content — excluding it is both the
+# standard false-positive filter AND the skew guard (ubiquitous shingles
+# are exactly the hot join keys that would blow up the shuffle at scale).
+DECONTAM_MAX_DF = 10
+
+
+def decontaminate(docs: DataFrame, max_df: int = DECONTAM_MAX_DF) -> DataFrame:
+    """Benchmark decontamination: flag train-split docs sharing any RARE
+    word shingle with a test-split (held-out benchmark) document.
+
+    The pipeline-critical cousin of near-dedup: before training, every
+    doc that textually overlaps the eval set must be found and dropped,
+    or the benchmark is compromised. Same split salt as hash_split, so
+    membership is stable as the corpus grows.
+
+    Plan shape at 100 TB: shingle the (small) eval side once, filter to
+    rare shingles (df ≤ max_df within the eval set), then ONE equi-join
+    on the shingle string against the train side's shingles — never an
+    all-pairs comparison, and the df cutoff removes the skewed keys
+    before they reach the exchange. Shingles are distinct per doc
+    (word_shingles array_distincts), so no pre-join dedup pass.
+
+    Returns one row per contaminated train doc: how many distinct rare
+    shingles hit, across how many distinct eval docs.
+    """
+    bucket = sample_bucket(F.col("doc_id"), salt="split")
+    split_docs = docs.withColumn(
+        "split",
+        F.when(bucket < SPLIT_TRAIN, F.lit("train"))
+        .when(bucket < SPLIT_VAL, F.lit("val"))
+        .otherwise(F.lit("test")),
+    )
+
+    def shingled(side: DataFrame) -> DataFrame:
+        return side.select(
+            "doc_id", F.explode(word_shingles(F.col("text"))).alias("sh")
+        )
+
+    eval_sh = shingled(split_docs.filter(F.col("split") == "test"))
+    rare = (
+        eval_sh.groupBy("sh")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") <= max_df)
+        .select("sh")
+    )
+    eval_rare = eval_sh.join(rare, "sh")
+    train_sh = shingled(split_docs.filter(F.col("split") == "train"))
+    hits = train_sh.join(
+        eval_rare.withColumnRenamed("doc_id", "eval_doc_id"), "sh"
+    )
+    return hits.groupBy("doc_id").agg(
+        F.countDistinct("sh").alias("n_hit_shingles"),
+        F.countDistinct("eval_doc_id").alias("n_eval_docs"),
     )
 
 

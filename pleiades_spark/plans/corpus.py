@@ -18,11 +18,13 @@ from pleiades_spark.functions.text import tokens, word_shingles_sql
 from pleiades_spark.operators.corpus import (
     CHUNK_SIZE,
     CHUNK_STRIDE,
+    DECONTAM_MAX_DF,
     DEFAULT_RATE,
     SAMPLE_RATES,
     SPLIT_TRAIN,
     SPLIT_VAL,
     chunk_documents,
+    decontaminate,
     hash_split,
     stratified_sample,
     tfidf_top_terms,
@@ -332,6 +334,39 @@ FROM (
 """
 
 
+# --- benchmark decontamination ---------------------------------------------
+
+
+def q_benchmark_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return decontaminate(_t(spark, sf_dir, "documents"))
+
+
+ORACLE_BENCHMARK_DECONTAM = f"""
+WITH sp AS (
+  SELECT doc_id, text,
+         CASE WHEN {_SPLIT_BUCKET_SQL} < {SPLIT_TRAIN} THEN 'train'
+              WHEN {_SPLIT_BUCKET_SQL} < {SPLIT_VAL} THEN 'val'
+              ELSE 'test' END AS split
+  FROM documents
+), eval_sh AS (
+  SELECT doc_id, unnest({word_shingles_sql('text')}) AS sh
+  FROM sp WHERE split = 'test'
+), rare AS (
+  SELECT sh FROM eval_sh GROUP BY sh HAVING count(*) <= {DECONTAM_MAX_DF}
+), train_sh AS (
+  SELECT doc_id, unnest({word_shingles_sql('text')}) AS sh
+  FROM sp WHERE split = 'train'
+)
+SELECT t.doc_id AS doc_id,
+       CAST(count(DISTINCT t.sh) AS BIGINT) AS n_hit_shingles,
+       CAST(count(DISTINCT e.doc_id) AS BIGINT) AS n_eval_docs
+FROM train_sh t
+JOIN rare r ON t.sh = r.sh
+JOIN eval_sh e ON t.sh = e.sh
+GROUP BY t.doc_id
+"""
+
+
 QUERIES = [
     Query("doc_chunks", q_doc_chunks, ORACLE_DOC_CHUNKS,
           "overlapping token-window chunking (Generate, no shuffle)"),
@@ -352,4 +387,6 @@ QUERIES = [
           "repeated-trigram boilerplate signal (pure map stage)"),
     Query("vocab_stats", q_vocab_stats, ORACLE_VOCAB_STATS,
           "per-language vocab size / hapax count / token totals"),
+    Query("benchmark_decontam", q_benchmark_decontam, ORACLE_BENCHMARK_DECONTAM,
+          "train docs leaking rare shingles from the held-out test split"),
 ]
