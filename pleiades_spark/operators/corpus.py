@@ -215,6 +215,80 @@ def decontaminate(docs: DataFrame, max_df: int = DECONTAM_MAX_DF) -> DataFrame:
     )
 
 
+# Token budget per packed training sequence (greedy first-fit-in-order).
+PACK_BUDGET = 256
+
+PACK_SCHEMA = "doc_id long, lang string, seq_id long, n_tok long"
+
+
+def pack_sequences(docs: DataFrame, budget: int = PACK_BUDGET) -> DataFrame:
+    """Greedy sequence packing: concatenate docs (in doc_id order, per
+    language group) into training sequences of at most ``budget`` tokens;
+    a doc that would overflow the open sequence starts a new one, and an
+    oversized doc gets a sequence to itself.
+
+    Packing is inherently sequential WITHIN a group — the seq_id of doc i
+    depends on every doc before it — so the distributed contract is
+    "sequential per group, parallel across groups": exactly what
+    applyInPandas gives (one Arrow batch stream per group, groups spread
+    over executors). At 100 TB the group key is the shard (thousands of
+    groups), not the language; the algorithm is the same. Token counts
+    are computed JVM-side before the Python stage so the pandas loop
+    touches two int columns, never the text.
+    """
+    toked = docs.select(
+        "doc_id", "lang", F.size(tokens(F.col("text"))).alias("n_tok")
+    )
+
+    def _pack(pdf):
+        pdf = pdf.sort_values("doc_id").reset_index(drop=True)
+        seq, acc, ids = 0, 0, []
+        for t in pdf["n_tok"]:
+            t = int(t)
+            if acc > 0 and acc + t > budget:
+                seq += 1
+                acc = 0
+            acc += t
+            ids.append(seq)
+        pdf["seq_id"] = ids
+        return pdf[["doc_id", "lang", "seq_id", "n_tok"]]
+
+    return toked.groupBy("lang").applyInPandas(_pack, PACK_SCHEMA)
+
+
+# Shard count for the deterministic corpus shuffle (2^k so the hash mod
+# is uniform); at 100 TB this is the training-shard count (thousands).
+N_SHARDS = 16
+
+
+def shuffle_shards(docs: DataFrame, n_shards: int = N_SHARDS) -> DataFrame:
+    """Deterministic global corpus shuffle into balanced shards.
+
+    Training wants documents in a reproducible pseudo-random order,
+    decorrelated from crawl/source order. shard = h32(doc_id) mod N is a
+    stateless filter (no shuffle to ASSIGN); the within-shard position is
+    a window ordered by an independent hash — so the sort is per-shard
+    (each a 1/N slice), never a single global order. Both hashes are
+    salt-derived from doc_id alone: the same doc lands in the same shard
+    at the same relative position on every run and engine.
+    """
+    shard = h32(
+        F.concat(F.lit("shard:"), F.col("doc_id").cast("string"))
+    ) % n_shards
+    order = h32(F.concat(F.lit("shuffle:"), F.col("doc_id").cast("string")))
+    w = W.partitionBy("shard_id").orderBy(F.col("ord"), F.col("doc_id"))
+    return (
+        docs.select(
+            "doc_id",
+            F.size(tokens(F.col("text"))).alias("n_tok"),
+            shard.alias("shard_id"),
+            order.alias("ord"),
+        )
+        .withColumn("pos", F.row_number().over(w))
+        .select("doc_id", "shard_id", "pos", "n_tok")
+    )
+
+
 # PII patterns: pragmatic scrub set (emails, international-ish phone
 # numbers, US SSNs, 16-digit card numbers). Order matters: cards before
 # phones so a 16-digit run isn't half-eaten as a phone number.

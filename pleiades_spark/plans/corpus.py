@@ -20,12 +20,16 @@ from pleiades_spark.operators.corpus import (
     CHUNK_STRIDE,
     DECONTAM_MAX_DF,
     DEFAULT_RATE,
+    N_SHARDS,
+    PACK_BUDGET,
     SAMPLE_RATES,
     SPLIT_TRAIN,
     SPLIT_VAL,
     chunk_documents,
     decontaminate,
     hash_split,
+    pack_sequences,
+    shuffle_shards,
     stratified_sample,
     tfidf_top_terms,
 )
@@ -367,6 +371,55 @@ GROUP BY t.doc_id
 """
 
 
+# --- sequence packing ------------------------------------------------------
+
+
+def q_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return pack_sequences(_t(spark, sf_dir, "documents"))
+
+
+# The oracle replays the greedy fold row-by-row with a recursive CTE —
+# the SQL-expressible statement of "seq_id of doc i depends on all docs
+# before it". Recursion depth = docs per group (bounded at gate SF).
+ORACLE_SEQUENCE_PACKING = f"""
+WITH RECURSIVE toked AS (
+  SELECT doc_id, lang, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
+         row_number() OVER (PARTITION BY lang ORDER BY doc_id) AS rn
+  FROM documents
+), packed AS (
+  SELECT lang, rn, doc_id, n_tok, CAST(0 AS BIGINT) AS seq_id, n_tok AS acc
+  FROM toked WHERE rn = 1
+  UNION ALL
+  SELECT t.lang, t.rn, t.doc_id, t.n_tok,
+         CASE WHEN p.acc + t.n_tok > {PACK_BUDGET}
+              THEN p.seq_id + 1 ELSE p.seq_id END,
+         CASE WHEN p.acc + t.n_tok > {PACK_BUDGET}
+              THEN t.n_tok ELSE p.acc + t.n_tok END
+  FROM packed p JOIN toked t ON t.lang = p.lang AND t.rn = p.rn + 1
+)
+SELECT doc_id, lang, seq_id, n_tok FROM packed
+"""
+
+
+# --- deterministic corpus shuffle into shards -------------------------------
+
+_SHARD_SQL = h32_sql("concat('shard:', CAST(doc_id AS VARCHAR))") + f" % {N_SHARDS}"
+_SHUFFLE_ORD_SQL = h32_sql("concat('shuffle:', CAST(doc_id AS VARCHAR))")
+
+
+def q_corpus_shuffle_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return shuffle_shards(_t(spark, sf_dir, "documents"))
+
+
+ORACLE_CORPUS_SHUFFLE_SHARDS = f"""
+SELECT doc_id, {_SHARD_SQL} AS shard_id,
+       CAST(row_number() OVER (PARTITION BY {_SHARD_SQL}
+            ORDER BY {_SHUFFLE_ORD_SQL}, doc_id) AS INT) AS pos,
+       CAST(len(string_split(text, ' ')) AS INT) AS n_tok
+FROM documents
+"""
+
+
 QUERIES = [
     Query("doc_chunks", q_doc_chunks, ORACLE_DOC_CHUNKS,
           "overlapping token-window chunking (Generate, no shuffle)"),
@@ -389,4 +442,9 @@ QUERIES = [
           "per-language vocab size / hapax count / token totals"),
     Query("benchmark_decontam", q_benchmark_decontam, ORACLE_BENCHMARK_DECONTAM,
           "train docs leaking rare shingles from the held-out test split"),
+    Query("sequence_packing", q_sequence_packing, ORACLE_SEQUENCE_PACKING,
+          "greedy token-budget sequence packing (recursive-CTE oracle)"),
+    Query("corpus_shuffle_shards", q_corpus_shuffle_shards,
+          ORACLE_CORPUS_SHUFFLE_SHARDS,
+          "deterministic hash shuffle into balanced training shards"),
 ]
