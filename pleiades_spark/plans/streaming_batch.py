@@ -26,7 +26,10 @@ from pyspark.sql import functions as F
 from pleiades_spark import catalog
 from pleiades_spark.plans import Query
 from pleiades_spark.session import apply_runtime_confs
-from pleiades_spark.streaming.pipeline import run_counters_to_memory
+from pleiades_spark.streaming.pipeline import (
+    run_counters_to_memory,
+    stream_stream_user_join,
+)
 from pleiades_spark.streaming.stateful import running_user_totals, streaming_dedup
 
 EVENTS_MICROS_SCHEMA = (
@@ -138,6 +141,35 @@ FROM events
 """
 
 
+def q_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream interval self-join driven to completion: each event
+    paired with the same user's events in the following hour. Both sides
+    are real streams; state is bounded by watermark + time range."""
+    apply_runtime_confs(spark)
+    src = tempfile.mkdtemp(prefix="ssjoin_")
+    _stage_event_files(spark, sf_dir, src, split=True)
+
+    def _op(stream: DataFrame) -> DataFrame:
+        other = (
+            stream.sparkSession.readStream.schema(EVENTS_MICROS_SCHEMA)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src)
+            .drop("props")
+        )
+        return stream_stream_user_join(stream, other)
+
+    return _run_stateful(spark, src, _op, "append", "ssjoin_gate")
+
+
+ORACLE_STREAM_STREAM_JOIN = """
+SELECT a.event_id AS evt_a, b.event_id AS evt_b, a.user_id AS user_id
+FROM events a JOIN events b
+  ON a.user_id = b.user_id
+ AND b.ts > a.ts
+ AND b.ts <= a.ts + INTERVAL 1 HOUR
+"""
+
+
 def q_streaming_counters(spark: SparkSession, sf_dir: str) -> DataFrame:
     mem = run_counters_to_memory(
         spark, f"{sf_dir}/events.parquet", query_name="counters_mem_gate"
@@ -179,4 +211,6 @@ QUERIES = [
     Query("stateful_stream_dedup", q_stateful_stream_dedup,
           ORACLE_STATEFUL_STREAM_DEDUP,
           "applyInPandasWithState cross-batch dedup: replayed batch emits 0 rows"),
+    Query("stream_stream_join", q_stream_stream_join, ORACLE_STREAM_STREAM_JOIN,
+          "watermarked stream-stream interval self-join (1h follow-on window)"),
 ]

@@ -144,6 +144,37 @@ def counters_stream(events: DataFrame, watermark: str = DEFAULT_WATERMARK) -> Da
     )
 
 
+def stream_stream_user_join(
+    a: DataFrame, b: DataFrame, horizon: str = "1 hour", watermark: str = DEFAULT_WATERMARK
+) -> DataFrame:
+    """Stream-stream interval self-join: pair each event with the same
+    user's subsequent events inside ``horizon`` (follow-on activity).
+
+    The canonical hard streaming shape: BOTH sides are unbounded, so the
+    join buffers each side in the state store and the time-range predicate
+    + watermarks bound how long — a row is droppable once the other side's
+    watermark passes its join window. Without the interval condition the
+    state would grow forever; with it, state size is O(events per
+    horizon), independent of stream length.
+    """
+    left = a.select(
+        F.col("event_id").alias("evt_a"),
+        F.col("user_id").alias("user_a"),
+        F.col("ts").alias("ts_a"),
+    ).withWatermark("ts_a", watermark)
+    right = b.select(
+        F.col("event_id").alias("evt_b"),
+        F.col("user_id").alias("user_b"),
+        F.col("ts").alias("ts_b"),
+    ).withWatermark("ts_b", watermark)
+    return left.join(
+        right,
+        (F.col("user_a") == F.col("user_b"))
+        & (F.col("ts_b") > F.col("ts_a"))
+        & (F.col("ts_b") <= F.col("ts_a") + F.expr(f"INTERVAL {horizon}")),
+    ).select("evt_a", "evt_b", F.col("user_a").alias("user_id"))
+
+
 def run_counters_to_memory(
     spark: SparkSession, path: str, query_name: str = "counters_mem"
 ) -> DataFrame:

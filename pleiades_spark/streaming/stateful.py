@@ -24,6 +24,10 @@ import pandas as pd
 
 from pyspark.sql import DataFrame
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.streaming.stateful_processor import (
+    StatefulProcessor,
+    StatefulProcessorHandle,
+)
 
 RUNNING_SCHEMA = "user_id long, n_events long, total_value double"
 RUNNING_STATE_SCHEMA = "n long, total double"
@@ -72,6 +76,49 @@ def _dedup(
         if len(fresh):
             yield fresh[["event_id", "ts", "user_id", "event_type", "value"]]
     state.update((sorted(seen),))
+
+
+class _RunningTotalsProcessor(StatefulProcessor):
+    """transformWithState twin of running_user_totals.
+
+    The Spark 4 stateful API: typed state handles (ValueState here; List/
+    MapState and timers available) instead of one opaque tuple — state
+    schema evolution and TTL come managed by the engine rather than
+    hand-rolled inside the function. Same semantics as _running_totals, so
+    the same oracle checks both.
+
+    ENV GATE: executing transformWithState requires the ``protobuf``
+    package (the Python worker talks to the JVM state server over proto);
+    this image ships without it, so the e2e path is exercised by a
+    skip-gated pytest (tests/test_stateful.py) and the
+    applyInPandasWithState twin carries the in-gate correctness check.
+    """
+
+    def init(self, handle: StatefulProcessorHandle) -> None:
+        self._totals = handle.getValueState("totals", RUNNING_STATE_SCHEMA)
+
+    def handleInputRows(self, key, rows, timerValues) -> Iterator[pd.DataFrame]:
+        n, total = self._totals.get() if self._totals.exists() else (0, 0.0)
+        for pdf in rows:
+            n += len(pdf)
+            total += float(pdf["value"].sum())
+        self._totals.update((n, total))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [n], "total_value": [round(total, 4)]}
+        )
+
+    def close(self) -> None:
+        pass
+
+
+def running_user_totals_tws(events: DataFrame) -> DataFrame:
+    """running_user_totals on the transformWithStateInPandas API."""
+    return events.groupBy("user_id").transformWithStateInPandas(
+        statefulProcessor=_RunningTotalsProcessor(),
+        outputStructType=RUNNING_SCHEMA,
+        outputMode="Update",
+        timeMode="None",
+    )
 
 
 def streaming_dedup(events: DataFrame) -> DataFrame:
