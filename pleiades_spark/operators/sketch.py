@@ -1,0 +1,150 @@
+"""Count-Min Sketch frequency estimation + Bloom-filter join pruning.
+
+Completes the hash-matched sketch family (MinHash/SimHash in dedup.py,
+HLL++ in relational): both sketches here are built from the md5-derived
+h32 (functions/hashing.py) so the DuckDB oracle replays them bit-for-bit
+— estimation ERROR included — giving approximate operators the same
+full-strength gate as exact queries.
+
+Count-Min Sketch (Cormode & Muthukrishnan 2005): d independent hash rows
+of w counters; estimate(key) = min over rows of the counter at
+h_i(key) mod w. Overestimates only (collisions add), error ≤ 2N/w with
+probability 1 - (1/2)^d.
+
+Scale shape: the sketch is a (d × w) table — O(1) in the data size, the
+entire point. Building it is ONE map-side-combinable aggregation (every
+row contributes d cells); querying broadcasts the sketch. At 100 TB the
+sketch is still 4 KB while an exact groupBy would shuffle billions of
+keys. The top-k step here re-derives candidate keys from a distinct scan
+(cheap at gate SF); a production heavy-hitter pass instead keeps the
+CMS + a per-partition candidate heap (space-saving style) so no global
+distinct is needed.
+
+Bloom filter (Bloom 1970): k bit positions per key in an m-bit array;
+membership = all k bits set. False positives at rate ≈ (1 - e^{-kn/m})^k,
+never false negatives. Used here as join pruning: build from the DIM
+side's join keys, pre-filter the FACT side before the real join — the
+pattern Spark's own runtime row-level filtering (bloom join) applies,
+made explicit and engine-portable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from pleiades_spark.functions.hashing import MINHASH_PERMS, h32, perm_hash
+
+CMS_DEPTH = 4
+CMS_WIDTH = 256
+
+BLOOM_BITS = 4096
+BLOOM_HASHES = 3
+
+
+def _cms_bucket(key: Column, row: int, width: int) -> Column:
+    """Bucket of ``key`` in sketch row ``row`` (perm hash of h32, mod w)."""
+    a, b = MINHASH_PERMS[row]
+    return perm_hash(h32(key), a, b) % width
+
+
+def cms_build(
+    df: DataFrame, key: Column, depth: int = CMS_DEPTH, width: int = CMS_WIDTH
+) -> DataFrame:
+    """Build the sketch: (row, bucket, cnt) cells, depth × width max rows.
+
+    One Generate (d cells per input row) into a partial-aggregated
+    groupBy — the shuffle moves at most d·w pre-combined cells per task,
+    never the data.
+    """
+    cells = df.select(
+        F.posexplode(
+            F.array(*[_cms_bucket(key, r, width) for r in range(depth)])
+        ).alias("row", "bucket")
+    )
+    return cells.groupBy("row", "bucket").agg(F.count(F.lit(1)).alias("cnt"))
+
+
+def cms_estimate(
+    keys: DataFrame,
+    key_col: str,
+    sketch: DataFrame,
+    depth: int = CMS_DEPTH,
+    width: int = CMS_WIDTH,
+) -> DataFrame:
+    """Estimate each key's frequency: min over rows of its bucket count.
+
+    The sketch side is tiny (≤ d·w cells) — broadcast it; the join never
+    shuffles the key side.
+    """
+    probes = keys.select(
+        key_col,
+        F.posexplode(
+            F.array(*[_cms_bucket(F.col(key_col), r, width) for r in range(depth)])
+        ).alias("row", "bucket"),
+    )
+    joined = probes.join(F.broadcast(sketch), ["row", "bucket"])
+    return joined.groupBy(key_col).agg(F.min("cnt").alias("est"))
+
+
+def cms_heavy_hitters(
+    df: DataFrame,
+    key: Column,
+    key_name: str,
+    k: int = 20,
+    depth: int = CMS_DEPTH,
+    width: int = CMS_WIDTH,
+) -> DataFrame:
+    """Top-k keys by CMS-estimated frequency (est DESC, key ASC).
+
+    The reported ``est`` carries the sketch's collision overestimate —
+    deterministically, so the oracle reproduces the exact same numbers.
+    """
+    from pyspark.sql.window import Window as W
+
+    named = df.select(key.alias(key_name))
+    sketch = cms_build(named, F.col(key_name), depth, width)
+    est = cms_estimate(named.distinct(), key_name, sketch, depth, width)
+    # orderBy + limit compiles to TakeOrderedAndProject (per-partition
+    # heaps, no global sort); the row_number window then ranks only the
+    # already-tiny top-k result.
+    topk = est.orderBy(F.col("est").desc(), F.col(key_name).asc()).limit(k)
+    w = W.orderBy(F.col("est").desc(), F.col(key_name).asc())
+    return topk.withColumn("rk", F.row_number().over(w)).select(
+        key_name, "est", "rk"
+    )
+
+
+def _bloom_positions(key: Column, n_hashes: int, bits: int) -> list[Column]:
+    # Offset the perm index so the Bloom hashes are independent of the
+    # CMS rows even when both sketches run in one query.
+    return [
+        perm_hash(h32(key), *MINHASH_PERMS[CMS_DEPTH + i]) % bits
+        for i in range(n_hashes)
+    ]
+
+
+def bloom_build(dim: DataFrame, key: Column) -> DataFrame:
+    """Distinct set bit positions from the dim side's keys (≤ m rows)."""
+    return dim.select(
+        F.explode(F.array(*_bloom_positions(key, BLOOM_HASHES, BLOOM_BITS))).alias(
+            "pos"
+        )
+    ).distinct()
+
+
+def bloom_prune(fact: DataFrame, key: Column, bloom: DataFrame) -> DataFrame:
+    """Keep fact rows whose key passes the Bloom membership test.
+
+    All k positions must be set: k broadcast LEFT SEMI joins against the
+    (tiny, ≤ m-row) position set — no shuffle of the fact side, exactly
+    how a runtime bloom prune sits in front of an expensive join.
+    """
+    pruned = fact
+    for i, pos in enumerate(_bloom_positions(key, BLOOM_HASHES, BLOOM_BITS)):
+        pruned = pruned.withColumn(f"_bp{i}", pos).join(
+            F.broadcast(bloom.withColumnRenamed("pos", f"_bp{i}")),
+            f"_bp{i}",
+            "left_semi",
+        )
+    return pruned.drop(*[f"_bp{i}" for i in range(BLOOM_HASHES)])

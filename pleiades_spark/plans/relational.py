@@ -22,6 +22,16 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
 
 from pleiades_spark import catalog
+from pleiades_spark.functions.hashing import MINHASH_PERMS, h32_sql, perm_hash_sql
+from pleiades_spark.operators.sketch import (
+    BLOOM_BITS,
+    BLOOM_HASHES,
+    CMS_DEPTH,
+    CMS_WIDTH,
+    bloom_build,
+    bloom_prune,
+    cms_heavy_hitters,
+)
 from pleiades_spark.plans import Query
 from pleiades_spark.session import apply_runtime_confs
 
@@ -1189,6 +1199,119 @@ GROUP BY n_name
 """
 
 
+# --- Count-Min Sketch heavy hitters -----------------------------------------
+
+CMS_TOPK = 20
+
+
+def q_heavy_hitters_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 part keys by CMS-ESTIMATED line count (operators/sketch.py).
+    The estimates carry the sketch's deterministic collision error, which
+    the oracle reproduces cell-for-cell."""
+    li = _t(spark, sf_dir, "lineitem")
+    return cms_heavy_hitters(
+        li, F.col("l_partkey").cast("string"), "part_key", k=CMS_TOPK
+    )
+
+
+def _cms_cells_sql(src: str, width: int) -> str:
+    return " UNION ALL ".join(
+        f"SELECT {r} AS row, "
+        f"{perm_hash_sql('h', *MINHASH_PERMS[r])} % {width} AS bucket, k "
+        f"FROM {src}"
+        for r in range(CMS_DEPTH)
+    )
+
+
+ORACLE_HEAVY_HITTERS_CMS = f"""
+WITH hashed AS (
+  SELECT CAST(l_partkey AS VARCHAR) AS k,
+         {h32_sql("CAST(l_partkey AS VARCHAR)")} AS h
+  FROM lineitem
+), cells AS ({_cms_cells_sql("hashed", CMS_WIDTH)}),
+sketch AS (
+  SELECT row, bucket, count(*) AS cnt FROM cells GROUP BY row, bucket
+), dk AS (SELECT DISTINCT k, h FROM hashed),
+probes AS ({_cms_cells_sql("dk", CMS_WIDTH)}),
+est AS (
+  SELECT k, min(cnt) AS est
+  FROM probes JOIN sketch USING (row, bucket) GROUP BY k
+)
+SELECT k AS part_key, CAST(est AS BIGINT) AS est,
+       CAST(row_number() OVER (ORDER BY est DESC, k ASC) AS INT) AS rk
+FROM est ORDER BY est DESC, k ASC LIMIT {CMS_TOPK}
+"""
+
+
+# --- Bloom-filter join pruning ----------------------------------------------
+
+BLOOM_PRICE_MIN = 480_000
+
+
+def q_bloom_semi_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom filter built from high-value orders pre-filters lineitem
+    before the true membership check — explicit, engine-portable form of
+    runtime bloom join pruning, false positives counted deterministically."""
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    dim = (
+        orders.filter(F.col("o_totalprice") > BLOOM_PRICE_MIN)
+        .select(F.col("o_orderkey").cast("string").alias("k"))
+        .distinct()
+    )
+    bloom = bloom_build(dim, F.col("k"))
+    fact = li.select(
+        F.col("l_orderkey").cast("string").alias("k"), "l_extendedprice"
+    )
+    pruned = bloom_prune(fact, F.col("k"), bloom)
+    marked = pruned.join(
+        F.broadcast(dim.withColumn("hit", F.lit(1))), "k", "left"
+    )
+    hit = F.coalesce(F.col("hit"), F.lit(0))
+    return marked.agg(
+        F.count(F.lit(1)).alias("n_pass"),
+        F.sum(hit).alias("n_true"),
+        F.sum(F.lit(1) - hit).alias("n_false_pos"),
+        F.round(F.sum("l_extendedprice"), 4).alias("passed_revenue"),
+    )
+
+
+_BLOOM_POS_EXPRS = [
+    perm_hash_sql("h", *MINHASH_PERMS[CMS_DEPTH + i]) + f" % {BLOOM_BITS}"
+    for i in range(BLOOM_HASHES)
+]
+
+ORACLE_BLOOM_SEMI_PRUNE = f"""
+WITH dim AS (
+  SELECT DISTINCT CAST(o_orderkey AS VARCHAR) AS k FROM orders
+  WHERE o_totalprice > {BLOOM_PRICE_MIN}
+), dh AS (SELECT k, {h32_sql("k")} AS h FROM dim),
+pos AS (
+  SELECT DISTINCT pos FROM (
+    {" UNION ALL ".join(f"SELECT {e} AS pos FROM dh" for e in _BLOOM_POS_EXPRS)}
+  )
+), fh AS (
+  SELECT CAST(l_orderkey AS VARCHAR) AS k, l_extendedprice,
+         {h32_sql("CAST(l_orderkey AS VARCHAR)")} AS h
+  FROM lineitem
+), fp AS (
+  SELECT k, l_extendedprice,
+         {", ".join(f"{e} AS p{i}" for i, e in enumerate(_BLOOM_POS_EXPRS))}
+  FROM fh
+), pass AS (
+  SELECT * FROM fp
+  WHERE {" AND ".join(f"p{i} IN (SELECT pos FROM pos)" for i in range(BLOOM_HASHES))}
+)
+SELECT CAST(count(*) AS BIGINT) AS n_pass,
+       CAST(sum(CASE WHEN k IN (SELECT k FROM dim) THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_true,
+       CAST(sum(CASE WHEN k IN (SELECT k FROM dim) THEN 0 ELSE 1 END) AS BIGINT)
+         AS n_false_pos,
+       round(sum(l_extendedprice), 4) AS passed_revenue
+FROM pass
+"""
+
+
 QUERIES = [
     Query("pricing_summary", q_pricing_summary, ORACLE_PRICING_SUMMARY,
           "TPC-H Q1: wide hash agg with pushdown filter"),
@@ -1260,4 +1383,8 @@ QUERIES = [
           "TPC-H Q21 shape: latest-shipper on multi-supplier orders, top-10"),
     Query("sales_opportunity", q_sales_opportunity, ORACLE_SALES_OPPORTUNITY,
           "TPC-H Q22 shape: scalar-avg filter + anti join + nation rollup"),
+    Query("heavy_hitters_cms", q_heavy_hitters_cms, ORACLE_HEAVY_HITTERS_CMS,
+          "Count-Min Sketch top-20 frequency estimation (replayed error)"),
+    Query("bloom_semi_prune", q_bloom_semi_prune, ORACLE_BLOOM_SEMI_PRUNE,
+          "Bloom-filter join pruning with deterministic false-positive count"),
 ]
