@@ -57,6 +57,12 @@ HEADLINE = [
     "doc_chunks",
     "tfidf_top_terms",
     "bigram_counts",
+    "benchmark_decontam",
+    "sequence_packing",
+    "corpus_shuffle_shards",
+    # sketch family (round 2)
+    "heavy_hitters_cms",
+    "bloom_semi_prune",
 ]
 
 

@@ -42,10 +42,13 @@ BLOOM_BITS = 4096
 BLOOM_HASHES = 3
 
 
-def _cms_bucket(key: Column, row: int, width: int) -> Column:
-    """Bucket of ``key`` in sketch row ``row`` (perm hash of h32, mod w)."""
-    a, b = MINHASH_PERMS[row]
-    return perm_hash(h32(key), a, b) % width
+def _cms_buckets_from_h(h: Column, depth: int, width: int) -> Column:
+    """All d bucket ids from ONE pre-computed h32 value (md5 is the
+    expensive part — evaluate it once per row, derive every row's bucket
+    by cheap integer perm hashes)."""
+    return F.array(
+        *[perm_hash(h, *MINHASH_PERMS[r]) % width for r in range(depth)]
+    )
 
 
 def cms_build(
@@ -57,10 +60,10 @@ def cms_build(
     groupBy — the shuffle moves at most d·w pre-combined cells per task,
     never the data.
     """
-    cells = df.select(
-        F.posexplode(
-            F.array(*[_cms_bucket(key, r, width) for r in range(depth)])
-        ).alias("row", "bucket")
+    cells = df.select(h32(key).alias("_h")).select(
+        F.posexplode(_cms_buckets_from_h(F.col("_h"), depth, width)).alias(
+            "row", "bucket"
+        )
     )
     return cells.groupBy("row", "bucket").agg(F.count(F.lit(1)).alias("cnt"))
 
@@ -77,11 +80,11 @@ def cms_estimate(
     The sketch side is tiny (≤ d·w cells) — broadcast it; the join never
     shuffles the key side.
     """
-    probes = keys.select(
+    probes = keys.select(key_col, h32(F.col(key_col)).alias("_h")).select(
         key_col,
-        F.posexplode(
-            F.array(*[_cms_bucket(F.col(key_col), r, width) for r in range(depth)])
-        ).alias("row", "bucket"),
+        F.posexplode(_cms_buckets_from_h(F.col("_h"), depth, width)).alias(
+            "row", "bucket"
+        ),
     )
     joined = probes.join(F.broadcast(sketch), ["row", "bucket"])
     return joined.groupBy(key_col).agg(F.min("cnt").alias("est"))
@@ -115,22 +118,26 @@ def cms_heavy_hitters(
     )
 
 
-def _bloom_positions(key: Column, n_hashes: int, bits: int) -> list[Column]:
+def _bloom_positions_from_h(h: Column, n_hashes: int, bits: int) -> list[Column]:
     # Offset the perm index so the Bloom hashes are independent of the
-    # CMS rows even when both sketches run in one query.
+    # CMS rows even when both sketches run in one query. ``h`` is the
+    # pre-computed h32 — one md5 per row, k cheap integer perms.
     return [
-        perm_hash(h32(key), *MINHASH_PERMS[CMS_DEPTH + i]) % bits
-        for i in range(n_hashes)
+        perm_hash(h, *MINHASH_PERMS[CMS_DEPTH + i]) % bits for i in range(n_hashes)
     ]
 
 
 def bloom_build(dim: DataFrame, key: Column) -> DataFrame:
     """Distinct set bit positions from the dim side's keys (≤ m rows)."""
-    return dim.select(
-        F.explode(F.array(*_bloom_positions(key, BLOOM_HASHES, BLOOM_BITS))).alias(
-            "pos"
+    return (
+        dim.select(h32(key).alias("_h"))
+        .select(
+            F.explode(
+                F.array(*_bloom_positions_from_h(F.col("_h"), BLOOM_HASHES, BLOOM_BITS))
+            ).alias("pos")
         )
-    ).distinct()
+        .distinct()
+    )
 
 
 def bloom_prune(fact: DataFrame, key: Column, bloom: DataFrame) -> DataFrame:
@@ -140,11 +147,12 @@ def bloom_prune(fact: DataFrame, key: Column, bloom: DataFrame) -> DataFrame:
     (tiny, ≤ m-row) position set — no shuffle of the fact side, exactly
     how a runtime bloom prune sits in front of an expensive join.
     """
-    pruned = fact
-    for i, pos in enumerate(_bloom_positions(key, BLOOM_HASHES, BLOOM_BITS)):
+    pruned = fact.withColumn("_h", h32(key))
+    positions = _bloom_positions_from_h(F.col("_h"), BLOOM_HASHES, BLOOM_BITS)
+    for i, pos in enumerate(positions):
         pruned = pruned.withColumn(f"_bp{i}", pos).join(
             F.broadcast(bloom.withColumnRenamed("pos", f"_bp{i}")),
             f"_bp{i}",
             "left_semi",
         )
-    return pruned.drop(*[f"_bp{i}" for i in range(BLOOM_HASHES)])
+    return pruned.drop("_h", *[f"_bp{i}" for i in range(BLOOM_HASHES)])
