@@ -1,0 +1,133 @@
+"""Time-series operators over the events table: gap-fill + interpolation
+and exponentially-weighted moving averages.
+
+Irregular event streams need a regular grid before most downstream
+analytics (rate charts, seasonality, model features). Spark has no
+native gap-fill/resample — the classic "operator the engine lacks" —
+but the semantics decompose cleanly into built-ins:
+
+  grid     = per-key explode(sequence(min_bucket, max_bucket))
+  fill     = left join actual aggregates onto the grid
+  locf     = last(value, ignorenulls) over preceding rows
+  interp   = prev + (next - prev) * (t - t_prev) / (t_next - t_prev)
+             with prev/next from ignorenulls window endpoints
+
+Everything stays in whole-stage codegen: Generate + one shuffle onto the
+key for the windows. At 100 TB the grid explode is bounded by
+(keys x buckets-per-key), not events, and each key's range is processed
+independently — no global sort.
+
+EWMA is genuinely sequential (y_i depends on y_{i-1}), so it runs as
+vectorized pandas ``ewm`` per key partition via applyInPandas — the
+same "sequential within key, parallel across keys" contract as
+sequence packing. The oracle replays the recurrence with a recursive
+CTE, value-hash-matched after ROUND(4).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
+
+HOUR = 3600
+
+EWMA_ALPHA = 0.5
+
+EWMA_SCHEMA = "user_id long, event_id long, ewma double"
+
+
+def _quantize4(x):
+    """floor(x·10⁴ + 0.5)/10⁴ — deterministic 4-decimal quantizer.
+
+    Interp/EWMA values land EXACTLY on .xxxx5 boundaries (hour fractions
+    and α=0.5 powers terminate in decimal), where Spark's round
+    (BigDecimal shortest-repr, HALF_UP) and DuckDB's float round
+    disagree on the same double. This floor form is primitive IEEE ops
+    only, so both engines compute it bit-identically; the oracle uses
+    the literal same formula."""
+    return F.floor(x * 10000 + F.lit(0.5)) / 10000
+
+
+QUANTIZE4_SQL = "floor(({x}) * 10000 + 0.5) / 10000"
+
+
+def gapfill_hourly(events: DataFrame) -> DataFrame:
+    """Per-user hourly grid between the user's first and last event, with
+    observed hourly sums, last-observation-carried-forward, and linear
+    interpolation across gaps.
+
+    Grid endpoints always carry observations (they're the user's own
+    min/max hours), so interp's prev/next are never both null; leading/
+    trailing edges therefore need no special casing.
+    """
+    hourly = (
+        events.select(
+            "user_id",
+            F.floor(F.unix_timestamp("ts") / HOUR).cast("long").alias("hour"),
+            "value",
+        )
+        .groupBy("user_id", "hour")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 4).alias("val"),
+        )
+    )
+    bounds = hourly.groupBy("user_id").agg(
+        F.min("hour").alias("h0"), F.max("hour").alias("h1")
+    )
+    grid = bounds.select(
+        "user_id", F.explode(F.sequence("h0", "h1")).alias("hour")
+    )
+    joined = grid.join(hourly, ["user_id", "hour"], "left")
+
+    asc = W.partitionBy("user_id").orderBy("hour")
+    prev_w = asc.rowsBetween(W.unboundedPreceding, 0)
+    next_w = asc.rowsBetween(0, W.unboundedFollowing)
+    pv = F.last("val", ignorenulls=True).over(prev_w)
+    nv = F.first("val", ignorenulls=True).over(next_w)
+    ph = F.last(F.when(F.col("val").isNotNull(), F.col("hour")), True).over(prev_w)
+    nh = F.first(F.when(F.col("val").isNotNull(), F.col("hour")), True).over(next_w)
+    interp = F.when(F.col("val").isNotNull(), F.col("val")).otherwise(
+        pv + (nv - pv) * (F.col("hour") - ph) / (nh - ph)
+    )
+    return joined.select(
+        "user_id",
+        "hour",
+        F.coalesce("n_events", F.lit(0)).alias("n_events"),
+        "val",
+        # pv is already-rounded values carried forward (no new arithmetic),
+        # so plain round is boundary-safe there; interp needs the quantizer.
+        F.round(pv, 4).alias("val_ffill"),
+        _quantize4(interp).alias("val_interp"),
+    )
+
+
+def ewma_user_value(events: DataFrame, alpha: float = EWMA_ALPHA) -> DataFrame:
+    """Per-user EWMA of event values in (ts, event_id) order:
+    y_i = (1 - alpha) * y_{i-1} + alpha * x_i, y_0 = x_0 (adjust=False).
+
+    The recurrence is written as an explicit loop with EXACTLY the
+    oracle's operation order ((1-a)·y + a·x, then the floor quantizer),
+    so the doubles match bit-for-bit across engines. ``pandas.ewm``
+    computes the same recurrence faster but through a different fp
+    factorization — the production swap once cross-engine parity isn't
+    being proven. Keys process sequentially, users in parallel.
+    """
+    import math
+
+    def _ewma(pdf):
+        pdf = pdf.sort_values(["ts", "event_id"]).reset_index(drop=True)
+        out, y = [], None
+        for x in pdf["value"]:
+            x = float(x)
+            y = x if y is None else (1.0 - alpha) * y + alpha * x
+            out.append(math.floor(y * 10000 + 0.5) / 10000)
+        pdf["ewma"] = out
+        return pdf[["user_id", "event_id", "ewma"]]
+
+    return (
+        events.select("user_id", "event_id", "ts", "value")
+        .groupBy("user_id")
+        .applyInPandas(_ewma, EWMA_SCHEMA)
+    )

@@ -838,6 +838,78 @@ GROUP BY cohort_day, day - cohort_day
 """
 
 
+# --- time series: gap-fill + interpolation, EWMA ----------------------------
+
+
+def q_timeseries_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly per-user grid with LOCF + linear interpolation
+    (operators/timeseries.py): resampling an irregular event stream."""
+    from pleiades_spark.operators.timeseries import gapfill_hourly
+
+    return gapfill_hourly(_events(spark, sf_dir))
+
+
+ORACLE_TIMESERIES_GAPFILL = """
+WITH hourly AS (
+  SELECT user_id, CAST(floor(epoch(ts) / 3600) AS BIGINT) AS hour,
+         CAST(count(*) AS BIGINT) AS n_events, round(sum(value), 4) AS val
+  FROM events GROUP BY user_id, hour
+), bounds AS (
+  SELECT user_id, min(hour) AS h0, max(hour) AS h1 FROM hourly GROUP BY user_id
+), grid AS (
+  SELECT user_id, unnest(range(h0, h1 + 1)) AS hour FROM bounds
+), joined AS (
+  SELECT g.user_id, g.hour, h.n_events, h.val
+  FROM grid g LEFT JOIN hourly h ON g.user_id = h.user_id AND g.hour = h.hour
+), win AS (
+  SELECT user_id, hour, n_events, val,
+    last_value(val IGNORE NULLS) OVER
+      (PARTITION BY user_id ORDER BY hour
+       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv,
+    first_value(val IGNORE NULLS) OVER
+      (PARTITION BY user_id ORDER BY hour
+       ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv,
+    last_value(CASE WHEN val IS NOT NULL THEN hour END IGNORE NULLS) OVER
+      (PARTITION BY user_id ORDER BY hour
+       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ph,
+    first_value(CASE WHEN val IS NOT NULL THEN hour END IGNORE NULLS) OVER
+      (PARTITION BY user_id ORDER BY hour
+       ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nh
+  FROM joined
+)
+SELECT user_id, hour, coalesce(n_events, 0) AS n_events, val,
+       round(pv, 4) AS val_ffill,
+       floor((CASE WHEN val IS NOT NULL THEN val
+                   ELSE pv + (nv - pv) * (hour - ph) / (nh - ph) END)
+             * 10000 + 0.5) / 10000
+         AS val_interp
+FROM win
+"""
+
+
+def q_ewma_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user EWMA of event values (sequential recurrence; vectorized
+    pandas ewm per key, recursive-CTE oracle)."""
+    from pleiades_spark.operators.timeseries import ewma_user_value
+
+    return ewma_user_value(_events(spark, sf_dir))
+
+
+ORACLE_EWMA_USER_VALUE = """
+WITH RECURSIVE ordered AS (
+  SELECT user_id, event_id, value,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+  FROM events
+), rec AS (
+  SELECT user_id, event_id, rn, value AS y FROM ordered WHERE rn = 1
+  UNION ALL
+  SELECT o.user_id, o.event_id, o.rn, 0.5 * r.y + 0.5 * o.value
+  FROM rec r JOIN ordered o ON o.user_id = r.user_id AND o.rn = r.rn + 1
+)
+SELECT user_id, event_id, floor(y * 10000 + 0.5) / 10000 AS ewma FROM rec
+"""
+
+
 QUERIES = [
     Query("counters_rollup", q_counters_rollup, ORACLE_COUNTERS_ROLLUP,
           "A1+A2 dual-grain conditional count + signed sum (flagship)"),
@@ -887,4 +959,8 @@ QUERIES = [
           "ordered view→click→purchase funnel, decorrelated per-user mins"),
     Query("retention_cohorts", q_retention_cohorts, ORACLE_RETENTION_COHORTS,
           "cohort retention triangle (first-day cohort × day offset)"),
+    Query("timeseries_gapfill", q_timeseries_gapfill, ORACLE_TIMESERIES_GAPFILL,
+          "hourly resample: grid explode + LOCF + linear interpolation"),
+    Query("ewma_user_value", q_ewma_user_value, ORACLE_EWMA_USER_VALUE,
+          "per-user EWMA recurrence (pandas ewm / recursive-CTE oracle)"),
 ]
