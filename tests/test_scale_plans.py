@@ -116,6 +116,66 @@ def test_funnel_stage_aggs_share_user_key(spark, sf_dir):
     assert plan.count("BroadcastExchange") >= 2  # views into clicks, clicks into buys
 
 
+def test_decontam_no_cartesian_equi_join_only(spark, sf_dir):
+    """Decontamination must plan as equi-joins on the shingle string —
+    never a nested-loop/cartesian all-pairs comparison."""
+    from pleiades_spark.plans.corpus import q_benchmark_decontam
+
+    plan = _plan(q_benchmark_decontam(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_cms_sketch_broadcast_on_probe(spark, sf_dir):
+    """The CMS probe joins against the (d×w)-cell sketch: the sketch side
+    must broadcast; the heavy-hitter top-k must be a partial-heap
+    TakeOrderedAndProject, not a global sort."""
+    from pleiades_spark.plans.relational import q_heavy_hitters_cms
+
+    plan = _plan(q_heavy_hitters_cms(spark, sf_dir))
+    assert "BroadcastExchange" in plan
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_bloom_prune_broadcast_semi_joins(spark, sf_dir):
+    """Each bloom position check must be a broadcast LEFT SEMI join — the
+    fact side never shuffles for the membership test."""
+    from pleiades_spark.plans.relational import q_bloom_semi_prune
+
+    plan = _plan(q_bloom_semi_prune(spark, sf_dir))
+    assert plan.count("BroadcastHashJoin") >= 3
+    assert "LeftSemi" in plan
+    # the fact (lineitem) side reads only the join key + measure
+    read = plan.split("ReadSchema")[-1].splitlines()[0]
+    assert "l_comment" not in read
+
+
+def test_shuffle_shards_single_exchange(spark, sf_dir):
+    """Shard assignment is a stateless hash; only the within-shard window
+    may shuffle — exactly one exchange, partitioned by shard."""
+    import re
+
+    from pleiades_spark.plans.corpus import q_corpus_shuffle_shards
+
+    plan = _plan(q_corpus_shuffle_shards(spark, sf_dir))
+    assert len(re.findall(r"\(\d+\) Exchange$", plan, re.M)) == 1
+    assert "rand(" not in plan
+
+
+def test_gapfill_windows_share_one_shuffle(spark, sf_dir):
+    """All four fill windows partition by user_id — they must reuse ONE
+    exchange of the grid, not shuffle per window."""
+    import re
+
+    from pleiades_spark.plans.pleiades import q_timeseries_gapfill
+
+    plan = _plan(q_timeseries_gapfill(spark, sf_dir))
+    # grid agg + join + window: small fixed number of exchanges, and only
+    # ONE Window node evaluating all fill expressions together
+    assert len(re.findall(r"\(\d+\) Window$", plan, re.M)) <= 2
+    assert "CartesianProduct" not in plan
+
+
 def test_bucketed_join_eliminates_shuffle(spark, tmp_path):
     """Bucket both fact tables on the join key at write time → the join
     plans with ZERO shuffle exchanges (the 100 TB fact⋈fact strategy)."""
