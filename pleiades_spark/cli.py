@@ -63,6 +63,27 @@ def cmd_aggregate(args: argparse.Namespace) -> int:
     return 0
 
 
+def cmd_corpus(args: argparse.Namespace) -> int:
+    """Raw documents parquet → quality/dedup/scrub → split JSONL shards.
+
+    The training-data personality: the reference's three personalities
+    cover the events pipeline; this one drives the corpus operators
+    end-to-end (operators/corpus.build_training_corpus) and prints the
+    per-stage dataset-card stats as one JSON line.
+    """
+    import json
+
+    from pleiades_spark import catalog
+    from pleiades_spark.operators.corpus import build_training_corpus
+    from pleiades_spark.session import get_spark
+
+    spark = get_spark("pleiades_corpus")
+    docs = catalog.load(spark, args.sf_dir, "documents")
+    stats = build_training_corpus(docs, args.out, n_shards=args.shards)
+    print(json.dumps(stats))
+    return 0
+
+
 def _counters_payload(rows, day: int | None) -> dict:
     return {
         "Since": (day or 0) * 86400,
@@ -208,6 +229,14 @@ def build_parser() -> argparse.ArgumentParser:
     srv.add_argument("--host", default="127.0.0.1")
     srv.add_argument("--port", type=int, default=8000)
     srv.set_defaults(fn=cmd_serve)
+
+    cor = sub.add_parser(
+        "corpus", help="documents parquet → deduped/scrubbed JSONL training shards"
+    )
+    cor.add_argument("--sf-dir", required=True)
+    cor.add_argument("--out", required=True)
+    cor.add_argument("--shards", type=int, default=4)
+    cor.set_defaults(fn=cmd_corpus)
     return p
 
 

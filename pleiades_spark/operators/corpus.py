@@ -289,6 +289,77 @@ def shuffle_shards(docs: DataFrame, n_shards: int = N_SHARDS) -> DataFrame:
     )
 
 
+def build_training_corpus(
+    docs: DataFrame, out_dir: str, n_shards: int = 4
+) -> dict[str, int]:
+    """The whole raw-crawl → training-shards flow as one job: quality
+    gate → exact dedup → MinHash-LSH near-dedup (cluster, keep canonical)
+    → PII scrub → stable split → JSONL shards per split.
+
+    Composes the already-gate-checked operators; this function only
+    sequences them and writes. Returns per-stage survivor counts (the
+    dataset-card numbers). Counts are driver-side aggregates (one number
+    per stage), not data collection — the data path stays distributed
+    end-to-end, and the JSONL write parallelism is n_shards per split.
+    """
+    from pleiades_spark.functions.text import stopword_count, tokens
+    from pleiades_spark.operators.dedup import minhash_lsh_pairs
+    from pleiades_spark.operators.graph import connected_components
+    from pleiades_spark.sources.jsonl import write_jsonl
+
+    stats = {"input": docs.count()}
+
+    # 1. quality gate (same composite as clean_corpus_pipeline, llm.py)
+    toks = tokens(F.col("text"))
+    n_tok = F.size(toks)
+    ttr = F.size(F.array_distinct(toks)) / n_tok
+    quality = (
+        0.4 * ttr
+        + 0.4 * (1 - stopword_count(toks) / n_tok)
+        + 0.2 * F.least(n_tok / 100, F.lit(1.0))
+    )
+    kept = docs.withColumn("q", F.round(quality, 6)).filter(
+        (F.col("q") >= 0.5) & (F.col("n_chars") >= 60)
+    )
+    stats["after_quality"] = kept.count()
+
+    # 2. exact dedup: canonical representative = min doc_id per text
+    reps = kept.groupBy("text").agg(F.min("doc_id").alias("doc_id"))
+    kept = kept.join(reps.select("doc_id"), "doc_id", "left_semi")
+    stats["after_exact_dedup"] = kept.count()
+
+    # 3. near-dedup: LSH pairs → components → keep each cluster's min id
+    pairs = minhash_lsh_pairs(kept)
+    clusters = connected_components(pairs.select("doc_a", "doc_b"))
+    losers = clusters.filter(F.col("doc_id") != F.col("cluster")).select("doc_id")
+    kept = kept.join(losers, "doc_id", "left_anti")
+    stats["after_near_dedup"] = kept.count()
+
+    # 4. PII scrub (audit counts folded into the stats)
+    scrubbed = pii_scrub(kept)
+    pii_total = scrubbed.agg(
+        F.sum(
+            sum(F.col(f"n_{kind}") for kind, _, _ in PII_PATTERNS)
+        ).alias("n")
+    ).collect()[0]["n"]
+    stats["pii_spans_scrubbed"] = int(pii_total or 0)
+
+    # 5. stable split + shard write (one JSONL dir per split)
+    final = scrubbed.select(
+        "doc_id",
+        "lang",
+        "source",
+        F.col("scrubbed_text").alias("text"),
+    )
+    split_of = hash_split(final).select("doc_id", "split")
+    final = final.join(split_of, "doc_id")
+    for split in ("train", "val", "test"):
+        part = final.filter(F.col("split") == split).drop("split")
+        stats[f"{split}_docs"] = part.count()
+        write_jsonl(part, f"{out_dir}/{split}", n_shards=n_shards)
+    return stats
+
+
 # PII patterns: pragmatic scrub set (emails, international-ish phone
 # numbers, US SSNs, 16-digit card numbers). Order matters: cards before
 # phones so a 16-digit run isn't half-eaten as a phone number.

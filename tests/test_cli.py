@@ -105,3 +105,34 @@ def test_ingest_aggregate_serve_roundtrip(spark, tmp_path):
         assert 'pleiades_counter_growth{counter="pleiades_total"} 55' in body
     finally:
         server.shutdown()
+
+
+def test_corpus_pipeline_end_to_end(spark, tmp_path, capsys):
+    """corpus personality: documents → quality/dedup/scrub → split JSONL
+    shards, with consistent dataset-card stats."""
+    out = tmp_path / "corpus"
+    parser = build_parser()
+    args = parser.parse_args(
+        ["corpus", "--sf-dir", "/root/testdata/sf0.001", "--out", str(out),
+         "--shards", "2"]
+    )
+    assert args.fn(args) == 0
+    stats = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+
+    # monotone survivor counts, splits partition the final corpus
+    assert stats["input"] >= stats["after_quality"] >= stats["after_exact_dedup"]
+    assert stats["after_exact_dedup"] >= stats["after_near_dedup"] > 0
+    assert (
+        stats["train_docs"] + stats["val_docs"] + stats["test_docs"]
+        == stats["after_near_dedup"]
+    )
+
+    # shards are real JSONL Spark can read back; doc_ids unique & disjoint
+    seen = set()
+    for split in ("train", "val", "test"):
+        back = spark.read.json(str(out / split))
+        ids = [r.doc_id for r in back.select("doc_id").collect()]
+        assert len(ids) == stats[f"{split}_docs"]
+        assert seen.isdisjoint(ids)
+        seen.update(ids)
+        assert set(back.columns) == {"doc_id", "lang", "source", "text"}
