@@ -29,6 +29,7 @@ from pleiades_spark.operators.corpus import (
     decontaminate,
     hash_split,
     pack_sequences,
+    sample_bucket,
     shuffle_shards,
     stratified_sample,
     tfidf_top_terms,
@@ -338,6 +339,115 @@ FROM (
 """
 
 
+# --- bigram-LM quality scoring (model-based filter) -------------------------
+
+
+def q_bigram_lm_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-based quality scoring: per-language add-one-smoothed bigram
+    LM fitted on the TRAIN split only, every doc scored by average
+    negative log-likelihood — the CCNet-style filter where heuristic
+    scores (text_quality_scores) stop working.
+
+    Plan shape: the LM tables are vocabulary-bounded (unigram + bigram
+    counts per language), NOT corpus-bounded — fit is two map-side-
+    combined aggs over the train split; scoring explodes each doc's
+    bigrams and joins the vocab-sized tables (broadcast at any corpus
+    size where the vocab fits an executor, shuffle-join otherwise).
+    Held-out split separation reuses the stable hash split, so the
+    score is honest (no doc scores under a model trained on itself in
+    val/test)."""
+    docs = _t(spark, sf_dir, "documents")
+    bucket = sample_bucket(F.col("doc_id"), salt="split")
+    toked = docs.select(
+        "doc_id",
+        "lang",
+        (bucket < SPLIT_TRAIN).alias("is_train"),
+        tokens(F.col("text")).alias("toks"),
+    ).withColumn("n", F.size("toks"))
+    bigrams = toked.select(
+        "doc_id",
+        "lang",
+        "is_train",
+        F.explode(
+            F.zip_with(
+                F.slice(F.col("toks"), 1, F.col("n") - 1),
+                F.slice(F.col("toks"), 2, F.col("n") - 1),
+                lambda a, b: F.concat(a, F.lit(" "), b),
+            )
+        ).alias("bigram"),
+    ).withColumn("w1", F.split(F.col("bigram"), " ").getItem(0))
+
+    train_bg = (
+        bigrams.filter("is_train")
+        .groupBy("lang", "bigram")
+        .agg(F.count(F.lit(1)).alias("n_bg"))
+    )
+    train_ug = (
+        bigrams.filter("is_train")
+        .groupBy("lang", "w1")
+        .agg(F.count(F.lit(1)).alias("n_ug"))
+    )
+    vocab = (
+        toked.filter("is_train")
+        .select("lang", F.explode("toks").alias("tok"))
+        .groupBy("lang")
+        .agg(F.countDistinct("tok").alias("v"))
+    )
+    scored = (
+        bigrams.join(train_bg, ["lang", "bigram"], "left")
+        .join(train_ug, ["lang", "w1"], "left")
+        .join(F.broadcast(vocab), "lang")
+        .select(
+            "doc_id",
+            "lang",
+            (
+                -F.log(
+                    (F.coalesce("n_bg", F.lit(0)) + 1)
+                    / (F.coalesce("n_ug", F.lit(0)) + F.col("v"))
+                )
+            ).alias("nll"),
+        )
+    )
+    return scored.groupBy("doc_id", "lang").agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        F.round(F.avg("nll"), 6).alias("avg_nll"),
+    )
+
+
+ORACLE_BIGRAM_LM_SCORES = f"""
+WITH toked AS (
+  SELECT doc_id, lang, {_SPLIT_BUCKET_SQL} < {SPLIT_TRAIN} AS is_train,
+         string_split(text, ' ') AS toks
+  FROM documents
+), bigrams AS (
+  SELECT doc_id, lang, is_train,
+         unnest(list_transform(range(1, len(toks)),
+                i -> toks[i] || ' ' || toks[i + 1])) AS bigram
+  FROM toked
+), bg2 AS (
+  SELECT *, string_split(bigram, ' ')[1] AS w1 FROM bigrams
+), train_bg AS (
+  SELECT lang, bigram, count(*) AS n_bg FROM bg2 WHERE is_train
+  GROUP BY lang, bigram
+), train_ug AS (
+  SELECT lang, w1, count(*) AS n_ug FROM bg2 WHERE is_train GROUP BY lang, w1
+), vocab AS (
+  SELECT lang, count(DISTINCT tok) AS v
+  FROM (SELECT lang, unnest(toks) AS tok FROM toked WHERE is_train)
+  GROUP BY lang
+)
+SELECT b.doc_id AS doc_id, b.lang AS lang,
+       CAST(count(*) AS BIGINT) AS n_bigrams,
+       round(avg(-ln((coalesce(n_bg, 0) + 1) * 1.0
+                     / (coalesce(n_ug, 0) + v))), 6) AS avg_nll
+FROM bg2 b
+LEFT JOIN train_bg tb ON b.lang = tb.lang AND b.bigram = tb.bigram
+LEFT JOIN train_ug tu ON b.lang = tu.lang AND b.w1 = tu.w1
+JOIN vocab vv ON b.lang = vv.lang
+GROUP BY b.doc_id, b.lang
+"""
+
+
 # --- benchmark decontamination ---------------------------------------------
 
 
@@ -447,4 +557,6 @@ QUERIES = [
     Query("corpus_shuffle_shards", q_corpus_shuffle_shards,
           ORACLE_CORPUS_SHUFFLE_SHARDS,
           "deterministic hash shuffle into balanced training shards"),
+    Query("bigram_lm_scores", q_bigram_lm_scores, ORACLE_BIGRAM_LM_SCORES,
+          "per-doc avg NLL under train-split bigram LM (model-based filter)"),
 ]
