@@ -87,14 +87,14 @@ def minhash_signature(shingles: Column) -> Column:
     return F.aggregate(hashed, start, _step)
 
 
-def with_signature(docs: DataFrame) -> DataFrame:
+def with_signature(docs: DataFrame, keep: tuple[str, ...] = ()) -> DataFrame:
     # Fixture tables arrive as one parquet file → one partition; hashing is
     # the CPU hot spot, so spread it before computing signatures. (At real
     # scale the scan already has many splits and this shuffle is a no-op to
     # keep — it also pre-partitions by doc_id for the verification joins.)
     return (
         docs.repartition(F.col("doc_id"))
-        .select("doc_id", word_shingles(F.col("text")).alias("sh"))
+        .select("doc_id", *keep, word_shingles(F.col("text")).alias("sh"))
         .withColumn("sig", minhash_signature(F.col("sh")))
     )
 
@@ -119,6 +119,7 @@ def minhash_lsh_pairs(
     docs: DataFrame,
     threshold: float = 0.6,
     max_bucket_size: int | None = None,
+    new_col: str | None = None,
 ) -> DataFrame:
     """Near-duplicate pairs: LSH candidates verified by exact Jaccard.
 
@@ -137,10 +138,19 @@ def minhash_lsh_pairs(
     exact-identical docs are exact_dedup_groups' job anyway. None (the
     default, used by the oracle gate) keeps candidate generation
     lossless.
+
+    ``new_col`` names a boolean column marking this run's INCREMENT: when
+    set, only pairs touching at least one new doc are generated/verified —
+    old×old pairs were found by previous runs, so the nightly job's work
+    is O(new-side bucket occupancy), not O(corpus²) re-done every run.
+    The bands/signatures of old docs would come from the previous run's
+    persisted index in production; here they recompute from the same
+    deterministic hashes, which is bit-identical.
     """
-    signed = with_signature(docs).cache()
+    sel = ["doc_id"] + ([new_col] if new_col else [])
+    signed = with_signature(docs, keep=tuple(sel[1:])).cache()
     bands = signed.select(
-        "doc_id", F.posexplode(band_keys(F.col("sig"))).alias("band_idx", "band_key")
+        *sel, F.posexplode(band_keys(F.col("sig"))).alias("band_idx", "band_key")
     )
     if max_bucket_size is not None:
         # windowed count shuffles on the same (band_idx, band_key) the
@@ -153,13 +163,15 @@ def minhash_lsh_pairs(
         )
     left = bands.alias("l")
     right = bands.alias("r")
+    cond = (
+        (F.col("l.band_idx") == F.col("r.band_idx"))
+        & (F.col("l.band_key") == F.col("r.band_key"))
+        & (F.col("l.doc_id") < F.col("r.doc_id"))
+    )
+    if new_col:
+        cond = cond & (F.col(f"l.{new_col}") | F.col(f"r.{new_col}"))
     cand = (
-        left.join(
-            right,
-            (F.col("l.band_idx") == F.col("r.band_idx"))
-            & (F.col("l.band_key") == F.col("r.band_key"))
-            & (F.col("l.doc_id") < F.col("r.doc_id")),
-        )
+        left.join(right, cond)
         .select(
             F.col("l.doc_id").alias("doc_a"), F.col("r.doc_id").alias("doc_b")
         )

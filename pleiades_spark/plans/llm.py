@@ -112,6 +112,56 @@ SELECT doc_a, doc_b, jaccard FROM verified WHERE jaccard >= {JACCARD_THRESHOLD}
 """
 
 
+# --- incremental near-dedup (nightly-increment economics) -------------------
+
+INCR_PCT = 20  # this run's "new" slice of the corpus
+
+
+def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs touching at least one NEW doc (a deterministic 20%
+    hash slice stands in for tonight's crawl increment). Old×old pairs —
+    found by previous runs — are excluded inside candidate generation,
+    so per-run cost tracks the increment, not the whole corpus."""
+    from pleiades_spark.functions.hashing import h32
+
+    docs = _t(spark, sf_dir, "documents").withColumn(
+        "is_new",
+        h32(F.concat(F.lit("incr:"), F.col("doc_id").cast("string"))) % 100
+        < INCR_PCT,
+    )
+    return minhash_lsh_pairs(docs, JACCARD_THRESHOLD, new_col="is_new")
+
+
+ORACLE_DEDUP_INCREMENTAL = f"""
+WITH sh AS (
+  SELECT doc_id,
+         {h32_sql("concat('incr:', CAST(doc_id AS VARCHAR))")} % 100 < {INCR_PCT}
+           AS is_new,
+         {word_shingles_sql('text')} AS sh
+  FROM documents
+), hashed AS (
+  SELECT doc_id, is_new, sh, list_transform(sh, s -> {h32_sql('s')}) AS hs FROM sh
+), sig AS (
+  SELECT doc_id, is_new, {_SIG_SQL} AS sig FROM hashed
+), bands AS (
+  SELECT doc_id, is_new, band_idx,
+         array_to_string(sig[band_idx*{LSH_ROWS}+1 : band_idx*{LSH_ROWS}+{LSH_ROWS}], '-') AS band_key
+  FROM sig, {_BANDS_RANGE_SQL}
+), cand AS (
+  SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
+  FROM bands l JOIN bands r
+    ON l.band_idx = r.band_idx AND l.band_key = r.band_key
+   AND l.doc_id < r.doc_id AND (l.is_new OR r.is_new)
+), verified AS (
+  SELECT doc_a, doc_b,
+         round(len(list_intersect(a.sh, b.sh)) * 1.0
+               / len(list_distinct(list_concat(a.sh, b.sh))), 6) AS jaccard
+  FROM cand JOIN sh a ON a.doc_id = cand.doc_a JOIN sh b ON b.doc_id = cand.doc_b
+)
+SELECT doc_a, doc_b, jaccard FROM verified WHERE jaccard >= {JACCARD_THRESHOLD}
+"""
+
+
 # --- simhash --------------------------------------------------------------
 
 MAX_HAMMING = 3
@@ -875,6 +925,8 @@ FROM (
 QUERIES = [
     Query("dedup_exact", q_dedup_exact, ORACLE_DEDUP_EXACT,
           "exact dedup via text-hash groupBy, deterministic representative"),
+    Query("dedup_incremental", q_dedup_incremental, ORACLE_DEDUP_INCREMENTAL,
+          "LSH near-dup pairs touching the new increment only (nightly job)"),
     Query("dedup_minhash_lsh", q_dedup_minhash, ORACLE_DEDUP_MINHASH,
           "MinHash signatures → banded LSH → verified Jaccard pairs"),
     Query("dedup_simhash", q_dedup_simhash, ORACLE_DEDUP_SIMHASH,
