@@ -838,6 +838,56 @@ GROUP BY cohort_day, day - cohort_day
 """
 
 
+# --- robust anomaly detection (median / MAD) --------------------------------
+
+
+def q_value_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Events whose value deviates from the per-type median by more than
+    3 robust sigmas (1.4826·MAD) — outlier flagging that, unlike
+    mean/stddev z-scores, isn't dragged by the outliers themselves.
+
+    Two grouped exact percentiles (type-cardinality results, broadcast
+    back) + one filter scan: the fact table never shuffles. abs_dev is
+    emitted through the floor quantizer — medians of even groups average
+    two 4-decimal values, landing deviations exactly on round-half
+    boundaries (timeseries._quantize4 rationale)."""
+    ev = _events(spark, sf_dir).select("event_id", "event_type", "value")
+    med = ev.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.5)").alias("med")
+    )
+    dev = ev.join(F.broadcast(med), "event_type").withColumn(
+        "absdev", F.abs(F.col("value") - F.col("med"))
+    )
+    mad = dev.groupBy("event_type").agg(
+        F.expr("percentile(absdev, 0.5)").alias("mad")
+    )
+    flagged = dev.join(F.broadcast(mad), "event_type").filter(
+        F.col("absdev") > 3 * 1.4826 * F.col("mad")
+    )
+    return flagged.select(
+        "event_id",
+        "event_type",
+        "value",
+        (F.floor(F.col("absdev") * 10000 + F.lit(0.5)) / 10000).alias("abs_dev"),
+    )
+
+
+ORACLE_VALUE_ANOMALIES = """
+WITH med AS (
+  SELECT event_type, median(value) AS med FROM events GROUP BY event_type
+), dev AS (
+  SELECT e.event_id, e.event_type, e.value, abs(e.value - m.med) AS absdev
+  FROM events e JOIN med m USING (event_type)
+), mad AS (
+  SELECT event_type, median(absdev) AS mad FROM dev GROUP BY event_type
+)
+SELECT d.event_id, d.event_type AS event_type, d.value,
+       floor(d.absdev * 10000 + 0.5) / 10000 AS abs_dev
+FROM dev d JOIN mad m ON d.event_type = m.event_type
+WHERE d.absdev > 3 * 1.4826 * m.mad
+"""
+
+
 # --- time series: gap-fill + interpolation, EWMA ----------------------------
 
 
@@ -959,6 +1009,8 @@ QUERIES = [
           "ordered view→click→purchase funnel, decorrelated per-user mins"),
     Query("retention_cohorts", q_retention_cohorts, ORACLE_RETENTION_COHORTS,
           "cohort retention triangle (first-day cohort × day offset)"),
+    Query("value_anomalies", q_value_anomalies, ORACLE_VALUE_ANOMALIES,
+          "median/MAD robust outlier flags per event type"),
     Query("timeseries_gapfill", q_timeseries_gapfill, ORACLE_TIMESERIES_GAPFILL,
           "hourly resample: grid explode + LOCF + linear interpolation"),
     Query("ewma_user_value", q_ewma_user_value, ORACLE_EWMA_USER_VALUE,
