@@ -63,6 +63,11 @@ HEADLINE = [
     # sketch family (round 2)
     "heavy_hitters_cms",
     "bloom_semi_prune",
+    # time series + model-based scoring + incremental dedup (round 2)
+    "timeseries_gapfill",
+    "value_anomalies",
+    "bigram_lm_scores",
+    "dedup_incremental",
 ]
 
 
