@@ -397,6 +397,28 @@ FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
 """
 
 
+def q_lineitem_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE (returnflag, linestatus) with grouping_id — every subtotal
+    grain in one pass (2^k grouping sets via a single Expand + agg)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.cube("l_returnflag", "l_linestatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.round(F.sum("l_extendedprice"), 4).alias("revenue"),
+            F.grouping_id().alias("gid"),
+        )
+    )
+
+
+ORACLE_LINEITEM_CUBE = """
+SELECT l_returnflag, l_linestatus, count(*) AS n_items,
+       round(sum(l_extendedprice), 4) AS revenue,
+       CAST(grouping(l_returnflag) * 2 + grouping(l_linestatus) AS BIGINT) AS gid
+FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+"""
+
+
 # --- pivot (conditional aggregation) -------------------------------------------
 
 
@@ -1333,6 +1355,8 @@ QUERIES = [
           "partitioned top-k via row_number"),
     Query("order_priority_rollup", q_order_priority_rollup,
           ORACLE_ORDER_PRIORITY_ROLLUP, "ROLLUP multi-grain agg"),
+    Query("lineitem_cube", q_lineitem_cube, ORACLE_LINEITEM_CUBE,
+          "CUBE over (returnflag, linestatus) with grouping_id, one Expand pass"),
     Query("status_pivot", q_status_pivot, ORACLE_STATUS_PIVOT,
           "pivot ≡ conditional aggregation"),
     Query("scalar_functions", q_scalar_functions, ORACLE_SCALAR_FUNCTIONS,
