@@ -172,6 +172,59 @@ def ivf_knn_fitted(
     )
 
 
+PQ_M = 4  # subspaces
+PQ_K = 8  # sub-centroids per subspace
+
+
+def pq_codes(emb: DataFrame, m: int = PQ_M, k: int = PQ_K) -> DataFrame:
+    """Product quantization: split each vector into ``m`` subvectors,
+    code each by its nearest sub-centroid (L2) — the compression layer
+    under ADC-based ANN (Jégou et al. 2011): a d-dim float vector
+    becomes m small ints, and distances against the codes need only
+    m table lookups.
+
+    Sub-codebooks = the first ``k`` vectors' subvectors (deterministic
+    stand-in for the per-subspace k-means fit, same convention as
+    ivf_assign so the oracle replays the coding exactly). Per-vector
+    output: one code column per subspace (no array-typed outputs) plus
+    the total quantization error.
+
+    Plan: explode each vector into m (vec_id, sub) rows — a Generate,
+    no shuffle — broadcast-join the (m·k)-row codebook, one window
+    argmin per (vec_id, subspace), one final groupBy back to vectors.
+    """
+    v = emb.select("vec_id", as_double(F.col("embedding")).alias("v"))
+    sub_len = (F.size("v") / m).cast("int")
+    subs = v.select(
+        "vec_id",
+        F.posexplode(
+            F.array(*[F.slice("v", i * sub_len + 1, sub_len) for i in range(m)])
+        ).alias("sub_m", "subv"),
+    )
+    cb = subs.filter(F.col("vec_id") < k).select(
+        F.col("sub_m").alias("cb_m"),
+        F.col("vec_id").alias("cid"),
+        F.col("subv").alias("cv"),
+    )
+    l2sq = F.aggregate(
+        F.zip_with(F.col("subv"), F.col("cv"), lambda a, b: (a - b) * (a - b)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    scored = subs.join(
+        F.broadcast(cb), F.col("sub_m") == F.col("cb_m")
+    ).withColumn("d", F.round(l2sq, 6))
+    w = W.partitionBy("vec_id", "sub_m").orderBy(F.col("d").asc(), F.col("cid").asc())
+    best = scored.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") == 1)
+    return best.groupBy("vec_id").agg(
+        *[
+            F.max(F.when(F.col("sub_m") == i, F.col("cid"))).alias(f"c{i}")
+            for i in range(m)
+        ],
+        F.round(F.sum("d"), 6).alias("qerr"),
+    )
+
+
 def ivf_knn(
     emb: DataFrame, n_queries: int = 5, k: int = 5, n_centroids: int = 16
 ) -> DataFrame:

@@ -162,6 +162,49 @@ SELECT doc_a, doc_b, jaccard FROM verified WHERE jaccard >= {JACCARD_THRESHOLD}
 """
 
 
+# --- product quantization ----------------------------------------------------
+
+
+def q_pq_quantization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ codes + quantization error per vector (operators/similarity.py
+    pq_codes): 64 floats → 4 sub-centroid ids."""
+    from pleiades_spark.operators.similarity import pq_codes
+
+    return pq_codes(_t(spark, sf_dir, "embeddings"))
+
+
+ORACLE_PQ_QUANTIZATION = """
+WITH v AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+         len(embedding) // 4 AS sl
+  FROM embeddings
+), subs AS (
+  SELECT vec_id, m, v[m * sl + 1 : (m + 1) * sl] AS subv, sl
+  FROM v, (SELECT unnest(range(0, 4)) AS m)
+), cb AS (
+  SELECT m, vec_id AS cid, subv AS cv FROM subs WHERE vec_id < 8
+), scored AS (
+  SELECT s.vec_id, s.m, c.cid,
+         round(list_sum(list_transform(range(1, s.sl + 1),
+               i -> (s.subv[i] - c.cv[i]) * (s.subv[i] - c.cv[i]))), 6) AS d
+  FROM subs s JOIN cb c ON s.m = c.m
+), best AS (
+  SELECT * FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id, m
+              ORDER BY d ASC, cid ASC) AS rk
+    FROM scored
+  ) WHERE rk = 1
+)
+SELECT vec_id,
+       max(CASE WHEN m = 0 THEN cid END) AS c0,
+       max(CASE WHEN m = 1 THEN cid END) AS c1,
+       max(CASE WHEN m = 2 THEN cid END) AS c2,
+       max(CASE WHEN m = 3 THEN cid END) AS c3,
+       round(sum(d), 6) AS qerr
+FROM best GROUP BY vec_id
+"""
+
+
 # --- simhash --------------------------------------------------------------
 
 MAX_HAMMING = 3
@@ -925,6 +968,8 @@ FROM (
 QUERIES = [
     Query("dedup_exact", q_dedup_exact, ORACLE_DEDUP_EXACT,
           "exact dedup via text-hash groupBy, deterministic representative"),
+    Query("pq_quantization", q_pq_quantization, ORACLE_PQ_QUANTIZATION,
+          "product quantization: 4 sub-centroid codes + error per vector"),
     Query("dedup_incremental", q_dedup_incremental, ORACLE_DEDUP_INCREMENTAL,
           "LSH near-dup pairs touching the new increment only (nightly job)"),
     Query("dedup_minhash_lsh", q_dedup_minhash, ORACLE_DEDUP_MINHASH,
