@@ -68,6 +68,8 @@ HEADLINE = [
     "value_anomalies",
     "bigram_lm_scores",
     "dedup_incremental",
+    "pq_quantization",
+    "lineitem_cube",
 ]
 
 
