@@ -225,6 +225,73 @@ def pq_codes(emb: DataFrame, m: int = PQ_M, k: int = PQ_K) -> DataFrame:
     )
 
 
+def pq_adc_knn(
+    emb: DataFrame, n_queries: int = 5, k: int = 8, m: int = PQ_M, n_cb: int = PQ_K
+) -> DataFrame:
+    """Approximate top-k via Asymmetric Distance Computation over PQ
+    codes: the query stays full-precision, the corpus is its m sub-
+    centroid ids, and each query builds an (m × k)-entry lookup table of
+    sub-distances — corpus distance = sum of m table lookups.
+
+    This is the memory-bound ANN regime PQ exists for: at 100 TB the
+    coded corpus is ~d·4/m× smaller than the vectors (64 floats → 4
+    bytes here), the LUT is broadcast-sized, and the scan does integer
+    joins instead of float vector math. Ranking is on quantized
+    distances, so recall < 1 by construction — and the oracle reproduces
+    the same approximation, error included.
+    """
+    v = emb.select("vec_id", as_double(F.col("embedding")).alias("v"))
+    sub_len = (F.size("v") / m).cast("int")
+
+    def exploded(df: DataFrame) -> DataFrame:
+        return df.select(
+            "vec_id",
+            F.posexplode(
+                F.array(*[F.slice("v", i * sub_len + 1, sub_len) for i in range(m)])
+            ).alias("sub_m", "subv"),
+        )
+
+    codes_long = (
+        pq_codes(emb, m, n_cb)
+        .select(
+            "vec_id",
+            F.posexplode(F.array(*[F.col(f"c{i}") for i in range(m)])).alias(
+                "sub_m", "cid"
+            ),
+        )
+    )
+    cb = exploded(v.filter(F.col("vec_id") < n_cb)).select(
+        F.col("sub_m").alias("cb_m"),
+        F.col("vec_id").alias("cid"),
+        F.col("subv").alias("cv"),
+    )
+    queries = exploded(v.filter(F.col("vec_id") < n_queries)).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("sub_m").alias("q_m"),
+        F.col("subv").alias("qv"),
+    )
+    l2sq = F.aggregate(
+        F.zip_with(F.col("qv"), F.col("cv"), lambda a, b: (a - b) * (a - b)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    lut = queries.join(
+        F.broadcast(cb), F.col("q_m") == F.col("cb_m")
+    ).select("query_id", F.col("q_m").alias("sub_m"), "cid", F.round(l2sq, 6).alias("d"))
+    adc = (
+        codes_long.join(F.broadcast(lut), ["sub_m", "cid"])
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .groupBy("query_id", "vec_id")
+        .agg(F.round(F.sum("d"), 6).alias("adc_d"))
+    )
+    w = W.partitionBy("query_id").orderBy(F.col("adc_d").asc(), F.col("vec_id").asc())
+    return (
+        adc.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "vec_id", "adc_d")
+    )
+
+
 def ivf_knn(
     emb: DataFrame, n_queries: int = 5, k: int = 5, n_centroids: int = 16
 ) -> DataFrame:

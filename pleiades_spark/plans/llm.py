@@ -173,6 +173,55 @@ def q_pq_quantization(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pq_codes(_t(spark, sf_dir, "embeddings"))
 
 
+def q_pq_adc_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ADC top-k over PQ codes: full-precision query vs coded corpus
+    via per-query (m×k) distance lookup tables."""
+    from pleiades_spark.operators.similarity import pq_adc_knn
+
+    return pq_adc_knn(_t(spark, sf_dir, "embeddings"))
+
+
+ORACLE_PQ_ADC_KNN = """
+WITH v AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+         len(embedding) // 4 AS sl
+  FROM embeddings
+), subs AS (
+  SELECT vec_id, m, v[m * sl + 1 : (m + 1) * sl] AS subv, sl
+  FROM v, (SELECT unnest(range(0, 4)) AS m)
+), cb AS (
+  SELECT m, vec_id AS cid, subv AS cv FROM subs WHERE vec_id < 8
+), scored AS (
+  SELECT s.vec_id, s.m, c.cid,
+         round(list_sum(list_transform(range(1, s.sl + 1),
+               i -> (s.subv[i] - c.cv[i]) * (s.subv[i] - c.cv[i]))), 6) AS d
+  FROM subs s JOIN cb c ON s.m = c.m
+), codes AS (
+  SELECT vec_id, m, cid FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id, m
+              ORDER BY d ASC, cid ASC) AS rk
+    FROM scored
+  ) WHERE rk = 1
+), lut AS (
+  SELECT s.vec_id AS query_id, s.m, c.cid,
+         round(list_sum(list_transform(range(1, s.sl + 1),
+               i -> (s.subv[i] - c.cv[i]) * (s.subv[i] - c.cv[i]))), 6) AS d
+  FROM subs s JOIN cb c ON s.m = c.m
+  WHERE s.vec_id < 5
+), adc AS (
+  SELECT l.query_id, co.vec_id, round(sum(l.d), 6) AS adc_d
+  FROM codes co JOIN lut l ON co.m = l.m AND co.cid = l.cid
+  WHERE co.vec_id <> l.query_id
+  GROUP BY l.query_id, co.vec_id
+)
+SELECT query_id, rank, vec_id, adc_d FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+            ORDER BY adc_d ASC, vec_id ASC) AS rank
+  FROM adc
+) WHERE rank <= 8
+"""
+
+
 ORACLE_PQ_QUANTIZATION = """
 WITH v AS (
   SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
@@ -970,6 +1019,8 @@ QUERIES = [
           "exact dedup via text-hash groupBy, deterministic representative"),
     Query("pq_quantization", q_pq_quantization, ORACLE_PQ_QUANTIZATION,
           "product quantization: 4 sub-centroid codes + error per vector"),
+    Query("pq_adc_knn", q_pq_adc_knn, ORACLE_PQ_ADC_KNN,
+          "ADC top-k over PQ codes (per-query LUT, integer-join scan)"),
     Query("dedup_incremental", q_dedup_incremental, ORACLE_DEDUP_INCREMENTAL,
           "LSH near-dup pairs touching the new increment only (nightly job)"),
     Query("dedup_minhash_lsh", q_dedup_minhash, ORACLE_DEDUP_MINHASH,
