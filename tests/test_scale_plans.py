@@ -176,6 +176,26 @@ def test_gapfill_windows_share_one_shuffle(spark, sf_dir):
     assert "CartesianProduct" not in plan
 
 
+def test_pq_adc_broadcast_lut_no_cartesian(spark, sf_dir):
+    """ADC search must broadcast the codebook/LUT sides; the coded corpus
+    joins on integers, never a cartesian against the queries."""
+    from pleiades_spark.plans.llm import q_pq_adc_knn
+
+    plan = _plan(q_pq_adc_knn(spark, sf_dir))
+    assert "BroadcastExchange" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_incremental_dedup_band_join_no_cartesian(spark, sf_dir):
+    """The increment restriction must ride the banded equi-join — adding
+    the is_new predicate must not degrade it to a nested loop."""
+    from pleiades_spark.plans.llm import q_dedup_incremental
+
+    plan = _plan(q_dedup_incremental(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
 def test_bucketed_join_eliminates_shuffle(spark, tmp_path):
     """Bucket both fact tables on the join key at write time → the join
     plans with ZERO shuffle exchanges (the 100 TB fact⋈fact strategy)."""
