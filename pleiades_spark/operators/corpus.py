@@ -374,15 +374,24 @@ PII_PATTERNS = (
 def pii_scrub(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """Redact PII spans, keeping per-kind counts for audit.
 
-    Counts are computed BEFORE scrubbing (on the original column — each
-    count is an independent regexp_count, one pass each); the scrub
-    itself is a chained regexp_replace in pattern order.
+    Each kind's count is taken on the text AFTER the previous kinds were
+    replaced, so the counts partition the matched spans: a 16-digit card
+    number that would also match the phone regex is counted once (as a
+    card), not twice. Each intermediate stage lands in a real column
+    (withColumn), so it's evaluated once per row and both the next count
+    and the next replace read it — no re-derivation of the whole chain
+    per stage.
     """
     out = docs
-    scrubbed = F.col(text_col)
+    prev = text_col
+    stage_cols = []
     for kind, pattern, token in PII_PATTERNS:
         out = out.withColumn(
-            f"n_{kind}", F.regexp_count(F.col(text_col), F.lit(pattern))
+            f"n_{kind}", F.regexp_count(F.col(prev), F.lit(pattern))
         )
-        scrubbed = F.regexp_replace(scrubbed, pattern, token)
-    return out.withColumn("scrubbed_text", scrubbed)
+        stage = f"_pii_stage_{kind}"
+        out = out.withColumn(stage, F.regexp_replace(F.col(prev), pattern, token))
+        stage_cols.append(stage)
+        prev = stage
+    out = out.withColumn("scrubbed_text", F.col(prev))
+    return out.drop(*stage_cols)

@@ -915,17 +915,23 @@ def q_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     by broadcast cross join — no driver round-trip, no collect."""
     li = _t(spark, sf_dir, "lineitem")
     value = F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
-    per_part = li.groupBy("l_partkey").agg(F.round(value, 4).alias("part_value"))
+    # Carry the UNROUNDED sum alongside the display-rounded part_value and
+    # compute share/threshold from it, mirroring the oracle's pv CTE — a
+    # share built from the 4-dp-rounded value can flip rows that land on a
+    # 6-dp rounding boundary across engines.
+    per_part = li.groupBy("l_partkey").agg(
+        F.round(value, 4).alias("part_value"), value.alias("raw_value")
+    )
     total = li.agg(value.alias("total_value"))
     return (
         per_part.join(F.broadcast(total))
         .filter(
-            F.round(F.col("part_value") / F.col("total_value"), 6) > 0.00055
+            F.round(F.col("raw_value") / F.col("total_value"), 6) > 0.00055
         )
         .select(
             "l_partkey",
             "part_value",
-            F.round(F.col("part_value") / F.col("total_value"), 6).alias("share"),
+            F.round(F.col("raw_value") / F.col("total_value"), 6).alias("share"),
         )
     )
 

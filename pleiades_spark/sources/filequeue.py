@@ -53,10 +53,18 @@ def write_filequeue(df: DataFrame, path: str, prefix: str = "0") -> int:
     itself (one file per event, filepublisher.go:76-111) remains
     pathological at scale — see module note; the writer just stops being
     the extra bottleneck.
+
+    ``path`` must be a filesystem every executor can see (NFS or a shared
+    mount) for multi-node use — plain ``open()`` writes to the executor's
+    local view of the path. Each partition task makedirs on its own node
+    so the job doesn't depend on the driver sharing a disk with executors.
     """
     os.makedirs(path, exist_ok=True)
 
     def _write_partition(pid: int, rows) -> "list[int]":
+        # runs on the executor — the driver-side makedirs above does not
+        # exist on this node unless path is a shared filesystem
+        os.makedirs(path, exist_ok=True)
         n = 0
         for row in rows:
             fname = os.path.join(path, f"{prefix}-event-{pid}-{n}.dat")

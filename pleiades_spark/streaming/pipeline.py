@@ -250,6 +250,53 @@ def start_counters_to_parquet(
     )
 
 
+def _swap_day_partitions(
+    spark: SparkSession,
+    staged: DataFrame,
+    table_path: str,
+    partition_cols: list[str],
+    target_days: list[int],
+) -> None:
+    """Replace ``day=<d>`` subtrees of a day-partitioned parquet table with
+    freshly computed content, day-atomically.
+
+    Stage-and-swap: the recompute is first fully written to a hidden
+    ``.staging-*`` directory inside the table (same filesystem, so rename
+    is a metadata move, and the leading dot keeps Spark/Hadoop partition
+    discovery from ever listing it). Only then is each live ``day=<d>``
+    subtree deleted and the staged one renamed into place — two metadata
+    operations, not a full rewrite, so the window in which a concurrent
+    reader can observe a missing day shrinks from the whole job to
+    microseconds, and a crash mid-swap leaves the staged data on disk
+    (a rerun converges; nothing is lost). A day the recompute produced no
+    rows for is deleted and not replaced — that day genuinely has no
+    content anymore. True multi-day transactional commit needs a table
+    format with a log (Delta/Iceberg); this is the strongest guarantee
+    plain parquet directories support.
+    """
+    import uuid
+
+    staging_root = f"{table_path}/.staging-{uuid.uuid4().hex}"
+    (
+        staged.write.mode("overwrite")
+        .partitionBy(*partition_cols)
+        .parquet(staging_root)
+    )
+    jvm = spark._jvm
+    hconf = spark._jsc.hadoopConfiguration()
+    root = jvm.org.apache.hadoop.fs.Path(table_path)
+    fs = root.getFileSystem(hconf)
+    try:
+        for d in target_days:
+            live = jvm.org.apache.hadoop.fs.Path(f"{table_path}/day={d}")
+            stage = jvm.org.apache.hadoop.fs.Path(f"{staging_root}/day={d}")
+            fs.delete(live, True)
+            if fs.exists(stage):
+                fs.rename(stage, live)
+    finally:
+        fs.delete(jvm.org.apache.hadoop.fs.Path(staging_root), True)
+
+
 def forget_user(
     spark: SparkSession,
     archive_path: str,
@@ -281,25 +328,18 @@ def forget_user(
     )
     if not touched:
         return []
-    # Materialize the surviving rows BEFORE deleting their partitions
-    # (lazy scan over a deleted dir would read nothing), then drop each
-    # touched day dir — a day whose only events were this user's must
-    # vanish, and dynamic overwrite alone never deletes an
-    # empty-in-new-data partition.
+    # The staging write in _swap_day_partitions materializes the survivors
+    # before any live partition is touched, so the lazy scan never reads a
+    # deleted dir; a day whose only events were this user's gets no staged
+    # subtree and is deleted outright (dynamic overwrite alone never
+    # deletes an empty-in-new-data partition).
     survivors = (
         events.withColumn(
             "day", F.floor(F.unix_timestamp("ts") / 86400).cast("long")
         )
         .filter(F.col("day").isin(touched) & (F.col("user_id") != user_id))
-        .localCheckpoint(eager=True)
     )
-    jvm = spark._jvm
-    hconf = spark._jsc.hadoopConfiguration()
-    for d in touched:
-        p = jvm.org.apache.hadoop.fs.Path(f"{archive_path}/day={d}")
-        p.getFileSystem(hconf).delete(p, True)
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    survivors.write.mode("overwrite").partitionBy("day").parquet(archive_path)
+    _swap_day_partitions(spark, survivors, archive_path, ["day"], touched)
     clean = spark.read.parquet(archive_path).drop("day")
     return backfill_counters(spark, clean, counters_path, days=touched)
 
@@ -331,9 +371,12 @@ def backfill_counters(
     Redis whenever an event shows up (kafka/aggregator.go:174-199). This
     job closes that gap kappa-style: the archive is the source of truth,
     and any day it recomputes REPLACES the streaming result for that day
-    — idempotent, re-runnable, safe to run while the stream is live
-    (day-atomic: readers see old or new day content, never a blend of a
-    partially-applied day).
+    — idempotent and re-runnable. Day replacement is stage-and-swap
+    (_swap_day_partitions): a reader never sees a blend of old and new
+    content within a day; the residual exposure while a day's subtree is
+    swapped is two filesystem metadata ops wide, during which that day
+    reads as absent, and a crash there leaves the staged recompute on
+    disk for the rerun.
 
     ``days`` limits the recompute (the usual call passes the late events'
     days); None recomputes every day present in ``events``.
@@ -351,21 +394,18 @@ def backfill_counters(
         if days is not None
         else sorted(r["day"] for r in agg.select("day").distinct().collect())
     )
-    # Dynamic overwrite only replaces (day, counter) partitions present in
-    # the recompute — a counter the stream wrote for a recomputed day that
-    # the authoritative recompute lacks (e.g. replay overcounts being
-    # corrected) would linger. Drop each day's subtree first, through the
-    # Hadoop FS API so the same code works on HDFS/S3A, not just local.
-    jvm = spark._jvm
-    hconf = spark._jsc.hadoopConfiguration()
-    for d in target_days:
-        p = jvm.org.apache.hadoop.fs.Path(f"{counters_path}/day={d}")
-        p.getFileSystem(hconf).delete(p, True)
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    (
-        agg.select("day", "counter", "events", "growth")
-        .write.mode("overwrite")
-        .partitionBy("day", "counter")
-        .parquet(counters_path)
+    # Whole-day swap, not dynamic overwrite: dynamic overwrite only
+    # replaces (day, counter) partitions present in the recompute — a
+    # counter the stream wrote for a recomputed day that the authoritative
+    # recompute lacks (e.g. replay overcounts being corrected) would
+    # linger. _swap_day_partitions stages the recompute then renames each
+    # day's subtree into place (Hadoop FS API — works on HDFS/S3A, not
+    # just local).
+    _swap_day_partitions(
+        spark,
+        agg.select("day", "counter", "events", "growth"),
+        counters_path,
+        ["day", "counter"],
+        target_days,
     )
     return target_days

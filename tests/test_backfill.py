@@ -90,6 +90,10 @@ def test_backfill_reconciles_dropped_late_event(spark, tmp_path):
     truth = {k: (v[0], float(v[1])) for k, v in _batch_truth(spark, base).items()}
     assert got == truth  # late day restored, stale counter gone, on-time intact
     assert (late_day, "pleiades_total") in got
+    # stage-and-swap leaves no staging residue behind
+    import os
+
+    assert not [d for d in os.listdir(out) if d.startswith(".staging")]
 
 
 def test_forget_user_purges_archive_and_reconciles_counters(spark, tmp_path):

@@ -85,6 +85,9 @@ def test_pii_scrub_synthetic(spark):
     assert "<EMAIL>" in got[0].scrubbed_text and "<PHONE>" in got[0].scrubbed_text
     assert "alice@example.com" not in got[0].scrubbed_text
     assert got[1].n_ssn == 1 and got[1].n_card == 1
+    # counts partition the spans: the 16-digit card also matches the phone
+    # regex but must be counted once (card), not again as a phone
+    assert got[1].n_phone == 0
     assert "<SSN>" in got[1].scrubbed_text and "<CARD>" in got[1].scrubbed_text
     assert "4111" not in got[1].scrubbed_text
     assert got[2].scrubbed_text == "clean document with no pii at all"
