@@ -1340,6 +1340,191 @@ FROM pass
 """
 
 
+def q_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8: one nation's share of a region's market for a part type,
+    per order year — conditional-over-unconditional sum ratio after a
+    6-table snowflake join.
+
+    Shuffle budget: the only fact-fact shuffle is lineitem⋈orders on
+    orderkey; part (type-filtered), supplier, and both nation legs plus
+    region broadcast. The share is computed in the SAME aggregation pass
+    (sum(when)/sum), never a self-join."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part").filter(F.col("p_type") == "STANDARD")
+    orders = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    cust = _t(spark, sf_dir, "customer")
+    supp = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region").filter(F.col("r_name") == "AMERICA")
+    cust_nation = nation.select(
+        F.col("n_nationkey").alias("cn_key"), F.col("n_regionkey").alias("cn_region")
+    )
+    supp_nation = nation.select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")
+    )
+    volume = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(cust_nation), F.col("c_nationkey") == F.col("cn_key"))
+        .join(F.broadcast(region), F.col("cn_region") == F.col("r_regionkey"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(supp_nation), F.col("s_nationkey") == F.col("sn_key"))
+        .groupBy(F.year("o_orderdate").alias("o_year"))
+        .agg(
+            F.round(
+                100
+                * F.sum(
+                    F.when(F.col("supp_nation") == "NATION_3", volume).otherwise(
+                        F.lit(0.0)
+                    )
+                )
+                / F.sum(volume),
+                4,
+            ).alias("mkt_share_pct")
+        )
+    )
+
+
+ORACLE_MARKET_SHARE = """
+SELECT CAST(year(o_orderdate) AS INT) AS o_year,
+       round(100 * sum(CASE WHEN sn.n_name = 'NATION_3'
+                            THEN l_extendedprice * (1 - l_discount)
+                            ELSE 0 END)
+             / sum(l_extendedprice * (1 - l_discount)), 4) AS mkt_share_pct
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation cn ON c_nationkey = cn.n_nationkey
+JOIN region ON cn.n_regionkey = r_regionkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation sn ON s_nationkey = sn.n_nationkey
+WHERE p_type = 'STANDARD' AND r_name = 'AMERICA'
+  AND o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate < TIMESTAMP '1998-01-01'
+GROUP BY year(o_orderdate)
+"""
+
+
+def q_parts_supplier_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape: how many distinct suppliers stock each
+    (brand, type, size) bucket, excluding one brand, one type family, and
+    'complaint' suppliers.
+
+    Adapted: no partsupp table, so the part↔supplier relation is the
+    DISTINCT (l_partkey, l_suppkey) pairs observed in lineitem, and the
+    complaint exclusion (ps_comment LIKE '%Complaints%' in spec) becomes
+    s_acctbal < 0. Excluded suppliers leave via a broadcast anti join
+    BEFORE the distinct — the count-distinct shuffle then keys on
+    (brand, type, size), low cardinality by construction."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#9")
+        & (~F.col("p_type").like("PROMO%"))
+        & F.col("p_size").isin(1, 9, 19, 29, 39, 49)
+    )
+    bad_supp = (
+        _t(spark, sf_dir, "supplier")
+        .filter(F.col("s_acctbal") < 0)
+        .select(F.col("s_suppkey").alias("l_suppkey"))
+    )
+    rel = (
+        li.select("l_partkey", "l_suppkey")
+        .join(F.broadcast(bad_supp), "l_suppkey", "left_anti")
+        .distinct()
+    )
+    return (
+        rel.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.count_distinct(F.col("l_suppkey")).alias("supplier_cnt"))
+    )
+
+
+ORACLE_PARTS_SUPPLIER_COUNTS = """
+SELECT p_brand, p_type, p_size,
+       CAST(count(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem
+      WHERE l_suppkey NOT IN
+            (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)) rel
+JOIN part ON l_partkey = p_partkey
+WHERE p_brand <> 'Brand#9' AND p_type NOT LIKE 'PROMO%'
+  AND p_size IN (1, 9, 19, 29, 39, 49)
+GROUP BY p_brand, p_type, p_size
+"""
+
+
+def q_dominant_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape: suppliers holding an outsized fraction of a part's
+    flow — correlated 'more than half of the part's total' threshold,
+    then a semi join back to the supplier dim.
+
+    Adapted: no partsupp availqty, so the spec's ``availqty > 0.5 * sum
+    shipped`` becomes 'shipped > 0.5 × the part's total 1997 volume'.
+    Decorrelated the Spark-first way: ONE groupBy to (partkey, suppkey),
+    then a window sum over partkey for the denominator. That costs two
+    exchanges, but the first ships map-side-combined pairs (lineitem rows
+    collapse to (part, supp) partials before the wire) and the second
+    ships the final pairs — both tiny relative to the fact scan, which is
+    itself pre-pruned by the broadcast semi join on the name-filtered
+    part keys. Threshold math stays exact: l_quantity is integral-valued,
+    0.5 is a power of two, so both engines compare identical doubles."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    part_keys = (
+        _t(spark, sf_dir, "part")
+        .filter(F.col("p_name").like("small%"))
+        .select(F.col("p_partkey").alias("l_partkey"))
+    )
+    supp = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_2")
+    per_ps = (
+        li.join(F.broadcast(part_keys), "l_partkey", "left_semi")
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.sum("l_quantity").alias("supp_qty"))
+    )
+    total = F.sum("supp_qty").over(W.partitionBy("l_partkey"))
+    dominant = (
+        per_ps.withColumn("part_qty", total)
+        .filter(F.col("supp_qty") > 0.5 * F.col("part_qty"))
+        .select("l_suppkey")
+        .distinct()
+    )
+    return (
+        supp.join(dominant, F.col("s_suppkey") == F.col("l_suppkey"), "left_semi")
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey", "s_name", F.round(F.col("s_acctbal"), 4).alias("acctbal"))
+    )
+
+
+ORACLE_DOMINANT_SUPPLIERS = """
+WITH per_ps AS (
+  SELECT l_partkey, l_suppkey, sum(l_quantity) AS supp_qty
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+    AND l_shipdate < TIMESTAMP '1998-01-01'
+    AND l_partkey IN (SELECT p_partkey FROM part WHERE p_name LIKE 'small%')
+  GROUP BY l_partkey, l_suppkey
+), dom AS (
+  SELECT DISTINCT l_suppkey FROM (
+    SELECT l_suppkey, supp_qty,
+           sum(supp_qty) OVER (PARTITION BY l_partkey) AS part_qty
+    FROM per_ps
+  ) WHERE supp_qty > 0.5 * part_qty
+)
+SELECT s_suppkey, s_name, round(s_acctbal, 4) AS acctbal
+FROM supplier
+JOIN nation ON s_nationkey = n_nationkey
+WHERE n_name = 'NATION_2' AND s_suppkey IN (SELECT l_suppkey FROM dom)
+"""
+
+
 QUERIES = [
     Query("pricing_summary", q_pricing_summary, ORACLE_PRICING_SUMMARY,
           "TPC-H Q1: wide hash agg with pushdown filter"),
@@ -1417,4 +1602,11 @@ QUERIES = [
           "Count-Min Sketch top-20 frequency estimation (replayed error)"),
     Query("bloom_semi_prune", q_bloom_semi_prune, ORACLE_BLOOM_SEMI_PRUNE,
           "Bloom-filter join pruning with deterministic false-positive count"),
+    Query("market_share", q_market_share, ORACLE_MARKET_SHARE,
+          "TPC-H Q8: nation share of regional market per year, 6-table snowflake"),
+    Query("parts_supplier_counts", q_parts_supplier_counts,
+          ORACLE_PARTS_SUPPLIER_COUNTS,
+          "TPC-H Q16 shape: distinct-supplier counts with anti-join exclusion"),
+    Query("dominant_suppliers", q_dominant_suppliers, ORACLE_DOMINANT_SUPPLIERS,
+          "TPC-H Q20 shape: correlated fraction-of-part threshold + semi join"),
 ]
