@@ -628,6 +628,166 @@ FROM (
 """
 
 
+# --- repetition quality filters (Gopher-style) -------------------------------
+
+# Thresholds in the spirit of the published Gopher/MassiveText repetition
+# rules (Rae et al. 2021, table A1): docs dominated by one bigram or by
+# repeated 5-grams are boilerplate/spam. Exact values are corpus-tunable.
+TOP_BIGRAM_CHAR_MAX = 0.20
+DUP_5GRAM_CHAR_MAX = 0.15
+
+
+def q_gopher_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition filters per document: duplicate-word
+    fraction, most-frequent-bigram character fraction, duplicated-5-gram
+    character fraction, and the keep/drop flag. Complements
+    plans/corpus.q_repetition_scores (the cheap repeated-trigram map
+    stage) with the full per-gram accounting that needs a shuffle.
+
+    The fixture corpus has no newlines, so the paper's line-level rules
+    are expressed at the word level. Char attribution counts every
+    occurrence's characters (count × gram length) rather than the union
+    of covered spans — simpler, deterministic, and monotone in the same
+    boilerplate signal.
+
+    Scale shape: the word array is computed ONCE into a real column (HOF
+    re-evaluation trap), n-grams explode → groupBy (doc_id, gram) with
+    map-side combine, then one per-doc reduction each — every shuffle is
+    keyed by doc_id(+gram), never global. Ratios divide exact integers so
+    both engines quantize identical doubles (floor(x·10⁴+0.5)/10⁴)."""
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", "text", F.split("text", " ").alias("words")
+    )
+    # Not cached: words arrays for a 100 TB corpus dwarf cluster memory;
+    # re-deriving the map-only split per branch is cheaper than spilling.
+    base = docs.select(
+        "doc_id",
+        F.length("text").alias("n_chars"),
+        F.size("words").alias("n_words"),
+        F.size(F.array_distinct("words")).alias("n_distinct_words"),
+        "words",
+    )
+
+    g2 = base.filter(F.col("n_words") >= 2).select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "zip_with(slice(words, 1, size(words) - 1),"
+                " slice(words, 2, size(words) - 1),"
+                " (a, b) -> concat(a, ' ', b))"
+            )
+        ).alias("gram"),
+    )
+    c2 = g2.groupBy("doc_id", "gram").agg(F.count(F.lit(1)).alias("cnt"))
+    w2 = W.partitionBy("doc_id").orderBy(F.col("cnt").desc(), F.col("gram").asc())
+    top2 = (
+        c2.withColumn("rn", F.row_number().over(w2))
+        .filter(F.col("rn") == 1)
+        .select(
+            "doc_id",
+            F.col("gram").alias("top_bigram"),
+            F.col("cnt").alias("top_bigram_count"),
+            (F.col("cnt") * F.length("gram")).alias("top2_chars"),
+        )
+    )
+
+    g5 = base.filter(F.col("n_words") >= 5).select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(words) - 4),"
+                " i -> concat_ws(' ', slice(words, i, 5)))"
+            )
+        ).alias("gram"),
+    )
+    dup5 = (
+        g5.groupBy("doc_id", "gram")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select(
+            "doc_id",
+            F.when(F.col("cnt") > 1, F.col("cnt") * F.length("gram"))
+            .otherwise(F.lit(0))
+            .alias("chars"),
+        )
+        .groupBy("doc_id")
+        .agg(F.sum("chars").alias("dup5_chars"))
+    )
+
+    q4 = lambda c: F.floor(c * 1e4 + F.lit(0.5)) / 1e4  # noqa: E731
+    dup_word_frac = q4(
+        (F.col("n_words") - F.col("n_distinct_words")) / F.col("n_words")
+    )
+    top2_frac = q4(F.coalesce(F.col("top2_chars"), F.lit(0)) / F.col("n_chars"))
+    dup5_frac = q4(F.coalesce(F.col("dup5_chars"), F.lit(0)) / F.col("n_chars"))
+    return (
+        base.join(top2, "doc_id", "left")
+        .join(dup5, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_words",
+            dup_word_frac.alias("dup_word_frac"),
+            F.coalesce(F.col("top_bigram"), F.lit("")).alias("top_bigram"),
+            F.coalesce(F.col("top_bigram_count"), F.lit(0)).alias("top_bigram_count"),
+            top2_frac.alias("top_bigram_char_frac"),
+            dup5_frac.alias("dup_5gram_char_frac"),
+            (
+                (top2_frac > TOP_BIGRAM_CHAR_MAX)
+                | (dup5_frac > DUP_5GRAM_CHAR_MAX)
+            ).alias("repetitive"),
+        )
+    )
+
+
+ORACLE_GOPHER_REPETITION = f"""
+WITH base AS (
+  SELECT doc_id, length(text) AS n_chars, {_TOKS} AS words,
+         len({_TOKS}) AS n_words,
+         len(list_distinct({_TOKS})) AS n_distinct_words
+  FROM documents
+), g2 AS (
+  SELECT doc_id, unnest(list_transform(range(1, len(words)),
+                        i -> words[i] || ' ' || words[i + 1])) AS gram
+  FROM base WHERE n_words >= 2
+), c2 AS (
+  SELECT doc_id, gram, count(*) AS cnt FROM g2 GROUP BY doc_id, gram
+), top2 AS (
+  SELECT doc_id, gram AS top_bigram, cnt AS top_bigram_count,
+         cnt * length(gram) AS top2_chars
+  FROM (SELECT *, row_number() OVER (PARTITION BY doc_id
+                                     ORDER BY cnt DESC, gram ASC) AS rn
+        FROM c2)
+  WHERE rn = 1
+), g5 AS (
+  SELECT doc_id, unnest(list_transform(range(1, len(words) - 3),
+                        i -> concat_ws(' ', words[i], words[i + 1], words[i + 2],
+                                       words[i + 3], words[i + 4]))) AS gram
+  FROM base WHERE n_words >= 5
+), dup5 AS (
+  SELECT doc_id,
+         sum(CASE WHEN cnt > 1 THEN cnt * length(gram) ELSE 0 END) AS dup5_chars
+  FROM (SELECT doc_id, gram, count(*) AS cnt FROM g5 GROUP BY doc_id, gram)
+  GROUP BY doc_id
+)
+SELECT b.doc_id,
+       CAST(n_words AS INT) AS n_words,
+       floor((n_words - n_distinct_words) * 1.0 / n_words * 1e4 + 0.5) / 1e4
+         AS dup_word_frac,
+       coalesce(top_bigram, '') AS top_bigram,
+       CAST(coalesce(top_bigram_count, 0) AS BIGINT) AS top_bigram_count,
+       floor(coalesce(top2_chars, 0) * 1.0 / n_chars * 1e4 + 0.5) / 1e4
+         AS top_bigram_char_frac,
+       floor(coalesce(dup5_chars, 0) * 1.0 / n_chars * 1e4 + 0.5) / 1e4
+         AS dup_5gram_char_frac,
+       (floor(coalesce(top2_chars, 0) * 1.0 / n_chars * 1e4 + 0.5) / 1e4
+          > {TOP_BIGRAM_CHAR_MAX}
+        OR floor(coalesce(dup5_chars, 0) * 1.0 / n_chars * 1e4 + 0.5) / 1e4
+          > {DUP_5GRAM_CHAR_MAX}) AS repetitive
+FROM base b
+LEFT JOIN top2 USING (doc_id)
+LEFT JOIN dup5 USING (doc_id)
+"""
+
+
 # --- n-gram language ID -----------------------------------------------------
 
 # Character-trigram profiles (tiny frozen codebook). The classifier shape is
@@ -1043,6 +1203,8 @@ QUERIES = [
           "IVF-bucketed approximate top-k (nprobe=1)"),
     Query("text_quality_scores", q_text_quality, ORACLE_TEXT_QUALITY,
           "per-doc quality: TTR, stopword/digit ratios, composite score"),
+    Query("gopher_repetition", q_gopher_repetition, ORACLE_GOPHER_REPETITION,
+          "Gopher-style repetition filters: dup words, top bigram, dup 5-grams"),
     Query("lang_id_ngram", q_lang_id, ORACLE_LANG_ID,
           "character-trigram language ID vs profile codebook"),
     Query("token_counts", q_token_counts, ORACLE_TOKEN_COUNTS,
