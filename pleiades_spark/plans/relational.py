@@ -1282,10 +1282,15 @@ def q_bloom_semi_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     runtime bloom join pruning, false positives counted deterministically."""
     orders = _t(spark, sf_dir, "orders")
     li = _t(spark, sf_dir, "lineitem")
+    # The filtered dim key set feeds BOTH the bloom build (collected to a
+    # bitmap) and the truth-marking broadcast join below — materialize it
+    # once. It's the bloom's build side, small by contract (that's why a
+    # bloom prune applies at all).
     dim = (
         orders.filter(F.col("o_totalprice") > BLOOM_PRICE_MIN)
         .select(F.col("o_orderkey").cast("string").alias("k"))
         .distinct()
+        .localCheckpoint(eager=True)
     )
     bloom = bloom_build(dim, F.col("k"))
     fact = li.select(

@@ -137,14 +137,19 @@ def test_cms_sketch_broadcast_on_probe(spark, sf_dir):
     assert "TakeOrderedAndProject" in plan
 
 
-def test_bloom_prune_broadcast_semi_joins(spark, sf_dir):
-    """Each bloom position check must be a broadcast LEFT SEMI join — the
-    fact side never shuffles for the membership test."""
+def test_bloom_prune_is_map_side_filter(spark, sf_dir):
+    """The bloom membership test must compile into the fact scan as a
+    plain Filter over the literal bitmap — no joins, no shuffle of the
+    fact side. Only the truth-marking join (a query concern, not the
+    prune) may appear, and it must broadcast."""
     from pleiades_spark.plans.relational import q_bloom_semi_prune
 
     plan = _plan(q_bloom_semi_prune(spark, sf_dir))
-    assert plan.count("BroadcastHashJoin") >= 3
-    assert "LeftSemi" in plan
+    # exactly the one truth-marking broadcast join; membership adds none
+    # (formatted explain names each node twice: tree + detail section)
+    assert plan.count("BroadcastHashJoin") == 2
+    assert "LeftSemi" not in plan
+    assert "element_at" in plan  # bitmap word probe in the filter
     # the fact (lineitem) side reads only the join key + measure
     read = plan.split("ReadSchema")[-1].splitlines()[0]
     assert "l_comment" not in read
