@@ -70,6 +70,11 @@ HEADLINE = [
     "dedup_incremental",
     "pq_quantization",
     "lineitem_cube",
+    # round 3: TPC-H completion + repetition filters
+    "market_share",
+    "parts_supplier_counts",
+    "dominant_suppliers",
+    "gopher_repetition",
 ]
 
 

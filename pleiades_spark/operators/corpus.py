@@ -137,6 +137,53 @@ def stratified_sample(docs: DataFrame, rates: dict[str, int] | None = None) -> D
     )
 
 
+MIX_BUDGET = 300  # document budget for the temperature mixture
+
+
+def temperature_mixture(
+    docs: DataFrame, budget: int = MIX_BUDGET
+) -> tuple[DataFrame, DataFrame]:
+    """Temperature-weighted language mixture sampling (T = 2, i.e.
+    α = 1/T = 0.5): w_l ∝ p_l^0.5 — the standard rebalancing that
+    up-samples tail languages relative to their natural share (used by
+    every multilingual pretraining mixture since XLM-R).
+
+    Returns (sampled_docs, lut). The lut is one row per language:
+    natural count, mixture weight, target doc count for ``budget``, and
+    the 1/10000 sampling threshold. Selection is the deterministic
+    (salt, doc_id) hash bucket — replayable, growth-stable, and
+    partition-independent, like stratified_sample.
+
+    α = 0.5 is computed via sqrt(), which IEEE-754 requires to be
+    correctly rounded — both engines derive bit-identical weights from
+    identical counts (pow() has no such guarantee across libms).
+
+    Scale shape: two tiny aggs (per-lang counts, their sq-sum), one
+    broadcast of the lang-cardinality lut, one map-side hash filter over
+    the corpus. Nothing shuffles the documents themselves."""
+    counts = docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n_docs"))
+    total = counts.agg(F.sum("n_docs").alias("n_total"))
+    c = counts.join(F.broadcast(total)).withColumn(
+        "sq", F.sqrt(F.col("n_docs") / F.col("n_total"))
+    )
+    sq_sum = c.agg(F.sum("sq").alias("sq_sum"))
+    lut = (
+        c.join(F.broadcast(sq_sum))
+        .withColumn("weight", F.col("sq") / F.col("sq_sum"))
+        .withColumn("target", F.col("weight") * F.lit(float(budget)))
+        .withColumn(
+            "rate", F.least(F.lit(1.0), F.col("target") / F.col("n_docs"))
+        )
+        .withColumn("r10k", F.floor(F.col("rate") * 10000).cast("int"))
+        .select("lang", "n_docs", "weight", "target", "r10k")
+    )
+    sampled = docs.join(F.broadcast(lut.select("lang", "r10k")), "lang").filter(
+        h32(F.concat(F.lit("mix:"), F.col("doc_id").cast("string"))) % 10000
+        < F.col("r10k")
+    )
+    return sampled, lut
+
+
 SPLIT_TRAIN, SPLIT_VAL = 80, 90  # train <80, val 80-89, test 90-99
 
 

@@ -17,6 +17,7 @@ from pleiades_spark.functions.hashing import h32_sql
 from pleiades_spark.functions.text import tokens, word_shingles_sql
 from pleiades_spark.operators.corpus import (
     CHUNK_SIZE,
+    MIX_BUDGET,
     CHUNK_STRIDE,
     DECONTAM_MAX_DF,
     DEFAULT_RATE,
@@ -125,6 +126,53 @@ def q_corpus_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLE_CORPUS_SAMPLE = f"""
 SELECT doc_id, lang, source FROM documents
 WHERE {_SAMPLE_BUCKET_SQL} < {_RATE_CASE_SQL}
+"""
+
+
+def q_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature mixture (α = 0.5) per-language accounting: natural
+    count, weight, target for the doc budget, sampling threshold, and
+    the realized sampled count."""
+    from pleiades_spark.operators.corpus import temperature_mixture
+
+    sampled, lut = temperature_mixture(_t(spark, sf_dir, "documents"))
+    n_sampled = sampled.groupBy("lang").agg(F.count(F.lit(1)).alias("n_sampled"))
+    return (
+        lut.join(n_sampled, "lang", "left")
+        .select(
+            "lang",
+            "n_docs",
+            F.round(F.col("weight"), 6).alias("weight"),
+            F.round(F.col("target"), 4).alias("target"),
+            "r10k",
+            F.coalesce(F.col("n_sampled"), F.lit(0)).alias("n_sampled"),
+        )
+    )
+
+
+_MIX_BUCKET_SQL = h32_sql("concat('mix:', CAST(doc_id AS VARCHAR))") + " % 10000"
+
+ORACLE_MIXTURE_SAMPLE = f"""
+WITH c AS (SELECT lang, count(*) AS n_docs FROM documents GROUP BY lang),
+t AS (SELECT sum(n_docs) AS n_total FROM c),
+s AS (SELECT lang, n_docs, sqrt(n_docs * 1.0 / n_total) AS sq FROM c, t),
+ss AS (SELECT sum(sq) AS sq_sum FROM s),
+lut AS (
+  SELECT lang, n_docs, sq / sq_sum AS weight,
+         sq / sq_sum * {float(MIX_BUDGET)} AS target,
+         CAST(floor(least(1.0, sq / sq_sum * {float(MIX_BUDGET)} / n_docs)
+                    * 10000) AS INT) AS r10k
+  FROM s, ss
+), samp AS (
+  SELECT d.lang, count(*) AS n_sampled
+  FROM documents d JOIN lut USING (lang)
+  WHERE {_MIX_BUCKET_SQL} < r10k
+  GROUP BY d.lang
+)
+SELECT lang, CAST(n_docs AS BIGINT) AS n_docs, round(weight, 6) AS weight,
+       round(target, 4) AS target, r10k,
+       CAST(coalesce(n_sampled, 0) AS BIGINT) AS n_sampled
+FROM lut LEFT JOIN samp USING (lang)
 """
 
 
@@ -537,6 +585,8 @@ QUERIES = [
           "smoothed TF-IDF top-k distinctive terms per doc"),
     Query("corpus_sample", q_corpus_sample, ORACLE_CORPUS_SAMPLE,
           "deterministic hash-bucket stratified sampling per language"),
+    Query("mixture_sample", q_mixture_sample, ORACLE_MIXTURE_SAMPLE,
+          "temperature-weighted (α=0.5) language mixture sampling + lut"),
     Query("corpus_split_counts", q_corpus_split_counts, ORACLE_CORPUS_SPLIT_COUNTS,
           "stable train/val/test hash split (contamination-proof)"),
     Query("bigram_counts", q_bigram_counts, ORACLE_BIGRAM_COUNTS,

@@ -628,6 +628,52 @@ FROM (
 """
 
 
+# --- quality decile stratification (ntile) -----------------------------------
+
+
+def q_quality_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language quality deciles: ntile(10) over the composite quality
+    score (total order: score, doc_id), then per-(lang, decile) stats —
+    the stratification step before decile-targeted filtering or
+    curriculum sampling.
+
+    ntile needs a per-partition sort; partitioning by lang keeps it off
+    the single-partition global-window path. Exact deciles of a truly
+    huge single language would instead use approx_percentile boundaries
+    + a width-bucket join (sketch-sized, no sort) — exactness here is
+    what makes the cross-engine oracle possible."""
+    scored = q_text_quality(spark, sf_dir).select(
+        "doc_id", "lang", "n_tokens", "quality"
+    )
+    w = W.partitionBy("lang").orderBy(F.col("quality").asc(), F.col("doc_id").asc())
+    return (
+        scored.withColumn("decile", F.ntile(10).over(w))
+        .groupBy("lang", "decile")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("quality").alias("min_quality"),
+            F.max("quality").alias("max_quality"),
+            F.round(F.avg("n_tokens"), 4).alias("avg_tokens"),
+        )
+    )
+
+
+ORACLE_QUALITY_DECILES = f"""
+WITH scored AS (
+  SELECT doc_id, lang, n_tokens, quality FROM ({ORACLE_TEXT_QUALITY}) tq
+)
+SELECT lang, CAST(decile AS INT) AS decile,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       min(quality) AS min_quality,
+       max(quality) AS max_quality,
+       round(avg(n_tokens), 4) AS avg_tokens
+FROM (SELECT *, ntile(10) OVER (PARTITION BY lang
+                                ORDER BY quality ASC, doc_id ASC) AS decile
+      FROM scored)
+GROUP BY lang, decile
+"""
+
+
 # --- repetition quality filters (Gopher-style) -------------------------------
 
 # Thresholds in the spirit of the published Gopher/MassiveText repetition
@@ -1205,6 +1251,8 @@ QUERIES = [
           "per-doc quality: TTR, stopword/digit ratios, composite score"),
     Query("gopher_repetition", q_gopher_repetition, ORACLE_GOPHER_REPETITION,
           "Gopher-style repetition filters: dup words, top bigram, dup 5-grams"),
+    Query("quality_deciles", q_quality_deciles, ORACLE_QUALITY_DECILES,
+          "per-language quality deciles via partitioned ntile + stats"),
     Query("lang_id_ngram", q_lang_id, ORACLE_LANG_ID,
           "character-trigram language ID vs profile codebook"),
     Query("token_counts", q_token_counts, ORACLE_TOKEN_COUNTS,

@@ -888,6 +888,65 @@ WHERE d.absdev > 3 * 1.4826 * m.mad
 """
 
 
+# --- rolling time window (RANGE frame) ---------------------------------------
+
+
+def q_rolling_7day(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type 7-day rolling revenue over the daily series — a RANGE
+    frame ([day-6, day] on the ORDER value, not row offsets), the frame
+    family none of the other window queries exercise: gaps in the daily
+    series shrink the frame, so a rowsBetween(-6, 0) would be wrong
+    whenever a type skips a day.
+
+    Scale shape: the heavy reduction events→daily is a map-side-combined
+    groupBy on (day, type); the window then runs over the TYPE-count×days
+    result — tiny — partitioned by type (no global sort, no single
+    partition). Rolling sums are floor-quantized on both engines."""
+    ev = _events(spark, sf_dir)
+    daily = (
+        ev.withColumn(
+            "day", F.floor(F.unix_timestamp("ts") / 86400).cast("long")
+        )
+        .groupBy("day", "event_type")
+        .agg(
+            F.round(F.sum("value"), 4).alias("day_value"),
+            F.count(F.lit(1)).alias("day_events"),
+        )
+    )
+    w = W.partitionBy("event_type").orderBy("day").rangeBetween(-6, 0)
+    roll_sum = F.sum("day_value").over(w)
+    roll_days = F.count(F.lit(1)).over(w)
+    return daily.select(
+        "day",
+        "event_type",
+        "day_value",
+        "day_events",
+        roll_days.alias("window_days"),
+        (F.floor(roll_sum * 10000 + F.lit(0.5)) / 10000).alias("roll_value"),
+        (F.floor((roll_sum / roll_days) * 10000 + F.lit(0.5)) / 10000).alias(
+            "roll_avg"
+        ),
+    )
+
+
+ORACLE_ROLLING_7DAY = """
+WITH daily AS (
+  SELECT CAST(floor(epoch(ts) / 86400) AS BIGINT) AS day, event_type,
+         round(sum(value), 4) AS day_value,
+         CAST(count(*) AS BIGINT) AS day_events
+  FROM events GROUP BY 1, 2
+)
+SELECT day, event_type, day_value, day_events,
+       CAST(count(*) OVER w AS BIGINT) AS window_days,
+       floor(sum(day_value) OVER w * 10000 + 0.5) / 10000 AS roll_value,
+       floor((sum(day_value) OVER w / count(*) OVER w) * 10000 + 0.5) / 10000
+         AS roll_avg
+FROM daily
+WINDOW w AS (PARTITION BY event_type ORDER BY day
+             RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)
+"""
+
+
 # --- time series: gap-fill + interpolation, EWMA ----------------------------
 
 
@@ -1009,6 +1068,8 @@ QUERIES = [
           "ordered view→click→purchase funnel, decorrelated per-user mins"),
     Query("retention_cohorts", q_retention_cohorts, ORACLE_RETENTION_COHORTS,
           "cohort retention triangle (first-day cohort × day offset)"),
+    Query("rolling_7day", q_rolling_7day, ORACLE_ROLLING_7DAY,
+          "7-day rolling sum/avg per type via RANGE frame (gap-correct)"),
     Query("value_anomalies", q_value_anomalies, ORACLE_VALUE_ANOMALIES,
           "median/MAD robust outlier flags per event type"),
     Query("timeseries_gapfill", q_timeseries_gapfill, ORACLE_TIMESERIES_GAPFILL,
