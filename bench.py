@@ -70,11 +70,14 @@ HEADLINE = [
     "dedup_incremental",
     "pq_quantization",
     "lineitem_cube",
-    # round 3: TPC-H completion + repetition filters
+    # round 3: TPC-H completion + repetition filters + mixture/windows
     "market_share",
     "parts_supplier_counts",
     "dominant_suppliers",
     "gopher_repetition",
+    "mixture_sample",
+    "rolling_7day",
+    "quality_deciles",
 ]
 
 

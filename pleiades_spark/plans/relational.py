@@ -1345,6 +1345,37 @@ FROM pass
 """
 
 
+def q_salted_supplier_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-supplier volume through a SALTED equi-join (operators/skew.py
+    salted_equi_join): fact salt from the high-cardinality orderkey, dim
+    replicated ×16, join on (suppkey, salt). The oracle replays a PLAIN
+    join — proving salting-invariance, the property that lets production
+    swap the salted form in under a skewed key without changing results."""
+    from pleiades_spark.operators.skew import salted_equi_join
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_suppkey", "l_orderkey", "l_extendedprice", "l_discount"
+    )
+    supp = _t(spark, sf_dir, "supplier").select(
+        F.col("s_suppkey").alias("l_suppkey"), "s_name"
+    )
+    joined = salted_equi_join(li, supp, "l_suppkey", F.col("l_orderkey"))
+    return joined.groupBy("s_name").agg(
+        F.count(F.lit(1)).alias("n_items"),
+        F.round(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
+        ).alias("revenue"),
+    )
+
+
+ORACLE_SALTED_SUPPLIER_JOIN = """
+SELECT s_name, CAST(count(*) AS BIGINT) AS n_items,
+       round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue
+FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+GROUP BY s_name
+"""
+
+
 def q_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q8: one nation's share of a region's market for a part type,
     per order year — conditional-over-unconditional sum ratio after a
@@ -1614,4 +1645,7 @@ QUERIES = [
           "TPC-H Q16 shape: distinct-supplier counts with anti-join exclusion"),
     Query("dominant_suppliers", q_dominant_suppliers, ORACLE_DOMINANT_SUPPLIERS,
           "TPC-H Q20 shape: correlated fraction-of-part threshold + semi join"),
+    Query("salted_supplier_join", q_salted_supplier_join,
+          ORACLE_SALTED_SUPPLIER_JOIN,
+          "skew-spread salted equi-join, plain-join oracle (invariance proof)"),
 ]

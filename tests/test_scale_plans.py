@@ -155,6 +155,18 @@ def test_bloom_prune_is_map_side_filter(spark, sf_dir):
     assert "l_comment" not in read
 
 
+def test_salted_join_spreads_key(spark, sf_dir):
+    """The salted join must key on (suppkey, salt) — the hot-key spread —
+    and replicate the dim via a single Generate (explode), not a
+    cartesian."""
+    from pleiades_spark.plans.relational import q_salted_supplier_join
+
+    plan = _plan(q_salted_supplier_join(spark, sf_dir))
+    assert "_salt" in plan
+    assert "Generate" in plan  # dim replication is one explode
+    assert "CartesianProduct" not in plan
+
+
 def test_shuffle_shards_single_exchange(spark, sf_dir):
     """Shard assignment is a stateless hash; only the within-shard window
     may shuffle — exactly one exchange, partitioned by shard."""
