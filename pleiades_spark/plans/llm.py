@@ -1136,6 +1136,59 @@ FROM documents GROUP BY lang
 """
 
 
+def q_token_runs_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UDTF extension point (Spark 4 Python table functions): run-length
+    encode each document's token stream — one input row expands to a
+    variable number of (start_pos, token, run_len) rows, the shape that
+    motivates a TABLE function over a scalar one.
+
+    This is the LAST resort tier of the extension contract (row-at-a-time
+    Python below pandas_udf/applyInPandas); it exists to complete and
+    test the surface. The docstring-documented scale path for this exact
+    computation is the JVM-side gaps-and-islands form — which is what the
+    DuckDB oracle runs, so the gate also proves the UDTF agrees with the
+    declarative formulation. Runs (len > 1) only, keeping output sparse."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="start_pos int, token string, run_len int")
+    class TokenRuns:
+        def eval(self, doc_id: int, text: str):  # noqa: ARG002
+            toks = text.split(" ")
+            i = 0
+            while i < len(toks):
+                j = i
+                while j < len(toks) and toks[j] == toks[i]:
+                    j += 1
+                if j - i > 1:
+                    yield i + 1, toks[i], j - i
+                i = j
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return docs.lateralJoin(
+        TokenRuns(F.col("doc_id").outer(), F.col("text").outer())
+    ).select("doc_id", "start_pos", "token", "run_len")
+
+
+# Oracle: the declarative gaps-and-islands form — position minus
+# run_number over equal tokens is constant within a run.
+ORACLE_TOKEN_RUNS_UDTF = """
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS token,
+         generate_subscripts(string_split(text, ' '), 1) AS pos
+  FROM documents
+), grp AS (
+  SELECT doc_id, token, pos,
+         pos - row_number() OVER (PARTITION BY doc_id, token ORDER BY pos)
+           AS island
+  FROM toks
+)
+SELECT doc_id, CAST(min(pos) AS INT) AS start_pos, token,
+       CAST(count(*) AS INT) AS run_len
+FROM grp GROUP BY doc_id, token, island
+HAVING count(*) > 1
+"""
+
+
 # --- composed training-data pipeline ----------------------------------------
 
 
@@ -1274,4 +1327,6 @@ QUERIES = [
           "Arrow-vectorized @pandas_udf scalar extension point"),
     Query("lang_stats_udaf", q_lang_stats_udaf, ORACLE_LANG_STATS_UDAF,
           "UDAF via grouped applyInPandas (one row per group)"),
+    Query("token_runs_udtf", q_token_runs_udtf, ORACLE_TOKEN_RUNS_UDTF,
+          "Python UDTF (lateral table function) vs gaps-and-islands oracle"),
 ]
