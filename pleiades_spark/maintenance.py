@@ -1,0 +1,80 @@
+"""Table maintenance: small-file compaction for day-partitioned parquet.
+
+A streaming foreachBatch sink (streaming/pipeline.py) writes one file
+per (micro-batch × shuffle partition) — after a week a hot day holds
+thousands of KB-sized files, and at 100 TB the NameNode/listing cost and
+per-file open overhead dominate scan time (the classic small-file
+problem; the reference never hits it because Redis is its store, but any
+parquet-backed deployment of this engine does).
+
+compact_days rewrites each target day's subtree into ~size-targeted
+files and swaps it in atomically via the same stage-and-swap primitive
+the backfill/forget jobs use — readers never see a partially compacted
+day, and a crash mid-swap leaves the staged files for the rerun.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+
+from pleiades_spark.session import apply_runtime_confs
+from pleiades_spark.streaming.pipeline import _swap_day_partitions
+
+TARGET_FILE_BYTES = 128 * 1024 * 1024  # the usual HDFS-block-ish target
+
+
+def _day_sizes(spark: SparkSession, table_path: str) -> dict[int, int]:
+    """day → total bytes, from one filesystem listing (no data read)."""
+    jvm = spark._jvm
+    hconf = spark._jsc.hadoopConfiguration()
+    root = jvm.org.apache.hadoop.fs.Path(table_path)
+    fs = root.getFileSystem(hconf)
+    sizes: dict[int, int] = {}
+    for st in fs.listStatus(root):
+        name = st.getPath().getName()
+        if not name.startswith("day="):
+            continue
+        day = int(name.split("=", 1)[1])
+        sizes[day] = fs.getContentSummary(st.getPath()).getLength()
+    return sizes
+
+
+def compact_days(
+    spark: SparkSession,
+    table_path: str,
+    days: list[int] | None = None,
+    target_bytes: int = TARGET_FILE_BYTES,
+) -> dict[int, int]:
+    """Rewrite each target day into ``ceil(day_bytes / target_bytes)``
+    files. Returns {day: n_files_written}.
+
+    File-count control is a repartition on (day, bucket) where bucket =
+    pmod(xxhash64(row), n_files(day)) — n_files comes from the
+    filesystem listing, shipped as a broadcast when-chain (day
+    cardinality is small by construction). One shuffle of exactly the
+    compacted days' data; untouched days are never read. The swap is
+    day-atomic (stage-and-swap), safe while readers are live.
+    """
+    apply_runtime_confs(spark)
+    sizes = _day_sizes(spark, table_path)
+    target_days = sorted(sizes) if days is None else sorted(int(d) for d in days)
+    target_days = [d for d in target_days if d in sizes]
+    if not target_days:
+        return {}
+    n_files = {
+        d: max(1, -(-sizes[d] // target_bytes)) for d in target_days
+    }
+    df = spark.read.parquet(table_path).filter(F.col("day").isin(target_days))
+    nf = F.lit(1)
+    for d, n in n_files.items():
+        nf = F.when(F.col("day") == d, F.lit(n)).otherwise(nf)
+    data_cols = [c for c in df.columns if c != "day"]
+    bucket = F.pmod(F.xxhash64(*[F.col(c) for c in data_cols]), nf)
+    staged = (
+        df.withColumn("_bucket", bucket)
+        .repartition(F.col("day"), F.col("_bucket"))
+        .drop("_bucket")
+    )
+    _swap_day_partitions(spark, staged, table_path, ["day"], target_days)
+    return n_files
