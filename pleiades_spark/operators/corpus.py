@@ -137,6 +137,28 @@ def stratified_sample(docs: DataFrame, rates: dict[str, int] | None = None) -> D
     )
 
 
+def snapshot_diff(old: DataFrame, new: DataFrame) -> DataFrame:
+    """Dataset-version diff: classify every doc_id across two corpus
+    snapshots as added / removed / changed / unchanged — the audit step
+    between training-set versions (what changed since the mix we trained
+    on?).
+
+    Full outer join on doc_id comparing md5(text) — the comparison ships
+    a 32-char digest per row instead of the text itself, so the shuffle
+    is key+digest-sized regardless of document length. At 100 TB both
+    sides would pre-bucket on doc_id to make this a zipper join."""
+    a = old.select("doc_id", F.md5(F.col("text")).alias("_ha"))
+    b = new.select("doc_id", F.md5(F.col("text")).alias("_hb"))
+    joined = a.join(b, "doc_id", "full_outer")
+    status = (
+        F.when(F.col("_ha").isNull(), F.lit("added"))
+        .when(F.col("_hb").isNull(), F.lit("removed"))
+        .when(F.col("_ha") != F.col("_hb"), F.lit("changed"))
+        .otherwise(F.lit("unchanged"))
+    )
+    return joined.select("doc_id", status.alias("status"))
+
+
 MIX_BUDGET = 300  # document budget for the temperature mixture
 
 

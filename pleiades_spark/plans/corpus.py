@@ -176,6 +176,59 @@ FROM lut LEFT JOIN samp USING (lang)
 """
 
 
+def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dataset-version diff gate: v2 is derived deterministically from
+    the fixture (drop a 10% hash slice, append-modify a 10% slice, add a
+    5% slice under shifted ids), then snapshot_diff classifies every id.
+    Both engines rebuild the identical v2, so the per-doc statuses
+    hash-match."""
+    from pleiades_spark.functions.hashing import h32
+    from pleiades_spark.operators.corpus import snapshot_diff
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+
+    def bucket(salt: str) -> F.Column:
+        return h32(
+            F.concat(F.lit(salt + ":"), F.col("doc_id").cast("string"))
+        ) % 100
+
+    v2base = docs.filter(bucket("v2drop") >= 10).select(
+        "doc_id",
+        F.when(
+            bucket("v2mod") < 10, F.concat(F.col("text"), F.lit(" v2"))
+        ).otherwise(F.col("text")).alias("text"),
+    )
+    v2new = docs.filter(bucket("v2add") < 5).select(
+        (F.col("doc_id") + 100000).alias("doc_id"), "text"
+    )
+    return snapshot_diff(docs, v2base.unionAll(v2new))
+
+
+def _v2_bucket_sql(salt: str) -> str:
+    return h32_sql(f"concat('{salt}:', CAST(doc_id AS VARCHAR))") + " % 100"
+
+
+ORACLE_SNAPSHOT_DIFF = f"""
+WITH v2base AS (
+  SELECT doc_id,
+         CASE WHEN {_v2_bucket_sql("v2mod")} < 10 THEN text || ' v2'
+              ELSE text END AS text
+  FROM documents WHERE {_v2_bucket_sql("v2drop")} >= 10
+), v2new AS (
+  SELECT doc_id + 100000 AS doc_id, text FROM documents
+  WHERE {_v2_bucket_sql("v2add")} < 5
+), v2 AS (SELECT * FROM v2base UNION ALL SELECT * FROM v2new),
+a AS (SELECT doc_id, md5(text) AS ha FROM documents),
+b AS (SELECT doc_id, md5(text) AS hb FROM v2)
+SELECT coalesce(a.doc_id, b.doc_id) AS doc_id,
+       CASE WHEN ha IS NULL THEN 'added'
+            WHEN hb IS NULL THEN 'removed'
+            WHEN ha <> hb THEN 'changed'
+            ELSE 'unchanged' END AS status
+FROM a FULL OUTER JOIN b ON a.doc_id = b.doc_id
+"""
+
+
 def q_corpus_split_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         hash_split(_t(spark, sf_dir, "documents"))
@@ -587,6 +640,8 @@ QUERIES = [
           "deterministic hash-bucket stratified sampling per language"),
     Query("mixture_sample", q_mixture_sample, ORACLE_MIXTURE_SAMPLE,
           "temperature-weighted (α=0.5) language mixture sampling + lut"),
+    Query("snapshot_diff", q_snapshot_diff, ORACLE_SNAPSHOT_DIFF,
+          "dataset-version diff: added/removed/changed/unchanged per doc"),
     Query("corpus_split_counts", q_corpus_split_counts, ORACLE_CORPUS_SPLIT_COUNTS,
           "stable train/val/test hash split (contamination-proof)"),
     Query("bigram_counts", q_bigram_counts, ORACLE_BIGRAM_COUNTS,
