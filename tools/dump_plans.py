@@ -71,9 +71,10 @@ SHOW = [
      "(map-side combined); probe broadcasts the sketch; top-k compiles "
      "to TakeOrderedAndProject."),
     ("bloom_semi_prune",
-     "Bloom pruning — one md5 per row, k integer perm positions, k "
-     "broadcast LEFT SEMI joins in a single codegen pass over the "
-     "column-pruned fact scan."),
+     "Bloom pruning — the bitmap (512-byte word array literal) is probed "
+     "with k O(1) element_at + bit-ANDs inside the Filter Catalyst "
+     "pushes into the column-pruned fact scan; the only join left is "
+     "the truth-marking broadcast LeftOuter."),
     ("timeseries_gapfill",
      "Gap-fill — grid explode bounded by keys×buckets, LEFT join of "
      "hourly aggs, all four fill windows (LOCF value/hour, next "
@@ -83,6 +84,26 @@ SHOW = [
      "Sequence packing — token counts JVM-side, one shuffle onto the "
      "group key, sequential pandas fold per group (parallel across "
      "groups)."),
+    ("market_share",
+     "TPC-H Q8 — six-table snowflake with every dim broadcast; the one "
+     "fact-fact shuffle is lineitem joined to orders on orderkey; the "
+     "share is a conditional/unconditional sum in a single agg pass."),
+    ("dominant_suppliers",
+     "TPC-H Q20 shape — broadcast semi join prunes the fact scan to "
+     "name-filtered parts; groupBy to (part, supp) partials, window sum "
+     "over partkey; both exchanges carry combined pairs only."),
+    ("gopher_repetition",
+     "Repetition filters — words array materialized once per branch, "
+     "explode to (doc_id, gram) with map-side combine, per-doc "
+     "reductions; every shuffle keyed by doc_id(+gram)."),
+    ("salted_supplier_join",
+     "Salted equi-join — Generate replicates the dim x16, join keys are "
+     "(suppkey, _salt), so a hot key spreads over 16 shuffle "
+     "partitions."),
+    ("rolling_7day",
+     "RANGE-frame rolling window — events collapse to the daily grain "
+     "first (map-side combined); the window runs per event_type over "
+     "the tiny daily result, never the raw events."),
 ]
 
 
