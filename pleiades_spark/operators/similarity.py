@@ -49,6 +49,40 @@ def knn_brute(
     )
 
 
+def hard_negatives(
+    emb: DataFrame, n_queries: int = 5, k: int = 3
+) -> DataFrame:
+    """Hard-negative mining for contrastive training: for each query
+    vector, the top-k most similar vectors with a DIFFERENT label — the
+    near-misses that make useful negatives (random negatives are too
+    easy; same-label near neighbors are positives).
+
+    Same broadcast-queries × one-corpus-scan shape as knn_brute with the
+    label inequality folded into the join condition, so mismatched pairs
+    are dropped before scoring. At corpus scale the scan side would be
+    the IVF-bucketed path instead of the full corpus.
+    """
+    v = emb.select(
+        "vec_id", F.col("label"), as_double(F.col("embedding")).alias("v")
+    )
+    queries = v.select(
+        F.col("vec_id").alias("query_id"),
+        F.col("label").alias("query_label"),
+        F.col("v").alias("qv"),
+    ).filter(F.col("query_id") < n_queries)
+    scored = v.join(
+        F.broadcast(queries), F.col("label") != F.col("query_label")
+    ).withColumn("cos", F.round(cosine(F.col("qv"), F.col("v")), 6))
+    w = W.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("vec_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "query_label", "rank", "vec_id", "label", "cos")
+    )
+
+
 def ivf_assign(emb: DataFrame, n_centroids: int = 16) -> DataFrame:
     """Assign every vector to its nearest centroid (argmax cosine).
 

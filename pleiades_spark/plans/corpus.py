@@ -229,6 +229,67 @@ FROM a FULL OUTER JOIN b ON a.doc_id = b.doc_id
 """
 
 
+BPE_TOPK = 20
+
+
+def q_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The first BPE-training iteration: corpus-wide adjacent character
+    pair frequencies, weighted by word frequency — the merge-candidate
+    table a tokenizer trainer ranks each round.
+
+    Scale shape: the corpus collapses to the VOCABULARY first (groupBy
+    token with map-side combine — pair extraction then runs once per
+    distinct word, not once per occurrence), pairs explode from each
+    word's char sequence, and the final count is vocabulary-bounded.
+    Top-k totally ordered (count DESC, pair ASC)."""
+    docs = _t(spark, sf_dir, "documents")
+    wc = (
+        docs.select(F.explode(tokens(F.col("text"))).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    # length guard matters: sequence(1, 0) is DESCENDING [1, 0] in Spark
+    # (range(1, 1) is empty in DuckDB) — 1-char tokens would fabricate
+    # junk pairs without it
+    pairs = wc.filter(F.length("token") >= 2).select(
+        F.explode(
+            F.expr(
+                "transform(sequence(1, length(token) - 1),"
+                " i -> substring(token, i, 2))"
+            )
+        ).alias("pair"),
+        "n",
+    )
+    counted = pairs.groupBy("pair").agg(F.sum("n").alias("n_occurrences"))
+    w = W.orderBy(F.col("n_occurrences").desc(), F.col("pair").asc())
+    return (
+        counted.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= BPE_TOPK)
+        .select("pair", "n_occurrences", "rk")
+    )
+
+
+ORACLE_BPE_PAIR_COUNTS = f"""
+WITH wc AS (
+  SELECT token, count(*) AS n
+  FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+  GROUP BY token
+), pairs AS (
+  SELECT unnest(list_transform(range(1, length(token)),
+                i -> token[i : i + 1])) AS pair, n
+  FROM wc
+), counted AS (
+  SELECT pair, CAST(sum(n) AS BIGINT) AS n_occurrences
+  FROM pairs GROUP BY pair
+)
+SELECT pair, n_occurrences, rk FROM (
+  SELECT *, CAST(row_number() OVER (ORDER BY n_occurrences DESC, pair ASC)
+                 AS INT) AS rk
+  FROM counted
+) WHERE rk <= {BPE_TOPK}
+"""
+
+
 def q_corpus_split_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         hash_split(_t(spark, sf_dir, "documents"))
@@ -642,6 +703,8 @@ QUERIES = [
           "temperature-weighted (α=0.5) language mixture sampling + lut"),
     Query("snapshot_diff", q_snapshot_diff, ORACLE_SNAPSHOT_DIFF,
           "dataset-version diff: added/removed/changed/unchanged per doc"),
+    Query("bpe_pair_counts", q_bpe_pair_counts, ORACLE_BPE_PAIR_COUNTS,
+          "BPE merge candidates: weighted char-pair counts over the vocab"),
     Query("corpus_split_counts", q_corpus_split_counts, ORACLE_CORPUS_SPLIT_COUNTS,
           "stable train/val/test hash split (contamination-proof)"),
     Query("bigram_counts", q_bigram_counts, ORACLE_BIGRAM_COUNTS,

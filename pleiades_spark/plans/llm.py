@@ -420,6 +420,31 @@ SELECT query_id, rank, vec_id, cos FROM (
 """
 
 
+def q_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contrastive-training data prep: top-3 nearest DIFFERENT-label
+    vectors per query (operators/similarity.hard_negatives)."""
+    from pleiades_spark.operators.similarity import hard_negatives
+
+    return hard_negatives(_t(spark, sf_dir, "embeddings"), KNN_QUERIES, 3)
+
+
+ORACLE_HARD_NEGATIVES = f"""
+WITH v AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+           FROM embeddings),
+q AS (SELECT vec_id AS query_id, label AS query_label, v AS qv
+      FROM v WHERE vec_id < {KNN_QUERIES}),
+scored AS (
+  SELECT query_id, query_label, vec_id, label, {_QCOS_SQL} AS cos
+  FROM v JOIN q ON label <> query_label
+)
+SELECT query_id, query_label, rank, vec_id, label, cos FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+            ORDER BY cos DESC, vec_id ASC) AS rank
+  FROM scored
+) WHERE rank <= 3
+"""
+
+
 def q_ivf_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_knn(_t(spark, sf_dir, "embeddings"), KNN_QUERIES, IVF_K, IVF_CENTROIDS)
 
@@ -1296,6 +1321,8 @@ QUERIES = [
           "iterative connected components over near-dup pairs (recursive CTE oracle)"),
     Query("knn_cosine_brute", q_knn_brute, ORACLE_KNN_BRUTE,
           "exact top-k cosine neighbors (broadcast queries × corpus scan)"),
+    Query("hard_negatives", q_hard_negatives, ORACLE_HARD_NEGATIVES,
+          "hard-negative mining: top-k similar with a different label"),
     Query("centroid_confusion", q_centroid_confusion, ORACLE_CENTROID_CONFUSION,
           "nearest-label-centroid classification confusion matrix (long form)"),
     Query("ivf_knn", q_ivf_knn, ORACLE_IVF_KNN,
