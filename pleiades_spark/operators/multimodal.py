@@ -99,3 +99,34 @@ def extract_features(docs: DataFrame) -> DataFrame:
     return attach_blob(docs.repartition(F.col("doc_id"))).mapInPandas(
         _extract, schema=FEATURE_SCHEMA
     )
+
+
+RESIZE_SCHEMA = "doc_id long, blob binary, n_bytes int, media struct<content_type:string,origin:string>"
+
+
+def resize_blobs(media: DataFrame, factor: int = 4) -> DataFrame:
+    """Downsample each binary payload by ``factor`` (every factor-th
+    byte) — the resize/downscale stage of a media pipeline with the
+    codec swapped for a deterministic byte-stride stand-in (the real
+    implementation decodes, resizes via the codec library, re-encodes;
+    decode_image gates that path).
+
+    Input is the (doc_id, blob, media) shape attach_blob produces; output
+    keeps the schema plus the new size, so resize stages compose with
+    extract_features. Arrow-batched mapInPandas, binary in / binary out —
+    the plumbing a real resampler needs is all here.
+    """
+
+    def _resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            resized = pdf["blob"].map(lambda b: bytes(b)[::factor])
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "blob": resized,
+                    "n_bytes": resized.map(len).astype("int32"),
+                    "media": pdf["media"],
+                }
+            )
+
+    return media.mapInPandas(_resize, schema=RESIZE_SCHEMA)
