@@ -155,6 +155,24 @@ def test_bloom_prune_is_map_side_filter(spark, sf_dir):
     assert "l_comment" not in read
 
 
+def test_day_partition_pruning_on_counters_table(spark, tmp_path):
+    """The serving read path's WHERE day = d must become partition
+    pruning on the day-partitioned counters table — a one-partition scan,
+    not a filter over every day (handler.go:127-129's key-prefix scan,
+    done right)."""
+    out = str(tmp_path / "counters")
+    spark.createDataFrame(
+        [(d, f"c{i}", i, 0.0) for d in (19700, 19701, 19702) for i in range(5)],
+        "day long, counter string, events long, growth double",
+    ).write.partitionBy("day").parquet(out)
+    df = spark.read.parquet(out).filter(F.col("day") == 19701)
+    plan = _plan(df)
+    assert "PartitionFilters" in plan
+    assert "(day#" in plan.split("PartitionFilters")[1].splitlines()[0]
+    # the data filter section must NOT carry the day predicate
+    assert df.count() == 5
+
+
 def test_salted_join_spreads_key(spark, sf_dir):
     """The salted join must key on (suppkey, salt) — the hot-key spread —
     and replicate the dim via a single Generate (explode), not a
