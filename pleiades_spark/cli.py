@@ -84,6 +84,34 @@ def cmd_corpus(args: argparse.Namespace) -> int:
     return 0
 
 
+def cmd_sql(args: argparse.Namespace) -> int:
+    """Ad-hoc SQL over the fixture tables — the interactive entry point
+    the reference never had (SURVEY §2.6: no SQL surface). Registers
+    every fixture parquet in ``--sf-dir`` as a temp view (through
+    catalog.load, so nanos timestamps behave) and prints the result as
+    JSON lines — pipeable into jq/DuckDB/pandas."""
+    import json
+
+    from pleiades_spark import catalog
+    from pleiades_spark.session import get_spark
+
+    spark = get_spark("pleiades_sql")
+    for t in catalog.TABLES:
+        try:
+            catalog.load(spark, args.sf_dir, t).createOrReplaceTempView(t)
+        except Exception:  # noqa: BLE001 — missing fixture table is fine
+            continue
+    sql = args.query
+    if sql == "-":
+        import sys as _sys
+
+        sql = _sys.stdin.read()
+    rows = spark.sql(sql).limit(args.limit).collect()
+    for r in rows:
+        print(json.dumps(r.asDict(recursive=True), default=str))
+    return 0
+
+
 def _counters_payload(rows, day: int | None) -> dict:
     return {
         "Since": (day or 0) * 86400,
@@ -237,6 +265,12 @@ def build_parser() -> argparse.ArgumentParser:
     cor.add_argument("--out", required=True)
     cor.add_argument("--shards", type=int, default=4)
     cor.set_defaults(fn=cmd_corpus)
+
+    sq = sub.add_parser("sql", help="ad-hoc SQL over the fixture tables")
+    sq.add_argument("query", help="SQL string, or '-' to read stdin")
+    sq.add_argument("--sf-dir", default="/root/testdata/sf0.01")
+    sq.add_argument("--limit", type=int, default=1000)
+    sq.set_defaults(fn=cmd_sql)
     return p
 
 

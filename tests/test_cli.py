@@ -107,6 +107,29 @@ def test_ingest_aggregate_serve_roundtrip(spark, tmp_path):
         server.shutdown()
 
 
+def test_sql_personality_runs_adhoc_query(spark, capsys):
+    """sql personality: fixture tables registered as views, JSONL out."""
+    parser = build_parser()
+    args = parser.parse_args(
+        ["sql",
+         "SELECT r_name, count(*) AS n FROM region GROUP BY r_name "
+         "ORDER BY r_name",
+         "--sf-dir", "/root/testdata/sf0.001", "--limit", "3"]
+    )
+    assert args.fn(args) == 0
+    lines = [json.loads(x) for x in capsys.readouterr().out.strip().splitlines()]
+    assert len(lines) == 3
+    assert lines[0] == {"r_name": "AFRICA", "n": 1}
+    # joins across registered views work too
+    args = parser.parse_args(
+        ["sql",
+         "SELECT count(*) AS n FROM nation JOIN region ON n_regionkey = r_regionkey",
+         "--sf-dir", "/root/testdata/sf0.001"]
+    )
+    assert args.fn(args) == 0
+    assert json.loads(capsys.readouterr().out.strip())["n"] == 25
+
+
 def test_corpus_pipeline_end_to_end(spark, tmp_path, capsys):
     """corpus personality: documents → quality/dedup/scrub → split JSONL
     shards, with consistent dataset-card stats."""

@@ -125,3 +125,66 @@ def test_h32_matches_python_md5(spark, strings):
     df = spark.createDataFrame([(s,) for s in strings], "s string")
     got = [r.h for r in df.select(h32(F.col("s")).alias("h")).collect()]
     assert got == [_py_h32(s) for s in strings]
+
+
+_langs = st.sampled_from(["en", "de", "es", "fr", "zh"])
+
+
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 10_000), _langs),
+        min_size=2, max_size=40, unique_by=lambda t: t[0],
+    )
+)
+@settings(max_examples=10, deadline=None)
+def test_temperature_mixture_invariants(spark, rows):
+    """Weights sum to 1, rates capped at 1, realized sample bounded by
+    the threshold semantics, lut covers exactly the observed langs."""
+    from pyspark.sql import functions as F
+
+    from pleiades_spark.operators.corpus import temperature_mixture
+
+    docs = spark.createDataFrame(
+        [(i, lang, f"text {i}") for i, lang in rows],
+        "doc_id long, lang string, text string",
+    )
+    sampled, lut = temperature_mixture(docs, budget=20)
+    lut_rows = lut.collect()
+    assert {r.lang for r in lut_rows} == {lang for _, lang in rows}
+    assert abs(sum(r.weight for r in lut_rows) - 1.0) < 1e-9
+    assert all(0 <= r.r10k <= 10_000 for r in lut_rows)
+    # selection is the deterministic hash bucket — rerun is identical
+    ids1 = sorted(r.doc_id for r in sampled.collect())
+    ids2 = sorted(r.doc_id for r in temperature_mixture(docs, budget=20)[0].collect())
+    assert ids1 == ids2
+
+
+@given(
+    st.lists(st.integers(0, 500), min_size=1, max_size=30, unique=True),
+    st.lists(st.integers(0, 500), min_size=1, max_size=30, unique=True),
+    st.sets(st.integers(0, 500), max_size=10),
+)
+@settings(max_examples=10, deadline=None)
+def test_snapshot_diff_partitions_ids(spark, old_ids, new_ids, changed):
+    """Every id appears exactly once; statuses match set algebra."""
+    from pleiades_spark.operators.corpus import snapshot_diff
+
+    old = spark.createDataFrame(
+        [(i, f"text {i}") for i in old_ids], "doc_id long, text string"
+    )
+    new = spark.createDataFrame(
+        [(i, f"text {i} v2" if i in changed else f"text {i}") for i in new_ids],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r.status for r in snapshot_diff(old, new).collect()}
+    o, n = set(old_ids), set(new_ids)
+    assert set(got) == o | n
+    for i in o | n:
+        if i not in o:
+            assert got[i] == "added"
+        elif i not in n:
+            assert got[i] == "removed"
+        elif i in changed:
+            assert got[i] == "changed"
+        else:
+            assert got[i] == "unchanged"
