@@ -202,9 +202,86 @@ FROM (
 """
 
 
+def q_streaming_counters_append(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """APPEND output mode: only windows the watermark has closed emit —
+    the finalize-once semantics downstream consumers (e.g. a Kafka sink)
+    need, vs complete/update's reemission. Events are staged as two
+    batches (all-but-last day, then the last day) so the watermark
+    provably advances between micro-batches; the final watermark is
+    max(ts) − 7d, and exactly the day windows ending at or before it
+    appear in the sink. The oracle computes that same closed-window set
+    from the batch side."""
+    from pleiades_spark.streaming.pipeline import counters_stream
+
+    apply_runtime_confs(spark)
+    src = tempfile.mkdtemp(prefix="appendctr_")
+    events = catalog.load(spark, sf_dir, "events")
+    max_day = events.agg(
+        F.max(F.date_trunc("day", F.col("ts"))).alias("m")
+    ).collect()[0]["m"]
+    early = events.filter(F.date_trunc("day", F.col("ts")) < F.lit(max_day))
+    late = events.filter(F.date_trunc("day", F.col("ts")) >= F.lit(max_day))
+    for i, part in enumerate([early, late]):
+        tmp = f"{src}/_stage{i}"
+        part.coalesce(1).write.mode("overwrite").parquet(tmp)
+        pf = next(f for f in os.listdir(tmp) if f.endswith(".parquet"))
+        shutil.copyfile(f"{tmp}/{pf}", f"{src}/{i:02d}.parquet")
+        shutil.rmtree(tmp)
+
+    stream = (
+        spark.readStream.schema(EVENTS_MICROS_SCHEMA)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    q = (
+        counters_stream(stream)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("counters_append_gate")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+        q.awaitTermination()
+    return spark.table("counters_append_gate").select(
+        F.date_format(F.col("win.start"), "yyyy-MM-dd").alias("day_date"),
+        "counter",
+        "events",
+        "growth",
+    )
+
+
+ORACLE_STREAMING_COUNTERS_APPEND = """
+WITH wm AS (SELECT max(ts) - INTERVAL 7 DAY AS w FROM events)
+SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day_date, counter,
+       count(*) AS events, round(sum(lendiff), 4) AS growth
+FROM (
+  SELECT ts,
+         unnest(list_filter([
+            'pleiades_total',
+            CASE WHEN event_type IS NOT NULL AND event_type <> ''
+                 THEN 'pleiades_type_' || event_type END,
+            CASE WHEN user_id % 2 = 0 THEN 'pleiades_bot' END,
+            CASE WHEN k IS NOT NULL THEN
+              (CASE WHEN value > k THEN 'pleiades_value_inc'
+                    ELSE 'pleiades_value_dec' END) END
+         ], x -> x IS NOT NULL)) AS counter,
+         coalesce(value - k, 0) AS lendiff
+  FROM (SELECT *, CAST(props->>'$.k' AS BIGINT) AS k FROM events)
+), wm
+WHERE date_trunc('day', ts) + INTERVAL 1 DAY <= w
+GROUP BY day_date, counter
+"""
+
+
 QUERIES = [
     Query("streaming_counters", q_streaming_counters, ORACLE_STREAMING_COUNTERS,
           "real Structured Streaming run: file source → window agg → memory sink"),
+    Query("streaming_counters_append", q_streaming_counters_append,
+          ORACLE_STREAMING_COUNTERS_APPEND,
+          "append mode: only watermark-closed windows emit (finalize-once)"),
     Query("stateful_running_totals", q_stateful_running_totals,
           ORACLE_STATEFUL_RUNNING_TOTALS,
           "applyInPandasWithState running totals across 2 micro-batches"),
