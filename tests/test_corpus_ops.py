@@ -94,6 +94,35 @@ def test_pii_scrub_synthetic(spark):
     assert got[2].n_email == got[2].n_phone == got[2].n_ssn == got[2].n_card == 0
 
 
+def test_gopher_repetition_flags_boilerplate(spark, tmp_path, sf_dir):
+    """Semantics, not just oracle parity: a template-dominated doc trips
+    the repetitive flag; diverse text does not."""
+    import pleiades_spark.catalog as catalog
+    from pleiades_spark.plans.llm import q_gopher_repetition
+
+    spam = "click here to win " * 40  # one 4-gram dominates everything
+    clean = " ".join(f"w{i}" for i in range(160))  # all-distinct words
+    docs = spark.createDataFrame(
+        [(0, spam.strip(), "en", "t", len(spam)), (1, clean, "en", "t", len(clean))],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    out = str(tmp_path / "documents.parquet")
+    docs.write.mode("overwrite").parquet(out)
+    # route the query at the synthetic table via a fixture-shaped dir
+    orig = catalog.load
+    try:
+        catalog.load = lambda spark, d, name, _o=orig: (
+            spark.read.parquet(out) if name == "documents" else _o(spark, d, name)
+        )
+        got = {r.doc_id: r for r in q_gopher_repetition(spark, sf_dir).collect()}
+    finally:
+        catalog.load = orig
+    assert got[0].repetitive and not got[1].repetitive
+    assert got[0].dup_word_frac > 0.9 and got[1].dup_word_frac == 0.0
+    assert got[0].top_bigram_count >= 39
+    assert got[0].dup_5gram_char_frac > 0.5 and got[1].dup_5gram_char_frac == 0.0
+
+
 def test_jsonl_roundtrip_and_duckdb_interchange(spark, tmp_path):
     out = str(tmp_path / "shards")
     docs = _docs(spark, [f"jsonl doc {i}" for i in range(20)])
