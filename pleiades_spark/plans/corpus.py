@@ -13,7 +13,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
 
 from pleiades_spark import catalog
-from pleiades_spark.functions.hashing import h32_sql
+from pleiades_spark.functions.hashing import h32, h32_sql
 from pleiades_spark.functions.text import tokens, word_shingles_sql
 from pleiades_spark.operators.corpus import (
     CHUNK_SIZE,
@@ -226,6 +226,38 @@ SELECT coalesce(a.doc_id, b.doc_id) AS doc_id,
             WHEN ha <> hb THEN 'changed'
             ELSE 'unchanged' END AS status
 FROM a FULL OUTER JOIN b ON a.doc_id = b.doc_id
+"""
+
+
+EVAL_K = 10
+
+
+def q_eval_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly-k-per-language deterministic sample — the eval-set builder
+    (rate-based sampling gives a BINOMIAL count; an eval set needs an
+    exact one). Ranking by the salted hash makes it a uniform sample
+    that is stable under corpus growth *for the retained prefix*, and
+    the per-lang row_number window is a partial top-k under AQE
+    (WindowGroupLimit), never a global sort."""
+    docs = _t(spark, sf_dir, "documents")
+    full = h32(F.concat(F.lit("eval:"), F.col("doc_id").cast("string")))
+    w = W.partitionBy("lang").orderBy(full.asc(), F.col("doc_id").asc())
+    return (
+        docs.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= EVAL_K)
+        .select("doc_id", "lang", "rk")
+    )
+
+
+_EVAL_HASH_SQL = h32_sql("concat('eval:', CAST(doc_id AS VARCHAR))")
+
+ORACLE_EVAL_SAMPLE = f"""
+SELECT doc_id, lang, rk FROM (
+  SELECT doc_id, lang,
+         CAST(row_number() OVER (PARTITION BY lang
+              ORDER BY {_EVAL_HASH_SQL} ASC, doc_id ASC) AS INT) AS rk
+  FROM documents
+) WHERE rk <= {EVAL_K}
 """
 
 
@@ -705,6 +737,8 @@ QUERIES = [
           "dataset-version diff: added/removed/changed/unchanged per doc"),
     Query("bpe_pair_counts", q_bpe_pair_counts, ORACLE_BPE_PAIR_COUNTS,
           "BPE merge candidates: weighted char-pair counts over the vocab"),
+    Query("eval_sample", q_eval_sample, ORACLE_EVAL_SAMPLE,
+          "exactly-k-per-language deterministic sample (eval-set builder)"),
     Query("corpus_split_counts", q_corpus_split_counts, ORACLE_CORPUS_SPLIT_COUNTS,
           "stable train/val/test hash split (contamination-proof)"),
     Query("bigram_counts", q_bigram_counts, ORACLE_BIGRAM_COUNTS,
