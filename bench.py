@@ -78,6 +78,11 @@ HEADLINE = [
     "mixture_sample",
     "rolling_7day",
     "quality_deciles",
+    "salted_supplier_join",
+    "snapshot_diff",
+    "bpe_pair_counts",
+    "hard_negatives",
+    "eval_sample",
 ]
 
 

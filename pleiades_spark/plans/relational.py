@@ -1283,14 +1283,14 @@ def q_bloom_semi_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = _t(spark, sf_dir, "orders")
     li = _t(spark, sf_dir, "lineitem")
     # The filtered dim key set feeds BOTH the bloom build (collected to a
-    # bitmap) and the truth-marking broadcast join below — materialize it
-    # once. It's the bloom's build side, small by contract (that's why a
-    # bloom prune applies at all).
+    # bitmap) and the truth-marking broadcast join below. Deriving it
+    # twice is cheaper here than localCheckpoint (which adds a blocking
+    # materialization job — measured slower at bench SF); at real scale
+    # with an expensive dim derivation, checkpoint/cache the dim first.
     dim = (
         orders.filter(F.col("o_totalprice") > BLOOM_PRICE_MIN)
         .select(F.col("o_orderkey").cast("string").alias("k"))
         .distinct()
-        .localCheckpoint(eager=True)
     )
     bloom = bloom_build(dim, F.col("k"))
     fact = li.select(
