@@ -112,6 +112,24 @@ def cmd_sql(args: argparse.Namespace) -> int:
     return 0
 
 
+def cmd_compact(args: argparse.Namespace) -> int:
+    """Day-partitioned table maintenance: size-targeted small-file
+    compaction with the stage-and-swap day-atomic replacement
+    (pleiades_spark/maintenance.py)."""
+    import json
+
+    from pleiades_spark.maintenance import compact_days
+    from pleiades_spark.session import get_spark
+
+    spark = get_spark("pleiades_compact")
+    days = [int(d) for d in args.days.split(",")] if args.days else None
+    written = compact_days(
+        spark, args.table, days=days, target_bytes=args.target_mb * 1024 * 1024
+    )
+    print(json.dumps({str(d): n for d, n in sorted(written.items())}))
+    return 0
+
+
 def _counters_payload(rows, day: int | None) -> dict:
     return {
         "Since": (day or 0) * 86400,
@@ -265,6 +283,12 @@ def build_parser() -> argparse.ArgumentParser:
     cor.add_argument("--out", required=True)
     cor.add_argument("--shards", type=int, default=4)
     cor.set_defaults(fn=cmd_corpus)
+
+    cp = sub.add_parser("compact", help="small-file compaction (day-partitioned)")
+    cp.add_argument("--table", required=True, help="day-partitioned parquet root")
+    cp.add_argument("--days", default=None, help="comma-separated day numbers")
+    cp.add_argument("--target-mb", type=int, default=128)
+    cp.set_defaults(fn=cmd_compact)
 
     sq = sub.add_parser("sql", help="ad-hoc SQL over the fixture tables")
     sq.add_argument("query", help="SQL string, or '-' to read stdin")

@@ -36,6 +36,23 @@ def test_compact_days_reduces_files_preserves_data(spark, tmp_path):
     assert not [d for d in os.listdir(out) if d.startswith(".staging")]
 
 
+def test_compact_cli(spark, tmp_path, capsys):
+    import json
+
+    from pleiades_spark.cli import build_parser
+
+    out = str(tmp_path / "table")
+    spark.range(0, 600).select(
+        (F.col("id") % 2 + 19700).alias("day"), F.col("id").alias("k")
+    ).repartition(12).write.partitionBy("day").parquet(out)
+    parser = build_parser()
+    args = parser.parse_args(["compact", "--table", out, "--days", "19700"])
+    assert args.fn(args) == 0
+    got = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert got == {"19700": 1}
+    assert len(_parquet_files(out)) < 24
+
+
 def test_compact_days_targets_only_requested_days(spark, tmp_path):
     out = str(tmp_path / "table")
     df = spark.range(0, 300).select(

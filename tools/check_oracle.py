@@ -47,8 +47,15 @@ def value_hash(cols: list[str], rows: list[tuple]) -> str:
 
 
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    argv = sys.argv[1:]
+    json_out = None
+    if "--json" in argv:
+        i = argv.index("--json")
+        json_out = argv[i + 1]
+        argv = argv[:i] + argv[i + 2:]
+    sf_dir = argv[0] if argv else "/root/testdata/sf0.01"
+    only = set(argv[1:])
+    results = {}
 
     import __spark_entry__ as entrymod
 
@@ -72,9 +79,11 @@ def main() -> int:
         except Exception as e:  # noqa: BLE001
             print(f"FAIL  {name}: spark error: {e}")
             failures.append(name)
+            results[name] = {"status": "err", "err": str(e)[:200]}
             continue
         if name not in oracles:
             print(f"rows-only  {name}: {len(s_rows)} rows ({time.time()-t0:.1f}s)")
+            results[name] = {"status": "rows_only", "spark_rows": len(s_rows)}
             continue
         try:
             cur = con.execute(oracles[name])
@@ -83,6 +92,7 @@ def main() -> int:
         except Exception as e:  # noqa: BLE001
             print(f"FAIL  {name}: duckdb error: {e}")
             failures.append(name)
+            results[name] = {"status": "err", "err": str(e)[:200]}
             continue
         problems = []
         if len(s_rows) != len(d_rows):
@@ -103,10 +113,21 @@ def main() -> int:
             for line in sorted(d_set - s_set)[:3]:
                 print(f"      duck-only : {line}")
             failures.append(name)
+            results[name] = {"status": "fail", "problems": problems,
+                             "spark_rows": len(s_rows), "oracle_rows": len(d_rows)}
         else:
             print(f"OK    {name}: {len(s_rows)} rows ({time.time()-t0:.1f}s)")
+            results[name] = {"status": "ok", "rows": len(s_rows),
+                             "sec": round(time.time() - t0, 2)}
 
     print(f"\n{len(failures)} failures" + (f": {failures}" if failures else ""))
+    if json_out:
+        import json as _json
+
+        with open(json_out, "w") as f:
+            _json.dump({"sf_dir": sf_dir, "n_queries": len(results),
+                        "n_failures": len(failures), "results": results},
+                       f, indent=1, sort_keys=True)
     return 1 if failures else 0
 
 
