@@ -171,10 +171,13 @@ def temperature_mixture(
     every multilingual pretraining mixture since XLM-R).
 
     Returns (sampled_docs, lut). The lut is one row per language:
-    natural count, mixture weight, target doc count for ``budget``, and
-    the 1/10000 sampling threshold. Selection is the deterministic
-    (salt, doc_id) hash bucket — replayable, growth-stable, and
-    partition-independent, like stratified_sample.
+    natural count, mixture weight, target doc count for ``budget``,
+    whole-epoch repeat count, and the 1/10000 fractional-epoch
+    threshold. sampled_docs carries an ``epoch`` column: a doc selected
+    for k full epochs plus the fractional pass appears k(+1) times —
+    real up-sampling, not a rate capped at one pass. Selection is the
+    deterministic (salt, doc_id) hash bucket — replayable,
+    growth-stable, and partition-independent, like stratified_sample.
 
     α = 0.5 is computed via sqrt(), which IEEE-754 requires to be
     correctly rounded — both engines derive bit-identical weights from
@@ -189,19 +192,36 @@ def temperature_mixture(
         "sq", F.sqrt(F.col("n_docs") / F.col("n_total"))
     )
     sq_sum = c.agg(F.sum("sq").alias("sq_sum"))
+    # Up-sampling semantics: a tail language whose target exceeds its
+    # natural count repeats whole epochs (n_epochs) plus a hash-sampled
+    # fraction of one more — the way real mixtures oversample, rather
+    # than silently capping at one pass.
     lut = (
         c.join(F.broadcast(sq_sum))
         .withColumn("weight", F.col("sq") / F.col("sq_sum"))
         .withColumn("target", F.col("weight") * F.lit(float(budget)))
         .withColumn(
-            "rate", F.least(F.lit(1.0), F.col("target") / F.col("n_docs"))
+            "n_epochs", F.floor(F.col("target") / F.col("n_docs")).cast("int")
+        )
+        .withColumn(
+            "rate",
+            F.col("target") / F.col("n_docs") - F.col("n_epochs"),
         )
         .withColumn("r10k", F.floor(F.col("rate") * 10000).cast("int"))
-        .select("lang", "n_docs", "weight", "target", "r10k")
+        .select("lang", "n_docs", "weight", "target", "n_epochs", "r10k")
     )
-    sampled = docs.join(F.broadcast(lut.select("lang", "r10k")), "lang").filter(
+    bucket = (
         h32(F.concat(F.lit("mix:"), F.col("doc_id").cast("string"))) % 10000
-        < F.col("r10k")
+    )
+    sampled = (
+        docs.join(F.broadcast(lut.select("lang", "n_epochs", "r10k")), "lang")
+        .withColumn(
+            "_copies",
+            F.col("n_epochs") + (bucket < F.col("r10k")).cast("int"),
+        )
+        .filter(F.col("_copies") > 0)  # BEFORE sequence: seq(0,-1) descends
+        .withColumn("epoch", F.explode(F.expr("sequence(0, _copies - 1)")))
+        .drop("_copies", "n_epochs", "r10k")
     )
     return sampled, lut
 

@@ -144,6 +144,7 @@ def q_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_docs",
             F.round(F.col("weight"), 6).alias("weight"),
             F.round(F.col("target"), 4).alias("target"),
+            "n_epochs",
             "r10k",
             F.coalesce(F.col("n_sampled"), F.lit(0)).alias("n_sampled"),
         )
@@ -160,18 +161,21 @@ ss AS (SELECT sum(sq) AS sq_sum FROM s),
 lut AS (
   SELECT lang, n_docs, sq / sq_sum AS weight,
          sq / sq_sum * {float(MIX_BUDGET)} AS target,
-         CAST(floor(least(1.0, sq / sq_sum * {float(MIX_BUDGET)} / n_docs)
+         CAST(floor(sq / sq_sum * {float(MIX_BUDGET)} / n_docs) AS INT)
+           AS n_epochs,
+         CAST(floor((sq / sq_sum * {float(MIX_BUDGET)} / n_docs
+                     - floor(sq / sq_sum * {float(MIX_BUDGET)} / n_docs))
                     * 10000) AS INT) AS r10k
   FROM s, ss
 ), samp AS (
-  SELECT d.lang, count(*) AS n_sampled
+  SELECT d.lang, count(*) AS n_frac
   FROM documents d JOIN lut USING (lang)
   WHERE {_MIX_BUCKET_SQL} < r10k
   GROUP BY d.lang
 )
 SELECT lang, CAST(n_docs AS BIGINT) AS n_docs, round(weight, 6) AS weight,
-       round(target, 4) AS target, r10k,
-       CAST(coalesce(n_sampled, 0) AS BIGINT) AS n_sampled
+       round(target, 4) AS target, n_epochs, r10k,
+       CAST(n_docs * n_epochs + coalesce(n_frac, 0) AS BIGINT) AS n_sampled
 FROM lut LEFT JOIN samp USING (lang)
 """
 

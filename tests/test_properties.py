@@ -152,7 +152,15 @@ def test_temperature_mixture_invariants(spark, rows):
     lut_rows = lut.collect()
     assert {r.lang for r in lut_rows} == {lang for _, lang in rows}
     assert abs(sum(r.weight for r in lut_rows) - 1.0) < 1e-9
-    assert all(0 <= r.r10k <= 10_000 for r in lut_rows)
+    assert all(0 <= r.r10k < 10_000 and r.n_epochs >= 0 for r in lut_rows)
+    # epoch accounting: every doc of a lang appears exactly n_epochs or
+    # n_epochs+1 times in the up-sampled output
+    from collections import Counter
+
+    per_lang_epochs = {r.lang: r.n_epochs for r in lut_rows}
+    copies = Counter((r.lang, r.doc_id) for r in sampled.collect())
+    for (lang, _), c in copies.items():
+        assert c in (per_lang_epochs[lang], per_lang_epochs[lang] + 1)
     # selection is the deterministic hash bucket — rerun is identical
     ids1 = sorted(r.doc_id for r in sampled.collect())
     ids2 = sorted(r.doc_id for r in temperature_mixture(docs, budget=20)[0].collect())
