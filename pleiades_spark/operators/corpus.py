@@ -345,6 +345,39 @@ def pack_sequences(docs: DataFrame, budget: int = PACK_BUDGET) -> DataFrame:
     return toked.groupBy("lang").applyInPandas(_pack, PACK_SCHEMA)
 
 
+EOD_SEP = "<|eod|>"
+
+
+def materialize_sequences(
+    docs: DataFrame, packed: DataFrame, sep: str = EOD_SEP
+) -> DataFrame:
+    """Turn pack_sequences assignments into actual training sequences:
+    one row per (lang, seq_id) with the member docs' texts concatenated
+    in doc_id order around an end-of-document separator — what actually
+    gets tokenized and written to shards.
+
+    collect_list order is nondeterministic under parallel aggregation;
+    sorting the collected (doc_id, text) structs (array_sort orders by
+    the leading field) restores the packing order deterministically.
+    One shuffle on (lang, seq_id); sequence size is budget-bounded by
+    construction, so the collected arrays can't blow an executor."""
+    joined = packed.join(docs.select("doc_id", "text"), "doc_id")
+    return (
+        joined.groupBy("lang", "seq_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tok").alias("seq_tokens"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("doc_id", "text"))),
+                    lambda s: s["text"],
+                ),
+                sep,
+            ).alias("seq_text"),
+        )
+    )
+
+
 # Shard count for the deterministic corpus shuffle (2^k so the hash mod
 # is uniform); at 100 TB this is the training-shard count (thousands).
 N_SHARDS = 16

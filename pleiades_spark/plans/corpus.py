@@ -709,6 +709,25 @@ SELECT doc_id, lang, seq_id, n_tok FROM packed
 """
 
 
+def q_sequence_materialize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Packed assignments → concatenated training sequences (one row per
+    (lang, seq_id) with the <|eod|>-joined member texts)."""
+    from pleiades_spark.operators.corpus import materialize_sequences
+
+    docs = _t(spark, sf_dir, "documents")
+    return materialize_sequences(docs, pack_sequences(docs))
+
+
+ORACLE_SEQUENCE_MATERIALIZE = f"""
+SELECT p.lang AS lang, seq_id, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_tok) AS BIGINT) AS seq_tokens,
+       string_agg(text, '<|eod|>' ORDER BY doc_id) AS seq_text
+FROM ({ORACLE_SEQUENCE_PACKING.strip()}) p
+JOIN documents USING (doc_id)
+GROUP BY p.lang, seq_id
+"""
+
+
 # --- deterministic corpus shuffle into shards -------------------------------
 
 _SHARD_SQL = h32_sql("concat('shard:', CAST(doc_id AS VARCHAR))") + f" % {N_SHARDS}"
@@ -743,6 +762,9 @@ QUERIES = [
           "BPE merge candidates: weighted char-pair counts over the vocab"),
     Query("eval_sample", q_eval_sample, ORACLE_EVAL_SAMPLE,
           "exactly-k-per-language deterministic sample (eval-set builder)"),
+    Query("sequence_materialize", q_sequence_materialize,
+          ORACLE_SEQUENCE_MATERIALIZE,
+          "packed assignments -> <|eod|>-joined training sequences"),
     Query("corpus_split_counts", q_corpus_split_counts, ORACLE_CORPUS_SPLIT_COUNTS,
           "stable train/val/test hash split (contamination-proof)"),
     Query("bigram_counts", q_bigram_counts, ORACLE_BIGRAM_COUNTS,
