@@ -53,6 +53,65 @@ def test_compact_cli(spark, tmp_path, capsys):
     assert len(_parquet_files(out)) < 24
 
 
+def test_archive_lifecycle_backfill_compact_forget(spark, tmp_path):
+    """The whole day-partitioned table lifecycle composes: land events in
+    the archive, derive counters (backfill), compact the chatty files,
+    then forget a user — counters stay consistent with the archive at
+    every step."""
+    import datetime
+
+    from pleiades_spark.streaming.pipeline import (
+        backfill_counters,
+        forget_user,
+        write_events_archive,
+    )
+
+    archive = str(tmp_path / "archive")
+    counters = str(tmp_path / "counters")
+    t0 = datetime.datetime(2024, 1, 5, 12, 0, 0)
+    rows = [
+        (i, t0 + datetime.timedelta(days=i % 3), 7 if i % 4 == 0 else 8,
+         "click", float(i), '{"k": 1}')
+        for i in range(60)
+    ]
+    events = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    # land with many small files to give compaction something to do
+    write_events_archive(events.repartition(12), archive)
+    days = backfill_counters(
+        spark, spark.read.parquet(archive).drop("day"), counters
+    )
+    assert len(days) == 3
+    before = {
+        (r.day, r.counter): (r.events, float(r.growth))
+        for r in spark.read.parquet(counters).collect()
+    }
+
+    compacted = compact_days(spark, archive)
+    assert set(compacted) == set(days)
+    # compaction must not change derived results
+    backfill_counters(spark, spark.read.parquet(archive).drop("day"), counters)
+    after = {
+        (r.day, r.counter): (r.events, float(r.growth))
+        for r in spark.read.parquet(counters).collect()
+    }
+    assert after == before
+
+    touched = forget_user(spark, archive, counters, user_id=7)
+    assert touched == days  # user 7 appears on every day
+    left = spark.read.parquet(archive)
+    assert left.filter(F.col("user_id") == 7).count() == 0
+    total = spark.read.parquet(counters).filter(
+        F.col("counter") == "pleiades_total"
+    )
+    assert {r.events for r in total.collect()} == {
+        r["count"] for r in left.groupBy("day").count().collect()
+    }
+
+
 def test_compact_days_targets_only_requested_days(spark, tmp_path):
     out = str(tmp_path / "table")
     df = spark.range(0, 300).select(
