@@ -1376,6 +1376,53 @@ GROUP BY s_name
 """
 
 
+FUZZY_MAX_DIST = 3
+
+
+def q_fuzzy_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity resolution by edit distance: near-identical part names
+    within a brand block — the fuzzy-join shape of catalog/record
+    de-duplication.
+
+    Blocking is the scale story: the self-join runs inside p_brand
+    partitions (equi-key first, so Catalyst plans a hash join; the
+    levenshtein lands in the join's post-condition), never all-pairs
+    across the catalog. Both engines implement plain Levenshtein, so the
+    distances hash-match."""
+    part = _t(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_name")
+    a = part.alias("a")
+    b = part.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.p_brand") == F.col("b.p_brand"))
+            & (F.col("a.p_partkey") < F.col("b.p_partkey"))
+            & (
+                F.levenshtein(F.col("a.p_name"), F.col("b.p_name"))
+                <= FUZZY_MAX_DIST
+            ),
+        )
+        .select(
+            F.col("a.p_brand").alias("brand"),
+            F.col("a.p_partkey").alias("part_a"),
+            F.col("b.p_partkey").alias("part_b"),
+            F.col("a.p_name").alias("name_a"),
+            F.col("b.p_name").alias("name_b"),
+            F.levenshtein(F.col("a.p_name"), F.col("b.p_name")).alias("dist"),
+        )
+    )
+
+
+ORACLE_FUZZY_NAME_PAIRS = f"""
+SELECT a.p_brand AS brand, a.p_partkey AS part_a, b.p_partkey AS part_b,
+       a.p_name AS name_a, b.p_name AS name_b,
+       CAST(levenshtein(a.p_name, b.p_name) AS INT) AS dist
+FROM part a JOIN part b
+  ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey
+ AND levenshtein(a.p_name, b.p_name) <= {FUZZY_MAX_DIST}
+"""
+
+
 def q_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q8: one nation's share of a region's market for a part type,
     per order year — conditional-over-unconditional sum ratio after a
@@ -1648,4 +1695,6 @@ QUERIES = [
     Query("salted_supplier_join", q_salted_supplier_join,
           ORACLE_SALTED_SUPPLIER_JOIN,
           "skew-spread salted equi-join, plain-join oracle (invariance proof)"),
+    Query("fuzzy_name_pairs", q_fuzzy_name_pairs, ORACLE_FUZZY_NAME_PAIRS,
+          "brand-blocked Levenshtein fuzzy join (entity resolution)"),
 ]
