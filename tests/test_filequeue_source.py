@@ -1,0 +1,133 @@
+"""Spark 4 Python DataSource connector for the 2-line file queue:
+batch read/write, streaming poll, delete-after-commit."""
+
+import glob
+import os
+
+from pyspark.sql import functions as F
+
+from pleiades_spark.sources.filequeue import read_filequeue, write_filequeue
+from pleiades_spark.sources.filequeue_source import FileQueueDataSource
+
+
+def _register(spark):
+    # registration is idempotent per session; re-register defensively
+    spark.dataSource.register(FileQueueDataSource)
+
+
+def test_batch_roundtrip_matches_legacy_reader(spark, tmp_path):
+    _register(spark)
+    out = str(tmp_path / "queue")
+    df = spark.createDataFrame(
+        [(str(i), f'{{"n": {i}}}') for i in range(37)], "id string, value string"
+    ).repartition(4)
+    df.write.format("pleiades_filequeue").mode("append").save(out)
+    assert len(glob.glob(f"{out}/*-event-*.dat")) == 37
+
+    back = spark.read.format("pleiades_filequeue").load(out)
+    got = sorted((r.id, r.value) for r in back.collect())
+    assert got == sorted((str(i), f'{{"n": {i}}}') for i in range(37))
+    # the connector and the legacy wholetext reader agree exactly
+    legacy = sorted((r.id, r.value) for r in read_filequeue(spark, out).collect())
+    assert got == legacy
+
+
+def test_batch_reader_partitions_the_file_list(spark, tmp_path):
+    _register(spark)
+    out = str(tmp_path / "queue")
+    write_filequeue(
+        spark.createDataFrame(
+            [(str(i), "x") for i in range(20)], "id string, value string"
+        ),
+        out,
+    )
+    df = spark.read.format("pleiades_filequeue").option("numPartitions", "5").load(out)
+    assert df.rdd.getNumPartitions() == 5
+    assert df.count() == 20
+
+
+def test_stream_polls_and_deletes_after_commit(spark, tmp_path):
+    _register(spark)
+    src = str(tmp_path / "queue")
+    os.makedirs(src)
+
+    def publish(lo, hi):
+        for i in range(lo, hi):
+            with open(f"{src}/0-event-{i:04d}.dat", "w") as f:
+                f.write(f"{i}\nbody-{i}\n")
+
+    publish(0, 5)
+    stream = (
+        spark.readStream.format("pleiades_filequeue")
+        .option("cleanSource", "delete")
+        .load(src)
+    )
+    q = (
+        stream.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("fq_stream")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        assert spark.table("fq_stream").count() == 5
+        # a second wave of files is picked up by the running stream,
+        # never re-emitting the first wave
+        publish(5, 8)
+        q.processAllAvailable()
+        got = sorted(r.id for r in spark.table("fq_stream").collect())
+        assert got == sorted(str(i) for i in range(8))
+        # poll-then-delete: the engine calls commit() as later batches
+        # progress, so by now the FIRST wave must be unlinked (the last
+        # batch's files may linger until the next commit tick — same
+        # at-least-once window the reference's delete-after-process has)
+        remaining = {os.path.basename(f) for f in glob.glob(f"{src}/*.dat")}
+        assert not {f"0-event-{i:04d}.dat" for i in range(5)} & remaining
+    finally:
+        q.stop()
+        q.awaitTermination()
+
+
+def test_stream_without_clean_keeps_files_and_tracks_offset(spark, tmp_path):
+    _register(spark)
+    src = str(tmp_path / "queue")
+    os.makedirs(src)
+    for i in range(4):
+        with open(f"{src}/0-event-{i:04d}.dat", "w") as f:
+            f.write(f"{i}\nbody\n")
+    stream = spark.readStream.format("pleiades_filequeue").load(src)
+    q = (
+        stream.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("fq_keep")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        assert spark.table("fq_keep").count() == 4
+        assert len(glob.glob(f"{src}/*.dat")) == 4  # nothing deleted
+        # no duplicate emission on an idle trigger
+        q.processAllAvailable()
+        assert spark.table("fq_keep").count() == 4
+    finally:
+        q.stop()
+        q.awaitTermination()
+
+
+def test_connector_feeds_counter_derivation(spark, tmp_path):
+    """The connector output plugs straight into the recentchange
+    aggregation path — same shape the Kafka source would deliver."""
+    from pleiades_spark.functions.recentchange import aggregate_recentchange
+
+    _register(spark)
+    out = str(tmp_path / "queue")
+    ev = '{"wiki": "enwiki", "type": "edit", "bot": false, "minor": false}'
+    ident = '[{"topic": "t", "timestamp": 1596207527001}]'
+    spark.createDataFrame([(ident, ev)], "id string, value string").coalesce(
+        1
+    ).write.format("pleiades_filequeue").mode("append").save(out)
+    raw = spark.read.format("pleiades_filequeue").load(out)
+    agg = aggregate_recentchange(raw)
+    counters = {r.counter for r in agg.select("counter").distinct().collect()}
+    assert "pleiades_total" in counters
+    assert "pleiades_wiki_enwiki" in counters
