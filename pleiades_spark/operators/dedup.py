@@ -284,14 +284,37 @@ def simhash_pairs(docs: DataFrame, max_hamming: int = 3) -> DataFrame:
 # --- exact n-gram jaccard (ground truth) ---------------------------------
 
 
-def ngram_jaccard_pairs(docs: DataFrame, threshold: float = 0.6) -> DataFrame:
+QUADRATIC_GUARD_ROWS = 100_000
+
+
+def _guard_quadratic(df: DataFrame, op: str, allow_quadratic: bool) -> None:
+    """Fail fast if a deliberately-quadratic ground-truth operator is
+    pointed at a corpus it was never meant for. One cheap count-agg job
+    buys protection from an O(n²) self-join that would otherwise run for
+    days at scale; pass allow_quadratic=True to override knowingly."""
+    if allow_quadratic:
+        return
+    n = df.count()
+    if n > QUADRATIC_GUARD_ROWS:
+        raise ValueError(
+            f"{op} is an O(n²) ground-truth operator and got {n} rows "
+            f"(> {QUADRATIC_GUARD_ROWS}); use the LSH/IVF scale path, or "
+            "pass allow_quadratic=True if you really mean it"
+        )
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame, threshold: float = 0.6, allow_quadratic: bool = False
+) -> DataFrame:
     """Exact all-pairs shingle Jaccard with a length-band block.
 
     Near-dups have near-equal length, so requiring
     |len_a − len_b| ≤ 20 % · max(len) prunes the quadratic space without
     losing pairs above any reasonable threshold. Quadratic — ground truth
-    for small SF; the LSH operators are the scale path.
+    for small SF; the LSH operators are the scale path (guard-railed:
+    >100k rows raises unless allow_quadratic=True).
     """
+    _guard_quadratic(docs, "ngram_jaccard_pairs", allow_quadratic)
     sh = docs.select(
         "doc_id", F.col("n_chars"), word_shingles(F.col("text")).alias("sh")
     )
@@ -362,11 +385,16 @@ def embedding_near_dup_ivf(
     )
 
 
-def embedding_near_dup_pairs(emb: DataFrame, threshold: float = 0.45) -> DataFrame:
+def embedding_near_dup_pairs(
+    emb: DataFrame, threshold: float = 0.45, allow_quadratic: bool = False
+) -> DataFrame:
     """Vector pairs with cosine ≥ threshold (brute-force at fixture scale).
 
     At 100 TB: embedding_near_dup_ivf — same contract, bucketed plan.
+    Guard-railed like ngram_jaccard_pairs: >100k vectors raises unless
+    allow_quadratic=True.
     """
+    _guard_quadratic(emb, "embedding_near_dup_pairs", allow_quadratic)
     v = emb.select("vec_id", as_double(F.col("embedding")).alias("v"))
     a = v.alias("a")
     b = v.alias("b")

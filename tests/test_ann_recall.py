@@ -123,3 +123,31 @@ def test_uncapped_lsh_still_lossless_on_boilerplate(spark):
     pairs = _pair_set(minhash_lsh_pairs(docs, 0.6).select("doc_a", "doc_b"))
     assert (0, 1) in pairs  # identical template docs are pairs when uncapped
     assert (100, 101) in pairs and (200, 201) in pairs
+
+
+def test_quadratic_ground_truth_ops_guard_rail(spark):
+    """The O(n^2) ground-truth operators refuse oversized inputs unless
+    explicitly overridden — the fence that keeps them out of scale
+    paths."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from pleiades_spark.operators import dedup
+
+    big = spark.range(0, 150_000).select(
+        F.col("id").alias("doc_id"),
+        F.lit("words here").alias("text"),
+        F.lit(10).alias("n_chars"),
+    )
+    orig = dedup.QUADRATIC_GUARD_ROWS
+    with pytest.raises(ValueError, match="O\\(n²\\)|O\\(n"):
+        dedup.ngram_jaccard_pairs(big)
+    vecs = spark.range(0, 150_000).select(
+        F.col("id").alias("vec_id"),
+        F.array(F.lit(1.0), F.lit(0.0)).alias("embedding"),
+    )
+    with pytest.raises(ValueError):
+        dedup.embedding_near_dup_pairs(vecs)
+    # explicit override still works (plan construction only)
+    dedup.ngram_jaccard_pairs(big, allow_quadratic=True)
+    assert dedup.QUADRATIC_GUARD_ROWS == orig
