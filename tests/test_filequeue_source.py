@@ -131,3 +131,56 @@ def test_connector_feeds_counter_derivation(spark, tmp_path):
     counters = {r.counter for r in agg.select("counter").distinct().collect()}
     assert "pleiades_total" in counters
     assert "pleiades_wiki_enwiki" in counters
+
+
+def test_streaming_connector_drives_counter_aggregation(spark, tmp_path):
+    """S8 end-to-end on the native connector: streaming file-queue →
+    recentchange counter derivation → windowed aggregation equals the
+    batch result over the same events (groupingSets is batch-only, so
+    the streaming side runs the per-day grain)."""
+    from pleiades_spark.functions.recentchange import derive_recentchange_counters
+
+    _register(spark)
+    src = str(tmp_path / "queue")
+    os.makedirs(src)
+    ev = '{{"wiki": "{w}", "type": "edit", "bot": {b}, "minor": false}}'
+    ident = '[{{"topic": "t", "timestamp": {ts}}}]'
+    for i in range(12):
+        with open(f"{src}/0-event-{i:04d}.dat", "w") as f:
+            f.write(
+                ident.format(ts=1596207527001 + i * 86_400_000 // 4)
+                + "\n"
+                + ev.format(w="enwiki" if i % 2 else "dewiki",
+                            b="true" if i % 3 == 0 else "false")
+                + "\n"
+            )
+    stream = spark.readStream.format("pleiades_filequeue").load(src)
+    agg = (
+        derive_recentchange_counters(stream)
+        .groupBy("day", "counter")
+        .count()
+    )
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("fq_counters")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got = {
+            (r.day, r.counter): r["count"]
+            for r in spark.table("fq_counters").collect()
+        }
+    finally:
+        q.stop()
+        q.awaitTermination()
+    batch = spark.read.format("pleiades_filequeue").load(src)
+    want = {
+        (r.day, r.counter): r["count"]
+        for r in derive_recentchange_counters(batch)
+        .groupBy("day", "counter")
+        .count()
+        .collect()
+    }
+    assert got == want and len(got) > 4
