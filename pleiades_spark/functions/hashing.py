@@ -57,3 +57,31 @@ def perm_hash(hash_col: Column, a: int, b: int) -> Column:
 
 def perm_hash_sql(expr: str, a: int, b: int) -> str:
     return f"(({a} * {expr} + {b}) % {MINHASH_P})"
+
+
+# --- signed random projections (cosine LSH) --------------------------------
+#
+# Hyperplane components are derived from md5 of "srp-<plane>-<dim>" at
+# import time and FROZEN as float literals, so the Spark plan and the
+# DuckDB oracle consume the exact same doubles (h/2^31 - 1 is a division
+# by a power of two — exact in binary, and repr() round-trips it).
+# Mirrors the reference's sketch determinism strategy; cf. the MinHash
+# permutation table above.
+
+SRP_DIM = 64       # fixture embedding dimensionality
+SRP_PLANES_N = 16  # sign bits per vector
+SRP_BANDS = 4
+SRP_ROWS = 4       # SRP_PLANES_N = SRP_BANDS * SRP_ROWS
+
+
+def _srp_component(plane: int, dim: int) -> float:
+    import hashlib
+
+    h = int(hashlib.md5(f"srp-{plane}-{dim}".encode()).hexdigest()[:8], 16)
+    return h / 2**31 - 1.0  # uniform in [-1, 1)
+
+
+SRP_PLANES: tuple[tuple[float, ...], ...] = tuple(
+    tuple(_srp_component(p, d) for d in range(SRP_DIM))
+    for p in range(SRP_PLANES_N)
+)

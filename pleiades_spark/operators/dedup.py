@@ -39,11 +39,14 @@ from pleiades_spark.functions.hashing import (
     MINHASH_P,
     MINHASH_PERMS,
     NUM_PERM,
+    SRP_BANDS,
+    SRP_PLANES,
+    SRP_ROWS,
     h32,
     perm_hash,
 )
 from pleiades_spark.functions.text import word_shingles
-from pleiades_spark.functions.vectors import as_double, cosine
+from pleiades_spark.functions.vectors import as_double, cosine, dot
 
 
 # --- exact ---------------------------------------------------------------
@@ -407,4 +410,79 @@ def embedding_near_dup_pairs(
             F.col("b.vec_id").alias("vec_b"),
             "cos",
         )
+    )
+
+
+# --- embedding near-dup: signed-random-projection LSH (cosine LSH) ---------
+
+
+def embedding_near_dup_srp(
+    emb: DataFrame, threshold: float = 0.45
+) -> DataFrame:
+    """Cosine near-dup pairs via signed-random-projection LSH — the scale
+    path for embedding dedup that, unlike ``embedding_near_dup_ivf``, has
+    no blind spots at Voronoi-cell borders (a pair split across two IVF
+    centroids can never collide there; SRP buckets are direction-local, so
+    every band gives such a pair an independent chance to meet).
+
+    Plan (mirrors minhash_lsh_pairs — never all-pairs):
+      1. one corpus scan computes SRP_PLANES_N hyperplane sign bits per
+         vector (dot products against frozen literal planes, codegen'd);
+      2. bits pack into SRP_BANDS keys of SRP_ROWS bits; posexplode;
+      3. self-join on (band_idx, band_val) → distinct candidate pairs —
+         a bucketed equi-join that shuffles 16-byte keys, not vectors;
+      4. candidates re-join the vectors and are verified by exact cosine.
+
+    Collision model: P(two vectors agree on one plane) = 1 − θ/π; a pair
+    at the 0.45-cosine threshold (θ ≈ 63°) collides in ≥1 of the 4 bands
+    w.p. ≈ 0.54, rising steeply toward 1 for true near-dups (θ → 0) —
+    tests/test_ann_recall.py measures realized recall against the brute
+    ground truth. More bands buy recall linearly in scan cost.
+
+    Skew note: unlike text LSH (boilerplate → hot band buckets), SRP keys
+    over continuous embeddings spread by direction; a cap/salt is only
+    needed if the embedding space itself is degenerate (e.g. zero
+    vectors), which the bucket-size guard in production would catch.
+    """
+    v = emb.select("vec_id", as_double(F.col("embedding")).alias("v"))
+    bit_cols = [
+        (dot(F.col("v"), F.array(*[F.lit(c) for c in plane])) >= 0).cast("int")
+        for plane in SRP_PLANES
+    ]
+    bits = v.select("vec_id", "v", F.array(*bit_cols).alias("bits"))
+    band_arr = F.array(
+        *[
+            sum(
+                (
+                    F.col("bits")[b * SRP_ROWS + r] * (2 ** (SRP_ROWS - 1 - r))
+                    for r in range(SRP_ROWS)
+                ),
+                start=F.lit(0),
+            )
+            for b in range(SRP_BANDS)
+        ]
+    )
+    banded = bits.select(
+        "vec_id", F.posexplode(band_arr).alias("band_idx", "band_val")
+    )
+    left = banded.alias("l")
+    right = banded.alias("r")
+    cand = (
+        left.join(
+            right,
+            (F.col("l.band_idx") == F.col("r.band_idx"))
+            & (F.col("l.band_val") == F.col("r.band_val"))
+            & (F.col("l.vec_id") < F.col("r.vec_id")),
+        )
+        .select(F.col("l.vec_id").alias("vec_a"), F.col("r.vec_id").alias("vec_b"))
+        .distinct()
+    )
+    va = v.select(F.col("vec_id").alias("vec_a"), F.col("v").alias("v_a"))
+    vb = v.select(F.col("vec_id").alias("vec_b"), F.col("v").alias("v_b"))
+    return (
+        cand.join(va, "vec_a")
+        .join(vb, "vec_b")
+        .withColumn("cos", F.round(cosine(F.col("v_a"), F.col("v_b")), 6))
+        .filter(F.col("cos") >= threshold)
+        .select("vec_a", "vec_b", "cos")
     )

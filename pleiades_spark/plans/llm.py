@@ -27,6 +27,9 @@ from pleiades_spark.functions.hashing import (
     LSH_ROWS,
     MINHASH_P,
     MINHASH_PERMS,
+    SRP_BANDS,
+    SRP_PLANES,
+    SRP_ROWS,
     h32,
     h32_sql,
 )
@@ -43,6 +46,7 @@ from pleiades_spark.operators.dedup import (
     SIMHASH_BITS,
     embedding_near_dup_ivf,
     embedding_near_dup_pairs,
+    embedding_near_dup_srp,
     exact_dedup_groups,
     minhash_lsh_pairs,
     ngram_jaccard_pairs,
@@ -586,6 +590,54 @@ SELECT vec_a, vec_b, cos FROM (
   SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, {_COS_SQL} AS cos
   FROM assigned a JOIN assigned b
     ON a.centroid_id = b.centroid_id AND a.vec_id < b.vec_id
+) WHERE cos >= {COSINE_DUP_THRESHOLD}
+"""
+
+
+# --- embedding near-dup via signed-random-projection LSH -------------------
+
+
+def q_dedup_embedding_srp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return embedding_near_dup_srp(
+        _t(spark, sf_dir, "embeddings"), COSINE_DUP_THRESHOLD
+    )
+
+
+def _srp_plane_sql(plane: tuple[float, ...]) -> str:
+    return "[" + ", ".join(repr(c) for c in plane) + "]"
+
+
+# sign bit per frozen hyperplane — the literal doubles are generated from
+# the same SRP_PLANES constants the Spark plan uses (hashing.py), so both
+# engines take the exact same dot products.
+_SRP_BITS_SQL = "[" + ",\n   ".join(
+    f"CASE WHEN list_inner_product(v, {_srp_plane_sql(p)}) >= 0 "
+    "THEN 1 ELSE 0 END"
+    for p in SRP_PLANES
+) + "]"
+
+_SRP_BAND_VAL_SQL = " + ".join(
+    f"bits[band_idx*{SRP_ROWS}+{r + 1}]*{2 ** (SRP_ROWS - 1 - r)}"
+    for r in range(SRP_ROWS)
+)
+
+ORACLE_DEDUP_EMBEDDING_SRP = f"""
+WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+bits AS (SELECT vec_id, {_SRP_BITS_SQL} AS bits FROM v),
+bands AS (
+  SELECT vec_id, band_idx, {_SRP_BAND_VAL_SQL} AS band_val
+  FROM bits, (SELECT unnest(range(0, {SRP_BANDS})) AS band_idx)
+),
+cand AS (
+  SELECT DISTINCT l.vec_id AS vec_a, r.vec_id AS vec_b
+  FROM bands l JOIN bands r
+    ON l.band_idx = r.band_idx AND l.band_val = r.band_val
+   AND l.vec_id < r.vec_id
+)
+SELECT vec_a, vec_b, cos FROM (
+  SELECT cand.vec_a, cand.vec_b, {_COS_SQL} AS cos
+  FROM cand JOIN v a ON a.vec_id = cand.vec_a
+            JOIN v b ON b.vec_id = cand.vec_b
 ) WHERE cos >= {COSINE_DUP_THRESHOLD}
 """
 
@@ -1317,6 +1369,8 @@ QUERIES = [
           "embedding cosine near-dup pairs (brute ground truth)"),
     Query("dedup_embedding_ivf", q_dedup_embedding_ivf, ORACLE_DEDUP_EMBEDDING_IVF,
           "embedding near-dup within IVF buckets (scale path, O(N²/K))"),
+    Query("dedup_embedding_srp", q_dedup_embedding_srp, ORACLE_DEDUP_EMBEDDING_SRP,
+          "cosine-LSH (signed random projections) near-dup, banded bucket join"),
     Query("dedup_clusters", q_dedup_clusters, ORACLE_DEDUP_CLUSTERS,
           "iterative connected components over near-dup pairs (recursive CTE oracle)"),
     Query("knn_cosine_brute", q_knn_brute, ORACLE_KNN_BRUTE,

@@ -151,3 +151,27 @@ def test_quadratic_ground_truth_ops_guard_rail(spark):
     # explicit override still works (plan construction only)
     dedup.ngram_jaccard_pairs(big, allow_quadratic=True)
     assert dedup.QUADRATIC_GUARD_ROWS == orig
+
+
+def test_srp_lsh_embedding_dedup_vs_brute(embeddings):
+    """SRP (cosine-LSH) near-dup: every emitted pair must be a true pair
+    (verification is exact cosine), and recall vs the brute all-pairs
+    ground truth must clear the analytic floor.
+
+    The fixture near-dup pairs sit just above the 0.45 threshold (noise-
+    level cosines), which is the WORST case for SRP — collision
+    probability at θ ≈ 63° with 4 bands × 4 bits is only ≈ 0.54; true
+    near-dups (θ → 0) collide w.p. → 1. Asserting ≥ 0.4 pins candidate
+    generation without flaking on the threshold-straddling tail.
+    """
+    from pleiades_spark.operators.dedup import (
+        embedding_near_dup_pairs,
+        embedding_near_dup_srp,
+    )
+
+    gt = _pair_set(embedding_near_dup_pairs(embeddings, 0.45).select("vec_a", "vec_b"))
+    srp = _pair_set(embedding_near_dup_srp(embeddings, 0.45).select("vec_a", "vec_b"))
+    assert gt, "ground truth unexpectedly empty — test is vacuous"
+    assert srp <= gt  # exact verification ⇒ no false positives
+    recall = len(gt & srp) / len(gt)
+    assert recall >= 0.4, f"SRP recall = {recall:.3f} over {len(gt)} true pairs"
