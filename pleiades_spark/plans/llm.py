@@ -995,6 +995,89 @@ FROM documents
 """
 
 
+# --- hashed linear quality classifier ---------------------------------------
+
+QC_BUCKETS = 256  # hashing-trick feature buckets
+QC_UNIT = 1000  # integer weight resolution: w ∈ [-1000, 1000] / 1000
+
+
+def q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """fastText/CCNet-style linear quality classifier via the hashing
+    trick: token → h32 feature bucket (QC_BUCKETS), bucket → weight,
+    logit = mean token weight, keep = logit > 0.
+
+    The weight table here is a frozen md5-derived stand-in so the DuckDB
+    oracle replays it bit-for-bit; a real deployment broadcasts a TRAINED
+    weight vector instead — the plan is identical (the weights are just a
+    different 256-entry constant) and stays a pure codegen map stage: no
+    shuffle, no Python, embarrassingly parallel at 100 TB.
+
+    Float-parity design: weights are INTEGERS in [-QC_UNIT, QC_UNIT], so
+    the per-doc sum is exact and summation-order-free; the single final
+    division and the _quantize4 floor-quantizer are the only float ops,
+    mirrored operation-for-operation in the oracle.
+
+    Cf. reference text-analysis surface (SURVEY §2 extension set); the
+    classifier complements q_text_quality's hand-written heuristics with
+    the learned-filter shape used by CCNet/fastText quality filtering.
+    """
+    from pleiades_spark.operators.timeseries import _quantize4
+
+    docs = _t(spark, sf_dir, "documents")
+    d = docs.select("doc_id", "lang", tokens(F.col("text")).alias("toks"))
+    units = F.transform(
+        F.col("toks"),
+        lambda t: (
+            h32(F.concat(F.lit("w-"), (h32(t) % QC_BUCKETS).cast("string")))
+            % (2 * QC_UNIT + 1)
+        )
+        - QC_UNIT,
+    )
+    n_tok = F.size(F.col("toks"))
+    summed = d.select(
+        "doc_id",
+        "lang",
+        n_tok.alias("n_toks"),
+        F.aggregate(units, F.lit(0).cast("long"), lambda acc, x: acc + x).alias(
+            "su"
+        ),
+    )
+    logit = _quantize4(
+        F.col("su").cast("double") / (F.lit(float(QC_UNIT)) * F.col("n_toks"))
+    )
+    return summed.select(
+        "doc_id",
+        "lang",
+        "n_toks",
+        logit.alias("logit"),
+        (logit > 0).alias("keep"),
+    )
+
+
+_QC_UNIT_SQL = (
+    f"(({h32_sql('tk')}) % {QC_BUCKETS})"
+)
+
+ORACLE_QUALITY_CLASSIFIER = f"""
+WITH t AS (
+  SELECT doc_id, lang, string_split(text, ' ') AS toks FROM documents
+), u AS (
+  SELECT doc_id, lang, CAST(len(toks) AS INT) AS n_toks,
+         list_sum(list_transform(toks, tk ->
+           ({h32_sql(f"'w-' || CAST({_QC_UNIT_SQL} AS VARCHAR)")}
+            % {2 * QC_UNIT + 1}) - {QC_UNIT}
+         )) AS su
+  FROM t
+)
+SELECT doc_id, lang, n_toks,
+       floor((CAST(su AS DOUBLE) / ({QC_UNIT}.0 * n_toks)) * 10000 + 0.5) / 10000
+         AS logit,
+       (floor((CAST(su AS DOUBLE) / ({QC_UNIT}.0 * n_toks)) * 10000 + 0.5) / 10000) > 0
+         AS keep
+FROM u
+"""
+
+
 # --- fingerprinting ----------------------------------------------------------
 
 
@@ -1391,6 +1474,8 @@ QUERIES = [
           "character-trigram language ID vs profile codebook"),
     Query("token_counts", q_token_counts, ORACLE_TOKEN_COUNTS,
           "whitespace + BPE-ish regex token counting"),
+    Query("quality_classifier", q_quality_classifier, ORACLE_QUALITY_CLASSIFIER,
+          "hashed linear quality classifier (hashing trick, frozen weights)"),
     Query("doc_fingerprints", q_fingerprints, ORACLE_FINGERPRINTS,
           "min-hash char-shingle fingerprint per doc"),
     Query("word_frequency_topk", q_word_freq_topk, ORACLE_WORD_FREQ_TOPK,

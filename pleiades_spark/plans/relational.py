@@ -32,6 +32,7 @@ from pleiades_spark.operators.sketch import (
     bloom_prune,
     cms_heavy_hitters,
 )
+from pleiades_spark.operators.layout import zvalue, zvalue_sql
 from pleiades_spark.plans import Query
 from pleiades_spark.session import apply_runtime_confs
 
@@ -1608,6 +1609,44 @@ WHERE n_name = 'NATION_2' AND s_suppkey IN (SELECT l_suppkey FROM dom)
 """
 
 
+# --- z-order layout key (multi-column clustering) --------------------------
+
+
+def q_zorder_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Morton (Z-order) interleave of (l_partkey, l_suppkey) low 16 bits —
+    the clustering key operators/layout.zorder_write sorts the table by so
+    parquet min-max stats prune scans filtered on EITHER column.
+
+    The gate pins the bit-interleave arithmetic cross-engine (exact
+    integer shifts, oracle-identical); the physical layout effect —
+    per-file span shrink — is measured in tests/test_layout.py. Global
+    top-k executes as TakeOrderedAndProject (per-partition partial top-k,
+    no full sort shuffle).
+    """
+    li = _t(spark, sf_dir, "lineitem")
+    z = zvalue(F.col("l_partkey") % 65536, F.col("l_suppkey") % 65536)
+    return (
+        li.select(
+            "l_orderkey",
+            "l_linenumber",
+            "l_partkey",
+            "l_suppkey",
+            z.alias("zval"),
+        )
+        .orderBy("zval", "l_orderkey", "l_linenumber")
+        .limit(200)
+    )
+
+
+ORACLE_ZORDER_RANK = f"""
+SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
+       {zvalue_sql('(l_partkey % 65536)', '(l_suppkey % 65536)')} AS zval
+FROM lineitem
+ORDER BY zval, l_orderkey, l_linenumber
+LIMIT 200
+"""
+
+
 QUERIES = [
     Query("pricing_summary", q_pricing_summary, ORACLE_PRICING_SUMMARY,
           "TPC-H Q1: wide hash agg with pushdown filter"),
@@ -1697,4 +1736,6 @@ QUERIES = [
           "skew-spread salted equi-join, plain-join oracle (invariance proof)"),
     Query("fuzzy_name_pairs", q_fuzzy_name_pairs, ORACLE_FUZZY_NAME_PAIRS,
           "brand-blocked Levenshtein fuzzy join (entity resolution)"),
+    Query("zorder_rank", q_zorder_rank, ORACLE_ZORDER_RANK,
+          "Morton Z-order clustering key (bit interleave, scan-pruning layout)"),
 ]
