@@ -83,6 +83,10 @@ HEADLINE = [
     "bpe_pair_counts",
     "hard_negatives",
     "eval_sample",
+    # round 3 (cont.): cosine-LSH dedup, learned-filter shape, layout key
+    "dedup_embedding_srp",
+    "quality_classifier",
+    "zorder_rank",
 ]
 
 

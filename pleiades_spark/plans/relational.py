@@ -1424,6 +1424,60 @@ FROM part a JOIN part b
 """
 
 
+def q_entity_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity resolution end-to-end: fuzzy pair generation (brand-blocked
+    Levenshtein, q_fuzzy_name_pairs) composed with iterative connected
+    components (operators/graph.py) → one canonical entity id per part,
+    plus cluster size — the dedup-to-golden-record shape of MDM pipelines.
+
+    Scale: pair generation is the blocked fuzzy join (never all-pairs);
+    label propagation converges in O(log(diameter)) joins and fuzzy-name
+    clusters are tiny chains, so 2-3 iterations. Only parts that appear
+    in some pair are emitted (singletons are their own trivial entity).
+    """
+    from pleiades_spark.operators.graph import connected_components
+
+    pairs = q_fuzzy_name_pairs(spark, sf_dir).select(
+        F.col("part_a").alias("doc_a"), F.col("part_b").alias("doc_b")
+    )
+    cc = connected_components(pairs)
+    return (
+        cc.groupBy("cluster")
+        .agg(F.count(F.lit(1)).alias("n_members"))
+        .join(cc, "cluster")
+        .select(
+            F.col("doc_id").alias("p_partkey"),
+            F.col("cluster").alias("entity_id"),
+            F.col("n_members").alias("cluster_size"),
+        )
+    )
+
+
+# reachability closure over the fuzzy pairs; every paired node (rep
+# included) gets a row, so the window count IS the member count
+ORACLE_ENTITY_CLUSTERS = f"""
+WITH RECURSIVE pairs AS (
+  SELECT a.p_partkey AS part_a, b.p_partkey AS part_b
+  FROM part a JOIN part b
+    ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey
+   AND levenshtein(a.p_name, b.p_name) <= {FUZZY_MAX_DIST}
+), edges AS (
+  SELECT part_a AS u, part_b AS v FROM pairs
+  UNION SELECT part_b, part_a FROM pairs
+), reach(node, r) AS (
+  SELECT u, u FROM edges
+  UNION
+  SELECT e.v, reach.r FROM reach JOIN edges e ON e.u = reach.node
+), cc AS (
+  SELECT node AS p_partkey, CAST(min(r) AS BIGINT) AS entity_id
+  FROM reach GROUP BY node
+)
+SELECT p_partkey, entity_id,
+       CAST(count(*) OVER (PARTITION BY entity_id) AS BIGINT) AS cluster_size
+FROM cc
+"""
+
+
 def q_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q8: one nation's share of a region's market for a part type,
     per order year — conditional-over-unconditional sum ratio after a
@@ -1738,4 +1792,6 @@ QUERIES = [
           "brand-blocked Levenshtein fuzzy join (entity resolution)"),
     Query("zorder_rank", q_zorder_rank, ORACLE_ZORDER_RANK,
           "Morton Z-order clustering key (bit interleave, scan-pruning layout)"),
+    Query("entity_clusters", q_entity_clusters, ORACLE_ENTITY_CLUSTERS,
+          "fuzzy pairs -> connected components -> canonical entity ids"),
 ]
