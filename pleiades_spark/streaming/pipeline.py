@@ -217,7 +217,17 @@ def start_counters_to_parquet(
     counter dimension is small and fixed, so this stays directory-friendly
     at any event volume.)
     """
-    agg = counters_stream(source)
+    return (
+        counters_stream(source)
+        .writeStream.outputMode("update")
+        .foreachBatch(_counter_merge_fn(out_path))
+        .option("checkpointLocation", checkpoint)
+        .start()
+    )
+
+
+def _counter_merge_fn(out_path: str):
+    """Idempotent (day, counter) dynamic-partition merge for foreachBatch."""
 
     def _merge(batch: DataFrame, epoch_id: int) -> None:
         if batch.isEmpty():
@@ -242,12 +252,38 @@ def start_counters_to_parquet(
             .parquet(out_path)
         )
 
-    return (
-        agg.writeStream.outputMode("update")
-        .foreachBatch(_merge)
+    return _merge
+
+
+def drain_counters_to_parquet(
+    spark: SparkSession,
+    source: DataFrame,
+    out_path: str,
+    checkpoint: str,
+) -> None:
+    """Catch-up mode: process the ENTIRE backlog with Trigger.AvailableNow,
+    then exit — the scheduled-job twin of the always-on
+    start_counters_to_parquet (same aggregation, same idempotent
+    (day, counter) dynamic-partition merge, same checkpoint format).
+
+    AvailableNow snapshots the available input at start and drains it in
+    rate-limited micro-batches (unlike the deprecated Trigger.Once, which
+    crammed the backlog into ONE batch — an OOM at 100 TB), so a nightly
+    cron can run the streaming pipeline's exact logic+state without a
+    standing cluster. The checkpoint is shared: the drain resumes after
+    the last online offset, and the online query can take over again
+    afterwards — watermarks, dedup state, and sink idempotence carry over
+    unchanged.
+    """
+    q = (
+        counters_stream(source)
+        .writeStream.outputMode("update")
+        .foreachBatch(_counter_merge_fn(out_path))
         .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
         .start()
     )
+    q.awaitTermination()
 
 
 def _swap_day_partitions(

@@ -126,3 +126,47 @@ def test_partial_batch_preserves_sibling_counters(spark, tmp_path):
         "pleiades_bot": 1,
         "pleiades_value_dec": 1,
     }
+
+
+def test_available_now_drain_catches_up_then_exits(spark, tmp_path):
+    """drain_counters_to_parquet: a scheduled catch-up run drains the
+    whole backlog and returns; a second drain after new files arrive
+    resumes from the shared checkpoint and folds them in — same counters
+    as one continuous stream (the nightly-cron twin of the online query).
+    """
+    from pleiades_spark.streaming.pipeline import drain_counters_to_parquet
+
+    base = str(tmp_path / "in")
+    out = str(tmp_path / "counters")
+    ckpt = str(tmp_path / "ckpt")
+    _write_batches(spark, base, n_files=2, rows_per_file=20)
+
+    drain_counters_to_parquet(spark, _stream(spark, base + "/f*"), out, ckpt)
+    first = {
+        (r.counter, r.events)
+        for r in spark.read.parquet(out).select("counter", "events").collect()
+    }
+    assert ("pleiades_total", 40) in first
+
+    # backlog grows while no job is running; next drain catches up
+    _write_batches_offset(spark, base, start_file=2, n_files=2, rows_per_file=20)
+    drain_counters_to_parquet(spark, _stream(spark, base + "/f*"), out, ckpt)
+    final = {
+        (r.counter, r.events)
+        for r in spark.read.parquet(out).select("counter", "events").collect()
+    }
+    assert ("pleiades_total", 80) in final
+
+
+def _write_batches_offset(spark, base, start_file, n_files, rows_per_file):
+    eid = 100000 * start_file
+    for i in range(start_file, start_file + n_files):
+        rows = []
+        for _ in range(rows_per_file):
+            rows.append((eid, TS, eid % 5, "click", 1.0, '{"k": 1}'))
+            eid += 1
+        spark.createDataFrame(
+            rows,
+            "event_id long, ts timestamp, user_id long, event_type string, "
+            "value double, props string",
+        ).coalesce(1).write.parquet(f"{base}/f{i}")
