@@ -367,6 +367,43 @@ FROM reach GROUP BY node
 """
 
 
+# --- keep-best representative dedup ----------------------------------------
+
+
+def q_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup clusters keep their highest-QUALITY member, not the min-id
+    one — the selection rule real corpus builds use (RefinedWeb/FineWeb
+    keep the longest/best copy; min-id is only canonical, not optimal).
+
+    Composition of three prior operators, one declarative DAG: LSH pairs →
+    connected components → join the per-doc quality score → per-cluster
+    argmax (quality DESC, doc_id ASC tiebreak for determinism). The only
+    new work over dedup_clusters is a broadcast-size join with the quality
+    map stage and a partitioned row_number — no extra all-pairs anything.
+    """
+    from pleiades_spark.operators.graph import connected_components
+
+    pairs = minhash_lsh_pairs(_t(spark, sf_dir, "documents"), JACCARD_THRESHOLD)
+    cc = connected_components(pairs.select("doc_a", "doc_b"))
+    quality = q_text_quality(spark, sf_dir).select("doc_id", "quality")
+    joined = cc.join(quality, "doc_id")
+    w = W.partitionBy("cluster").orderBy(
+        F.col("quality").desc(), F.col("doc_id").asc()
+    )
+    sizes = cc.groupBy("cluster").agg(F.count(F.lit(1)).alias("n_members"))
+    return (
+        joined.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .join(sizes, "cluster")
+        .select(
+            "cluster",
+            F.col("doc_id").alias("kept_doc_id"),
+            F.col("quality").alias("kept_quality"),
+            "n_members",
+        )
+    )
+
+
 # --- embedding cosine near-dup --------------------------------------------
 
 COSINE_DUP_THRESHOLD = 0.45
@@ -969,6 +1006,86 @@ SELECT doc_id, cand_lang AS predicted_lang, matches FROM (
 """
 
 
+# --- language-ID confidence margin ------------------------------------------
+
+
+def q_lang_id_margin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID confidence: top-1 vs top-2 profile match margin per doc.
+
+    Ambiguous documents (code, tables, mixed-language boilerplate) are
+    where naive langid silently mislabels a corpus — the standard filter
+    keeps only docs whose best language BEATS the runner-up by a margin.
+    Same exploded-trigram ⋈ broadcast-profile aggregation as q_lang_id
+    (one shuffle on (doc_id, cand_lang)); the margin adds nothing but a
+    second row_number rank inside the SAME window — no extra exchange.
+    Docs matching one profile only get margin = matches (runner-up 0).
+    """
+    docs = _t(spark, sf_dir, "documents")
+    profiles = F.broadcast(
+        spark.createDataFrame(list(LANG_PROFILES), "cand_lang string, trigram string")
+    )
+    doc_tg = docs.select(
+        "doc_id", F.explode(char_shingles(F.col("text"), 3)).alias("trigram")
+    )
+    scores = (
+        doc_tg.join(profiles, "trigram")
+        .groupBy("doc_id", "cand_lang")
+        .agg(F.count(F.lit(1)).alias("matches"))
+    )
+    w = W.partitionBy("doc_id").orderBy(
+        F.col("matches").desc(), F.col("cand_lang").asc()
+    )
+    ranked = scores.withColumn("rk", F.row_number().over(w)).filter(
+        F.col("rk") <= 2
+    )
+    top = ranked.filter(F.col("rk") == 1).select(
+        "doc_id",
+        F.col("cand_lang").alias("predicted_lang"),
+        F.col("matches").alias("top_matches"),
+    )
+    second = ranked.filter(F.col("rk") == 2).select(
+        "doc_id", F.col("matches").alias("second_matches")
+    )
+    joined = top.join(second, "doc_id", "left").withColumn(
+        "second_matches", F.coalesce(F.col("second_matches"), F.lit(0))
+    )
+    margin = F.col("top_matches") - F.col("second_matches")
+    return joined.select(
+        "doc_id",
+        "predicted_lang",
+        "top_matches",
+        margin.alias("margin"),
+        (margin >= F.lit(LANGID_MARGIN_MIN)).alias("confident"),
+    )
+
+
+LANGID_MARGIN_MIN = 3
+
+ORACLE_LANG_ID_MARGIN = f"""
+WITH profiles(cand_lang, trigram) AS (VALUES {_PROFILE_VALUES}),
+doc_tg AS (
+  SELECT doc_id, unnest({char_shingles_sql('text', 3)}) AS trigram FROM documents
+),
+scores AS (
+  SELECT doc_id, cand_lang, count(*) AS matches
+  FROM doc_tg JOIN profiles USING (trigram)
+  GROUP BY doc_id, cand_lang
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY doc_id
+            ORDER BY matches DESC, cand_lang ASC) AS rk
+  FROM scores
+)
+SELECT t.doc_id, t.cand_lang AS predicted_lang,
+       t.matches AS top_matches,
+       t.matches - coalesce(s.matches, 0) AS margin,
+       (t.matches - coalesce(s.matches, 0)) >= {LANGID_MARGIN_MIN} AS confident
+FROM (SELECT * FROM ranked WHERE rk = 1) t
+LEFT JOIN (SELECT doc_id, matches FROM ranked WHERE rk = 2) s
+  ON t.doc_id = s.doc_id
+"""
+
+
 # --- token counting ---------------------------------------------------------
 
 
@@ -1433,6 +1550,23 @@ FROM (
 """
 
 
+ORACLE_DEDUP_KEEP_BEST = f"""
+WITH cc AS ({ORACLE_DEDUP_CLUSTERS}),
+q AS (SELECT doc_id, quality FROM ({ORACLE_TEXT_QUALITY}) tq),
+j AS (SELECT cc.doc_id, cc.cluster, q.quality FROM cc JOIN q USING (doc_id)),
+sizes AS (
+  SELECT cluster, CAST(count(*) AS BIGINT) AS n_members FROM cc GROUP BY cluster
+)
+SELECT r.cluster, r.doc_id AS kept_doc_id, r.quality AS kept_quality, s.n_members
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY cluster
+            ORDER BY quality DESC, doc_id ASC) AS rk
+  FROM j
+) r JOIN sizes s USING (cluster)
+WHERE r.rk = 1
+"""
+
+
 QUERIES = [
     Query("dedup_exact", q_dedup_exact, ORACLE_DEDUP_EXACT,
           "exact dedup via text-hash groupBy, deterministic representative"),
@@ -1456,6 +1590,8 @@ QUERIES = [
           "cosine-LSH (signed random projections) near-dup, banded bucket join"),
     Query("dedup_clusters", q_dedup_clusters, ORACLE_DEDUP_CLUSTERS,
           "iterative connected components over near-dup pairs (recursive CTE oracle)"),
+    Query("dedup_keep_best", q_dedup_keep_best, ORACLE_DEDUP_KEEP_BEST,
+          "near-dup clusters keep the argmax-quality member (RefinedWeb rule)"),
     Query("knn_cosine_brute", q_knn_brute, ORACLE_KNN_BRUTE,
           "exact top-k cosine neighbors (broadcast queries × corpus scan)"),
     Query("hard_negatives", q_hard_negatives, ORACLE_HARD_NEGATIVES,
@@ -1472,6 +1608,8 @@ QUERIES = [
           "per-language quality deciles via partitioned ntile + stats"),
     Query("lang_id_ngram", q_lang_id, ORACLE_LANG_ID,
           "character-trigram language ID vs profile codebook"),
+    Query("lang_id_margin", q_lang_id_margin, ORACLE_LANG_ID_MARGIN,
+          "langid top1-vs-top2 confidence margin + ambiguity flag"),
     Query("token_counts", q_token_counts, ORACLE_TOKEN_COUNTS,
           "whitespace + BPE-ish regex token counting"),
     Query("quality_classifier", q_quality_classifier, ORACLE_QUALITY_CLASSIFIER,
