@@ -104,6 +104,19 @@ SHOW = [
      "RANGE-frame rolling window — events collapse to the daily grain "
      "first (map-side combined); the window runs per event_type over "
      "the tiny daily result, never the raw events."),
+    ("dedup_embedding_srp",
+     "SRP cosine-LSH — 16 literal-hyperplane dot products inside one "
+     "codegen span produce the sign bits; the self-join shuffles on "
+     "(band_idx, band_val) 2-int keys, vectors re-joined only for the "
+     "candidate pairs."),
+    ("quality_classifier",
+     "Hashed linear classifier — pure map stage: per-token bucket hash + "
+     "weight lookup folded into an integer sum, ZERO exchanges before "
+     "the final projection."),
+    ("zorder_rank",
+     "Z-order key — 32 shift/mask terms in one codegen projection; "
+     "global top-200 compiles to TakeOrderedAndProject (per-partition "
+     "heaps, no full sort)."),
 ]
 
 
