@@ -264,3 +264,34 @@ def test_bucketed_join_eliminates_shuffle(spark, tmp_path):
     finally:
         spark.sql(f"DROP TABLE IF EXISTS {t1}")
         spark.sql(f"DROP TABLE IF EXISTS {t2}")
+
+
+def test_srp_dedup_band_join_no_cartesian(spark, sf_dir):
+    """SRP cosine-LSH must stay a bucketed equi-join on (band_idx,
+    band_val) — never a cartesian / broadcast-nested-loop over vectors."""
+    from pleiades_spark.plans.llm import q_dedup_embedding_srp
+
+    plan = _plan(q_dedup_embedding_srp(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "band_idx" in plan and "band_val" in plan
+
+
+def test_quality_classifier_is_pure_map_stage(spark, sf_dir):
+    """The learned-filter shape: scan → project, zero exchanges — the
+    whole point of the hashing trick is an embarrassingly parallel pass."""
+    from pleiades_spark.plans.llm import q_quality_classifier
+
+    plan = _plan(q_quality_classifier(spark, sf_dir))
+    assert "Exchange" not in plan
+    assert "Join" not in plan
+
+
+def test_zorder_rank_take_ordered_no_full_sort(spark, sf_dir):
+    """Global top-k over the Z-key must compile to TakeOrderedAndProject
+    (per-partition heaps) — a full Sort+Exchange would be a scale bug."""
+    from pleiades_spark.plans.relational import q_zorder_rank
+
+    plan = _plan(q_zorder_rank(spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan
+    assert "Exchange rangepartitioning" not in plan
