@@ -514,6 +514,77 @@ FROM numbered GROUP BY user_id, session_id
 """
 
 
+# --- SCD2 state history (gaps-and-islands → versioned dimension) -------------
+
+
+def q_scd2_user_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-changing-dimension (type 2) build: each user's event_type
+    run becomes a VERSION row with [valid_from, valid_to) interval,
+    valid_to NULL marking the current version — the warehouse pattern for
+    tracking attribute history from an event log (CDC → dimension).
+
+    One shuffle total: the lag/run-numbering windows partition by
+    user_id; the (user_id, version) group-by and the valid_to lead window
+    are satisfied by the same hash partitioning (ClusteredDistribution on
+    a superset of the partition key), so Catalyst plans no further
+    exchange. Timestamps are emitted as formatted strings (cross-engine
+    hash stability).
+    """
+    ev = _events(spark, sf_dir)
+    w = W.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
+    changed = F.when(
+        F.lag("event_type", 1).over(w).isNull()
+        | (F.col("event_type") != F.lag("event_type", 1).over(w)),
+        1,
+    ).otherwise(0)
+    versioned = ev.withColumn("chg", changed).withColumn(
+        "version", F.sum("chg").over(w.rowsBetween(W.unboundedPreceding, 0))
+    )
+    runs = versioned.groupBy("user_id", "version").agg(
+        F.first("event_type").alias("state"),
+        F.min("ts").alias("from_ts"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+    wv = W.partitionBy("user_id").orderBy(F.col("version").asc())
+    return runs.select(
+        "user_id",
+        F.col("version").cast("long").alias("version"),
+        "state",
+        F.date_format("from_ts", "yyyy-MM-dd HH:mm:ss").alias("valid_from"),
+        F.date_format(F.lead("from_ts", 1).over(wv), "yyyy-MM-dd HH:mm:ss").alias(
+            "valid_to"
+        ),
+        F.lead("from_ts", 1).over(wv).isNull().alias("is_current"),
+        "n_events",
+    )
+
+
+ORACLE_SCD2_USER_STATE = """
+WITH flagged AS (
+  SELECT *, CASE WHEN prev_type IS NULL OR event_type <> prev_type
+             THEN 1 ELSE 0 END AS chg
+  FROM (SELECT *, lag(event_type, 1) OVER w AS prev_type FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC))
+), versioned AS (
+  SELECT *, CAST(sum(chg) OVER (PARTITION BY user_id
+            ORDER BY ts ASC, event_id ASC
+            ROWS UNBOUNDED PRECEDING) AS BIGINT) AS version
+  FROM flagged
+), runs AS (
+  SELECT user_id, version, min(event_type) AS state, min(ts) AS from_ts,
+         CAST(count(*) AS BIGINT) AS n_events
+  FROM versioned GROUP BY user_id, version
+)
+SELECT user_id, version, state,
+       strftime(from_ts, '%Y-%m-%d %H:%M:%S') AS valid_from,
+       strftime(lead(from_ts, 1) OVER wv, '%Y-%m-%d %H:%M:%S') AS valid_to,
+       (lead(from_ts, 1) OVER wv) IS NULL AS is_current,
+       n_events
+FROM runs
+WINDOW wv AS (PARTITION BY user_id ORDER BY version ASC)
+"""
+
+
 # --- sliding (hopping) window aggregation ------------------------------------
 
 
@@ -1052,6 +1123,8 @@ QUERIES = [
           "A6 fixed-bucket histogram (width_bucket-style when chain)"),
     Query("sessionization", q_sessionization, ORACLE_SESSIONIZATION,
           "gap-based sessionization via lag + running sum"),
+    Query("scd2_user_state", q_scd2_user_state, ORACLE_SCD2_USER_STATE,
+          "SCD2 versioned state history from the event log (CDC pattern)"),
     Query("session_window_agg", q_session_window_agg, ORACLE_SESSION_WINDOW_AGG,
           "native session_window gap-merged aggregation"),
     Query("counters_sliding_window", q_counters_sliding_window,
