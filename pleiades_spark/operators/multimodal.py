@@ -130,3 +130,47 @@ def resize_blobs(media: DataFrame, factor: int = 4) -> DataFrame:
             )
 
     return media.mapInPandas(_resize, schema=RESIZE_SCHEMA)
+
+
+FRAME_SAMPLE_SCHEMA = "doc_id long, frame_idx int, frame binary, n_bytes int"
+
+
+def sample_frames(
+    media: DataFrame, frame_size: int = 64, stride: int = 2
+) -> DataFrame:
+    """Frame sampling: each blob is cut into ``frame_size``-byte frames and
+    every ``stride``-th frame becomes ITS OWN ROW — the 1→N batch-shape
+    change of video ingestion (decode → sample frames → per-frame
+    features), with the codec swapped for a deterministic byte-chunker
+    (decode_image gates the real path, same as the sibling stages).
+
+    This is the capability a scalar pandas_udf cannot express (its output
+    must be 1:1 with input rows); mapInPandas lets the Arrow batch grow,
+    and the output composes with extract_features / resize_blobs
+    downstream. At scale the expansion factor (frames per blob / stride)
+    multiplies rows BEFORE any shuffle — sample early, shuffle after, so
+    the exchange carries sampled frames, never whole videos.
+    """
+
+    def _frames(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            doc_ids, idxs, frames = [], [], []
+            for doc_id, blob in zip(pdf["doc_id"], pdf["blob"]):
+                b = bytes(blob)
+                n_frames = math.ceil(len(b) / frame_size)
+                for i in range(0, n_frames, stride):
+                    doc_ids.append(doc_id)
+                    idxs.append(i)
+                    frames.append(b[i * frame_size : (i + 1) * frame_size])
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(doc_ids, dtype="int64"),
+                    "frame_idx": pd.Series(idxs, dtype="int32"),
+                    "frame": pd.Series(frames, dtype=object),
+                    "n_bytes": pd.Series(
+                        [len(f) for f in frames], dtype="int32"
+                    ),
+                }
+            )
+
+    return media.mapInPandas(_frames, schema=FRAME_SAMPLE_SCHEMA)

@@ -1550,6 +1550,42 @@ FROM (
 """
 
 
+def q_frame_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-expanding frame sampling (1→N mapInPandas): every 2nd 64-byte
+    frame of each blob as its own row. The binary frame itself is
+    projected to a hex prefix for the gate (engines hash binary columns
+    differently; an 8-byte hex scalar is engine-neutral); the oracle
+    replays the chunking with BLOB substring arithmetic."""
+    from pleiades_spark.operators.multimodal import attach_blob, sample_frames
+
+    frames = sample_frames(attach_blob(_t(spark, sf_dir, "documents")))
+    return frames.select(
+        "doc_id",
+        "frame_idx",
+        "n_bytes",
+        F.upper(F.hex(F.expr("substring(frame, 1, 8)"))).alias("frame_head_hex"),
+    )
+
+
+# DuckDB has no BLOB substring; the fixture text is pure ASCII, so char
+# slicing on the VARCHAR == byte slicing on its utf-8 encoding (the same
+# equivalence ORACLE_MULTIMODAL_FEATURES relies on).
+ORACLE_FRAME_SAMPLES = """
+WITH b AS (
+  SELECT doc_id, text, octet_length(encode(text)) AS n FROM documents
+), idx AS (
+  SELECT doc_id, text, n,
+         unnest(range(0, CAST(ceil(n / 64.0) AS BIGINT), 2)) AS frame_idx
+  FROM b
+)
+SELECT doc_id, CAST(frame_idx AS INT) AS frame_idx,
+       CAST(octet_length(encode(substring(text, CAST(frame_idx * 64 + 1 AS BIGINT), 64))) AS INT)
+         AS n_bytes,
+       hex(encode(substring(text, CAST(frame_idx * 64 + 1 AS BIGINT), 8))) AS frame_head_hex
+FROM idx
+"""
+
+
 ORACLE_DEDUP_KEEP_BEST = f"""
 WITH cc AS ({ORACLE_DEDUP_CLUSTERS}),
 q AS (SELECT doc_id, quality FROM ({ORACLE_TEXT_QUALITY}) tq),
@@ -1620,6 +1656,8 @@ QUERIES = [
           "top-10 tokens per language"),
     Query("multimodal_features", q_multimodal_features, ORACLE_MULTIMODAL_FEATURES,
           "binary-column feature extraction via Arrow mapInPandas"),
+    Query("frame_samples", q_frame_samples, ORACLE_FRAME_SAMPLES,
+          "1-to-N frame sampling via row-expanding mapInPandas"),
     Query("doc_lang_enrichment", q_doc_lang_enrichment, ORACLE_DOC_LANG_ENRICHMENT,
           "langdim broadcast join with coalesce fallback chain"),
     Query("word_frequency_salted", q_word_freq_salted, ORACLE_WORD_FREQ_SALTED,

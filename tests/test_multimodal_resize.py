@@ -41,3 +41,51 @@ def test_resize_blobs_strides_bytes_and_composes(spark, sf_dir):
     # sanity: full-size features over the same docs see larger payloads
     full = {r.doc_id: r.n_bytes for r in extract_features(docs).collect()}
     assert all(full[d] >= fr[d] for d in fr)
+
+
+def test_sample_frames_expands_rows_and_preserves_bytes(spark):
+    """1→N expansion: every 2nd 64-byte frame per blob, bytes identical to
+    the source slice, frame count = ceil(ceil(n/64)/2)."""
+    import math
+
+    from pleiades_spark.operators.multimodal import attach_blob, sample_frames
+
+    docs = spark.createDataFrame(
+        [(1, "a" * 200, "s"), (2, "xy", "s"), (3, "b" * 64, "s")],
+        "doc_id long, text string, source string",
+    )
+    out = sample_frames(attach_blob(docs)).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    # 200 bytes -> 4 frames -> idx 0, 2 ; 2 bytes -> 1 frame ; 64 -> 1 frame
+    assert sorted(r.frame_idx for r in by_doc[1]) == [0, 2]
+    assert [r.frame_idx for r in by_doc[2]] == [0]
+    assert [r.frame_idx for r in by_doc[3]] == [0]
+    texts = {1: "a" * 200, 2: "xy", 3: "b" * 64}
+    for doc_id, rows in by_doc.items():
+        src = texts[doc_id].encode()
+        for r in rows:
+            lo = r.frame_idx * 64
+            assert bytes(r.frame) == src[lo : lo + 64]
+            assert r.n_bytes == len(bytes(r.frame))
+
+
+def test_sample_frames_composes_with_resize(spark):
+    """Frame rows keep the binary-in/binary-out contract: a frame row set
+    can feed further Arrow stages (here: per-frame byte stride)."""
+    from pleiades_spark.operators.multimodal import (
+        attach_blob,
+        sample_frames,
+    )
+    from pyspark.sql import functions as F
+
+    docs = spark.createDataFrame(
+        [(1, "abcdefgh" * 16, "s")], "doc_id long, text string, source string"
+    )
+    frames = sample_frames(attach_blob(docs))
+    # downstream per-frame feature: header byte + length, plain codegen
+    feats = frames.select(
+        "doc_id", "frame_idx", F.hex(F.expr("substring(frame, 1, 2)")).alias("hdr")
+    ).collect()
+    assert all(f.hdr for f in feats)
