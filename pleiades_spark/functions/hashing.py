@@ -69,9 +69,15 @@ def perm_hash_sql(expr: str, a: int, b: int) -> str:
 # permutation table above.
 
 SRP_DIM = 64       # fixture embedding dimensionality
-SRP_PLANES_N = 16  # sign bits per vector
+SRP_PLANES_N = 16  # sign bits per vector (gate configuration)
 SRP_BANDS = 4
 SRP_ROWS = 4       # SRP_PLANES_N = SRP_BANDS * SRP_ROWS
+
+# SCALING RULE: a band key of r bits yields only 2^r buckets, so candidate
+# volume grows as n²/2^r — r must scale with the corpus: r ≈ log2(n / B)
+# for a target bucket size B. The 4-bit gate config suits the 500-5000
+# vector fixtures; the bench/scale path uses 8-bit bands (srp_planes(32)),
+# and a 100 TB corpus wants r ≈ 24-32 plus the hot-bucket cap.
 
 
 def _srp_component(plane: int, dim: int) -> float:
@@ -81,7 +87,12 @@ def _srp_component(plane: int, dim: int) -> float:
     return h / 2**31 - 1.0  # uniform in [-1, 1)
 
 
-SRP_PLANES: tuple[tuple[float, ...], ...] = tuple(
-    tuple(_srp_component(p, d) for d in range(SRP_DIM))
-    for p in range(SRP_PLANES_N)
-)
+def srp_planes(n: int, dim: int = SRP_DIM) -> tuple[tuple[float, ...], ...]:
+    """First ``n`` frozen hyperplanes (md5-derived, any count, identical
+    doubles on both engines — see module docstring)."""
+    return tuple(
+        tuple(_srp_component(p, d) for d in range(dim)) for p in range(n)
+    )
+
+
+SRP_PLANES: tuple[tuple[float, ...], ...] = srp_planes(SRP_PLANES_N)
