@@ -51,14 +51,24 @@ def use_rocksdb_state(spark: SparkSession) -> None:
 
 
 def events_file_stream(spark: SparkSession, path: str) -> DataFrame:
-    """Streaming scan of fixture-format events parquet (nanos ts → micros).
+    """Streaming scan of fixture-format events parquet.
+
+    The streaming source needs an explicit schema, so probe the file with a
+    one-off batch read: fixtures have shipped ``ts`` both as INT64
+    TIMESTAMP(NANOS) (read as long + divided to micros, mirroring
+    catalog.load) and as plain TIMESTAMP(MICROS) (used as-is).
 
     ``cleanSource`` can be set to 'delete' upstream to reproduce the
     reference's consume-then-delete file queue (file/aggregator.go:151-217);
     left at default here because fixtures are read-only.
     """
     apply_runtime_confs(spark)
-    reader = spark.readStream.schema(EVENTS_SCHEMA_NANOS)
+    probed = spark.read.parquet(path).schema
+    ts_is_long = any(
+        f.name == "ts" and f.dataType.simpleString() == "bigint"
+        for f in probed.fields
+    )
+    reader = spark.readStream.schema(EVENTS_SCHEMA_NANOS if ts_is_long else probed)
     if path.endswith(".parquet"):
         # The streaming file source needs a directory basePath; a single
         # fixture file is addressed as dir + glob.
@@ -66,7 +76,13 @@ def events_file_stream(spark: SparkSession, path: str) -> DataFrame:
         reader = reader.option("pathGlobFilter", fname)
         path = base
     raw = reader.parquet(path)
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if ts_is_long:
+        raw = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    elif dict(raw.dtypes).get("ts") == "timestamp_ntz":
+        # Watermarks require TIMESTAMP (LTZ); session TZ is pinned to UTC
+        # (session.py RUNTIME_CONFS) so this cast is value-preserving.
+        raw = raw.withColumn("ts", F.col("ts").cast("timestamp"))
+    return raw
 
 
 def kafka_raw_stream(
