@@ -44,9 +44,10 @@ from pleiades_spark.functions.hashing import (
     SRP_ROWS,
     h32,
     perm_hash,
+    srp_planes,
 )
 from pleiades_spark.functions.text import word_shingles
-from pleiades_spark.functions.vectors import as_double, cosine, dot
+from pleiades_spark.functions.vectors import as_double, cosine, dot, norm
 
 
 # --- exact ---------------------------------------------------------------
@@ -417,7 +418,7 @@ def embedding_near_dup_pairs(
 
 
 def embedding_near_dup_srp(
-    emb: DataFrame, threshold: float = 0.45
+    emb: DataFrame, threshold: float = 0.45, rows_bits: int | None = None
 ) -> DataFrame:
     """Cosine near-dup pairs via signed-random-projection LSH — the scale
     path for embedding dedup that, unlike ``embedding_near_dup_ivf``, has
@@ -443,19 +444,42 @@ def embedding_near_dup_srp(
     over continuous embeddings spread by direction; a cap/salt is only
     needed if the embedding space itself is degenerate (e.g. zero
     vectors), which the bucket-size guard in production would catch.
+
+    ``rows_bits`` (bits per band, r) follows the SCALING RULE in
+    functions/hashing.py: candidate volume grows as n²/2^r, so r must
+    track the corpus — r ≈ log2(n / B) for target bucket size B. When
+    None it is derived from a corpus count (floor at the gate's
+    SRP_ROWS=4, which the frozen DuckDB oracle replays for the ≤1k-vector
+    gate fixtures; larger corpora get wider bands and strictly fewer
+    candidates per bucket). Passing an explicit value skips the count
+    job.
     """
+    if rows_bits is None:
+        # B=32 target bucket size; 500-vector gate fixtures → r=4 (the
+        # frozen oracle config), 2000 → r=6, 1M → r=15, ...
+        n = emb.count()
+        rows_bits = max(SRP_ROWS, (max(n, 1) // 32).bit_length())
+    planes = SRP_PLANES if rows_bits == SRP_ROWS else srp_planes(SRP_BANDS * rows_bits)
     v = emb.select("vec_id", as_double(F.col("embedding")).alias("v"))
-    bit_cols = [
-        (dot(F.col("v"), F.array(*[F.lit(c) for c in plane])) >= 0).cast("int")
-        for plane in SRP_PLANES
-    ]
-    bits = v.select("vec_id", "v", F.array(*bit_cols).alias("bits"))
+    # ONE nested-array literal for the whole plane matrix: a plans×dim
+    # matrix as per-component F.lit nodes is thousands of expression
+    # nodes — analysis + codegen time dwarfed the actual scan. The fold
+    # inside the lambda is the same left-to-right dot the oracle replays;
+    # only the expression-tree shape changes, not a single double.
+    planes_lit = F.lit([list(p) for p in planes])
+    bits = v.select(
+        "vec_id",
+        "v",
+        F.transform(
+            planes_lit, lambda p: (dot(F.col("v"), p) >= 0).cast("int")
+        ).alias("bits"),
+    )
     band_arr = F.array(
         *[
             sum(
                 (
-                    F.col("bits")[b * SRP_ROWS + r] * (2 ** (SRP_ROWS - 1 - r))
-                    for r in range(SRP_ROWS)
+                    F.col("bits")[b * rows_bits + r] * (2 ** (rows_bits - 1 - r))
+                    for r in range(rows_bits)
                 ),
                 start=F.lit(0),
             )
@@ -477,12 +501,27 @@ def embedding_near_dup_srp(
         .select(F.col("l.vec_id").alias("vec_a"), F.col("r.vec_id").alias("vec_b"))
         .distinct()
     )
-    va = v.select(F.col("vec_id").alias("vec_a"), F.col("v").alias("v_a"))
-    vb = v.select(F.col("vec_id").alias("vec_b"), F.col("v").alias("v_b"))
+    # Verify with per-VECTOR norms computed once (norm(a) is the same
+    # double whether computed per row or per pair — cosine() inline would
+    # re-fold both norms for every candidate, tripling the verify cost).
+    vn = v.withColumn("nrm", norm(F.col("v")))
+    va = vn.select(
+        F.col("vec_id").alias("vec_a"), F.col("v").alias("v_a"),
+        F.col("nrm").alias("n_a"),
+    )
+    vb = vn.select(
+        F.col("vec_id").alias("vec_b"), F.col("v").alias("v_b"),
+        F.col("nrm").alias("n_b"),
+    )
     return (
         cand.join(va, "vec_a")
         .join(vb, "vec_b")
-        .withColumn("cos", F.round(cosine(F.col("v_a"), F.col("v_b")), 6))
+        .withColumn(
+            "cos",
+            F.round(
+                dot(F.col("v_a"), F.col("v_b")) / (F.col("n_a") * F.col("n_b")), 6
+            ),
+        )
         .filter(F.col("cos") >= threshold)
         .select("vec_a", "vec_b", "cos")
     )
