@@ -33,7 +33,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from pleiades_spark.functions.hashing import MINHASH_PERMS, h32, perm_hash
+from pleiades_spark.functions.hashing import MINHASH_P, MINHASH_PERMS, h32, perm_hash
 
 CMS_DEPTH = 4
 CMS_WIDTH = 256
@@ -127,20 +127,58 @@ def _bloom_positions_from_h(h: Column, n_hashes: int, bits: int) -> list[Column]
     ]
 
 
-def bloom_build(dim: DataFrame, key: Column) -> DataFrame:
+def bloom_bits_for(n_keys: int, bits_per_key: int = 10) -> int:
+    """Power-of-two filter size for ``n_keys`` (~10 bits/key ≈ 1% fp with
+    k=3), floored at the frozen gate size BLOOM_BITS — the DuckDB oracle
+    replays % BLOOM_BITS, and the ≤400-key gate fixtures land exactly
+    there. A fixed m saturates the moment the dim outgrows it (measured
+    at sf0.1: 4k keys in 4096 bits → 86% false-pass, the "prune" passed
+    571k of 600k rows); sizing from the build-side count is what Spark's
+    own InjectRuntimeFilter does with its ndv estimate."""
+    m = BLOOM_BITS
+    while m < n_keys * bits_per_key:
+        m *= 2
+    return m
+
+
+def bloom_words_from_keys(keys: list[str], bits: int) -> list[int]:
+    """Driver-side bitmap from an already-collected key list — the
+    Python-md5 twin of (bloom_build → collect): h32 is the first 8 hex
+    chars of md5, so hashlib reproduces the JVM column bit-for-bit.
+
+    The bitmap must reach the driver either way (it ships into the fact
+    scan as a literal); collecting the keys once and hashing here saves
+    the separate explode/distinct/collect job AND the extra dim scan a
+    count-for-sizing would cost — size with bloom_bits_for(len(keys)).
+    """
+    import hashlib
+
+    words = [0] * (bits // 32)
+    for k in keys:
+        h = int(hashlib.md5(k.encode()).hexdigest()[:8], 16)
+        for i in range(BLOOM_HASHES):
+            a, b = MINHASH_PERMS[CMS_DEPTH + i]
+            p = (a * h + b) % MINHASH_P % bits
+            words[p // 32] |= 1 << (p % 32)
+    return words
+
+
+def bloom_build(dim: DataFrame, key: Column, bits: int = BLOOM_BITS) -> DataFrame:
     """Distinct set bit positions from the dim side's keys (≤ m rows)."""
     return (
         dim.select(h32(key).alias("_h"))
         .select(
             F.explode(
-                F.array(*_bloom_positions_from_h(F.col("_h"), BLOOM_HASHES, BLOOM_BITS))
+                F.array(*_bloom_positions_from_h(F.col("_h"), BLOOM_HASHES, bits))
             ).alias("pos")
         )
         .distinct()
     )
 
 
-def bloom_prune(fact: DataFrame, key: Column, bloom: DataFrame) -> DataFrame:
+def bloom_prune(
+    fact: DataFrame, key: Column, bloom: DataFrame, bits: int = BLOOM_BITS
+) -> DataFrame:
     """Keep fact rows whose key passes the Bloom membership test.
 
     The position set is materialized ONCE into an m-bit bitmap packed as
@@ -155,16 +193,26 @@ def bloom_prune(fact: DataFrame, key: Column, bloom: DataFrame) -> DataFrame:
     with a dynamic offset is O(offset) codepoint counting — measured 6×
     slower than element_at on the word array.)
     """
-    words = [0] * (BLOOM_BITS // 32)
+    words = [0] * (bits // 32)
     for r in bloom.collect():
         p = int(r["pos"])
         words[p // 32] |= 1 << (p % 32)
-    warr = F.array(*[F.lit(w) for w in words])
-    pow2 = F.array(*[F.lit(1 << i) for i in range(32)])
+    return bloom_prune_words(fact, key, words, bits)
+
+
+def bloom_prune_words(
+    fact: DataFrame, key: Column, words: list[int], bits: int
+) -> DataFrame:
+    """Map-side Bloom prune against a driver-resident bitmap (see
+    bloom_prune; words from bloom_words_from_keys or a collected build)."""
+    warr = F.lit(words)
+    pow2 = F.lit([1 << i for i in range(32)])
     pruned = fact.withColumn("_h", h32(key))
     cond = F.lit(True)
-    for pos in _bloom_positions_from_h(F.col("_h"), BLOOM_HASHES, BLOOM_BITS):
-        word = F.element_at(warr, F.floor(pos / F.lit(32)).cast("int") + F.lit(1))
+    for pos in _bloom_positions_from_h(F.col("_h"), BLOOM_HASHES, bits):
+        # pos ∈ [0, bits): word index via integer shift — floor(pos/32)
+        # would detour through a double division.
+        word = F.element_at(warr, F.shiftright(pos, 5).cast("int") + F.lit(1))
         bit = F.element_at(pow2, pos.bitwiseAND(F.lit(31)).cast("int") + F.lit(1))
         cond = cond & (word.bitwiseAND(bit) != 0)
     return pruned.filter(cond).drop("_h")

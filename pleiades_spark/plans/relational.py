@@ -28,8 +28,11 @@ from pleiades_spark.operators.sketch import (
     BLOOM_HASHES,
     CMS_DEPTH,
     CMS_WIDTH,
+    bloom_bits_for,
     bloom_build,
     bloom_prune,
+    bloom_prune_words,
+    bloom_words_from_keys,
     cms_heavy_hitters,
 )
 from pleiades_spark.operators.layout import zvalue, zvalue_sql
@@ -1283,21 +1286,31 @@ def q_bloom_semi_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     runtime bloom join pruning, false positives counted deterministically."""
     orders = _t(spark, sf_dir, "orders")
     li = _t(spark, sf_dir, "lineitem")
-    # The filtered dim key set feeds BOTH the bloom build (collected to a
-    # bitmap) and the truth-marking broadcast join below. Deriving it
-    # twice is cheaper here than localCheckpoint (which adds a blocking
-    # materialization job — measured slower at bench SF); at real scale
-    # with an expensive dim derivation, checkpoint/cache the dim first.
+    # ONE collect feeds both the size choice and the bitmap: the bitmap
+    # has to land on the driver regardless (it ships into the fact scan
+    # as a literal), so the keys are hashed driver-side
+    # (bloom_words_from_keys, bit-identical Python md5) instead of
+    # running separate count and explode/distinct/collect jobs.
     dim = (
         orders.filter(F.col("o_totalprice") > BLOOM_PRICE_MIN)
         .select(F.col("o_orderkey").cast("string").alias("k"))
         .distinct()
     )
-    bloom = bloom_build(dim, F.col("k"))
+    keys = [r["k"] for r in dim.collect()]
+    # Size the filter from the build side (bloom_bits_for): the ≤606-key
+    # gate fixture stays at the frozen BLOOM_BITS floor region the
+    # oracle's bsize subquery replays; bigger dims get a bigger bitmap
+    # instead of a saturated one.
+    bits = bloom_bits_for(len(keys))
+    words = bloom_words_from_keys(keys, bits)
     fact = li.select(
         F.col("l_orderkey").cast("string").alias("k"), "l_extendedprice"
     )
-    pruned = bloom_prune(fact, F.col("k"), bloom)
+    pruned = bloom_prune_words(fact, F.col("k"), words, bits)
+    # Mark join re-derives dim from the (cached-by-OS) orders scan — a
+    # driver createDataFrame of the collected keys measures ~2.5s slower
+    # here: parallelize ships 32 Python-pickled partitions vs one
+    # columnar re-scan of a dim that pushes its filter down.
     marked = pruned.join(
         F.broadcast(dim.withColumn("hit", F.lit(1))), "k", "left"
     )
@@ -1310,8 +1323,14 @@ def q_bloom_semi_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# The oracle replays the ADAPTIVE sizing (bloom_bits_for): m = the
+# smallest power of two ≥ 10·|dim| with a 4096 floor, as a scalar
+# subquery — so Spark and DuckDB agree on m at every scale factor, not
+# just the one the constant was frozen for. (10·n is divisible by 10 so
+# it is never itself a power of two; ceil(log2) is exact.)
 _BLOOM_POS_EXPRS = [
-    perm_hash_sql("h", *MINHASH_PERMS[CMS_DEPTH + i]) + f" % {BLOOM_BITS}"
+    perm_hash_sql("h", *MINHASH_PERMS[CMS_DEPTH + i])
+    + " % (SELECT m FROM bsize)"
     for i in range(BLOOM_HASHES)
 ]
 
@@ -1319,6 +1338,10 @@ ORACLE_BLOOM_SEMI_PRUNE = f"""
 WITH dim AS (
   SELECT DISTINCT CAST(o_orderkey AS VARCHAR) AS k FROM orders
   WHERE o_totalprice > {BLOOM_PRICE_MIN}
+), bsize AS (
+  SELECT GREATEST({BLOOM_BITS},
+                  CAST(pow(2, CEIL(log2(count(*) * 10))) AS BIGINT)) AS m
+  FROM dim
 ), dh AS (SELECT k, {h32_sql("k")} AS h FROM dim),
 pos AS (
   SELECT DISTINCT pos FROM (
