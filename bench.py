@@ -87,6 +87,11 @@ HEADLINE = [
     "dedup_embedding_srp",
     "quality_classifier",
     "zorder_rank",
+    # round 4: corpus balancing/sampling + span dedup + forward as-of
+    "domain_cap",
+    "weighted_sample",
+    "dup_span_stats",
+    "asof_join_forward",
 ]
 
 

@@ -517,3 +517,122 @@ def pii_scrub(docs: DataFrame, text_col: str = "text") -> DataFrame:
         prev = stage
     out = out.withColumn("scrubbed_text", F.col(prev))
     return out.drop(*stage_cols)
+
+
+# --- per-domain caps (domain balancing) ----------------------------------
+
+DOMAIN_CAP = 15  # gate configuration: max docs kept per source
+
+
+def domain_cap(docs: DataFrame, cap: int = DOMAIN_CAP, key: str = "source") -> DataFrame:
+    """Cap the number of documents kept per domain/source — the crawl-mix
+    balancing step (a handful of boilerplate-heavy domains otherwise
+    dominate the token budget).
+
+    Selection is a deterministic per-domain rank on (h32(doc_id), doc_id)
+    — re-running on a grown corpus keeps the previously-kept documents
+    for every domain whose membership didn't change, and the oracle
+    replays the exact set (rand()/limit would do neither).
+
+    Scale: ONE shuffle on the domain key; row_number sorts each domain's
+    partition. A monster domain (10⁸ docs) makes that sort a straggler —
+    there the two-phase form applies: aggregate per-domain counts
+    (map-side combined), broadcast them, and filter on
+    h32(doc_id) < 2³²·cap/n ≈ cap docs without any per-domain sort, at
+    the cost of binomial noise around the cap. The exact windowed form
+    here is the gate path; both select by the same hash so the
+    approximate form converges on the exact one as cap/n → 1.
+    """
+    w = W.partitionBy(key).orderBy(
+        h32(F.col("doc_id").cast("string")).asc(), F.col("doc_id").asc()
+    )
+    return (
+        docs.withColumn("keep_rank", F.row_number().over(w))
+        .filter(F.col("keep_rank") <= cap)
+        .select("doc_id", F.col(key), "keep_rank")
+    )
+
+
+# --- weighted sampling without replacement -------------------------------
+
+WEIGHTED_SAMPLE_K = 120  # gate configuration
+
+
+def weighted_sample_topk(docs: DataFrame, k: int = WEIGHTED_SAMPLE_K) -> DataFrame:
+    """Weighted sampling without replacement (Efraimidis–Spirakis A-ES):
+    rank by key = ln(u)/w with u ∈ (0,1] deterministic per doc and
+    w = n_chars, take the global top-k — each doc's inclusion probability
+    is proportional to its weight, exactly the "sample by token count"
+    step that turns a document corpus into a token-budgeted one.
+
+    u comes from the md5-derived h32 (never 0: +1 shifts into (0, 2³²]),
+    so the draw is reproducible across runs, engines, and retries — the
+    distributed-sampler property rand() lacks; ln(u)/w is monotone in
+    u^(1/w), avoiding a pow whose extreme exponents would underflow.
+
+    Scale: the ranking key is a map-stage expression; top-k compiles to
+    TakeOrderedAndProject (per-partition heaps + driver merge of k), so
+    no global sort and no shuffle of the corpus. ln/division parity with
+    the oracle is ulp-exact (both engines' libm; precedent: the tf-idf
+    and bigram-LM gates), and exact key ties are broken by doc_id
+    identically on both sides.
+    """
+    u = (h32(F.col("doc_id").cast("string")) + 1) / F.lit(2.0 ** 32)
+    key = F.log(u) / F.col("n_chars")
+    return (
+        docs.select(
+            "doc_id",
+            "lang",
+            "n_chars",
+            F.round(key, 6).alias("es_key_r"),
+            key.alias("_key"),
+        )
+        .orderBy(F.col("_key").desc(), F.col("doc_id").asc())
+        .limit(k)
+        .select("doc_id", "lang", "n_chars", "es_key_r")
+    )
+
+
+# --- cross-document duplicated spans -------------------------------------
+
+
+def dup_span_stats(docs: DataFrame) -> DataFrame:
+    """Per-document duplicated-span statistics: the fraction of a doc's
+    distinct 3-word shingles that occur in other documents — the
+    document-level signal behind substring-level corpus dedup
+    (Lee et al. 2022, "Deduplicating Training Data Makes Language Models
+    Better"): docs past a threshold go to span-removal or drop.
+
+    Plan: explode distinct shingles once; shingle document-frequency is
+    ONE map-side-combined aggregation (the df table is vocabulary-sized,
+    not corpus-sized); dup marks join back on the shingle key the explode
+    already produced — co-partitioned with the agg's own shuffle. At
+    100 TB the shuffle key is md5(shingle) (16 bytes, not the span text)
+    and hot boilerplate shingles are exactly the rows this op exists to
+    find — they fan into ONE reducer each for the count (fine: counts
+    are map-side combined) and carry df, not doc lists.
+    """
+    sh = docs.select(
+        "doc_id", F.explode(word_shingles(F.col("text"))).alias("sh")
+    )
+    df_tbl = sh.groupBy("sh").agg(F.count(F.lit(1)).alias("df"))
+    return (
+        sh.join(df_tbl, "sh")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.sum(F.when(F.col("df") >= 2, 1).otherwise(0)).alias("n_dup"),
+        )
+        .withColumn(
+            # small-denominator rational: x·10⁶ can land EXACTLY on .5
+            # (e.g. n_shingles a power of two), where round() diverges
+            # across engines — quantize with the floor form, identical
+            # op order on the oracle side (CLAUDE.md / timeseries).
+            "dup_frac",
+            F.floor(
+                (F.col("n_dup") / F.col("n_shingles")) * F.lit(1000000.0)
+                + F.lit(0.5)
+            )
+            / F.lit(1000000.0),
+        )
+    )

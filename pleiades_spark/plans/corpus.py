@@ -35,6 +35,13 @@ from pleiades_spark.operators.corpus import (
     stratified_sample,
     tfidf_top_terms,
 )
+from pleiades_spark.operators.corpus import (
+    DOMAIN_CAP,
+    WEIGHTED_SAMPLE_K,
+    domain_cap,
+    dup_span_stats,
+    weighted_sample_topk,
+)
 from pleiades_spark.plans import Query
 from pleiades_spark.session import apply_runtime_confs
 
@@ -747,6 +754,78 @@ FROM documents
 """
 
 
+# --- domain cap -----------------------------------------------------------
+
+
+def q_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source document cap (operators/corpus.domain_cap): keep at most
+    DOMAIN_CAP docs per source by deterministic hash rank — the crawl-mix
+    balancing step."""
+    return domain_cap(_t(spark, sf_dir, "documents"))
+
+
+ORACLE_DOMAIN_CAP = f"""
+SELECT doc_id, source, keep_rank FROM (
+  SELECT doc_id, source,
+         CAST(row_number() OVER (
+            PARTITION BY source
+            ORDER BY {h32_sql("CAST(doc_id AS VARCHAR)")} ASC, doc_id ASC
+         ) AS INT) AS keep_rank
+  FROM documents
+) WHERE keep_rank <= {DOMAIN_CAP}
+"""
+
+
+# --- weighted sampling without replacement --------------------------------
+
+
+def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Efraimidis-Spirakis weighted top-k sample, weight = n_chars
+    (operators/corpus.weighted_sample_topk): token-budget-proportional
+    inclusion, reproducible across engines and retries."""
+    return weighted_sample_topk(_t(spark, sf_dir, "documents"))
+
+
+ORACLE_WEIGHTED_SAMPLE = f"""
+SELECT doc_id, lang, n_chars,
+       round(ln((h + 1) / 4294967296.0) / n_chars, 6) AS es_key_r
+FROM (
+  SELECT doc_id, lang, n_chars,
+         {h32_sql("CAST(doc_id AS VARCHAR)")} AS h
+  FROM documents
+)
+ORDER BY ln((h + 1) / 4294967296.0) / n_chars DESC, doc_id ASC
+LIMIT {WEIGHTED_SAMPLE_K}
+"""
+
+
+# --- duplicated spans -----------------------------------------------------
+
+
+def q_dup_span_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document duplicated-span fractions
+    (operators/corpus.dup_span_stats): per-doc share of 3-word shingles
+    that appear in other docs — the doc-level signal for substring-level
+    dedup."""
+    return dup_span_stats(_t(spark, sf_dir, "documents"))
+
+
+ORACLE_DUP_SPAN_STATS = f"""
+WITH sh AS (
+  SELECT doc_id, unnest({word_shingles_sql("text")}) AS sh FROM documents
+), dft AS (
+  SELECT sh, count(*) AS df FROM sh GROUP BY sh
+)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_shingles,
+       CAST(sum(CASE WHEN dft.df >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup,
+       floor((sum(CASE WHEN dft.df >= 2 THEN 1 ELSE 0 END)
+              / count(*)) * 1000000.0 + 0.5) / 1000000.0 AS dup_frac
+FROM sh JOIN dft USING (sh)
+GROUP BY doc_id
+"""
+
+
 QUERIES = [
     Query("doc_chunks", q_doc_chunks, ORACLE_DOC_CHUNKS,
           "overlapping token-window chunking (Generate, no shuffle)"),
@@ -787,4 +866,10 @@ QUERIES = [
           "deterministic hash shuffle into balanced training shards"),
     Query("bigram_lm_scores", q_bigram_lm_scores, ORACLE_BIGRAM_LM_SCORES,
           "per-doc avg NLL under train-split bigram LM (model-based filter)"),
+    Query("domain_cap", q_domain_cap, ORACLE_DOMAIN_CAP,
+          "per-source doc cap by deterministic hash rank (domain balancing)"),
+    Query("weighted_sample", q_weighted_sample, ORACLE_WEIGHTED_SAMPLE,
+          "Efraimidis-Spirakis weighted top-k sample (weight = n_chars)"),
+    Query("dup_span_stats", q_dup_span_stats, ORACLE_DUP_SPAN_STATS,
+          "per-doc duplicated 3-word-span fraction across the corpus"),
 ]

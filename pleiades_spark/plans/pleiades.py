@@ -820,6 +820,65 @@ FROM (
 """
 
 
+def q_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FORWARD as-of join with tolerance: each non-purchase event matched
+    to the user's NEXT purchase within 2 hours (attribution window).
+
+    The O(n) formulation (per the gapfill invariant, CLAUDE.md): a
+    [current, unboundedFollowing] ignorenulls frame re-scans the
+    partition remainder per row — quadratic per key. "Next non-null" is
+    instead a running last() over the DESCENDING order, an incremental
+    O(n) frame; the tolerance then filters matches past 2h to null.
+    """
+    ev = _events(spark, sf_dir)
+    w = (
+        W.partitionBy("user_id")
+        .orderBy(F.col("ts").desc(), F.col("event_id").desc())
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    marker = F.when(F.col("event_type") == "purchase", F.col("ts"))
+    nxt = F.last(marker, ignorenulls=True).over(w)
+    within = (F.unix_timestamp(nxt) - F.unix_timestamp(F.col("ts"))) <= 7200
+    return (
+        ev.withColumn("next_purchase_ts", F.when(within, nxt))
+        .filter(F.col("event_type") != "purchase")
+        .select(
+            "event_id",
+            "user_id",
+            F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("event_ts"),
+            F.date_format("next_purchase_ts", "yyyy-MM-dd HH:mm:ss").alias(
+                "next_purchase_at"
+            ),
+            F.round(
+                (
+                    F.unix_timestamp("next_purchase_ts")
+                    - F.unix_timestamp("ts")
+                )
+                / 60.0,
+                4,
+            ).alias("minutes_until_purchase"),
+        )
+    )
+
+
+ORACLE_ASOF_FORWARD = """
+SELECT event_id, user_id,
+       strftime(ts, '%Y-%m-%d %H:%M:%S') AS event_ts,
+       strftime(np, '%Y-%m-%d %H:%M:%S') AS next_purchase_at,
+       round((floor(epoch(np)) - floor(epoch(ts))) / 60.0, 4)
+         AS minutes_until_purchase
+FROM (
+  SELECT *, CASE WHEN floor(epoch(nxt)) - floor(epoch(ts)) <= 7200 THEN nxt END AS np
+  FROM (
+    SELECT *, last(CASE WHEN event_type = 'purchase' THEN ts END IGNORE NULLS)
+              OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS nxt
+    FROM events
+  )
+) WHERE event_type <> 'purchase'
+"""
+
+
 # --- event analytics: funnel + retention ---------------------------------
 
 
@@ -1135,6 +1194,8 @@ QUERIES = [
           "min_by/max_by argmin-argmax aggregates"),
     Query("top_orders_global", q_top_orders_global, ORACLE_TOP_ORDERS_GLOBAL,
           "global sort+limit (TakeOrderedAndProject)"),
+    Query("asof_join_forward", q_asof_forward, ORACLE_ASOF_FORWARD,
+          "forward as-of join with 2h tolerance (next purchase attribution)"),
     Query("asof_join_signup", q_asof_signup, ORACLE_ASOF_SIGNUP,
           "as-of join via conditional last(ignorenulls) window"),
     Query("funnel_conversion", q_funnel_conversion, ORACLE_FUNNEL_CONVERSION,
