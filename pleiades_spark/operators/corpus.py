@@ -603,21 +603,21 @@ def dup_span_stats(docs: DataFrame) -> DataFrame:
     (Lee et al. 2022, "Deduplicating Training Data Makes Language Models
     Better"): docs past a threshold go to span-removal or drop.
 
-    Plan: explode distinct shingles once; shingle document-frequency is
-    ONE map-side-combined aggregation (the df table is vocabulary-sized,
-    not corpus-sized); dup marks join back on the shingle key the explode
-    already produced — co-partitioned with the agg's own shuffle. At
-    100 TB the shuffle key is md5(shingle) (16 bytes, not the span text)
-    and hot boilerplate shingles are exactly the rows this op exists to
-    find — they fan into ONE reducer each for the count (fine: counts
-    are map-side combined) and carry df, not doc lists.
+    Plan: explode distinct shingles ONCE; document frequency is a window
+    count over the shingle key (shingles are distinct within a doc, so
+    per-shingle row count = df) — two exchanges total (shingle, then
+    doc_id), where the groupBy-df + join-back form would re-run the
+    explode for both join sides. At 100 TB the shuffle key is the
+    shingle (hash it to 16 bytes if spans grow), and hot boilerplate
+    shingles are exactly the rows this op exists to find — a window
+    partition holds one shingle's postings, bounded by that shingle's
+    df, not the corpus.
     """
     sh = docs.select(
         "doc_id", F.explode(word_shingles(F.col("text"))).alias("sh")
     )
-    df_tbl = sh.groupBy("sh").agg(F.count(F.lit(1)).alias("df"))
     return (
-        sh.join(df_tbl, "sh")
+        sh.withColumn("df", F.count(F.lit(1)).over(W.partitionBy("sh")))
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).alias("n_shingles"),
