@@ -802,7 +802,7 @@ def q_gopher_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     fraction, most-frequent-bigram character fraction, duplicated-5-gram
     character fraction, and the keep/drop flag. Complements
     plans/corpus.q_repetition_scores (the cheap repeated-trigram map
-    stage) with the full per-gram accounting that needs a shuffle.
+    stage) with the full per-gram accounting.
 
     The fixture corpus has no newlines, so the paper's line-level rules
     are expressed at the word level. Char attribution counts every
@@ -810,16 +810,20 @@ def q_gopher_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     of covered spans — simpler, deterministic, and monotone in the same
     boilerplate signal.
 
-    Scale shape: the word array is computed ONCE into a real column (HOF
-    re-evaluation trap), n-grams explode → groupBy (doc_id, gram) with
-    map-side combine, then one per-doc reduction each — every shuffle is
-    keyed by doc_id(+gram), never global. Ratios divide exact integers so
-    both engines quantize identical doubles (floor(x·10⁴+0.5)/10⁴)."""
+    Scale shape: every statistic is PER DOCUMENT, so nothing needs a
+    shuffle — gram counting happens inside the row: sort the gram array,
+    fold over runs of equal grams (array_sort + aggregate, both
+    codegen-stage HOFs). The previous form exploded grams into
+    groupBy(doc_id, gram) + window — three exchanges of corpus×gram rows
+    to compute row-local facts; this is a single map stage at any corpus
+    size. Ties for the top bigram break toward the lexically smallest
+    gram in both forms (strict > against the sorted order). Each gram
+    array is materialized into a real column before its fold (HOF
+    re-evaluation trap). Ratios divide exact integers so both engines
+    quantize identical doubles (floor(x·10⁴+0.5)/10⁴)."""
     docs = _t(spark, sf_dir, "documents").select(
         "doc_id", "text", F.split("text", " ").alias("words")
     )
-    # Not cached: words arrays for a 100 TB corpus dwarf cluster memory;
-    # re-deriving the map-only split per branch is cheaper than spilling.
     base = docs.select(
         "doc_id",
         F.length("text").alias("n_chars"),
@@ -828,73 +832,116 @@ def q_gopher_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
         "words",
     )
 
-    g2 = base.filter(F.col("n_words") >= 2).select(
+    grams = base.select(
         "doc_id",
-        F.explode(
+        "n_chars",
+        "n_words",
+        "n_distinct_words",
+        F.array_sort(
             F.expr(
-                "zip_with(slice(words, 1, size(words) - 1),"
-                " slice(words, 2, size(words) - 1),"
+                "zip_with(slice(words, 1, greatest(size(words) - 1, 0)),"
+                " slice(words, 2, greatest(size(words) - 1, 0)),"
                 " (a, b) -> concat(a, ' ', b))"
             )
-        ).alias("gram"),
-    )
-    c2 = g2.groupBy("doc_id", "gram").agg(F.count(F.lit(1)).alias("cnt"))
-    w2 = W.partitionBy("doc_id").orderBy(F.col("cnt").desc(), F.col("gram").asc())
-    top2 = (
-        c2.withColumn("rn", F.row_number().over(w2))
-        .filter(F.col("rn") == 1)
-        .select(
-            "doc_id",
-            F.col("gram").alias("top_bigram"),
-            F.col("cnt").alias("top_bigram_count"),
-            (F.col("cnt") * F.length("gram")).alias("top2_chars"),
-        )
+        ).alias("bg_sorted"),
+        F.array_sort(
+            F.expr(
+                "CASE WHEN size(words) >= 5 THEN"
+                " transform(sequence(1, size(words) - 4),"
+                " i -> concat_ws(' ', slice(words, i, 5)))"
+                " ELSE array() END"
+            )
+        ).alias("g5_sorted"),
     )
 
-    g5 = base.filter(F.col("n_words") >= 5).select(
-        "doc_id",
-        F.explode(
-            F.expr(
-                "transform(sequence(1, size(words) - 4),"
-                " i -> concat_ws(' ', slice(words, i, 5)))"
+    # Top-bigram run fold: (prev, run, best_cnt, best_gram); strict >
+    # keeps the first (= smallest, array is sorted) gram on count ties.
+    top2 = F.aggregate(
+        F.col("bg_sorted"),
+        F.struct(
+            F.lit(None).cast("string").alias("prev"),
+            F.lit(0).alias("run"),
+            F.lit(0).alias("best_cnt"),
+            F.lit(None).cast("string").alias("best_gram"),
+        ),
+        lambda acc, x: F.struct(
+            x.alias("prev"),
+            F.when(x.eqNullSafe(acc["prev"]), acc["run"] + 1)
+            .otherwise(F.lit(1))
+            .alias("run"),
+            F.when(
+                F.when(x.eqNullSafe(acc["prev"]), acc["run"] + 1).otherwise(1)
+                > acc["best_cnt"],
+                F.when(x.eqNullSafe(acc["prev"]), acc["run"] + 1).otherwise(1),
             )
-        ).alias("gram"),
+            .otherwise(acc["best_cnt"])
+            .alias("best_cnt"),
+            F.when(
+                F.when(x.eqNullSafe(acc["prev"]), acc["run"] + 1).otherwise(1)
+                > acc["best_cnt"],
+                x,
+            )
+            .otherwise(acc["best_gram"])
+            .alias("best_gram"),
+        ),
     )
-    dup5 = (
-        g5.groupBy("doc_id", "gram")
-        .agg(F.count(F.lit(1)).alias("cnt"))
-        .select(
-            "doc_id",
-            F.when(F.col("cnt") > 1, F.col("cnt") * F.length("gram"))
-            .otherwise(F.lit(0))
-            .alias("chars"),
-        )
-        .groupBy("doc_id")
-        .agg(F.sum("chars").alias("dup5_chars"))
+
+    # Duplicated-5-gram chars: runs of length r ≥ 2 contribute r·len —
+    # incrementally, +2·len when the run reaches 2, +len for each step
+    # past 2.
+    dup5 = F.aggregate(
+        F.col("g5_sorted"),
+        F.struct(
+            F.lit(None).cast("string").alias("prev"),
+            F.lit(0).alias("run"),
+            F.lit(0).cast("long").alias("chars"),
+        ),
+        lambda acc, x: F.struct(
+            x.alias("prev"),
+            F.when(x.eqNullSafe(acc["prev"]), acc["run"] + 1)
+            .otherwise(F.lit(1))
+            .alias("run"),
+            (
+                acc["chars"]
+                + F.when(
+                    x.eqNullSafe(acc["prev"]) & (acc["run"] == 1),
+                    2 * F.length(x),
+                )
+                .when(x.eqNullSafe(acc["prev"]) & (acc["run"] >= 2), F.length(x))
+                .otherwise(F.lit(0))
+            ).alias("chars"),
+        ),
+    )
+
+    folded = grams.select(
+        "doc_id",
+        "n_chars",
+        "n_words",
+        "n_distinct_words",
+        top2.alias("t2"),
+        dup5.alias("d5"),
     )
 
     q4 = lambda c: F.floor(c * 1e4 + F.lit(0.5)) / 1e4  # noqa: E731
     dup_word_frac = q4(
         (F.col("n_words") - F.col("n_distinct_words")) / F.col("n_words")
     )
-    top2_frac = q4(F.coalesce(F.col("top2_chars"), F.lit(0)) / F.col("n_chars"))
-    dup5_frac = q4(F.coalesce(F.col("dup5_chars"), F.lit(0)) / F.col("n_chars"))
-    return (
-        base.join(top2, "doc_id", "left")
-        .join(dup5, "doc_id", "left")
-        .select(
-            "doc_id",
-            "n_words",
-            dup_word_frac.alias("dup_word_frac"),
-            F.coalesce(F.col("top_bigram"), F.lit("")).alias("top_bigram"),
-            F.coalesce(F.col("top_bigram_count"), F.lit(0)).alias("top_bigram_count"),
-            top2_frac.alias("top_bigram_char_frac"),
-            dup5_frac.alias("dup_5gram_char_frac"),
-            (
-                (top2_frac > TOP_BIGRAM_CHAR_MAX)
-                | (dup5_frac > DUP_5GRAM_CHAR_MAX)
-            ).alias("repetitive"),
-        )
+    top2_chars = F.col("t2")["best_cnt"] * F.length(F.col("t2")["best_gram"])
+    top2_frac = q4(F.coalesce(top2_chars, F.lit(0)) / F.col("n_chars"))
+    dup5_frac = q4(F.col("d5")["chars"] / F.col("n_chars"))
+    return folded.select(
+        "doc_id",
+        "n_words",
+        dup_word_frac.alias("dup_word_frac"),
+        F.coalesce(F.col("t2")["best_gram"], F.lit("")).alias("top_bigram"),
+        F.coalesce(F.col("t2")["best_cnt"], F.lit(0))
+        .cast("long")
+        .alias("top_bigram_count"),
+        top2_frac.alias("top_bigram_char_frac"),
+        dup5_frac.alias("dup_5gram_char_frac"),
+        (
+            (top2_frac > TOP_BIGRAM_CHAR_MAX) | (dup5_frac > DUP_5GRAM_CHAR_MAX)
+        ).alias("repetitive"),
     )
 
 
