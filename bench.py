@@ -92,6 +92,7 @@ HEADLINE = [
     "weighted_sample",
     "dup_span_stats",
     "asof_join_forward",
+    "textrank_keywords",
 ]
 
 

@@ -80,3 +80,81 @@ def connected_components(
             stacklevel=2,
         )
     return labels.select(F.col("node").alias("doc_id"), F.col("label").alias("cluster"))
+
+
+# --- TextRank: PageRank over the word co-occurrence graph -----------------
+
+TEXTRANK_SCALE = 10**12   # per-node rank in integer micro-units
+TEXTRANK_DAMPING = 85     # d = 0.85 as integer percent
+TEXTRANK_ITERS = 5
+TEXTRANK_TOPK = 50
+
+
+def textrank_keywords(
+    docs: DataFrame,
+    iters: int = TEXTRANK_ITERS,
+    topk: int = TEXTRANK_TOPK,
+) -> DataFrame:
+    """Corpus keywords by TextRank (Mihalcea & Tarau 2004): weighted
+    PageRank over the word co-occurrence graph (adjacent-word edges,
+    symmetric, weight = co-occurrence count).
+
+    ALL arithmetic is 64-bit integer — rank in TEXTRANK_SCALE units,
+    damping as a percent, every division a floor `div`:
+
+        r'_v = (15·S) div (100·N) + (85 · Σ_u (r_u · w_uv) div wdeg_u) div 100
+
+    so the fixpoint iteration is bit-exact across engines (float PageRank
+    sums in engine-dependent order would drift ulps per iteration and
+    compound). Bounds: r ≤ S = 10¹², w ≤ 10⁶ fits r·w < 2⁶³ under ANSI.
+
+    Scale shape: the rank table is vocabulary-sized; each iteration is
+    one join (edges ⨝ ranks on src — AQE broadcasts the rank side when
+    small) + one groupBy(dst) with map-side combine. A fixed iteration
+    count keeps the lineage shallow (no checkpoint needed); corpus-sized
+    data appears only in the one-off edge-building aggregation.
+    """
+    toks = docs.select(F.split("text", " ").alias("w"))
+    adj = toks.select(
+        F.explode(
+            F.expr(
+                "zip_with(slice(w, 1, greatest(size(w) - 1, 0)),"
+                " slice(w, 2, greatest(size(w) - 1, 0)),"
+                " (a, b) -> struct(a AS src, b AS dst))"
+            )
+        ).alias("e")
+    ).select("e.src", "e.dst")
+    edges = (
+        adj.unionAll(adj.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        .groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).alias("w"))
+    )
+    wdeg = edges.groupBy("src").agg(F.sum("w").alias("wdeg"))
+    ew = edges.join(wdeg, "src").cache()
+
+    nodes = ew.select(F.col("src").alias("word")).distinct().cache()
+    n = nodes.count()
+    base = (15 * TEXTRANK_SCALE) // (100 * n)
+    r0 = TEXTRANK_SCALE // n
+    ranks = nodes.withColumn("r", F.lit(r0).cast("long"))
+    for _ in range(iters):
+        contrib = (
+            ew.join(ranks, ew.src == ranks.word)
+            .select(
+                F.col("dst"),
+                F.expr("(r * w) div wdeg").alias("c"),
+            )
+            .groupBy("dst")
+            .agg(F.sum("c").alias("insum"))
+        )
+        ranks = contrib.select(
+            F.col("dst").alias("word"),
+            (F.lit(base) + F.expr(f"({TEXTRANK_DAMPING} * insum) div 100"))
+            .cast("long")
+            .alias("r"),
+        )
+    return (
+        ranks.orderBy(F.col("r").desc(), F.col("word").asc())
+        .limit(topk)
+        .select("word", F.col("r").alias("rank_units"))
+    )

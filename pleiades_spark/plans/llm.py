@@ -788,6 +788,85 @@ GROUP BY lang, decile
 """
 
 
+# --- TextRank keyword extraction -----------------------------------------
+
+
+def q_textrank_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus keyword ranking via integer-exact TextRank
+    (operators/graph.textrank_keywords): 5 damped PageRank iterations
+    over the symmetric adjacent-word co-occurrence graph, all arithmetic
+    in 64-bit integer floor-division form so the oracle's unrolled
+    iteration chain reproduces every rank bit-for-bit."""
+    from pleiades_spark.operators.graph import textrank_keywords
+
+    return textrank_keywords(_t(spark, sf_dir, "documents"))
+
+
+ORACLE_TEXTRANK_KEYWORDS = f"""
+WITH toks AS (SELECT string_split(text, ' ') AS w FROM documents),
+adj AS (
+  SELECT unnest(list_transform(range(1, len(w)),
+                i -> {{'src': w[i], 'dst': w[i + 1]}})) AS e
+  FROM toks
+),
+a2 AS (SELECT e.src AS src, e.dst AS dst FROM adj),
+edges AS (
+  SELECT src, dst, CAST(count(*) AS BIGINT) AS w FROM (
+    SELECT src, dst FROM a2
+    UNION ALL
+    SELECT dst AS src, src AS dst FROM a2
+  ) GROUP BY src, dst
+),
+wdeg AS (SELECT src, CAST(sum(w) AS BIGINT) AS wdeg FROM edges GROUP BY src),
+ew AS (SELECT e.src, e.dst, e.w, d.wdeg FROM edges e JOIN wdeg d USING (src)),
+nn AS (SELECT count(DISTINCT src) AS n FROM ew),
+it0 AS (
+  SELECT DISTINCT src AS word,
+         CAST(1000000000000 // (SELECT n FROM nn) AS BIGINT) AS r
+  FROM ew
+),
+it1 AS (
+  SELECT e.dst AS word,
+         CAST((15 * 1000000000000) // (100 * (SELECT n FROM nn))
+              + (85 * sum((r.r * e.w) // e.wdeg)) // 100 AS BIGINT) AS r
+  FROM ew e JOIN it0 r ON r.word = e.src
+  GROUP BY e.dst
+),
+it2 AS (
+  SELECT e.dst AS word,
+         CAST((15 * 1000000000000) // (100 * (SELECT n FROM nn))
+              + (85 * sum((r.r * e.w) // e.wdeg)) // 100 AS BIGINT) AS r
+  FROM ew e JOIN it1 r ON r.word = e.src
+  GROUP BY e.dst
+),
+it3 AS (
+  SELECT e.dst AS word,
+         CAST((15 * 1000000000000) // (100 * (SELECT n FROM nn))
+              + (85 * sum((r.r * e.w) // e.wdeg)) // 100 AS BIGINT) AS r
+  FROM ew e JOIN it2 r ON r.word = e.src
+  GROUP BY e.dst
+),
+it4 AS (
+  SELECT e.dst AS word,
+         CAST((15 * 1000000000000) // (100 * (SELECT n FROM nn))
+              + (85 * sum((r.r * e.w) // e.wdeg)) // 100 AS BIGINT) AS r
+  FROM ew e JOIN it3 r ON r.word = e.src
+  GROUP BY e.dst
+),
+it5 AS (
+  SELECT e.dst AS word,
+         CAST((15 * 1000000000000) // (100 * (SELECT n FROM nn))
+              + (85 * sum((r.r * e.w) // e.wdeg)) // 100 AS BIGINT) AS r
+  FROM ew e JOIN it4 r ON r.word = e.src
+  GROUP BY e.dst
+)
+SELECT word, r AS rank_units
+FROM it5
+ORDER BY r DESC, word ASC
+LIMIT 50
+"""
+
+
 # --- repetition quality filters (Gopher-style) -------------------------------
 
 # Thresholds in the spirit of the published Gopher/MassiveText repetition
@@ -1671,6 +1750,8 @@ QUERIES = [
           "embedding near-dup within IVF buckets (scale path, O(N²/K))"),
     Query("dedup_embedding_srp", q_dedup_embedding_srp, ORACLE_DEDUP_EMBEDDING_SRP,
           "cosine-LSH (signed random projections) near-dup, banded bucket join"),
+    Query("textrank_keywords", q_textrank_keywords, ORACLE_TEXTRANK_KEYWORDS,
+          "integer-exact TextRank keywords (5 PageRank iters, co-occurrence graph)"),
     Query("dedup_clusters", q_dedup_clusters, ORACLE_DEDUP_CLUSTERS,
           "iterative connected components over near-dup pairs (recursive CTE oracle)"),
     Query("dedup_keep_best", q_dedup_keep_best, ORACLE_DEDUP_KEEP_BEST,
