@@ -93,6 +93,7 @@ HEADLINE = [
     "dup_span_stats",
     "asof_join_forward",
     "textrank_keywords",
+    "source_divergence",
 ]
 
 

@@ -826,6 +826,71 @@ GROUP BY doc_id
 """
 
 
+# --- source-mixture divergence --------------------------------------------
+
+
+def q_source_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KL divergence of each source's unigram distribution from the
+    corpus distribution — the mixture-design diagnostic (which domains
+    are lexically idiosyncratic vs redundant with the blend?).
+
+    KL(P_s || Q) = sum_w P_s(w) * ln(P_s(w)/Q(w)); Q is the full-corpus
+    distribution, so Q(w) > 0 wherever P_s(w) > 0 and the sum is always
+    finite. Plan: one (source, word) count (map-side combined), one word
+    count, one broadcast of the vocabulary-sized word table; the
+    per-source sum shuffles vocabulary-sized rows. round(sum, 4) follows
+    the house float-sum pattern (growth/tfidf gates).
+    """
+    docs = _t(spark, sf_dir, "documents")
+    w = docs.select(
+        "source", F.explode(F.split("text", " ")).alias("word")
+    )
+    sw = w.groupBy("source", "word").agg(F.count(F.lit(1)).alias("c_sw"))
+    s_tot = sw.groupBy("source").agg(F.sum("c_sw").alias("n_s"))
+    cw = w.groupBy("word").agg(F.count(F.lit(1)).alias("c_w"))
+    n_tot = w.count()
+    term = (
+        sw.join(F.broadcast(cw), "word")
+        .join(F.broadcast(s_tot), "source")
+        .select(
+            "source",
+            "n_s",
+            (
+                (F.col("c_sw") / F.col("n_s"))
+                * F.log(
+                    (F.col("c_sw") / F.col("n_s"))
+                    / (F.col("c_w") / F.lit(float(n_tot)))
+                )
+            ).alias("t"),
+        )
+    )
+    return (
+        term.groupBy("source")
+        .agg(
+            F.max("n_s").alias("n_tokens"),
+            F.round(F.sum("t"), 4).alias("kl_nats"),
+        )
+    )
+
+
+ORACLE_SOURCE_DIVERGENCE = """
+WITH w AS (
+  SELECT source, unnest(string_split(text, ' ')) AS word FROM documents
+), sw AS (
+  SELECT source, word, count(*) AS c_sw FROM w GROUP BY source, word
+), st AS (SELECT source, CAST(sum(c_sw) AS BIGINT) AS n_s FROM sw GROUP BY source),
+cw AS (SELECT word, count(*) AS c_w FROM w GROUP BY word),
+nt AS (SELECT count(*) * 1.0 AS n FROM w)
+SELECT source,
+       CAST(max(n_s) AS BIGINT) AS n_tokens,
+       round(sum((c_sw * 1.0 / n_s)
+                 * ln((c_sw * 1.0 / n_s) / (c_w / (SELECT n FROM nt)))), 4)
+         AS kl_nats
+FROM sw JOIN cw USING (word) JOIN st USING (source)
+GROUP BY source
+"""
+
+
 QUERIES = [
     Query("doc_chunks", q_doc_chunks, ORACLE_DOC_CHUNKS,
           "overlapping token-window chunking (Generate, no shuffle)"),
@@ -872,4 +937,6 @@ QUERIES = [
           "Efraimidis-Spirakis weighted top-k sample (weight = n_chars)"),
     Query("dup_span_stats", q_dup_span_stats, ORACLE_DUP_SPAN_STATS,
           "per-doc duplicated 3-word-span fraction across the corpus"),
+    Query("source_divergence", q_source_divergence, ORACLE_SOURCE_DIVERGENCE,
+          "per-source unigram KL divergence from the corpus mixture"),
 ]
