@@ -94,6 +94,7 @@ HEADLINE = [
     "asof_join_forward",
     "textrank_keywords",
     "source_divergence",
+    "inverted_index",
 ]
 
 

@@ -891,6 +891,44 @@ GROUP BY source
 """
 
 
+# --- inverted index build -------------------------------------------------
+
+
+def q_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Positional inverted-index postings: (word, doc_id, tf, first_pos)
+    — the search-side index build over the corpus.
+
+    Plan: ONE posexplode of the token array (positions are born in the
+    scan stage, no join against a numbered copy), one
+    groupBy(word, doc_id) with map-side combine. At scale the output is
+    written bucketed/partitioned by word so term lookups prune to one
+    bucket; posting rows, not arrays, keep the gate's no-array-columns
+    rule and let downstream query engines page long posting lists.
+    first_pos is 0-based token position.
+    """
+    docs = _t(spark, sf_dir, "documents")
+    toked = docs.select("doc_id", F.split("text", " ").alias("toks"))
+    posts = toked.select(
+        "doc_id", F.posexplode("toks").alias("pos", "word")
+    )
+    return posts.groupBy("word", "doc_id").agg(
+        F.count(F.lit(1)).alias("tf"),
+        F.min("pos").alias("first_pos"),
+    )
+
+
+ORACLE_INVERTED_INDEX = """
+SELECT word, doc_id, CAST(count(*) AS BIGINT) AS tf,
+       CAST(min(pos) AS INT) AS first_pos
+FROM (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS word,
+         unnest(range(0, len(string_split(text, ' ')))) AS pos
+  FROM documents
+)
+GROUP BY word, doc_id
+"""
+
+
 QUERIES = [
     Query("doc_chunks", q_doc_chunks, ORACLE_DOC_CHUNKS,
           "overlapping token-window chunking (Generate, no shuffle)"),
@@ -939,4 +977,6 @@ QUERIES = [
           "per-doc duplicated 3-word-span fraction across the corpus"),
     Query("source_divergence", q_source_divergence, ORACLE_SOURCE_DIVERGENCE,
           "per-source unigram KL divergence from the corpus mixture"),
+    Query("inverted_index", q_inverted_index, ORACLE_INVERTED_INDEX,
+          "positional inverted-index postings (word, doc, tf, first_pos)"),
 ]
