@@ -295,8 +295,12 @@ def decontaminate(docs: DataFrame, max_df: int = DECONTAM_MAX_DF) -> DataFrame:
     )
     eval_rare = eval_sh.join(rare, "sh")
     train_sh = shingled(split_docs.filter(F.col("split") == "train"))
+    # The eval side is a benchmark suite — tiny by definition — so it
+    # BROADCASTS into the train scan: the train corpus's shingles never
+    # shuffle (a sort-merge join here would exchange the full 100 TB
+    # side to meet kilobytes of eval shingles).
     hits = train_sh.join(
-        eval_rare.withColumnRenamed("doc_id", "eval_doc_id"), "sh"
+        F.broadcast(eval_rare.withColumnRenamed("doc_id", "eval_doc_id")), "sh"
     )
     return hits.groupBy("doc_id").agg(
         F.countDistinct("sh").alias("n_hit_shingles"),

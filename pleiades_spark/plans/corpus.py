@@ -599,8 +599,11 @@ def q_bigram_lm_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.countDistinct("tok").alias("v"))
     )
     scored = (
-        bigrams.join(train_bg, ["lang", "bigram"], "left")
-        .join(train_ug, ["lang", "w1"], "left")
+        # LM tables are vocabulary-bounded → broadcast explicitly; the
+        # doc-bigram stream (corpus-bounded) must never shuffle to meet
+        # them. Swap to plain joins only if the vocab outgrows executors.
+        bigrams.join(F.broadcast(train_bg), ["lang", "bigram"], "left")
+        .join(F.broadcast(train_ug), ["lang", "w1"], "left")
         .join(F.broadcast(vocab), "lang")
         .select(
             "doc_id",
