@@ -161,7 +161,11 @@ def counters_stream(events: DataFrame, watermark: str = DEFAULT_WATERMARK) -> Da
 
 
 def stream_stream_user_join(
-    a: DataFrame, b: DataFrame, horizon: str = "1 hour", watermark: str = DEFAULT_WATERMARK
+    a: DataFrame,
+    b: DataFrame,
+    horizon: str = "1 hour",
+    watermark: str = DEFAULT_WATERMARK,
+    join_type: str = "inner",
 ) -> DataFrame:
     """Stream-stream interval self-join: pair each event with the same
     user's subsequent events inside ``horizon`` (follow-on activity).
@@ -172,6 +176,14 @@ def stream_stream_user_join(
     watermark passes its join window. Without the interval condition the
     state would grow forever; with it, state size is O(events per
     horizon), independent of stream length.
+
+    ``join_type='leftOuter'`` adds finalize-once null emission: a left
+    row with no follow-on emits (evt_a, NULL) — but only once the
+    watermark has passed ts_a + horizon, i.e. once no future right row
+    could still match (Spark runs the zero-data batch that flushes these
+    evictions). Matched pairs still emit immediately; the outer verdict
+    for the stream's trailing ``watermark + horizon`` stays pending,
+    which is inherent to outer streaming joins, not a config artifact.
     """
     left = a.select(
         F.col("event_id").alias("evt_a"),
@@ -188,6 +200,7 @@ def stream_stream_user_join(
         (F.col("user_a") == F.col("user_b"))
         & (F.col("ts_b") > F.col("ts_a"))
         & (F.col("ts_b") <= F.col("ts_a") + F.expr(f"INTERVAL {horizon}")),
+        join_type,
     ).select("evt_a", "evt_b", F.col("user_a").alias("user_id"))
 
 

@@ -152,3 +152,85 @@ def test_stream_static_join_matches_batch(spark, tmp_path):
         .agg(F.count(F.lit(1)).alias("n"))
     )
     assert got == {r.tier: r.n for r in batch.collect()}
+
+
+def test_stream_stream_left_outer_join(spark, sf_dir, tmp_path):
+    """Left-outer interval join: matched pairs equal the batch inner
+    join; unmatched left rows whose window the final watermark closed
+    emit exactly one NULL row; no row gets both verdicts."""
+    from pleiades_spark import catalog
+    from pleiades_spark.plans.streaming_batch import (
+        EVENTS_MICROS_SCHEMA,
+        _stage_event_files,
+    )
+    from pleiades_spark.streaming.pipeline import stream_stream_user_join
+
+    src = str(tmp_path / "ssloj")
+    import os
+
+    os.makedirs(src)
+    _stage_event_files(spark, sf_dir, src, split=True)
+
+    def _stream():
+        return (
+            spark.readStream.schema(EVENTS_MICROS_SCHEMA)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src)
+            .drop("props")
+        )
+
+    wm = "1 hour"
+    out = stream_stream_user_join(
+        _stream(), _stream(), watermark=wm, join_type="leftOuter"
+    )
+    q = (
+        out.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("ssloj_gate")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+        q.awaitTermination()
+    got = spark.table("ssloj_gate").collect()
+
+    ev = catalog.load(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    a, b = ev.alias("a"), ev.alias("b")
+    inner = {
+        (r["evt_a"], r["evt_b"])
+        for r in a.join(
+            b,
+            (F.col("a.user_id") == F.col("b.user_id"))
+            & (F.col("b.ts") > F.col("a.ts"))
+            & (F.col("b.ts") <= F.col("a.ts") + F.expr("INTERVAL 1 hour")),
+        )
+        .select(F.col("a.event_id").alias("evt_a"), F.col("b.event_id").alias("evt_b"))
+        .collect()
+    }
+    matched = {(r["evt_a"], r["evt_b"]) for r in got if r["evt_b"] is not None}
+    assert matched == inner
+
+    nulls = [r["evt_a"] for r in got if r["evt_b"] is None]
+    assert len(nulls) == len(set(nulls)), "outer verdict emitted twice"
+    matched_a = {p[0] for p in inner}
+    assert not (set(nulls) & matched_a), "matched row also got a NULL verdict"
+
+    # Expected NULL set: unmatched left rows whose join window closed
+    # before the final watermark (max ts - wm); the trailing horizon's
+    # verdicts legitimately stay pending.
+    import datetime
+
+    max_ts = ev.agg(F.max("ts")).collect()[0][0]
+    wm_final = max_ts - datetime.timedelta(hours=1)
+    expected_nulls = {
+        r["event_id"]
+        for r in ev.collect()
+        if r["event_id"] not in matched_a
+        and r["ts"] + datetime.timedelta(hours=1) < wm_final
+    }
+    assert expected_nulls <= set(nulls)
+    # and nothing outside (unmatched ∪ pending) appeared as NULL
+    unmatched_all = {r["event_id"] for r in ev.collect()} - matched_a
+    assert set(nulls) <= unmatched_all
