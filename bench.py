@@ -95,6 +95,7 @@ HEADLINE = [
     "textrank_keywords",
     "source_divergence",
     "inverted_index",
+    "data_quality_report",
 ]
 
 

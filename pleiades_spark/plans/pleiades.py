@@ -879,6 +879,88 @@ FROM (
 """
 
 
+def q_data_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deequ-style data-quality constraint report over the events table:
+    uniqueness, completeness, domain membership, and range checks as one
+    aggregation pass — the verification step a production pipeline runs
+    before publishing a dataset version.
+
+    All metrics reduce in a SINGLE wide aggregate over one scan (count,
+    count-distinct, conditional counts): no per-constraint passes. The
+    constraint table is unpivoted from that one row via stack(), so
+    adding a constraint is one (name, metric, threshold) line, not a new
+    job. At 100 TB approx_count_distinct would replace the exact
+    distinct (documented swap; exact kept here for the oracle twin).
+    """
+    ev = _events(spark, sf_dir)
+    known = ("view", "click", "signup", "purchase", "error")
+    agg = ev.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.countDistinct("event_id").alias("n_distinct_id"),
+        F.count("value").alias("n_value"),
+        F.count("user_id").alias("n_user"),
+        F.sum(F.when(F.col("event_type").isin(*known), 1).otherwise(0)).alias(
+            "n_known_type"
+        ),
+        F.sum(
+            F.when((F.col("value") >= -1000.0) & (F.col("value") <= 1000.0), 1)
+            .otherwise(0)
+        ).alias("n_value_in_range"),
+    )
+    n = F.col("n_rows").cast("double")
+    checks = agg.select(
+        F.expr(
+            "stack(5, "
+            "'event_id_unique', n_distinct_id / CAST(n_rows AS DOUBLE), 1.0D, "
+            "'value_complete', n_value / CAST(n_rows AS DOUBLE), 0.95D, "
+            "'user_id_complete', n_user / CAST(n_rows AS DOUBLE), 1.0D, "
+            "'event_type_in_domain', n_known_type / CAST(n_rows AS DOUBLE), 1.0D, "
+            "'value_in_range', n_value_in_range / CAST(n_rows AS DOUBLE), 0.99D"
+            ") AS (check_name, metric, threshold)"
+        )
+    )
+    return checks.select(
+        "check_name",
+        F.round("metric", 6).alias("metric"),
+        "threshold",
+        (F.col("metric") >= F.col("threshold")).alias("passed"),
+    )
+
+
+ORACLE_DATA_QUALITY = """
+WITH m AS (
+  SELECT count(*) AS n_rows,
+         count(DISTINCT event_id) AS n_distinct_id,
+         count(value) AS n_value,
+         count(user_id) AS n_user,
+         sum(CASE WHEN event_type IN ('view','click','signup','purchase','error')
+                  THEN 1 ELSE 0 END) AS n_known_type,
+         sum(CASE WHEN value BETWEEN -1000.0 AND 1000.0 THEN 1 ELSE 0 END)
+           AS n_value_in_range
+  FROM events
+)
+SELECT check_name, round(metric, 6) AS metric, threshold,
+       metric >= threshold AS passed
+FROM (
+  SELECT 'event_id_unique' AS check_name,
+         CAST(n_distinct_id AS DOUBLE) / n_rows AS metric,
+         CAST(1.0 AS DOUBLE) AS threshold FROM m
+  UNION ALL
+  SELECT 'value_complete', CAST(n_value AS DOUBLE) / n_rows,
+         CAST(0.95 AS DOUBLE) FROM m
+  UNION ALL
+  SELECT 'user_id_complete', CAST(n_user AS DOUBLE) / n_rows,
+         CAST(1.0 AS DOUBLE) FROM m
+  UNION ALL
+  SELECT 'event_type_in_domain', CAST(n_known_type AS DOUBLE) / n_rows,
+         CAST(1.0 AS DOUBLE) FROM m
+  UNION ALL
+  SELECT 'value_in_range', CAST(n_value_in_range AS DOUBLE) / n_rows,
+         CAST(0.99 AS DOUBLE) FROM m
+)
+"""
+
+
 # --- event analytics: funnel + retention ---------------------------------
 
 
@@ -1194,6 +1276,8 @@ QUERIES = [
           "min_by/max_by argmin-argmax aggregates"),
     Query("top_orders_global", q_top_orders_global, ORACLE_TOP_ORDERS_GLOBAL,
           "global sort+limit (TakeOrderedAndProject)"),
+    Query("data_quality_report", q_data_quality_report, ORACLE_DATA_QUALITY,
+          "Deequ-style constraint report: one wide aggregate, stacked checks"),
     Query("asof_join_forward", q_asof_forward, ORACLE_ASOF_FORWARD,
           "forward as-of join with 2h tolerance (next purchase attribution)"),
     Query("asof_join_signup", q_asof_signup, ORACLE_ASOF_SIGNUP,
