@@ -96,6 +96,7 @@ HEADLINE = [
     "source_divergence",
     "inverted_index",
     "data_quality_report",
+    "jl_projection",
 ]
 
 

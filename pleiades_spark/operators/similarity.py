@@ -354,3 +354,50 @@ def ivf_knn(
         .filter(F.col("rank") <= k)
         .select("query_id", "rank", "vec_id", "cos")
     )
+
+
+# --- Johnson-Lindenstrauss random projection ------------------------------
+
+JL_K = 16  # target dimensionality for the gate configuration
+
+
+def jl_project(emb: DataFrame, k: int = JL_K) -> DataFrame:
+    """Random-projection dimensionality reduction (Johnson-Lindenstrauss):
+    64-d embeddings → k-d via the frozen hyperplane matrix
+    (functions/hashing.srp_planes — the same engine-stable doubles the
+    SRP dedup uses), reported as the first two coordinates plus the
+    norm-preservation ratio.
+
+    JL guarantee: pairwise distances survive the projection to within
+    1±ε for k = O(ln n / ε²) — the cheap precursor that shrinks vectors
+    before an expensive index build (IVF/PQ) or a brute top-k pass.
+    Components are uniform [-1,1) (E[c²]=1/3), so norms scale by
+    ≈ √(k/3) in expectation; tests assert the concentration.
+
+    Scale: one map stage — the k dot products run inside the scan, the
+    projection matrix is one nested-array literal (k·64 doubles), no
+    shuffle anywhere. Folds are left-to-right so the oracle's
+    list_inner_product replays bit-for-bit.
+    """
+    from pleiades_spark.functions.hashing import srp_planes
+    from pleiades_spark.functions.vectors import dot, norm
+
+    planes = srp_planes(k)
+    planes_lit = F.lit([list(p) for p in planes])
+    v = emb.select("vec_id", as_double(F.col("embedding")).alias("v"))
+    proj = v.select(
+        "vec_id",
+        "v",
+        F.transform(planes_lit, lambda p: dot(F.col("v"), p)).alias("proj"),
+    )
+    norm16 = F.sqrt(
+        F.aggregate(
+            F.col("proj"), F.lit(0.0), lambda acc, x: acc + x * x
+        )
+    )
+    return proj.select(
+        "vec_id",
+        F.round(F.element_at("proj", 1), 6).alias("p0_r"),
+        F.round(F.element_at("proj", 2), 6).alias("p1_r"),
+        F.round(norm16 / norm(F.col("v")), 6).alias("norm_ratio_r"),
+    )

@@ -788,6 +788,44 @@ GROUP BY lang, decile
 """
 
 
+# --- Johnson-Lindenstrauss projection --------------------------------------
+
+
+def q_jl_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JL random projection 64-d → 16-d (operators/similarity.jl_project):
+    frozen-matrix dot products, first two coordinates + norm ratio."""
+    from pleiades_spark.operators.similarity import jl_project
+
+    return jl_project(_t(spark, sf_dir, "embeddings"))
+
+
+def _jl_planes_sql() -> str:
+    from pleiades_spark.functions.hashing import srp_planes
+
+    return "[" + ",\n ".join(
+        "[" + ", ".join(repr(c) for c in p) + "]" for p in srp_planes(16)
+    ) + "]"
+
+
+ORACLE_JL_PROJECTION = f"""
+WITH v AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+), proj AS (
+  SELECT vec_id, v,
+         list_transform({_jl_planes_sql()},
+                        p -> list_inner_product(v, p)) AS proj
+  FROM v
+)
+SELECT vec_id,
+       round(proj[1], 6) AS p0_r,
+       round(proj[2], 6) AS p1_r,
+       round(sqrt(list_inner_product(proj, proj))
+             / sqrt(list_inner_product(v, v)), 6) AS norm_ratio_r
+FROM proj
+"""
+
+
 # --- TextRank keyword extraction -----------------------------------------
 
 
@@ -1750,6 +1788,8 @@ QUERIES = [
           "embedding near-dup within IVF buckets (scale path, O(N²/K))"),
     Query("dedup_embedding_srp", q_dedup_embedding_srp, ORACLE_DEDUP_EMBEDDING_SRP,
           "cosine-LSH (signed random projections) near-dup, banded bucket join"),
+    Query("jl_projection", q_jl_projection, ORACLE_JL_PROJECTION,
+          "Johnson-Lindenstrauss 64d->16d frozen random projection (map-only)"),
     Query("textrank_keywords", q_textrank_keywords, ORACLE_TEXTRANK_KEYWORDS,
           "integer-exact TextRank keywords (5 PageRank iters, co-occurrence graph)"),
     Query("dedup_clusters", q_dedup_clusters, ORACLE_DEDUP_CLUSTERS,

