@@ -234,3 +234,81 @@ def test_stream_stream_left_outer_join(spark, sf_dir, tmp_path):
     # and nothing outside (unmatched ∪ pending) appeared as NULL
     unmatched_all = {r["event_id"] for r in ev.collect()} - matched_a
     assert set(nulls) <= unmatched_all
+
+
+def test_streaming_session_window_matches_batch(spark, sf_dir, tmp_path):
+    """Native session_window under a streaming watermark: sessions the
+    final watermark closed must equal the batch session aggregation
+    restricted to the same horizon (append mode = finalize-once)."""
+    import os
+
+    from pleiades_spark import catalog
+    from pleiades_spark.plans.streaming_batch import (
+        EVENTS_MICROS_SCHEMA,
+        _stage_event_files,
+    )
+
+    src = str(tmp_path / "sessw")
+    os.makedirs(src)
+    _stage_event_files(spark, sf_dir, src, split=True)
+
+    gap = "30 minutes"
+    stream = (
+        spark.readStream.schema(EVENTS_MICROS_SCHEMA)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+        .drop("props")
+        .withWatermark("ts", "1 hour")
+    )
+    agg = (
+        stream.groupBy("user_id", F.session_window("ts", gap).alias("sw"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.col("sw.start").alias("s"),
+            F.col("sw.end").alias("e"),
+            "n_events",
+        )
+    )
+    q = (
+        agg.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("sessw_gate")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+        q.awaitTermination()
+    got = {
+        (r["user_id"], r["s"], r["e"], r["n_events"])
+        for r in spark.table("sessw_gate").collect()
+    }
+
+    import datetime
+
+    ev = catalog.load(spark, sf_dir, "events")
+    batch = (
+        ev.groupBy("user_id", F.session_window("ts", gap).alias("sw"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.col("sw.start").alias("s"),
+            F.col("sw.end").alias("e"),
+            "n_events",
+        )
+        .collect()
+    )
+    max_ts = ev.agg(F.max("ts")).collect()[0][0]
+    wm_final = max_ts - datetime.timedelta(hours=1)
+    want = {
+        (r["user_id"], r["s"], r["e"], r["n_events"])
+        for r in batch
+        if r["e"] <= wm_final
+    }
+    # every watermark-closed batch session appears in the stream output,
+    # and nothing in the stream output contradicts the batch sessions
+    assert want <= got
+    all_batch = {(r["user_id"], r["s"], r["e"], r["n_events"]) for r in batch}
+    assert got <= all_batch
