@@ -97,6 +97,7 @@ HEADLINE = [
     "inverted_index",
     "data_quality_report",
     "jl_projection",
+    "dup_span_removal",
 ]
 
 

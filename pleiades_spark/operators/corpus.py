@@ -640,3 +640,68 @@ def dup_span_stats(docs: DataFrame) -> DataFrame:
             / F.lit(1000000.0),
         )
     )
+
+
+def remove_dup_spans(docs: DataFrame) -> DataFrame:
+    """Corpus-level duplicated-span REMOVAL (the transformation behind
+    dup_span_stats' diagnostic; Lee et al. 2022): every 3-word span that
+    occurs more than once corpus-wide keeps its FIRST occurrence (min
+    (doc_id, pos)) and loses the rest — covered tokens are stripped and
+    the document reassembled.
+
+    Plan: positional shingle occurrences (NOT distinct — removal needs
+    every occurrence) explode in the scan; ownership is a window over the
+    shingle key (count + first-occurrence rank in one shuffle); removed
+    occurrences re-explode to covered token positions; a left-anti join
+    drops them from the token stream; per-doc reassembly sorts the
+    surviving (pos, token) pairs inside the row (sort_array on structs —
+    collect_list order is partition-nondeterministic, the sort makes it
+    total). Shuffle keys: shingle, then (doc_id, pos), then doc_id —
+    never text blobs beyond the shingle string itself.
+    """
+    toked = docs.select(
+        "doc_id", tokens(F.col("text")).alias("toks")
+    ).withColumn("n_tokens", F.size("toks"))
+    occ = toked.filter(F.col("n_tokens") >= 3).select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(0, size(toks) - 3),"
+                " i -> struct(i AS p, concat_ws(' ', slice(toks, i + 1, 3)) AS sh))"
+            )
+        ).alias("o"),
+    ).select("doc_id", "o.p", "o.sh")
+    wsh = W.partitionBy("sh")
+    wrank = W.partitionBy("sh").orderBy(F.col("doc_id").asc(), F.col("p").asc())
+    marked = occ.withColumn("cnt", F.count(F.lit(1)).over(wsh)).withColumn(
+        "rk", F.row_number().over(wrank)
+    )
+    removed = marked.filter((F.col("cnt") > 1) & (F.col("rk") > 1))
+    covered = (
+        removed.select(
+            "doc_id", F.explode(F.expr("sequence(p, p + 2)")).alias("pos")
+        )
+        .distinct()
+    )
+    toks_pos = toked.select(
+        "doc_id", "n_tokens", F.posexplode("toks").alias("pos", "tok")
+    )
+    kept = toks_pos.join(covered, ["doc_id", "pos"], "left_anti")
+    return (
+        kept.groupBy("doc_id")
+        .agg(
+            F.max("n_tokens").alias("n_tokens"),
+            F.count(F.lit(1)).alias("n_kept"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct(F.col("pos"), F.col("tok")))
+                    ),
+                    lambda s: s["tok"],
+                ),
+                " ",
+            ).alias("kept_text"),
+        )
+        .withColumn("n_removed", F.col("n_tokens") - F.col("n_kept"))
+        .select("doc_id", "n_tokens", "n_kept", "n_removed", "kept_text")
+    )

@@ -40,6 +40,7 @@ from pleiades_spark.operators.corpus import (
     WEIGHTED_SAMPLE_K,
     domain_cap,
     dup_span_stats,
+    remove_dup_spans,
     weighted_sample_topk,
 )
 from pleiades_spark.plans import Query
@@ -932,6 +933,57 @@ GROUP BY word, doc_id
 """
 
 
+# --- duplicated-span removal ----------------------------------------------
+
+
+def q_dup_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-corpus duplicated-span removal
+    (operators/corpus.remove_dup_spans): every 3-word span keeps only its
+    first occurrence (min (doc_id, pos)); covered tokens strip out and
+    documents reassemble deterministically."""
+    return remove_dup_spans(_t(spark, sf_dir, "documents"))
+
+
+ORACLE_DUP_SPAN_REMOVAL = """
+WITH toked AS (
+  SELECT doc_id, string_split(text, ' ') AS toks,
+         len(string_split(text, ' ')) AS n_tokens
+  FROM documents
+), occ AS (
+  SELECT doc_id,
+         unnest(list_transform(range(0, n_tokens - 2),
+                i -> {'p': i,
+                      'sh': array_to_string(toks[i + 1:i + 3], ' ')})) AS o
+  FROM toked WHERE n_tokens >= 3
+), marked AS (
+  SELECT doc_id, o.p AS p, o.sh AS sh,
+         count(*) OVER (PARTITION BY o.sh) AS cnt,
+         row_number() OVER (PARTITION BY o.sh
+                            ORDER BY doc_id ASC, o.p ASC) AS rk
+  FROM occ
+), covered AS (
+  SELECT DISTINCT doc_id, unnest(range(p, p + 3)) AS pos
+  FROM marked WHERE cnt > 1 AND rk > 1
+), toks_pos AS (
+  SELECT doc_id, n_tokens,
+         unnest(toks) AS tok,
+         unnest(range(0, n_tokens)) AS pos
+  FROM toked
+), kept AS (
+  SELECT t.* FROM toks_pos t
+  LEFT JOIN covered c ON t.doc_id = c.doc_id AND t.pos = c.pos
+  WHERE c.pos IS NULL
+)
+SELECT doc_id,
+       CAST(max(n_tokens) AS INT) AS n_tokens,
+       CAST(count(*) AS BIGINT) AS n_kept,
+       CAST(max(n_tokens) - count(*) AS BIGINT) AS n_removed,
+       string_agg(tok, ' ' ORDER BY pos ASC) AS kept_text
+FROM kept
+GROUP BY doc_id
+"""
+
+
 QUERIES = [
     Query("doc_chunks", q_doc_chunks, ORACLE_DOC_CHUNKS,
           "overlapping token-window chunking (Generate, no shuffle)"),
@@ -982,4 +1034,6 @@ QUERIES = [
           "per-source unigram KL divergence from the corpus mixture"),
     Query("inverted_index", q_inverted_index, ORACLE_INVERTED_INDEX,
           "positional inverted-index postings (word, doc, tf, first_pos)"),
+    Query("dup_span_removal", q_dup_span_removal, ORACLE_DUP_SPAN_REMOVAL,
+          "duplicated 3-word spans stripped, first occurrence kept corpus-wide"),
 ]

@@ -152,3 +152,27 @@ def test_jsonl_malformed_line_permissive(spark, tmp_path):
     rows = df.collect()
     assert len(rows) == 3  # malformed row survives as nulls, not a crash
     assert sorted(r.doc_id for r in rows if r.doc_id is not None) == [1, 2]
+
+
+def test_remove_dup_spans_semantics(spark):
+    """A span duplicated across docs survives only in its first
+    occurrence; unique text is untouched."""
+    from pleiades_spark.operators.corpus import remove_dup_spans
+
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta"),
+            (2, "alpha beta gamma epsilon"),
+            (3, "zeta eta theta iota"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in remove_dup_spans(docs).collect()}
+    # doc 1 owns "alpha beta gamma": keeps everything
+    assert got[1]["kept_text"] == "alpha beta gamma delta"
+    assert got[1]["n_removed"] == 0
+    # doc 2 loses the duplicated span's coverage (tokens 0-2), keeps the rest
+    assert got[2]["kept_text"] == "epsilon"
+    assert got[2]["n_removed"] == 3
+    # doc 3 is unique: untouched
+    assert got[3]["kept_text"] == "zeta eta theta iota"
