@@ -93,9 +93,9 @@ SHOW = [
      "name-filtered parts; groupBy to (part, supp) partials, window sum "
      "over partkey; both exchanges carry combined pairs only."),
     ("gopher_repetition",
-     "Repetition filters — words array materialized once per branch, "
-     "explode to (doc_id, gram) with map-side combine, per-doc "
-     "reductions; every shuffle keyed by doc_id(+gram)."),
+     "Repetition filters — row-local run folds over sorted gram arrays: "
+     "scan -> project, ZERO exchanges (the explode+groupBy+window form "
+     "shuffled corpus-by-gram rows three times)."),
     ("salted_supplier_join",
      "Salted equi-join — Generate replicates the dim x16, join keys are "
      "(suppkey, _salt), so a hot key spreads over 16 shuffle "
@@ -113,6 +113,24 @@ SHOW = [
      "Hashed linear classifier — pure map stage: per-token bucket hash + "
      "weight lookup folded into an integer sum, ZERO exchanges before "
      "the final projection."),
+    ("dup_span_removal",
+     "Duplicated-span removal — ONE window shuffle on the shingle key "
+     "(count + rank share it), covered-position anti join, row-local "
+     "(pos, token) sort for reassembly; no text blobs on any exchange "
+     "beyond the 3-word shingle."),
+    ("textrank_keywords",
+     "Integer-exact TextRank — vocabulary-sized rank table iterated 5x "
+     "(join + map-side-combined agg per iteration); corpus-sized data "
+     "touches only the one-off edge aggregation."),
+    ("dup_span_stats",
+     "Window-count document frequency over the shingle key — one explode, "
+     "two exchanges (shingle, then doc_id); no join-back re-explode."),
+    ("jl_projection",
+     "JL random projection — pure map stage: k dot products against one "
+     "nested-array literal inside the scan, zero exchanges."),
+    ("weighted_sample",
+     "Efraimidis-Spirakis weighted top-k — ranking key in the map stage, "
+     "TakeOrderedAndProject (per-partition heaps), no global sort."),
     ("zorder_rank",
      "Z-order key — 32 shift/mask terms in one codegen projection; "
      "global top-200 compiles to TakeOrderedAndProject (per-partition "
