@@ -98,6 +98,7 @@ HEADLINE = [
     "data_quality_report",
     "jl_projection",
     "dup_span_removal",
+    "vocab_encode",
 ]
 
 

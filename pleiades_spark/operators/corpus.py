@@ -705,3 +705,56 @@ def remove_dup_spans(docs: DataFrame) -> DataFrame:
         .withColumn("n_removed", F.col("n_tokens") - F.col("n_kept"))
         .select("doc_id", "n_tokens", "n_kept", "n_removed", "kept_text")
     )
+
+
+VOCAB_SIZE = 256  # gate configuration
+UNK_ID = 0
+
+
+def vocab_encode(docs: DataFrame, vocab_size: int = VOCAB_SIZE) -> DataFrame:
+    """Token→id encoding against a frozen frequency vocabulary — the last
+    hop before integer training shards.
+
+    The vocab is the corpus top-``vocab_size`` tokens by (count DESC,
+    token ASC); ids are 1-based in that order, with 0 = <unk>. Encoding
+    joins the BROADCAST vocab into the token stream (the corpus never
+    shuffles to meet a lookup table), re-assembles per doc by row-local
+    (pos, id) sort, and reports OOV accounting — the coverage metric that
+    decides whether the vocab is big enough.
+
+    Output: doc_id, n_ids, n_unk, ids_text (space-joined id string — the
+    JSONL-shard-friendly serialization; an array column would also be
+    banned by the gate contract).
+    """
+    toks_pos = docs.select(
+        "doc_id", F.posexplode(tokens(F.col("text"))).alias("pos", "tok")
+    )
+    wv = W.orderBy(F.col("cnt").desc(), F.col("tok").asc())
+    vocab = (
+        toks_pos.groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .withColumn("token_id", F.row_number().over(wv))
+        .filter(F.col("token_id") <= vocab_size)
+        .select("tok", "token_id")
+    )
+    enc = toks_pos.join(F.broadcast(vocab), "tok", "left").select(
+        "doc_id",
+        "pos",
+        F.coalesce(F.col("token_id"), F.lit(UNK_ID)).alias("tid"),
+    )
+    return (
+        enc.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_ids"),
+            F.sum(F.when(F.col("tid") == UNK_ID, 1).otherwise(0)).alias("n_unk"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct(F.col("pos"), F.col("tid")))
+                    ),
+                    lambda s: s["tid"].cast("string"),
+                ),
+                " ",
+            ).alias("ids_text"),
+        )
+    )

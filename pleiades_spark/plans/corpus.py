@@ -37,10 +37,13 @@ from pleiades_spark.operators.corpus import (
 )
 from pleiades_spark.operators.corpus import (
     DOMAIN_CAP,
+    UNK_ID,
+    VOCAB_SIZE,
     WEIGHTED_SAMPLE_K,
     domain_cap,
     dup_span_stats,
     remove_dup_spans,
+    vocab_encode,
     weighted_sample_topk,
 )
 from pleiades_spark.plans import Query
@@ -984,6 +987,39 @@ GROUP BY doc_id
 """
 
 
+# --- vocabulary encoding --------------------------------------------------
+
+
+def q_vocab_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frozen top-k frequency vocab, token→id encoding with OOV
+    accounting (operators/corpus.vocab_encode)."""
+    return vocab_encode(_t(spark, sf_dir, "documents"))
+
+
+ORACLE_VOCAB_ENCODE = f"""
+WITH tp AS (
+  SELECT doc_id,
+         unnest(string_split(text, ' ')) AS tok,
+         unnest(range(0, len(string_split(text, ' ')))) AS pos
+  FROM documents
+), vocab AS (
+  SELECT tok, token_id FROM (
+    SELECT tok, row_number() OVER (ORDER BY count(*) DESC, tok ASC) AS token_id
+    FROM tp GROUP BY tok
+  ) WHERE token_id <= {VOCAB_SIZE}
+), enc AS (
+  SELECT doc_id, pos, coalesce(token_id, {UNK_ID}) AS tid
+  FROM tp LEFT JOIN vocab USING (tok)
+)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_ids,
+       CAST(sum(CASE WHEN tid = {UNK_ID} THEN 1 ELSE 0 END) AS BIGINT) AS n_unk,
+       string_agg(CAST(tid AS VARCHAR), ' ' ORDER BY pos ASC) AS ids_text
+FROM enc
+GROUP BY doc_id
+"""
+
+
 QUERIES = [
     Query("doc_chunks", q_doc_chunks, ORACLE_DOC_CHUNKS,
           "overlapping token-window chunking (Generate, no shuffle)"),
@@ -1036,4 +1072,6 @@ QUERIES = [
           "positional inverted-index postings (word, doc, tf, first_pos)"),
     Query("dup_span_removal", q_dup_span_removal, ORACLE_DUP_SPAN_REMOVAL,
           "duplicated 3-word spans stripped, first occurrence kept corpus-wide"),
+    Query("vocab_encode", q_vocab_encode, ORACLE_VOCAB_ENCODE,
+          "frozen top-k vocab token->id encoding with OOV accounting"),
 ]
