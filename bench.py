@@ -99,6 +99,8 @@ HEADLINE = [
     "jl_projection",
     "dup_span_removal",
     "vocab_encode",
+    "ohlc_hourly",
+    "kmv_distinct",
 ]
 
 

@@ -216,3 +216,47 @@ def bloom_prune_words(
         bit = F.element_at(pow2, pos.bitwiseAND(F.lit(31)).cast("int") + F.lit(1))
         cond = cond & (word.bitwiseAND(bit) != 0)
     return pruned.filter(cond).drop("_h")
+
+
+# --- KMV (k minimum values) cardinality sketch ----------------------------
+
+KMV_K = 64
+
+
+def kmv_distinct(df: DataFrame, group: str, key: Column, k: int = KMV_K) -> DataFrame:
+    """Distinct-count estimate per group via the KMV sketch — the
+    cardinality sketch that, built on the md5-derived h32, is
+    DETERMINISTIC across engines: unlike HLL (approx_count_distinct,
+    whose register layout is engine-private, hence the rows-only
+    approx_distinct gate), every intermediate here replays in DuckDB
+    bit-for-bit.
+
+    Estimator: with h = h32/2³² uniform on [0,1), the k-th smallest
+    distinct hash h_(k) estimates |S| ≈ (k-1)/h_(k); groups with fewer
+    than k distinct values report exactly |S|. Error ~ 1/√k. Sketch
+    state is k 8-byte values per group — mergeable (union = merge-sort,
+    keep k smallest), which is what makes it a real distributed sketch:
+    partial sketches combine associatively on the map side.
+    """
+    from pyspark.sql.window import Window as W
+
+    hashed = (
+        df.select(F.col(group).alias("grp"), h32(key).alias("h"))
+        .distinct()
+    )
+    w = W.partitionBy("grp").orderBy(F.col("h").asc())
+    topk = hashed.withColumn("rn", F.row_number().over(w)).filter(
+        F.col("rn") <= k
+    )
+    agg = topk.groupBy("grp").agg(
+        F.count(F.lit(1)).alias("n_min"),
+        F.max("h").alias("h_k"),
+    )
+    est = F.when(
+        F.col("n_min") < k, F.col("n_min").cast("double")
+    ).otherwise((F.lit(float(k - 1)) * F.lit(2.0 ** 32)) / F.col("h_k"))
+    return agg.select(
+        F.col("grp"),
+        F.round(est, 4).alias("est_distinct"),
+        F.col("n_min"),
+    )

@@ -961,6 +961,75 @@ FROM (
 """
 
 
+def q_ohlc_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OHLC/VWAP bars per (event_type, hour)
+    (operators/timeseries.ohlc_hourly): min_by/max_by open-close in one
+    aggregation pass."""
+    from pleiades_spark.operators.timeseries import ohlc_hourly
+
+    return ohlc_hourly(_events(spark, sf_dir))
+
+
+ORACLE_OHLC_HOURLY = """
+WITH h AS (
+  SELECT event_type, CAST(floor(epoch(ts) / 3600) AS BIGINT) AS hour, value,
+         row_number() OVER (PARTITION BY event_type,
+                            CAST(floor(epoch(ts) / 3600) AS BIGINT)
+                            ORDER BY ts ASC, event_id ASC) AS ra,
+         row_number() OVER (PARTITION BY event_type,
+                            CAST(floor(epoch(ts) / 3600) AS BIGINT)
+                            ORDER BY ts DESC, event_id DESC) AS rd
+  FROM events
+)
+SELECT event_type, hour,
+       CAST(count(*) AS BIGINT) AS n,
+       round(max(CASE WHEN ra = 1 THEN value END), 4) AS open,
+       round(max(value), 4) AS high,
+       round(min(value), 4) AS low,
+       round(max(CASE WHEN rd = 1 THEN value END), 4) AS close,
+       round(sum(CAST(round(value * 100) AS BIGINT)) / 100.0 / count(*), 4)
+         AS vwap
+FROM h
+GROUP BY event_type, hour
+"""
+
+
+def q_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV distinct-user estimate per event_type
+    (operators/sketch.kmv_distinct) — the cardinality sketch whose
+    estimate (error included) replays bit-for-bit in the oracle, the
+    hash-strength counterpart to the rows-only HLL gate."""
+    from pleiades_spark.operators.sketch import kmv_distinct
+
+    ev = _events(spark, sf_dir)
+    return kmv_distinct(
+        ev, "event_type", F.col("user_id").cast("string")
+    ).select(
+        F.col("grp").alias("event_type"), "est_distinct", "n_min"
+    )
+
+
+ORACLE_KMV_DISTINCT = """
+WITH hashed AS (
+  SELECT DISTINCT event_type AS grp,
+         CAST('0x' || substring(md5(CAST(user_id AS VARCHAR)), 1, 8) AS BIGINT) AS h
+  FROM events
+), topk AS (
+  SELECT grp, h,
+         row_number() OVER (PARTITION BY grp ORDER BY h ASC) AS rn
+  FROM hashed
+), agg AS (
+  SELECT grp, CAST(count(*) AS BIGINT) AS n_min, max(h) AS h_k
+  FROM topk WHERE rn <= 64 GROUP BY grp
+)
+SELECT grp AS event_type,
+       round(CASE WHEN n_min < 64 THEN CAST(n_min AS DOUBLE)
+                  ELSE 63.0 * 4294967296.0 / h_k END, 4) AS est_distinct,
+       n_min
+FROM agg
+"""
+
+
 # --- event analytics: funnel + retention ---------------------------------
 
 
@@ -1276,6 +1345,10 @@ QUERIES = [
           "min_by/max_by argmin-argmax aggregates"),
     Query("top_orders_global", q_top_orders_global, ORACLE_TOP_ORDERS_GLOBAL,
           "global sort+limit (TakeOrderedAndProject)"),
+    Query("ohlc_hourly", q_ohlc_hourly, ORACLE_OHLC_HOURLY,
+          "OHLC/VWAP bars per (type, hour): min_by/max_by single-pass agg"),
+    Query("kmv_distinct", q_kmv_distinct, ORACLE_KMV_DISTINCT,
+          "KMV cardinality sketch: deterministic cross-engine distinct estimate"),
     Query("data_quality_report", q_data_quality_report, ORACLE_DATA_QUALITY,
           "Deequ-style constraint report: one wide aggregate, stacked checks"),
     Query("asof_join_forward", q_asof_forward, ORACLE_ASOF_FORWARD,
