@@ -534,9 +534,12 @@ def domain_cap(docs: DataFrame, cap: int = DOMAIN_CAP, key: str = "source") -> D
     dominate the token budget).
 
     Selection is a deterministic per-domain rank on (h32(doc_id), doc_id)
-    — re-running on a grown corpus keeps the previously-kept documents
-    for every domain whose membership didn't change, and the oracle
-    replays the exact set (rand()/limit would do neither).
+    — replayable by the oracle and independent of partitioning/retries
+    (rand()/limit is neither). Note the EXACT cap is rank-based, so a
+    domain gaining a low-hash doc can rotate one previously-kept doc
+    out; the hash-THRESHOLD variant below is the growth-stable one
+    (membership depends only on the doc's own hash once a domain is at
+    cap).
 
     Scale: ONE shuffle on the domain key; row_number sorts each domain's
     partition. A monster domain (10⁸ docs) makes that sort a straggler —
