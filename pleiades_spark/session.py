@@ -25,6 +25,10 @@ RUNTIME_CONFS = {
     "spark.sql.adaptive.skewJoin.enabled": "true",
     # Arrow for any pandas_udf / toPandas path.
     "spark.sql.execution.arrow.pyspark.enabled": "true",
+    # Python DataSource filter pushdown (Spark 4.1, off by default) — the
+    # pleiades_filequeue connector pushes id predicates so rejected
+    # queue files never materialize their bodies.
+    "spark.sql.python.filterPushdown.enabled": "true",
 }
 
 

@@ -34,8 +34,11 @@ from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
     DataSourceWriter,
+    EqualTo,
+    In,
     InputPartition,
     SimpleDataSourceStreamReader,
+    StringStartsWith,
     WriterCommitMessage,
 )
 
@@ -60,9 +63,43 @@ class _FilesPartition(InputPartition):
 
 
 class FileQueueBatchReader(DataSourceReader):
+    """Batch reader with ``id``-filter pushdown (Spark 4.1 pushFilters).
+
+    The queue format puts the event ID on line 1 and the (much larger)
+    body on line 2+ — so EqualTo / In / StringStartsWith predicates on
+    ``id`` evaluate after reading ONLY the first line, and rejected
+    files never have their bodies materialized. That is the native
+    pushdown this source can honestly offer (file names carry arrival
+    ordinals, not IDs, so listing-level pruning isn't possible);
+    everything else stays a residual filter for Spark.
+    """
+
     def __init__(self, options):
         self.path = options.get("path")
         self.n = int(options.get("numPartitions", "8"))
+        self.pushed: list = []
+
+    def pushFilters(self, filters):
+        for f in filters:
+            if (
+                isinstance(f, (EqualTo, In, StringStartsWith))
+                and tuple(f.attribute) == ("id",)
+            ):
+                self.pushed.append(f)
+            else:
+                yield f
+
+    def _id_ok(self, event_id: str) -> bool:
+        for f in self.pushed:
+            if isinstance(f, EqualTo) and event_id != f.value:
+                return False
+            if isinstance(f, In) and event_id not in f.value:
+                return False
+            if isinstance(f, StringStartsWith) and not event_id.startswith(
+                f.value
+            ):
+                return False
+        return True
 
     def partitions(self) -> Sequence[InputPartition]:
         files = _list_files(self.path)
@@ -70,8 +107,16 @@ class FileQueueBatchReader(DataSourceReader):
         return [_FilesPartition(c) for c in chunks if c]
 
     def read(self, partition: _FilesPartition) -> Iterator[tuple]:
+        if not self.pushed:
+            for fname in partition.files:
+                yield _parse(fname)
+            return
         for fname in partition.files:
-            yield _parse(fname)
+            with open(fname) as f:
+                event_id = f.readline().rstrip("\r\n")
+                if not self._id_ok(event_id):
+                    continue  # body never read
+                yield event_id, f.read().rstrip("\r\n")
 
 
 class FileQueueStreamReader(SimpleDataSourceStreamReader):

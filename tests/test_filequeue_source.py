@@ -184,3 +184,43 @@ def test_streaming_connector_drives_counter_aggregation(spark, tmp_path):
         .collect()
     }
     assert got == want and len(got) > 4
+
+
+def test_batch_reader_filter_pushdown(spark, tmp_path):
+    """EqualTo/In/StringStartsWith on id push into the reader (bodies of
+    rejected files are never read); other filters stay residual."""
+    from pyspark.sql.datasource import EqualTo, GreaterThan, In
+
+    from pleiades_spark.sources.filequeue_source import FileQueueBatchReader
+
+    qdir = str(tmp_path / "fq")
+    import os
+
+    os.makedirs(qdir)
+    for i in range(6):
+        with open(os.path.join(qdir, f"t-event-0-{i}.dat"), "w") as f:
+            f.write(f"id{i}\n{{\"n\": {i}}}\n")
+
+    r = FileQueueBatchReader({"path": qdir})
+    residual = list(
+        r.pushFilters(
+            [In(("id",), ("id1", "id3")), GreaterThan(("value",), "x")]
+        )
+    )
+    # the In on id was consumed; the GreaterThan on value is residual
+    assert len(residual) == 1 and isinstance(residual[0], GreaterThan)
+    got = sorted(
+        row for p in r.partitions() for row in r.read(p)
+    )
+    assert got == [("id1", '{"n": 1}'), ("id3", '{"n": 3}')]
+
+    # e2e through the registered format: result correctness under filter
+    _register(spark)
+    df = (
+        spark.read.format("pleiades_filequeue")
+        .load(qdir)
+        .filter("id = 'id4'")
+    )
+    assert [(r["id"], r["value"]) for r in df.collect()] == [
+        ("id4", '{"n": 4}')
+    ]
