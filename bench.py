@@ -101,6 +101,7 @@ HEADLINE = [
     "vocab_encode",
     "ohlc_hourly",
     "kmv_distinct",
+    "zipf_fit",
 ]
 
 

@@ -1020,6 +1020,76 @@ GROUP BY doc_id
 """
 
 
+# --- Zipf rank-frequency fit ----------------------------------------------
+
+
+def q_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language Zipf fit: least-squares slope/intercept of
+    ln(freq) ~ ln(rank) over the word frequency table — the sanity
+    statistic that tells natural text (slope ≈ −1) from template spam
+    before any model-based scoring.
+
+    Closed-form OLS from five aggregate sums — one vocabulary-sized
+    aggregation after the (lang, word) count; no iteration. Ranks are
+    total-ordered (count DESC, word ASC) so both engines rank
+    identically; ln-sum parity follows the KL/tfidf precedent, final
+    round(4).
+    """
+    docs = _t(spark, sf_dir, "documents")
+    wc = (
+        docs.select("lang", F.explode(F.split("text", " ")).alias("word"))
+        .groupBy("lang", "word")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    wr = W.partitionBy("lang").orderBy(F.col("cnt").desc(), F.col("word").asc())
+    xy = wc.withColumn("rk", F.row_number().over(wr)).select(
+        "lang",
+        F.log(F.col("rk").cast("double")).alias("x"),
+        F.log(F.col("cnt").cast("double")).alias("y"),
+    )
+    agg = xy.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+    )
+    denom = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    slope = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / denom
+    intercept = (F.col("sy") - slope * F.col("sx")) / F.col("n")
+    return agg.select(
+        "lang",
+        F.col("n").alias("n_vocab"),
+        F.round(slope, 4).alias("zipf_slope"),
+        F.round(intercept, 4).alias("zipf_intercept"),
+    )
+
+
+ORACLE_ZIPF_FIT = """
+WITH wc AS (
+  SELECT lang, word, count(*) AS cnt
+  FROM (SELECT lang, unnest(string_split(text, ' ')) AS word FROM documents)
+  GROUP BY lang, word
+), xy AS (
+  SELECT lang,
+         ln(CAST(row_number() OVER (PARTITION BY lang
+                 ORDER BY cnt DESC, word ASC) AS DOUBLE)) AS x,
+         ln(CAST(cnt AS DOUBLE)) AS y
+  FROM wc
+), agg AS (
+  SELECT lang, CAST(count(*) AS BIGINT) AS n,
+         sum(x) AS sx, sum(y) AS sy,
+         sum(x * x) AS sxx, sum(x * y) AS sxy
+  FROM xy GROUP BY lang
+)
+SELECT lang, n AS n_vocab,
+       round((n * sxy - sx * sy) / (n * sxx - sx * sx), 4) AS zipf_slope,
+       round((sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx) / n, 4)
+         AS zipf_intercept
+FROM agg
+"""
+
+
 QUERIES = [
     Query("doc_chunks", q_doc_chunks, ORACLE_DOC_CHUNKS,
           "overlapping token-window chunking (Generate, no shuffle)"),
@@ -1074,4 +1144,6 @@ QUERIES = [
           "duplicated 3-word spans stripped, first occurrence kept corpus-wide"),
     Query("vocab_encode", q_vocab_encode, ORACLE_VOCAB_ENCODE,
           "frozen top-k vocab token->id encoding with OOV accounting"),
+    Query("zipf_fit", q_zipf_fit, ORACLE_ZIPF_FIT,
+          "per-language Zipf slope/intercept (closed-form OLS on log-log)"),
 ]
