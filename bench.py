@@ -102,6 +102,7 @@ HEADLINE = [
     "ohlc_hourly",
     "kmv_distinct",
     "zipf_fit",
+    "dedup_jaccard_prefix",
 ]
 
 

@@ -525,3 +525,97 @@ def embedding_near_dup_srp(
         .filter(F.col("cos") >= threshold)
         .select("vec_a", "vec_b", "cos")
     )
+
+
+# --- exact set-similarity join via prefix filtering (AllPairs/PPJoin) ------
+
+
+def prefix_jaccard_pairs(
+    docs: DataFrame, t_num: int = 3, t_den: int = 5
+) -> DataFrame:
+    """EXACT Jaccard similarity join by prefix filtering (Bayardo et al.
+    2007 "Scaling Up All Pairs Similarity Search" / PPJoin): guaranteed
+    recall 1 at threshold t = t_num/t_den, without the quadratic
+    all-pairs block ngram_jaccard_pairs needs and without the
+    probabilistic recall loss of the LSH paths.
+
+    Principle: order every shingle set by global rarity (df ASC, shingle
+    ASC); if J(a,b) ≥ t then |a∩b| ≥ ⌈t·|a|⌉, so a and b MUST share a
+    token inside their first |s| − ⌈t·|s|⌉ + 1 rarest tokens. Candidates
+    come from an equi-join on those prefix tokens only — rare tokens, so
+    bucket sizes stay small exactly where boilerplate would explode a
+    naive token join.
+
+    ⌈t·n⌉ is computed in INTEGER arithmetic ((t_num·n + t_den−1) div
+    t_den): the float form ceil(0.6·n) overshoots on exact multiples
+    (0.6·5 = 3.0000000000000004 → 4), silently shortening the prefix
+    and voiding the recall guarantee.
+
+    Scale shape: df table is vocabulary-sized (broadcast); candidate
+    generation shuffles prefix tokens (a t-dependent fraction of the
+    corpus); verification joins shingle sets only for candidate pairs.
+    """
+    sh_tbl = docs.select(
+        "doc_id", word_shingles(F.col("text")).alias("sh")
+    )
+    tok = sh_tbl.select("doc_id", F.explode("sh").alias("t"))
+    rank_tbl = (
+        tok.groupBy("t")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .withColumn(
+            "rk",
+            F.row_number().over(
+                W.orderBy(F.col("df").asc(), F.col("t").asc())
+            ),
+        )
+        .select("t", "rk")
+    )
+    ordered = (
+        tok.join(F.broadcast(rank_tbl), "t")
+        .groupBy("doc_id")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct(F.col("rk"), F.col("t")))),
+                lambda s: s["t"],
+            ).alias("ot")
+        )
+        .withColumn("n", F.size("ot"))
+    )
+    # L = n - ceil(t*n) + 1, integer-exact
+    L = (
+        F.col("n")
+        - F.expr(f"({t_num} * n + {t_den} - 1) div {t_den}")
+        + F.lit(1)
+    ).cast("int")
+    pref = ordered.select(
+        "doc_id", F.explode(F.slice(F.col("ot"), 1, L)).alias("t")
+    )
+    pa, pb = pref.alias("pa"), pref.alias("pb")
+    cand = (
+        pa.join(
+            pb,
+            (F.col("pa.t") == F.col("pb.t"))
+            & (F.col("pa.doc_id") < F.col("pb.doc_id")),
+        )
+        .select(
+            F.col("pa.doc_id").alias("doc_a"), F.col("pb.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+    sa = sh_tbl.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
+    sb = sh_tbl.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
+    thr = t_num / t_den
+    return (
+        cand.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.size(F.array_intersect("sh_a", "sh_b"))
+                / F.size(F.array_union("sh_a", "sh_b")),
+                6,
+            ),
+        )
+        .filter(F.col("jaccard") >= thr)
+        .select("doc_a", "doc_b", "jaccard")
+    )

@@ -826,6 +826,49 @@ FROM proj
 """
 
 
+# --- exact prefix-filter similarity join -----------------------------------
+
+
+def q_dedup_jaccard_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact Jaccard join at t=0.6 via prefix filtering
+    (operators/dedup.prefix_jaccard_pairs) — recall-1 scale path between
+    the quadratic ground truth and the probabilistic LSH gates."""
+    from pleiades_spark.operators.dedup import prefix_jaccard_pairs
+
+    return prefix_jaccard_pairs(_t(spark, sf_dir, "documents"))
+
+
+ORACLE_DEDUP_JACCARD_PREFIX = """
+WITH sh AS (
+  SELECT doc_id, CASE WHEN len(string_split(text,' ')) >= 3 THEN list_distinct(list_transform(range(0, len(string_split(text,' ')) - 2), i -> array_to_string(string_split(text,' ')[i+1:i+3], ' '))) ELSE [text] END AS sh FROM documents
+), tok AS (
+  SELECT doc_id, unnest(sh) AS t FROM sh
+), rk AS (
+  SELECT t, row_number() OVER (ORDER BY count(*) ASC, t ASC) AS rk
+  FROM tok GROUP BY t
+), ot AS (
+  SELECT doc_id, list(tok.t ORDER BY rk.rk ASC) AS ot
+  FROM tok JOIN rk ON tok.t = rk.t
+  GROUP BY doc_id
+), pref AS (
+  SELECT doc_id,
+         unnest(ot[1 : len(ot) - ((3 * len(ot) + 4) // 5) + 1]) AS t
+  FROM ot
+), cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM pref a JOIN pref b ON a.t = b.t AND a.doc_id < b.doc_id
+)
+SELECT doc_a, doc_b,
+       round(len(list_intersect(sa.sh, sb.sh)) * 1.0
+             / len(list_distinct(sa.sh || sb.sh)), 6) AS jaccard
+FROM cand
+JOIN sh sa ON sa.doc_id = doc_a
+JOIN sh sb ON sb.doc_id = doc_b
+WHERE round(len(list_intersect(sa.sh, sb.sh)) * 1.0
+            / len(list_distinct(sa.sh || sb.sh)), 6) >= 0.6
+"""
+
+
 # --- TextRank keyword extraction -----------------------------------------
 
 
@@ -1788,6 +1831,9 @@ QUERIES = [
           "embedding near-dup within IVF buckets (scale path, O(N²/K))"),
     Query("dedup_embedding_srp", q_dedup_embedding_srp, ORACLE_DEDUP_EMBEDDING_SRP,
           "cosine-LSH (signed random projections) near-dup, banded bucket join"),
+    Query("dedup_jaccard_prefix", q_dedup_jaccard_prefix,
+          ORACLE_DEDUP_JACCARD_PREFIX,
+          "exact Jaccard join via prefix filtering (recall-1 scale path)"),
     Query("jl_projection", q_jl_projection, ORACLE_JL_PROJECTION,
           "Johnson-Lindenstrauss 64d->16d frozen random projection (map-only)"),
     Query("textrank_keywords", q_textrank_keywords, ORACLE_TEXTRANK_KEYWORDS,

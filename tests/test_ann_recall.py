@@ -193,3 +193,32 @@ def test_jl_projection_norm_concentration(embeddings):
     assert all(0.4 < x < 1.6 for x in ratios)
     mean = sum(ratios) / len(ratios)
     assert 0.9 < mean < 1.1, mean
+
+
+def test_prefix_jaccard_join_is_exact(documents):
+    """Prefix filtering guarantees recall 1: every ground-truth pair
+    (quadratic exact join) appears in the prefix-join output with the
+    same jaccard; any extra pairs are ones the ground truth's 20%
+    length band excluded, and they genuinely clear the threshold."""
+    from pleiades_spark.operators.dedup import (
+        ngram_jaccard_pairs,
+        prefix_jaccard_pairs,
+    )
+
+    gt = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in ngram_jaccard_pairs(documents, 0.6).collect()
+    }
+    px = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in prefix_jaccard_pairs(documents).collect()
+    }
+    assert set(gt) <= set(px), "prefix join missed a true pair"
+    for pair, j in gt.items():
+        assert px[pair] == j
+    chars = {
+        r["doc_id"]: r["n_chars"] for r in documents.select("doc_id", "n_chars").collect()
+    }
+    for a, b in set(px) - set(gt):
+        assert abs(chars[a] - chars[b]) > 0.2 * max(chars[a], chars[b])
+        assert px[(a, b)] >= 0.6
