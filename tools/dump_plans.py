@@ -131,6 +131,13 @@ SHOW = [
     ("weighted_sample",
      "Efraimidis-Spirakis weighted top-k — ranking key in the map stage, "
      "TakeOrderedAndProject (per-partition heaps), no global sort."),
+    ("dedup_jaccard_prefix",
+     "Exact prefix-filter Jaccard join — rarity-ordered prefixes bound "
+     "candidate buckets; vocabulary-sized rank table broadcasts; "
+     "verification joins shingle sets only for candidates."),
+    ("ohlc_hourly",
+     "OHLC bars — single aggregation pass (min_by/max_by), one exchange "
+     "on the low-cardinality (type, hour) key, integer-cents mean."),
     ("zorder_rank",
      "Z-order key — 32 shift/mask terms in one codegen projection; "
      "global top-200 compiles to TakeOrderedAndProject (per-partition "
