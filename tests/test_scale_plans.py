@@ -295,3 +295,41 @@ def test_zorder_rank_take_ordered_no_full_sort(spark, sf_dir):
     plan = _plan(q_zorder_rank(spark, sf_dir))
     assert "TakeOrderedAndProject" in plan
     assert "Exchange rangepartitioning" not in plan
+
+
+def test_gopher_repetition_zero_exchanges(spark, sf_dir):
+    """Round-4 rewrite guard: per-doc gram accounting happens inside the
+    row (sorted-array run folds) — the plan must stay a pure map stage."""
+    from pleiades_spark.plans.llm import q_gopher_repetition
+
+    plan = _plan(q_gopher_repetition(spark, sf_dir))
+    assert "Exchange" not in plan
+    assert "Join" not in plan
+
+
+def test_decontam_broadcasts_eval_side(spark, sf_dir):
+    """The train corpus's shingles must never shuffle to meet the tiny
+    eval set: the hits join must be broadcast, not sort-merge."""
+    from pleiades_spark.plans.corpus import q_benchmark_decontam
+
+    plan = _plan(q_benchmark_decontam(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_jl_projection_zero_exchanges(spark, sf_dir):
+    """JL projection is a map-only stage — k dots against one literal
+    matrix inside the scan."""
+    from pleiades_spark.plans.llm import q_jl_projection
+
+    plan = _plan(q_jl_projection(spark, sf_dir))
+    assert "Exchange" not in plan
+
+
+def test_weighted_sample_take_ordered(spark, sf_dir):
+    """A-ES top-k must compile to TakeOrderedAndProject — a global sort
+    of the corpus by sampling key would be a scale bug."""
+    from pleiades_spark.plans.corpus import q_weighted_sample
+
+    plan = _plan(q_weighted_sample(spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan
