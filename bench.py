@@ -103,6 +103,7 @@ HEADLINE = [
     "kmv_distinct",
     "zipf_fit",
     "dedup_jaccard_prefix",
+    "bootstrap_mean_chars",
 ]
 
 

@@ -761,3 +761,74 @@ def vocab_encode(docs: DataFrame, vocab_size: int = VOCAB_SIZE) -> DataFrame:
             ).alias("ids_text"),
         )
     )
+
+
+# Frozen Poisson(1) CDF thresholds on the h32 range [0, 2^32): k = number
+# of thresholds below u. int(cdf(k)*2^32) for k=0..4; tail mass → k=5.
+POISSON1_T = (1580030168, 3160060337, 3950075421, 4213413783, 4279248373)
+BOOT_B = 20
+
+
+def bootstrap_mean_chars(docs: DataFrame, n_boot: int = BOOT_B) -> DataFrame:
+    """Per-language Poisson-bootstrap confidence band for mean document
+    length — the eval-tooling primitive (is lang A's mean REALLY above
+    lang B's, or within resampling noise?).
+
+    The classical distributed bootstrap (Chamandy et al., "Estimating
+    Uncertainty for Massive Data Streams"): instead of drawing B
+    resamples (impossible shuffles), each row gets an independent
+    Poisson(1) replicate count per resample b — here DETERMINISTIC, from
+    frozen integer CDF thresholds on h32('boot<b>:' + doc_id), so every
+    engine, run, and retry draws the same resamples.
+
+    Replicate means are exact integer ratios (Σk·n_chars / Σk) — no
+    float summation order anywhere — and the band is ORDER STATISTICS of
+    the B quantized means (2nd smallest / 2nd largest ≈ 90% for B=20),
+    which are order-free. Plan: one Generate (×B), one agg on
+    (lang, b), one vocabulary-sized window.
+    """
+    b_ids = F.explode(F.sequence(F.lit(0), F.lit(n_boot - 1))).alias("b")
+    rows = docs.select("lang", "n_chars", "doc_id", b_ids)
+    u = h32(
+        F.concat(
+            F.lit("boot"), F.col("b").cast("string"), F.lit(":"),
+            F.col("doc_id").cast("string"),
+        )
+    )
+    k = sum((u >= F.lit(t)).cast("int") for t in POISSON1_T)
+    rep = rows.select("lang", "b", "n_chars", k.alias("k"))
+    means = (
+        rep.groupBy("lang", "b")
+        .agg(
+            F.sum(F.col("k") * F.col("n_chars")).alias("skc"),
+            F.sum("k").alias("sk"),
+        )
+        .select(
+            "lang",
+            "b",
+            F.floor(
+                (F.col("skc") / F.col("sk")) * F.lit(10000.0) + F.lit(0.5)
+            ).alias("m4"),
+        )
+    )
+    wlo = W.partitionBy("lang").orderBy(F.col("m4").asc(), F.col("b").asc())
+    ranked = means.withColumn("rn", F.row_number().over(wlo))
+    base = docs.groupBy("lang").agg(
+        F.floor(
+            (F.sum("n_chars") / F.count(F.lit(1))) * F.lit(10000.0) + F.lit(0.5)
+        ).alias("mean4")
+    )
+    lo = ranked.filter(F.col("rn") == 2).select("lang", F.col("m4").alias("lo4"))
+    hi = ranked.filter(F.col("rn") == n_boot - 1).select(
+        "lang", F.col("m4").alias("hi4")
+    )
+    return (
+        base.join(lo, "lang")
+        .join(hi, "lang")
+        .select(
+            "lang",
+            (F.col("mean4") / 10000.0).alias("mean_chars"),
+            (F.col("lo4") / 10000.0).alias("boot_lo"),
+            (F.col("hi4") / 10000.0).alias("boot_hi"),
+        )
+    )

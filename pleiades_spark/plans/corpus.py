@@ -42,6 +42,7 @@ from pleiades_spark.operators.corpus import (
     WEIGHTED_SAMPLE_K,
     domain_cap,
     dup_span_stats,
+    bootstrap_mean_chars,
     remove_dup_spans,
     vocab_encode,
     weighted_sample_topk,
@@ -1090,6 +1091,47 @@ FROM agg
 """
 
 
+# --- Poisson bootstrap ----------------------------------------------------
+
+
+def q_bootstrap_mean_chars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic Poisson-bootstrap band for per-language mean doc
+    length (operators/corpus.bootstrap_mean_chars)."""
+    return bootstrap_mean_chars(_t(spark, sf_dir, "documents"))
+
+
+ORACLE_BOOTSTRAP_MEAN_CHARS = """
+WITH rep AS (
+  SELECT lang, b, n_chars,
+         ((CASE WHEN u >= 1580030168 THEN 1 ELSE 0 END) + (CASE WHEN u >= 3160060337 THEN 1 ELSE 0 END) + (CASE WHEN u >= 3950075421 THEN 1 ELSE 0 END) + (CASE WHEN u >= 4213413783 THEN 1 ELSE 0 END) + (CASE WHEN u >= 4279248373 THEN 1 ELSE 0 END)) AS k
+  FROM (
+    SELECT lang, n_chars, doc_id, unnest(range(0, 20)) AS b,
+           NULL AS _pad
+    FROM documents
+  ), LATERAL (SELECT CAST('0x' || substring(md5(concat('boot', CAST(b AS VARCHAR), ':', CAST(doc_id AS VARCHAR))), 1, 8) AS BIGINT) AS u)
+), means AS (
+  SELECT lang, b,
+         floor((sum(k * n_chars) * 1.0 / sum(k)) * 10000.0 + 0.5) AS m4
+  FROM rep GROUP BY lang, b
+), ranked AS (
+  SELECT lang, m4,
+         row_number() OVER (PARTITION BY lang ORDER BY m4 ASC, b ASC) AS rn
+  FROM means
+), base AS (
+  SELECT lang,
+         floor((sum(n_chars) * 1.0 / count(*)) * 10000.0 + 0.5) AS mean4
+  FROM documents GROUP BY lang
+)
+SELECT lang,
+       mean4 / 10000.0 AS mean_chars,
+       (SELECT m4 FROM ranked r WHERE r.lang = base.lang AND rn = 2)
+         / 10000.0 AS boot_lo,
+       (SELECT m4 FROM ranked r WHERE r.lang = base.lang AND rn = 20 - 1)
+         / 10000.0 AS boot_hi
+FROM base
+"""
+
+
 QUERIES = [
     Query("doc_chunks", q_doc_chunks, ORACLE_DOC_CHUNKS,
           "overlapping token-window chunking (Generate, no shuffle)"),
@@ -1146,4 +1188,7 @@ QUERIES = [
           "frozen top-k vocab token->id encoding with OOV accounting"),
     Query("zipf_fit", q_zipf_fit, ORACLE_ZIPF_FIT,
           "per-language Zipf slope/intercept (closed-form OLS on log-log)"),
+    Query("bootstrap_mean_chars", q_bootstrap_mean_chars,
+          ORACLE_BOOTSTRAP_MEAN_CHARS,
+          "deterministic Poisson-bootstrap band (integer-exact means)"),
 ]
