@@ -276,6 +276,51 @@ GROUP BY day_date, counter
 """
 
 
+def q_streaming_dedup_builtin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BUILT-IN exactly-once repair in the gate: the full events table
+    delivered TWICE (two micro-batches) through
+    dropDuplicatesWithinWatermark — the output must be each event
+    exactly once (streaming/pipeline.dedup_events_stream; the custom
+    applyInPandasWithState twin is stateful_stream_dedup)."""
+    from pleiades_spark.streaming.pipeline import dedup_events_stream
+
+    apply_runtime_confs(spark)
+    src = tempfile.mkdtemp(prefix="builtin_dedup_")
+    _stage_event_files(spark, sf_dir, src, split=False)
+    stream = (
+        spark.readStream.schema(EVENTS_MICROS_SCHEMA)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+        .drop("props")
+    )
+    q = (
+        dedup_events_stream(stream)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("builtin_dedup_gate")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+        q.awaitTermination()
+    return spark.table("builtin_dedup_gate").select(
+        "event_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts_s"),
+        "user_id",
+        "event_type",
+        "value",
+    )
+
+
+ORACLE_STREAMING_DEDUP_BUILTIN = """
+SELECT event_id, strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_s,
+       user_id, event_type, value
+FROM events
+"""
+
+
 QUERIES = [
     Query("streaming_counters", q_streaming_counters, ORACLE_STREAMING_COUNTERS,
           "real Structured Streaming run: file source → window agg → memory sink"),
@@ -288,6 +333,9 @@ QUERIES = [
     Query("stateful_stream_dedup", q_stateful_stream_dedup,
           ORACLE_STATEFUL_STREAM_DEDUP,
           "applyInPandasWithState cross-batch dedup: replayed batch emits 0 rows"),
+    Query("streaming_dedup_builtin", q_streaming_dedup_builtin,
+          ORACLE_STREAMING_DEDUP_BUILTIN,
+          "dropDuplicatesWithinWatermark: double-delivered stream -> each event once"),
     Query("stream_stream_join", q_stream_stream_join, ORACLE_STREAM_STREAM_JOIN,
           "watermarked stream-stream interval self-join (1h follow-on window)"),
 ]
