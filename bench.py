@@ -104,6 +104,7 @@ HEADLINE = [
     "zipf_fit",
     "dedup_jaccard_prefix",
     "bootstrap_mean_chars",
+    "psi_drift",
 ]
 
 

@@ -1132,6 +1132,122 @@ FROM base
 """
 
 
+# --- distribution drift (PSI) ---------------------------------------------
+
+
+def q_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index per language between dataset versions
+    v1 (fixture) and v2 (the same deterministic derivation as
+    snapshot_diff: drop a 10% hash slice, ' v2'-modify a 10% slice, add
+    a 5% slice) — the monitoring gate a production pipeline runs before
+    promoting a new corpus version: PSI < 0.1 stable, > 0.25 drifted.
+
+    PSI = Σ_buckets (p − q)·ln(p/q) over frozen length-bucket edges.
+    Counts land on a dense (lang × bucket) grid first, THEN shares get
+    add-one smoothing (c+1)/(t+5) — always positive, so the log is
+    always finite. Shares are exact integer ratios; the 5-term ln sum
+    follows the KL/tfidf float precedent, round(4).
+    """
+    from pleiades_spark.functions.hashing import h32
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+
+    def bucket(salt: str) -> F.Column:
+        return h32(
+            F.concat(F.lit(salt + ":"), F.col("doc_id").cast("string"))
+        ) % 100
+
+    v2base = docs.filter(bucket("v2drop") >= 10).select(
+        "doc_id",
+        "lang",
+        F.when(
+            bucket("v2mod") < 10, F.concat(F.col("text"), F.lit(" v2"))
+        ).otherwise(F.col("text")).alias("text"),
+    )
+    v2new = docs.filter(bucket("v2add") < 5).select(
+        (F.col("doc_id") + 100000).alias("doc_id"), "lang", "text"
+    )
+    v2 = v2base.unionAll(v2new)
+
+    grid = (
+        docs.select("lang").distinct()
+        .crossJoin(spark.range(5).select(F.col("id").cast("int").alias("bucket")))
+    )
+
+    def shares(frame: DataFrame, name: str) -> DataFrame:
+        b = F.least(F.floor(F.length("text") / 100), F.lit(4)).cast("int")
+        cnt = (
+            frame.select("lang", b.alias("bucket"))
+            .groupBy("lang", "bucket")
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+        dense = grid.join(cnt, ["lang", "bucket"], "left").select(
+            "lang", "bucket", F.coalesce("c", F.lit(0)).alias("c")
+        )
+        tot = dense.groupBy("lang").agg(F.sum("c").alias("t"))
+        return dense.join(tot, "lang").select(
+            "lang", "bucket", ((F.col("c") + 1) / (F.col("t") + 5)).alias(name)
+        )
+
+    return (
+        shares(docs, "p")
+        .join(shares(v2, "q"), ["lang", "bucket"])
+        .groupBy("lang")
+        .agg(
+            F.round(
+                F.sum((F.col("p") - F.col("q")) * F.log(F.col("p") / F.col("q"))),
+                4,
+            ).alias("psi")
+        )
+    )
+
+
+ORACLE_PSI_DRIFT = """
+WITH v1 AS (SELECT doc_id, lang, text FROM documents),
+v2 AS (
+  SELECT doc_id, lang,
+         CASE WHEN CAST('0x' || substring(md5(concat('v2mod:', CAST(doc_id AS VARCHAR))), 1, 8) AS BIGINT) % 100 < 10 THEN text || ' v2' ELSE text END AS text
+  FROM documents WHERE CAST('0x' || substring(md5(concat('v2drop:', CAST(doc_id AS VARCHAR))), 1, 8) AS BIGINT) % 100 >= 10
+  UNION ALL
+  SELECT doc_id + 100000, lang, text FROM documents WHERE CAST('0x' || substring(md5(concat('v2add:', CAST(doc_id AS VARCHAR))), 1, 8) AS BIGINT) % 100 < 5
+),
+grid AS (
+  SELECT lang, bucket
+  FROM (SELECT DISTINCT lang FROM documents),
+       (SELECT unnest(range(0, 5)) AS bucket)
+),
+c1 AS (
+  SELECT lang, least(CAST(floor(length(text) / 100) AS INT), 4) AS bucket,
+         count(*) AS c
+  FROM v1 GROUP BY 1, 2
+),
+c2 AS (
+  SELECT lang, least(CAST(floor(length(text) / 100) AS INT), 4) AS bucket,
+         count(*) AS c
+  FROM v2 GROUP BY 1, 2
+),
+d1 AS (
+  SELECT g.lang, g.bucket, coalesce(c, 0) AS c
+  FROM grid g LEFT JOIN c1 ON g.lang = c1.lang AND g.bucket = c1.bucket
+),
+d2 AS (
+  SELECT g.lang, g.bucket, coalesce(c, 0) AS c
+  FROM grid g LEFT JOIN c2 ON g.lang = c2.lang AND g.bucket = c2.bucket
+),
+p AS (
+  SELECT lang, bucket, (c + 1) * 1.0 / (sum(c) OVER (PARTITION BY lang) + 5) AS p
+  FROM d1
+),
+q AS (
+  SELECT lang, bucket, (c + 1) * 1.0 / (sum(c) OVER (PARTITION BY lang) + 5) AS q
+  FROM d2
+)
+SELECT lang, round(sum((p - q) * ln(p / q)), 4) AS psi
+FROM p JOIN q USING (lang, bucket)
+GROUP BY lang
+"""
+
+
 QUERIES = [
     Query("doc_chunks", q_doc_chunks, ORACLE_DOC_CHUNKS,
           "overlapping token-window chunking (Generate, no shuffle)"),
@@ -1191,4 +1307,6 @@ QUERIES = [
     Query("bootstrap_mean_chars", q_bootstrap_mean_chars,
           ORACLE_BOOTSTRAP_MEAN_CHARS,
           "deterministic Poisson-bootstrap band (integer-exact means)"),
+    Query("psi_drift", q_psi_drift, ORACLE_PSI_DRIFT,
+          "PSI distribution drift between dataset versions (per language)"),
 ]
