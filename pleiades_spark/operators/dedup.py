@@ -554,6 +554,11 @@ def prefix_jaccard_pairs(
     Scale shape: df table is vocabulary-sized (broadcast); candidate
     generation shuffles prefix tokens (a t-dependent fraction of the
     corpus); verification joins shingle sets only for candidate pairs.
+    Candidate volume tracks how RARE prefix tokens actually are: on
+    natural text (Zipfian, huge tails of df=1 shingles) the prefixes
+    prune aggressively; the synthetic fixture's word-soup reuses 3-word
+    shingles heavily (see dup_span_stats), so its candidate set is
+    denser than a real corpus would produce.
     """
     sh_tbl = docs.select(
         "doc_id", word_shingles(F.col("text")).alias("sh")
@@ -588,14 +593,19 @@ def prefix_jaccard_pairs(
         + F.lit(1)
     ).cast("int")
     pref = ordered.select(
-        "doc_id", F.explode(F.slice(F.col("ot"), 1, L)).alias("t")
+        "doc_id", "n", F.explode(F.slice(F.col("ot"), 1, L)).alias("t")
     )
     pa, pb = pref.alias("pa"), pref.alias("pb")
+    # AllPairs length filter: J ≥ t forces |a∩b| ≥ t·max(n_a, n_b) ≤
+    # min(n_a, n_b), i.e. t_num·max ≤ t_den·min — integer-exact, prunes
+    # candidates inside the join before the distinct/verify stages.
     cand = (
         pa.join(
             pb,
             (F.col("pa.t") == F.col("pb.t"))
-            & (F.col("pa.doc_id") < F.col("pb.doc_id")),
+            & (F.col("pa.doc_id") < F.col("pb.doc_id"))
+            & (F.lit(t_num) * F.col("pa.n") <= F.lit(t_den) * F.col("pb.n"))
+            & (F.lit(t_num) * F.col("pb.n") <= F.lit(t_den) * F.col("pa.n")),
         )
         .select(
             F.col("pa.doc_id").alias("doc_a"), F.col("pb.doc_id").alias("doc_b")

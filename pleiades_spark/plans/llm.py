@@ -851,12 +851,14 @@ WITH sh AS (
   FROM tok JOIN rk ON tok.t = rk.t
   GROUP BY doc_id
 ), pref AS (
-  SELECT doc_id,
+  SELECT doc_id, len(ot) AS n,
          unnest(ot[1 : len(ot) - ((3 * len(ot) + 4) // 5) + 1]) AS t
   FROM ot
 ), cand AS (
   SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-  FROM pref a JOIN pref b ON a.t = b.t AND a.doc_id < b.doc_id
+  FROM pref a JOIN pref b
+    ON a.t = b.t AND a.doc_id < b.doc_id
+   AND 3 * a.n <= 5 * b.n AND 3 * b.n <= 5 * a.n
 )
 SELECT doc_a, doc_b,
        round(len(list_intersect(sa.sh, sb.sh)) * 1.0
