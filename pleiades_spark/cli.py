@@ -84,6 +84,27 @@ def cmd_corpus(args: argparse.Namespace) -> int:
     return 0
 
 
+def cmd_explain(args: argparse.Namespace) -> int:
+    """Print the optimized physical plan of a registered gate query —
+    the plan-audit loop (`.explain("formatted")`) as a first-class CLI
+    verb, so "did my filter push down / did that dim broadcast" is one
+    command, not a notebook session."""
+    from pleiades_spark.plans import collect_queries
+    from pleiades_spark.session import get_spark
+
+    registry = collect_queries()
+    if args.query_name not in registry:
+        import difflib
+
+        close = difflib.get_close_matches(args.query_name, registry, 5)
+        print(f"unknown query {args.query_name!r}; close: {close}")
+        return 2
+    spark = get_spark("pleiades_explain")
+    df = registry[args.query_name].fn(spark, args.sf_dir)
+    df.explain(args.mode)
+    return 0
+
+
 def cmd_sql(args: argparse.Namespace) -> int:
     """Ad-hoc SQL over the fixture tables — the interactive entry point
     the reference never had (SURVEY §2.6: no SQL surface). Registers
@@ -289,6 +310,13 @@ def build_parser() -> argparse.ArgumentParser:
     cp.add_argument("--days", default=None, help="comma-separated day numbers")
     cp.add_argument("--target-mb", type=int, default=128)
     cp.set_defaults(fn=cmd_compact)
+
+    ex = sub.add_parser("explain", help="physical plan of a gate query")
+    ex.add_argument("query_name")
+    ex.add_argument("--sf-dir", default="/root/testdata/sf0.001")
+    ex.add_argument("--mode", default="formatted",
+                    choices=["simple", "extended", "formatted", "cost"])
+    ex.set_defaults(fn=cmd_explain)
 
     sq = sub.add_parser("sql", help="ad-hoc SQL over the fixture tables")
     sq.add_argument("query", help="SQL string, or '-' to read stdin")

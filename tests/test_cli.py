@@ -159,3 +159,16 @@ def test_corpus_pipeline_end_to_end(spark, tmp_path, capsys):
         assert seen.isdisjoint(ids)
         seen.update(ids)
         assert set(back.columns) == {"doc_id", "lang", "source", "text"}
+
+
+def test_cli_explain(capsys):
+    from pleiades_spark.cli import main
+
+    rc = main(["explain", "counters_rollup"])
+    out = capsys.readouterr().out
+    assert rc == 0
+    assert "Physical Plan" in out and "Exchange" in out
+
+    rc = main(["explain", "no_such_query"])
+    out = capsys.readouterr().out
+    assert rc == 2 and "close:" in out
