@@ -105,6 +105,7 @@ HEADLINE = [
     "dedup_jaccard_prefix",
     "bootstrap_mean_chars",
     "psi_drift",
+    "variant_extract",
 ]
 
 

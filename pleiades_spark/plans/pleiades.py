@@ -1030,6 +1030,34 @@ FROM agg
 """
 
 
+def q_variant_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 VARIANT path for semi-structured payloads: parse_json →
+    binary variant column → typed try_variant_get extraction — the
+    schema-on-read form that keeps unknown payload shapes queryable
+    without a fixed struct (vs q_props_json's schema'd from_json and
+    q_props_map_keys' map form). The oracle is plain JSON extraction:
+    VARIANT is an encoding choice, not a semantics change.
+    """
+    ev = _events(spark, sf_dir)
+    v = F.parse_json(F.col("props"))
+    out = ev.select(
+        "event_id",
+        F.try_variant_get(v, "$.k", "bigint").alias("k"),
+        F.try_variant_get(v, "$.tag", "string").alias("tag"),
+    )
+    return out.filter(F.col("k").isNotNull()).select(
+        "event_id", "k", F.coalesce("tag", F.lit("")).alias("tag")
+    )
+
+
+ORACLE_VARIANT_EXTRACT = """
+SELECT event_id, CAST(props->>'$.k' AS BIGINT) AS k,
+       coalesce(props->>'$.tag', '') AS tag
+FROM events
+WHERE CAST(props->>'$.k' AS BIGINT) IS NOT NULL
+"""
+
+
 # --- event analytics: funnel + retention ---------------------------------
 
 
@@ -1345,6 +1373,8 @@ QUERIES = [
           "min_by/max_by argmin-argmax aggregates"),
     Query("top_orders_global", q_top_orders_global, ORACLE_TOP_ORDERS_GLOBAL,
           "global sort+limit (TakeOrderedAndProject)"),
+    Query("variant_extract", q_variant_extract, ORACLE_VARIANT_EXTRACT,
+          "Spark 4 VARIANT parse + typed extraction (schema-on-read payloads)"),
     Query("ohlc_hourly", q_ohlc_hourly, ORACLE_OHLC_HOURLY,
           "OHLC/VWAP bars per (type, hour): min_by/max_by single-pass agg"),
     Query("kmv_distinct", q_kmv_distinct, ORACLE_KMV_DISTINCT,
