@@ -106,6 +106,7 @@ HEADLINE = [
     "bootstrap_mean_chars",
     "psi_drift",
     "variant_extract",
+    "collection_functions",
 ]
 
 

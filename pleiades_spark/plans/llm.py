@@ -871,6 +871,52 @@ WHERE round(len(list_intersect(sa.sh, sb.sh)) * 1.0
 """
 
 
+# --- higher-order collection functions --------------------------------------
+
+
+def q_collection_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Higher-order / collection function breadth in one gate:
+    transform, filter, exists, forall, aggregate (fold), slice, reverse,
+    array_distinct, flatten via nested transform — the array-programming
+    surface a payload-heavy pipeline leans on, each with a DuckDB list_*
+    twin. The token array lands in a real column once; every HOF reads
+    the column (HOF-CSE rule)."""
+    docs = _t(spark, sf_dir, "documents")
+    toked = docs.select("doc_id", F.split("text", " ").alias("w"))
+    return toked.select(
+        "doc_id",
+        F.size(F.filter("w", lambda x: F.length(x) > 4)).alias("n_long"),
+        F.exists("w", lambda x: x == F.lit("the")).alias("has_the"),
+        F.forall("w", lambda x: F.length(x) < 12).alias("all_short"),
+        F.aggregate(
+            "w", F.lit(0), lambda acc, x: acc + F.length(x)
+        ).alias("sum_len"),
+        F.array_join(F.reverse(F.slice("w", 1, 3)), "-").alias("first3_rev"),
+        F.size(F.array_distinct("w")).alias("n_distinct"),
+        F.array_join(
+            F.flatten(
+                F.transform("w", lambda x: F.array(F.substring(x, 1, 1)))
+            ),
+            "",
+        ).alias("initials"),
+    )
+
+
+ORACLE_COLLECTION_FUNCTIONS = """
+WITH toked AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+SELECT doc_id,
+       CAST(len(list_filter(w, x -> length(x) > 4)) AS INT) AS n_long,
+       len(list_filter(w, x -> x = 'the')) > 0 AS has_the,
+       len(list_filter(w, x -> NOT length(x) < 12)) = 0 AS all_short,
+       CAST(list_sum(list_transform(w, x -> length(x))) AS INT) AS sum_len,
+       array_to_string(list_reverse(w[1:3]), '-') AS first3_rev,
+       CAST(len(list_distinct(w)) AS INT) AS n_distinct,
+       array_to_string(list_transform(w, x -> substring(x, 1, 1)), '')
+         AS initials
+FROM toked
+"""
+
+
 # --- TextRank keyword extraction -----------------------------------------
 
 
@@ -1838,6 +1884,9 @@ QUERIES = [
           "exact Jaccard join via prefix filtering (recall-1 scale path)"),
     Query("jl_projection", q_jl_projection, ORACLE_JL_PROJECTION,
           "Johnson-Lindenstrauss 64d->16d frozen random projection (map-only)"),
+    Query("collection_functions", q_collection_functions,
+          ORACLE_COLLECTION_FUNCTIONS,
+          "higher-order collection function breadth (transform/filter/exists/...)"),
     Query("textrank_keywords", q_textrank_keywords, ORACLE_TEXTRANK_KEYWORDS,
           "integer-exact TextRank keywords (5 PageRank iters, co-occurrence graph)"),
     Query("dedup_clusters", q_dedup_clusters, ORACLE_DEDUP_CLUSTERS,
