@@ -321,6 +321,69 @@ FROM events
 """
 
 
+def q_streaming_dau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CHAINED stateful streaming operators (Spark 4 multi-stateful
+    support): dropDuplicatesWithinWatermark on (user_id, day) feeding a
+    windowed count — exact distinct-users-per-day (DAU) computed
+    incrementally, each user counted once per day no matter how often
+    they appear. Append mode: exactly the watermark-closed day windows
+    emit (events staged as two micro-batches so the watermark provably
+    advances); the oracle computes the same closed-window distinct
+    count."""
+    apply_runtime_confs(spark)
+    src = tempfile.mkdtemp(prefix="dau_")
+    events = catalog.load(spark, sf_dir, "events")
+    max_day = events.agg(
+        F.max(F.date_trunc("day", F.col("ts"))).alias("m")
+    ).collect()[0]["m"]
+    early = events.filter(F.date_trunc("day", F.col("ts")) < F.lit(max_day))
+    late = events.filter(F.date_trunc("day", F.col("ts")) >= F.lit(max_day))
+    for i, part in enumerate([early, late]):
+        tmp = f"{src}/_stage{i}"
+        part.coalesce(1).write.mode("overwrite").parquet(tmp)
+        pf = next(f for f in os.listdir(tmp) if f.endswith(".parquet"))
+        shutil.copyfile(f"{tmp}/{pf}", f"{src}/{i:02d}.parquet")
+        shutil.rmtree(tmp)
+
+    stream = (
+        spark.readStream.schema(EVENTS_MICROS_SCHEMA)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+        .select("ts", "user_id")
+        .withWatermark("ts", "7 days")
+        .withColumn("day", F.date_trunc("day", F.col("ts")))
+    )
+    deduped = stream.dropDuplicatesWithinWatermark(["user_id", "day"])
+    agg = deduped.groupBy(F.window("ts", "1 day").alias("win")).agg(
+        F.count(F.lit(1)).alias("dau")
+    )
+    q = (
+        agg.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("dau_gate")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+        q.awaitTermination()
+    return spark.table("dau_gate").select(
+        F.date_format(F.col("win.start"), "yyyy-MM-dd").alias("day_date"),
+        "dau",
+    )
+
+
+ORACLE_STREAMING_DAU = """
+WITH wm AS (SELECT max(ts) - INTERVAL 7 DAY AS w FROM events)
+SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day_date,
+       count(DISTINCT user_id) AS dau
+FROM events, wm
+WHERE date_trunc('day', ts) + INTERVAL 1 DAY <= w
+GROUP BY day_date
+"""
+
+
 QUERIES = [
     Query("streaming_counters", q_streaming_counters, ORACLE_STREAMING_COUNTERS,
           "real Structured Streaming run: file source → window agg → memory sink"),
@@ -333,6 +396,8 @@ QUERIES = [
     Query("stateful_stream_dedup", q_stateful_stream_dedup,
           ORACLE_STATEFUL_STREAM_DEDUP,
           "applyInPandasWithState cross-batch dedup: replayed batch emits 0 rows"),
+    Query("streaming_dau", q_streaming_dau, ORACLE_STREAMING_DAU,
+          "chained stateful ops: streaming dedup -> windowed exact DAU"),
     Query("streaming_dedup_builtin", q_streaming_dedup_builtin,
           ORACLE_STREAMING_DEDUP_BUILTIN,
           "dropDuplicatesWithinWatermark: double-delivered stream -> each event once"),
