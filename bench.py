@@ -107,6 +107,7 @@ HEADLINE = [
     "psi_drift",
     "variant_extract",
     "collection_functions",
+    "window_function_breadth",
 ]
 
 

@@ -1369,6 +1369,55 @@ FROM pass
 """
 
 
+
+def q_window_function_breadth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window-function surface in one gate: rank, dense_rank, percent_rank,
+    cume_dist, ntile, lead, lag, nth_value over a single per-brand
+    ordering — ONE Window spec, so the plan sorts each partition once
+    and evaluates every function in the same pass."""
+    part = _t(spark, sf_dir, "part")
+    w = W.partitionBy("p_brand").orderBy(
+        F.col("p_retailprice").asc(), F.col("p_partkey").asc()
+    )
+    out = part.select(
+        "p_brand",
+        "p_partkey",
+        F.col("p_retailprice").alias("price"),
+        F.rank().over(w).alias("rnk"),
+        F.dense_rank().over(w).alias("drnk"),
+        F.round(F.percent_rank().over(w), 6).alias("prnk"),
+        F.round(F.cume_dist().over(w), 6).alias("cdist"),
+        F.ntile(4).over(w).alias("quartile"),
+        F.lead("p_retailprice", 1).over(w).alias("next_price"),
+        F.lag("p_retailprice", 1).over(w).alias("prev_price"),
+        F.nth_value("p_retailprice", 2).over(
+            w.rowsBetween(W.unboundedPreceding, W.currentRow)
+        ).alias("second_cheapest"),
+    )
+    return out.filter(F.col("rnk") <= 5)
+
+
+ORACLE_WINDOW_FUNCTION_BREADTH = """
+SELECT * FROM (
+  SELECT p_brand, p_partkey, p_retailprice AS price,
+         CAST(rank() OVER w AS INT) AS rnk,
+         CAST(dense_rank() OVER w AS INT) AS drnk,
+         round(percent_rank() OVER w, 6) AS prnk,
+         round(cume_dist() OVER w, 6) AS cdist,
+         CAST(ntile(4) OVER w AS INT) AS quartile,
+         lead(p_retailprice, 1) OVER w AS next_price,
+         lag(p_retailprice, 1) OVER w AS prev_price,
+         nth_value(p_retailprice, 2) OVER
+           (PARTITION BY p_brand ORDER BY p_retailprice ASC, p_partkey ASC
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS second_cheapest
+  FROM part
+  WINDOW w AS (PARTITION BY p_brand
+               ORDER BY p_retailprice ASC, p_partkey ASC)
+) WHERE rnk <= 5
+"""
+
+
 def q_salted_supplier_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-supplier volume through a SALTED equi-join (operators/skew.py
     salted_equi_join): fact salt from the high-cardinality orderkey, dim
@@ -1808,6 +1857,9 @@ QUERIES = [
           "TPC-H Q16 shape: distinct-supplier counts with anti-join exclusion"),
     Query("dominant_suppliers", q_dominant_suppliers, ORACLE_DOMINANT_SUPPLIERS,
           "TPC-H Q20 shape: correlated fraction-of-part threshold + semi join"),
+    Query("window_function_breadth", q_window_function_breadth,
+          ORACLE_WINDOW_FUNCTION_BREADTH,
+          "rank/dense_rank/percent_rank/cume_dist/ntile/lead/lag/nth_value, one pass"),
     Query("salted_supplier_join", q_salted_supplier_join,
           ORACLE_SALTED_SUPPLIER_JOIN,
           "skew-spread salted equi-join, plain-join oracle (invariance proof)"),
