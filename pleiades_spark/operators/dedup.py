@@ -575,15 +575,15 @@ def prefix_jaccard_pairs(
         )
         .select("t", "rk")
     )
+    # Everything downstream works in the INTEGER rank domain: rk ↔
+    # shingle is a bijection, so set intersections over rk arrays equal
+    # shingle-set intersections exactly, while join keys and
+    # array_intersect run over ints instead of 20-char strings. Arrays
+    # arrive rarity-sorted for free (sort by rk).
     ordered = (
         tok.join(F.broadcast(rank_tbl), "t")
         .groupBy("doc_id")
-        .agg(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct(F.col("rk"), F.col("t")))),
-                lambda s: s["t"],
-            ).alias("ot")
-        )
+        .agg(F.sort_array(F.collect_list(F.col("rk"))).alias("ot"))
         .withColumn("n", F.size("ot"))
     )
     # L = n - ceil(t*n) + 1, integer-exact
@@ -593,7 +593,7 @@ def prefix_jaccard_pairs(
         + F.lit(1)
     ).cast("int")
     pref = ordered.select(
-        "doc_id", "n", F.explode(F.slice(F.col("ot"), 1, L)).alias("t")
+        "doc_id", "n", F.explode(F.slice(F.col("ot"), 1, L)).alias("rk")
     )
     pa, pb = pref.alias("pa"), pref.alias("pb")
     # AllPairs length filter: J ≥ t forces |a∩b| ≥ t·max(n_a, n_b) ≤
@@ -602,7 +602,7 @@ def prefix_jaccard_pairs(
     cand = (
         pa.join(
             pb,
-            (F.col("pa.t") == F.col("pb.t"))
+            (F.col("pa.rk") == F.col("pb.rk"))
             & (F.col("pa.doc_id") < F.col("pb.doc_id"))
             & (F.lit(t_num) * F.col("pa.n") <= F.lit(t_den) * F.col("pb.n"))
             & (F.lit(t_num) * F.col("pb.n") <= F.lit(t_den) * F.col("pa.n")),
@@ -612,19 +612,22 @@ def prefix_jaccard_pairs(
         )
         .distinct()
     )
-    sa = sh_tbl.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
-    sb = sh_tbl.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
+    oa = ordered.select(
+        F.col("doc_id").alias("doc_a"), F.col("ot").alias("ra"),
+        F.col("n").alias("na"),
+    )
+    ob = ordered.select(
+        F.col("doc_id").alias("doc_b"), F.col("ot").alias("rb"),
+        F.col("n").alias("nb"),
+    )
     thr = t_num / t_den
+    inter = F.size(F.array_intersect("ra", "rb"))
     return (
-        cand.join(sa, "doc_a")
-        .join(sb, "doc_b")
+        cand.join(oa, "doc_a")
+        .join(ob, "doc_b")
         .withColumn(
             "jaccard",
-            F.round(
-                F.size(F.array_intersect("sh_a", "sh_b"))
-                / F.size(F.array_union("sh_a", "sh_b")),
-                6,
-            ),
+            F.round(inter / (F.col("na") + F.col("nb") - inter), 6),
         )
         .filter(F.col("jaccard") >= thr)
         .select("doc_a", "doc_b", "jaccard")
