@@ -1,13 +1,16 @@
 """Deduplication operators over the ``documents`` table.
 
-Five strategies, all Spark-built-in (no Python UDFs anywhere):
+Strategies, all Spark-built-in (no Python UDFs anywhere):
 
   exact            hash-groupBy on the full text (canonical rep = min id)
   minhash_lsh      shingle → minhash signature → banded LSH → candidate
                    pairs → exact-Jaccard verification
   simhash          32-bit simhash → byte-chunk blocking → Hamming ≤ r pairs
   ngram_jaccard    exact blocked all-pairs shingle Jaccard (ground truth)
+  prefix_jaccard   EXACT Jaccard join via prefix filtering (AllPairs /
+                   PPJoin) — recall-1 scale path, no all-pairs block
   embedding_pairs  cosine near-dup pairs on the embeddings table
+                   (brute ground truth + IVF-bucketed + SRP cosine-LSH)
 
 Scale design (the reason each shape was chosen):
   * exact: one shuffle on the text hash; at 100 TB hash first (md5) so the
