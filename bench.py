@@ -108,6 +108,7 @@ HEADLINE = [
     "variant_extract",
     "collection_functions",
     "window_function_breadth",
+    "weighted_median",
 ]
 
 

@@ -1418,6 +1418,61 @@ SELECT * FROM (
 """
 
 
+
+def q_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact WEIGHTED median of extended price per return flag, weighted
+    by quantity — the order statistic percentile_cont can't express
+    (each row counts qty times). One sort per group via a cumulative
+    window over integer weights: the answer is the first value whose
+    running weight reaches half the total — integer comparisons
+    (2·cum ≥ total) all the way, so no float boundary exists to
+    diverge on."""
+    li = _t(spark, sf_dir, "lineitem")
+    rows = li.select(
+        "l_returnflag",
+        F.col("l_extendedprice").alias("v"),
+        F.col("l_quantity").cast("long").alias("w"),
+    )
+    wcum = (
+        W.partitionBy("l_returnflag")
+        .orderBy(F.col("v").asc(), F.col("w").asc())
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    wtot = W.partitionBy("l_returnflag")
+    marked = rows.select(
+        "l_returnflag",
+        "v",
+        F.sum("w").over(wcum).alias("cum"),
+        F.sum("w").over(wtot).alias("tot"),
+    ).filter(2 * F.col("cum") >= F.col("tot"))
+    return (
+        marked.groupBy("l_returnflag")
+        .agg(
+            F.min("v").alias("weighted_median"),
+            F.max("tot").alias("total_weight"),
+        )
+    )
+
+
+ORACLE_WEIGHTED_MEDIAN = """
+WITH rows_w AS (
+  SELECT l_returnflag, l_extendedprice AS v, CAST(l_quantity AS BIGINT) AS w
+  FROM lineitem
+), marked AS (
+  SELECT l_returnflag, v,
+         sum(w) OVER (PARTITION BY l_returnflag
+                      ORDER BY v ASC, w ASC
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+         sum(w) OVER (PARTITION BY l_returnflag) AS tot
+  FROM rows_w
+)
+SELECT l_returnflag, min(v) AS weighted_median,
+       CAST(max(tot) AS BIGINT) AS total_weight
+FROM marked WHERE 2 * cum >= tot
+GROUP BY l_returnflag
+"""
+
+
 def q_salted_supplier_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-supplier volume through a SALTED equi-join (operators/skew.py
     salted_equi_join): fact salt from the high-cardinality orderkey, dim
@@ -1857,6 +1912,8 @@ QUERIES = [
           "TPC-H Q16 shape: distinct-supplier counts with anti-join exclusion"),
     Query("dominant_suppliers", q_dominant_suppliers, ORACLE_DOMINANT_SUPPLIERS,
           "TPC-H Q20 shape: correlated fraction-of-part threshold + semi join"),
+    Query("weighted_median", q_weighted_median, ORACLE_WEIGHTED_MEDIAN,
+          "exact weighted median via integer cumulative-weight window"),
     Query("window_function_breadth", q_window_function_breadth,
           ORACLE_WINDOW_FUNCTION_BREADTH,
           "rank/dense_rank/percent_rank/cume_dist/ntile/lead/lag/nth_value, one pass"),

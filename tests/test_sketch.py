@@ -55,3 +55,44 @@ def test_bloom_prune_no_false_negatives(spark, sf_dir):
     assert surviving_true == true_matches
     # and the prune is a subset of the fact side
     assert pruned.count() <= fact.count()
+
+
+def test_kmv_sketch_is_mergeable(spark, sf_dir):
+    """The property that makes KMV a real distributed sketch: merging
+    per-partition sketches (union hashes, keep k smallest) yields the
+    same estimate as sketching the whole group."""
+    from pyspark.sql import functions as F
+
+    from pleiades_spark import catalog
+    from pleiades_spark.operators.sketch import KMV_K, kmv_distinct
+
+    ev = catalog.load(spark, sf_dir, "events")
+    whole = {
+        r["grp"]: (r["est_distinct"], r["n_min"])
+        for r in kmv_distinct(ev, "event_type", F.col("user_id").cast("string")).collect()
+    }
+    # split into two halves, sketch each, merge driver-side
+    h1 = ev.filter(F.col("event_id") % 2 == 0)
+    h2 = ev.filter(F.col("event_id") % 2 == 1)
+    from pleiades_spark.functions.hashing import h32
+
+    def hashes(df):
+        out = {}
+        for r in (
+            df.select(F.col("event_type").alias("g"), h32(F.col("user_id").cast("string")).alias("h"))
+            .distinct()
+            .collect()
+        ):
+            out.setdefault(r["g"], set()).add(r["h"])
+        return out
+
+    a, b = hashes(h1), hashes(h2)
+    for g in whole:
+        merged = sorted(a.get(g, set()) | b.get(g, set()))[:KMV_K]
+        n_min = len(merged)
+        if n_min < KMV_K:
+            est = float(n_min)
+        else:
+            est = 63.0 * 2.0 ** 32 / merged[-1]
+        assert round(est, 4) == whole[g][0]
+        assert n_min == whole[g][1]
