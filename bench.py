@@ -109,6 +109,8 @@ HEADLINE = [
     "collection_functions",
     "window_function_breadth",
     "weighted_median",
+    "user_burstiness",
+    "trending_counters",
 ]
 
 

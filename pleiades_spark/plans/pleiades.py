@@ -1058,6 +1058,85 @@ WHERE CAST(props->>'$.k' AS BIGINT) IS NOT NULL
 """
 
 
+def q_user_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-event-time statistics per user: mean gap, gap stddev, and
+    the burstiness coefficient CV = σ/μ (CV ≈ 1 Poisson, > 1 bursty,
+    < 1 regular) — the temporal fingerprint that separates organic users
+    from schedulers/bots. One lag window + one aggregation; gaps in
+    integer seconds so only the final moments are float."""
+    ev = _events(spark, sf_dir)
+    wu = W.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
+    gaps = ev.select(
+        "user_id",
+        (
+            F.unix_timestamp("ts")
+            - F.unix_timestamp(F.lag("ts", 1).over(wu))
+        ).alias("gap_s"),
+    ).filter(F.col("gap_s").isNotNull())
+    return (
+        gaps.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_gaps"),
+            F.round(F.avg("gap_s"), 4).alias("mean_gap_s"),
+            F.round(F.stddev_samp("gap_s"), 4).alias("sd_gap_s"),
+        )
+        .filter(F.col("n_gaps") >= 2)
+        .withColumn(
+            "burstiness",
+            F.round(F.col("sd_gap_s") / F.col("mean_gap_s"), 4),
+        )
+    )
+
+
+ORACLE_USER_BURSTINESS = """
+WITH gaps AS (
+  SELECT user_id,
+         floor(epoch(ts)) - floor(epoch(lag(ts, 1) OVER
+           (PARTITION BY user_id ORDER BY ts ASC, event_id ASC))) AS gap_s
+  FROM events
+)
+SELECT user_id, CAST(count(*) AS BIGINT) AS n_gaps,
+       round(avg(gap_s), 4) AS mean_gap_s,
+       round(stddev_samp(gap_s), 4) AS sd_gap_s,
+       round(round(stddev_samp(gap_s), 4) / round(avg(gap_s), 4), 4)
+         AS burstiness
+FROM gaps WHERE gap_s IS NOT NULL
+GROUP BY user_id
+HAVING count(*) >= 2
+"""
+
+
+def q_trending_counters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recency-weighted (exponentially decayed) event counts per type:
+    Σ exp(−Δt/τ) with τ = 7 days, Δt measured from the corpus max
+    timestamp — the "trending now" score a serving layer ranks by,
+    where plain counts can't distinguish last week from last year.
+    Map-stage exp + one low-cardinality aggregation; exp/ln parity per
+    the tfidf/KL precedent, round(4) on the sum."""
+    ev = _events(spark, sf_dir)
+    max_ts = ev.agg(F.max(F.unix_timestamp("ts")).alias("m")).collect()[0]["m"]
+    decay = F.exp(
+        -(F.lit(int(max_ts)) - F.unix_timestamp("ts")) / F.lit(604800.0)
+    )
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum(decay), 4).alias("trend_score"),
+        )
+    )
+
+
+ORACLE_TRENDING_COUNTERS = """
+WITH m AS (SELECT max(floor(epoch(ts))) AS mx FROM events)
+SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
+       round(sum(exp(-((SELECT mx FROM m) - floor(epoch(ts))) / 604800.0)), 4)
+         AS trend_score
+FROM events
+GROUP BY event_type
+"""
+
+
 # --- event analytics: funnel + retention ---------------------------------
 
 
@@ -1373,6 +1452,10 @@ QUERIES = [
           "min_by/max_by argmin-argmax aggregates"),
     Query("top_orders_global", q_top_orders_global, ORACLE_TOP_ORDERS_GLOBAL,
           "global sort+limit (TakeOrderedAndProject)"),
+    Query("user_burstiness", q_user_burstiness, ORACLE_USER_BURSTINESS,
+          "inter-event gap CV per user (bot/organic temporal fingerprint)"),
+    Query("trending_counters", q_trending_counters, ORACLE_TRENDING_COUNTERS,
+          "exponentially decayed trending score per event type"),
     Query("variant_extract", q_variant_extract, ORACLE_VARIANT_EXTRACT,
           "Spark 4 VARIANT parse + typed extraction (schema-on-read payloads)"),
     Query("ohlc_hourly", q_ohlc_hourly, ORACLE_OHLC_HOURLY,
