@@ -111,6 +111,9 @@ HEADLINE = [
     "weighted_median",
     "user_burstiness",
     "trending_counters",
+    "rfm_segments",
+    "event_transitions",
+    "chi_square_lang_source",
 ]
 
 

@@ -1137,6 +1137,161 @@ GROUP BY event_type
 """
 
 
+def q_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation: per-user Recency (days since last event),
+    Frequency (event count), Monetary (value sum), each scored into
+    quintiles, plus the classic segment label — the behavioral-cohort
+    primitive. One per-user aggregation + three ntile windows over the
+    user-cardinality table (tiny relative to events); quintile ties
+    break by user_id through the windows' total order."""
+    ev = _events(spark, sf_dir)
+    anchor = ev.agg(F.max(F.unix_timestamp("ts")).alias("m")).collect()[0]["m"]
+    per_user = ev.groupBy("user_id").agg(
+        F.floor(
+            (F.lit(int(anchor)) - F.max(F.unix_timestamp("ts"))) / 86400
+        ).alias("recency_days"),
+        F.count(F.lit(1)).alias("frequency"),
+        F.round(F.sum("value"), 4).alias("monetary"),
+    )
+    r_w = W.orderBy(F.col("recency_days").asc(), F.col("user_id").asc())
+    f_w = W.orderBy(F.col("frequency").desc(), F.col("user_id").asc())
+    m_w = W.orderBy(F.col("monetary").desc(), F.col("user_id").asc())
+    scored = per_user.select(
+        "user_id",
+        "recency_days",
+        "frequency",
+        "monetary",
+        F.ntile(5).over(r_w).alias("r_score"),
+        F.ntile(5).over(f_w).alias("f_score"),
+        F.ntile(5).over(m_w).alias("m_score"),
+    )
+    seg = (
+        F.when((F.col("r_score") <= 2) & (F.col("f_score") <= 2), "champion")
+        .when(F.col("r_score") <= 2, "recent")
+        .when(F.col("f_score") <= 2, "loyal_lapsing")
+        .otherwise("hibernating")
+    )
+    return scored.withColumn("segment", seg)
+
+
+ORACLE_RFM_SEGMENTS = """
+WITH anchor AS (SELECT max(floor(epoch(ts))) AS mx FROM events),
+per_user AS (
+  SELECT user_id,
+         CAST(floor(((SELECT mx FROM anchor) - max(floor(epoch(ts)))) / 86400)
+              AS BIGINT) AS recency_days,
+         count(*) AS frequency,
+         round(sum(value), 4) AS monetary
+  FROM events GROUP BY user_id
+),
+scored AS (
+  SELECT user_id, recency_days, CAST(frequency AS BIGINT) AS frequency,
+         monetary,
+         CAST(ntile(5) OVER (ORDER BY recency_days ASC, user_id ASC) AS INT)
+           AS r_score,
+         CAST(ntile(5) OVER (ORDER BY frequency DESC, user_id ASC) AS INT)
+           AS f_score,
+         CAST(ntile(5) OVER (ORDER BY monetary DESC, user_id ASC) AS INT)
+           AS m_score
+  FROM per_user
+)
+SELECT *,
+       CASE WHEN r_score <= 2 AND f_score <= 2 THEN 'champion'
+            WHEN r_score <= 2 THEN 'recent'
+            WHEN f_score <= 2 THEN 'loyal_lapsing'
+            ELSE 'hibernating' END AS segment
+FROM scored
+"""
+
+
+def q_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over event types: per-user
+    consecutive event pairs → P(next = b | current = a) — the behavioral
+    model behind next-action prediction and anomaly scoring. One lag
+    window + one (from, to) count; probabilities are exact integer
+    ratios of those counts, rounded."""
+    ev = _events(spark, sf_dir)
+    wu = W.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
+    pairs = ev.select(
+        F.lag("event_type", 1).over(wu).alias("from_type"),
+        F.col("event_type").alias("to_type"),
+    ).filter(F.col("from_type").isNotNull())
+    counts = pairs.groupBy("from_type", "to_type").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    tot = W.partitionBy("from_type")
+    return counts.select(
+        "from_type",
+        "to_type",
+        "n",
+        F.round(F.col("n") / F.sum("n").over(tot), 6).alias("p"),
+    )
+
+
+ORACLE_EVENT_TRANSITIONS = """
+WITH pairs AS (
+  SELECT lag(event_type, 1) OVER
+           (PARTITION BY user_id ORDER BY ts ASC, event_id ASC) AS from_type,
+         event_type AS to_type
+  FROM events
+), counts AS (
+  SELECT from_type, to_type, count(*) AS n
+  FROM pairs WHERE from_type IS NOT NULL
+  GROUP BY from_type, to_type
+)
+SELECT from_type, to_type, CAST(n AS BIGINT) AS n,
+       round(n * 1.0 / sum(n) OVER (PARTITION BY from_type), 6) AS p
+FROM counts
+"""
+
+
+def q_chi_square_lang_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson χ² independence test for lang × source on the documents
+    table (is the language mix uniform across sources?): χ² =
+    Σ (O − E)²/E over the dense contingency grid, E = row·col/total.
+    Expected counts are exact integer ratios; the 100-term float sum
+    follows the KL precedent, round(4). One count + two marginals, all
+    broadcastable."""
+    docs = _t(spark, sf_dir, "documents")
+    obs = docs.groupBy("lang", "source").agg(F.count(F.lit(1)).alias("o"))
+    row = docs.groupBy("lang").agg(F.count(F.lit(1)).alias("r"))
+    col = docs.groupBy("source").agg(F.count(F.lit(1)).alias("c"))
+    n = docs.count()
+    grid = (
+        row.crossJoin(col)
+        .join(obs, ["lang", "source"], "left")
+        .select(
+            "lang",
+            "source",
+            F.coalesce("o", F.lit(0)).alias("o"),
+            (F.col("r") * F.col("c") / F.lit(float(n))).alias("e"),
+        )
+    )
+    term = (F.col("o") - F.col("e")) * (F.col("o") - F.col("e")) / F.col("e")
+    return grid.agg(
+        F.count(F.lit(1)).alias("n_cells"),
+        F.round(F.sum(term), 4).alias("chi2"),
+    )
+
+
+ORACLE_CHI_SQUARE = """
+WITH obs AS (
+  SELECT lang, source, count(*) AS o FROM documents GROUP BY lang, source
+), r AS (SELECT lang, count(*) AS r FROM documents GROUP BY lang),
+c AS (SELECT source, count(*) AS c FROM documents GROUP BY source),
+n AS (SELECT count(*) * 1.0 AS n FROM documents),
+grid AS (
+  SELECT r.lang, c.source, coalesce(o, 0) AS o,
+         r.r * c.c / (SELECT n FROM n) AS e
+  FROM r CROSS JOIN c
+  LEFT JOIN obs ON obs.lang = r.lang AND obs.source = c.source
+)
+SELECT CAST(count(*) AS BIGINT) AS n_cells,
+       round(sum((o - e) * (o - e) / e), 4) AS chi2
+FROM grid
+"""
+
+
 # --- event analytics: funnel + retention ---------------------------------
 
 
@@ -1452,6 +1607,12 @@ QUERIES = [
           "min_by/max_by argmin-argmax aggregates"),
     Query("top_orders_global", q_top_orders_global, ORACLE_TOP_ORDERS_GLOBAL,
           "global sort+limit (TakeOrderedAndProject)"),
+    Query("rfm_segments", q_rfm_segments, ORACLE_RFM_SEGMENTS,
+          "RFM quintile scoring + behavioral segment labels per user"),
+    Query("event_transitions", q_event_transitions, ORACLE_EVENT_TRANSITIONS,
+          "first-order Markov transition matrix over event types"),
+    Query("chi_square_lang_source", q_chi_square_lang_source, ORACLE_CHI_SQUARE,
+          "Pearson chi-square independence test (lang x source grid)"),
     Query("user_burstiness", q_user_burstiness, ORACLE_USER_BURSTINESS,
           "inter-event gap CV per user (bot/organic temporal fingerprint)"),
     Query("trending_counters", q_trending_counters, ORACLE_TRENDING_COUNTERS,
