@@ -114,6 +114,8 @@ HEADLINE = [
     "rfm_segments",
     "event_transitions",
     "chi_square_lang_source",
+    "dataset_fingerprint",
+    "higher_moments",
 ]
 
 

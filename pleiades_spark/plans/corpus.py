@@ -1248,6 +1248,41 @@ GROUP BY lang
 """
 
 
+# --- dataset fingerprint --------------------------------------------------
+
+
+def q_dataset_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-addressed dataset version id: md5 over the SORTED per-doc
+    digests — the pin a dataset registry stores so "which corpus did
+    this model train on?" has a one-line answer, and any mutation
+    (doc added/dropped/edited) changes the id. Sorting makes the id
+    partition- and order-independent. At 100 TB this becomes
+    hierarchical (md5 of sorted per-shard md5s, shards reduced
+    tree-wise); the single reduce here is the gate-scale form of the
+    same contract."""
+    docs = _t(spark, sf_dir, "documents")
+    per_doc = docs.select(
+        F.md5(
+            F.concat(F.col("doc_id").cast("string"), F.lit(":"), F.col("text"))
+        ).alias("h")
+    )
+    return per_doc.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.md5(
+            F.array_join(F.sort_array(F.collect_list("h")), "")
+        ).alias("dataset_md5"),
+    )
+
+
+ORACLE_DATASET_FINGERPRINT = """
+SELECT CAST(count(*) AS BIGINT) AS n_docs,
+       md5(string_agg(h, '' ORDER BY h ASC)) AS dataset_md5
+FROM (
+  SELECT md5(CAST(doc_id AS VARCHAR) || ':' || text) AS h FROM documents
+)
+"""
+
+
 QUERIES = [
     Query("doc_chunks", q_doc_chunks, ORACLE_DOC_CHUNKS,
           "overlapping token-window chunking (Generate, no shuffle)"),
@@ -1309,4 +1344,7 @@ QUERIES = [
           "deterministic Poisson-bootstrap band (integer-exact means)"),
     Query("psi_drift", q_psi_drift, ORACLE_PSI_DRIFT,
           "PSI distribution drift between dataset versions (per language)"),
+    Query("dataset_fingerprint", q_dataset_fingerprint,
+          ORACLE_DATASET_FINGERPRINT,
+          "content-addressed dataset version id (order-independent md5)"),
 ]

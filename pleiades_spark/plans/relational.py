@@ -1473,6 +1473,61 @@ GROUP BY l_returnflag
 """
 
 
+
+def q_higher_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skewness and excess kurtosis per return flag from explicit power
+    sums (Σx, Σx², Σx³, Σx⁴) — computed from the SAME moment formula on
+    both engines, because the built-in skewness()/kurtosis() disagree
+    across engines on sample-vs-population corrections. One aggregation
+    pass; the standardized moments divide before rounding."""
+    li = _t(spark, sf_dir, "lineitem")
+    x = F.col("l_extendedprice")
+    agg = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(x).alias("s1"),
+        F.sum(x * x).alias("s2"),
+        F.sum(x * x * x).alias("s3"),
+        F.sum(x * x * x * x).alias("s4"),
+    )
+    n = F.col("n").cast("double")
+    m = F.col("s1") / n
+    m2 = F.col("s2") / n - m * m
+    m3 = F.col("s3") / n - 3 * m * F.col("s2") / n + 2 * m * m * m
+    m4 = (
+        F.col("s4") / n
+        - 4 * m * F.col("s3") / n
+        + 6 * m * m * F.col("s2") / n
+        - 3 * m * m * m * m
+    )
+    return agg.select(
+        "l_returnflag",
+        F.col("n"),
+        F.round(m3 / F.pow(m2, F.lit(1.5)), 6).alias("skewness_pop"),
+        F.round(m4 / (m2 * m2) - F.lit(3.0), 6).alias("excess_kurtosis_pop"),
+    )
+
+
+ORACLE_HIGHER_MOMENTS = """
+WITH agg AS (
+  SELECT l_returnflag, count(*) AS n,
+         sum(l_extendedprice) AS s1,
+         sum(l_extendedprice * l_extendedprice) AS s2,
+         sum(l_extendedprice * l_extendedprice * l_extendedprice) AS s3,
+         sum(l_extendedprice * l_extendedprice * l_extendedprice
+             * l_extendedprice) AS s4
+  FROM lineitem GROUP BY l_returnflag
+)
+SELECT l_returnflag, CAST(n AS BIGINT) AS n,
+       round((s3 / n - 3 * (s1 / n) * s2 / n + 2 * pow(s1 / n, 3))
+             / pow(s2 / n - pow(s1 / n, 2), 1.5), 6) AS skewness_pop,
+       round((s4 / n - 4 * (s1 / n) * s3 / n
+              + 6 * pow(s1 / n, 2) * s2 / n - 3 * pow(s1 / n, 4))
+             / pow(s2 / n - pow(s1 / n, 2), 2) - 3.0, 6)
+         AS excess_kurtosis_pop
+FROM agg
+"""
+
+
 def q_salted_supplier_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-supplier volume through a SALTED equi-join (operators/skew.py
     salted_equi_join): fact salt from the high-cardinality orderkey, dim
@@ -1912,6 +1967,8 @@ QUERIES = [
           "TPC-H Q16 shape: distinct-supplier counts with anti-join exclusion"),
     Query("dominant_suppliers", q_dominant_suppliers, ORACLE_DOMINANT_SUPPLIERS,
           "TPC-H Q20 shape: correlated fraction-of-part threshold + semi join"),
+    Query("higher_moments", q_higher_moments, ORACLE_HIGHER_MOMENTS,
+          "skewness/kurtosis from explicit power sums (engine-agnostic formula)"),
     Query("weighted_median", q_weighted_median, ORACLE_WEIGHTED_MEDIAN,
           "exact weighted median via integer cumulative-weight window"),
     Query("window_function_breadth", q_window_function_breadth,
