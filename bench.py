@@ -116,6 +116,7 @@ HEADLINE = [
     "chi_square_lang_source",
     "dataset_fingerprint",
     "higher_moments",
+    "sampled_percentiles",
 ]
 
 

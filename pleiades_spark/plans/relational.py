@@ -1528,6 +1528,65 @@ FROM agg
 """
 
 
+
+SAMPLED_Q_K = 500
+
+
+def q_sampled_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate percentiles from a DETERMINISTIC bottom-k hash sample
+    — the quantile member of the engine-stable sketch family (CMS,
+    Bloom, KMV, MinHash, SimHash, SRP): h32 of the row key is a uniform
+    [0,2³²) draw, so the k smallest hashes are a uniform k-sample, and
+    type-1 quantiles of that sample are integer-indexed order statistics
+    — every approximation error replayed exactly by the oracle, where
+    t-digest/GK sketches (percentile_approx) are engine-private.
+
+    Scale: ORDER BY hash LIMIT k compiles to TakeOrderedAndProject
+    (per-partition heaps of k, driver merge) — one pass, no global sort,
+    mergeable exactly like KMV. Error ~ O(1/√k) in rank."""
+    from pleiades_spark.functions.hashing import h32
+
+    li = _t(spark, sf_dir, "lineitem")
+    key = F.concat(
+        F.col("l_orderkey").cast("string"), F.lit("-"),
+        F.col("l_linenumber").cast("string"),
+    )
+    sample = (
+        li.select(F.col("l_extendedprice").alias("v"), h32(key).alias("h"))
+        .orderBy(F.col("h").asc(), F.col("v").asc())
+        .limit(SAMPLED_Q_K)
+    )
+    arr = F.sort_array(F.collect_list("v"))
+    idx = lambda q: int(-(-q * SAMPLED_Q_K // 100))  # ceil, 1-based  # noqa: E731
+    return sample.agg(
+        F.count(F.lit(1)).alias("k"),
+        F.element_at(arr, idx(10)).alias("p10"),
+        F.element_at(arr, idx(50)).alias("p50"),
+        F.element_at(arr, idx(90)).alias("p90"),
+        F.element_at(arr, idx(99)).alias("p99"),
+    )
+
+
+ORACLE_SAMPLED_PERCENTILES = f"""
+WITH sample AS (
+  SELECT l_extendedprice AS v
+  FROM (
+    SELECT l_extendedprice,
+           CAST('0x' || substring(md5(concat(CAST(l_orderkey AS VARCHAR), '-', CAST(l_linenumber AS VARCHAR))), 1, 8) AS BIGINT) AS h
+    FROM lineitem
+  )
+  ORDER BY h ASC, l_extendedprice ASC
+  LIMIT {SAMPLED_Q_K}
+), arr AS (SELECT list(v ORDER BY v ASC) AS a FROM sample)
+SELECT CAST(len(a) AS BIGINT) AS k,
+       a[{-(-10 * SAMPLED_Q_K // 100)}] AS p10,
+       a[{-(-50 * SAMPLED_Q_K // 100)}] AS p50,
+       a[{-(-90 * SAMPLED_Q_K // 100)}] AS p90,
+       a[{-(-99 * SAMPLED_Q_K // 100)}] AS p99
+FROM arr
+"""
+
+
 def q_salted_supplier_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-supplier volume through a SALTED equi-join (operators/skew.py
     salted_equi_join): fact salt from the high-cardinality orderkey, dim
@@ -1967,6 +2026,9 @@ QUERIES = [
           "TPC-H Q16 shape: distinct-supplier counts with anti-join exclusion"),
     Query("dominant_suppliers", q_dominant_suppliers, ORACLE_DOMINANT_SUPPLIERS,
           "TPC-H Q20 shape: correlated fraction-of-part threshold + semi join"),
+    Query("sampled_percentiles", q_sampled_percentiles,
+          ORACLE_SAMPLED_PERCENTILES,
+          "bottom-k hash-sample quantiles (deterministic approximate percentiles)"),
     Query("higher_moments", q_higher_moments, ORACLE_HIGHER_MOMENTS,
           "skewness/kurtosis from explicit power sums (engine-agnostic formula)"),
     Query("weighted_median", q_weighted_median, ORACLE_WEIGHTED_MEDIAN,
