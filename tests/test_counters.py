@@ -74,3 +74,44 @@ def test_dual_grain_rollup(spark):
     assert rows[(None, "pleiades_total")] == (2, 5.0)
     assert rows[(18474, "pleiades_total")] == (1, 7.0)
     assert rows[(18475, "pleiades_total")] == (1, -2.0)
+
+
+def test_entry_survives_hostile_timezone(spark, duck, sf_dir):
+    """The driver builds its own session; a non-UTC session timezone
+    must not skew day bucketing — apply_runtime_confs (called by every
+    query fn) re-pins UTC. Probe: flip the tz, run the flagship entry
+    query, compare against the DuckDB oracle's day counts."""
+    original = spark.conf.get("spark.sql.session.timeZone")
+    try:
+        spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+        import __spark_entry__ as entrymod
+
+        rows = entrymod.queries()["counters_rollup"](spark, sf_dir).collect()
+        got = {
+            (r["day"], r["counter"]): r["events"]
+            for r in rows
+            if r["day"] is not None
+        }
+        want = {
+            (d, c): n
+            for d, c, n in duck.execute(
+                """
+                SELECT CAST(floor(epoch(ts)/86400) AS BIGINT) AS day, counter,
+                       count(*) FROM (
+                  SELECT ts, unnest(list_filter([
+                    'pleiades_total',
+                    CASE WHEN event_type IS NOT NULL AND event_type <> ''
+                         THEN 'pleiades_type_' || event_type END,
+                    CASE WHEN user_id % 2 = 0 THEN 'pleiades_bot' END,
+                    CASE WHEN k IS NOT NULL THEN
+                      (CASE WHEN value > k THEN 'pleiades_value_inc'
+                            ELSE 'pleiades_value_dec' END) END
+                  ], x -> x IS NOT NULL)) AS counter
+                  FROM (SELECT *, CAST(props->>'$.k' AS BIGINT) AS k FROM events)
+                ) GROUP BY day, counter
+                """
+            ).fetchall()
+        }
+        assert got == want
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", original)
