@@ -117,6 +117,7 @@ HEADLINE = [
     "dataset_fingerprint",
     "higher_moments",
     "sampled_percentiles",
+    "grouped_sampled_quantiles",
 ]
 
 

@@ -1587,6 +1587,65 @@ FROM arr
 """
 
 
+
+GROUP_SAMPLE_K = 200
+
+
+def q_grouped_sampled_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-GROUP deterministic quantile sample: bottom-k hash draws
+    within each return flag (window rank on h32 instead of the global
+    TakeOrdered), then integer-indexed order statistics per group —
+    the keyed form of q_sampled_percentiles, i.e. one small fixed-size
+    quantile summary per key no matter how skewed the key sizes."""
+    from pleiades_spark.functions.hashing import h32
+
+    li = _t(spark, sf_dir, "lineitem")
+    key = F.concat(
+        F.col("l_orderkey").cast("string"), F.lit("-"),
+        F.col("l_linenumber").cast("string"),
+    )
+    w = W.partitionBy("l_returnflag").orderBy(
+        F.col("h").asc(), F.col("v").asc()
+    )
+    sample = (
+        li.select(
+            "l_returnflag",
+            F.col("l_extendedprice").alias("v"),
+            h32(key).alias("h"),
+        )
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= GROUP_SAMPLE_K)
+    )
+    arr = F.sort_array(F.collect_list("v"))
+    idx = lambda q: int(-(-q * GROUP_SAMPLE_K // 100))  # noqa: E731
+    return sample.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("k"),
+        F.element_at(arr, idx(25)).alias("p25"),
+        F.element_at(arr, idx(50)).alias("p50"),
+        F.element_at(arr, idx(75)).alias("p75"),
+    )
+
+
+ORACLE_GROUPED_SAMPLED_QUANTILES = f"""
+WITH sample AS (
+  SELECT l_returnflag, v FROM (
+    SELECT l_returnflag, l_extendedprice AS v,
+           row_number() OVER (PARTITION BY l_returnflag
+             ORDER BY CAST('0x' || substring(md5(concat(CAST(l_orderkey AS VARCHAR), '-', CAST(l_linenumber AS VARCHAR))), 1, 8) AS BIGINT) ASC, l_extendedprice ASC) AS rn
+    FROM lineitem
+  ) WHERE rn <= {GROUP_SAMPLE_K}
+), arr AS (
+  SELECT l_returnflag, list(v ORDER BY v ASC) AS a
+  FROM sample GROUP BY l_returnflag
+)
+SELECT l_returnflag, CAST(len(a) AS BIGINT) AS k,
+       a[{-(-25 * GROUP_SAMPLE_K // 100)}] AS p25,
+       a[{-(-50 * GROUP_SAMPLE_K // 100)}] AS p50,
+       a[{-(-75 * GROUP_SAMPLE_K // 100)}] AS p75
+FROM arr
+"""
+
+
 def q_salted_supplier_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-supplier volume through a SALTED equi-join (operators/skew.py
     salted_equi_join): fact salt from the high-cardinality orderkey, dim
@@ -2026,6 +2085,9 @@ QUERIES = [
           "TPC-H Q16 shape: distinct-supplier counts with anti-join exclusion"),
     Query("dominant_suppliers", q_dominant_suppliers, ORACLE_DOMINANT_SUPPLIERS,
           "TPC-H Q20 shape: correlated fraction-of-part threshold + semi join"),
+    Query("grouped_sampled_quantiles", q_grouped_sampled_quantiles,
+          ORACLE_GROUPED_SAMPLED_QUANTILES,
+          "per-key bottom-k hash-sample quantiles (fixed summary per group)"),
     Query("sampled_percentiles", q_sampled_percentiles,
           ORACLE_SAMPLED_PERCENTILES,
           "bottom-k hash-sample quantiles (deterministic approximate percentiles)"),
