@@ -554,39 +554,51 @@ def prefix_jaccard_pairs(
     (0.6·5 = 3.0000000000000004 → 4), silently shortening the prefix
     and voiding the recall guarantee.
 
-    Scale shape: df table is vocabulary-sized (broadcast); candidate
-    generation shuffles prefix tokens (a t-dependent fraction of the
-    corpus); verification joins shingle sets only for candidate pairs.
-    Candidate volume tracks how RARE prefix tokens actually are: on
-    natural text (Zipfian, huge tails of df=1 shingles) the prefixes
-    prune aggressively; the synthetic fixture's word-soup reuses 3-word
-    shingles heavily (see dup_span_stats), so its candidate set is
-    denser than a real corpus would produce.
+    Scale shape: the algorithm only needs a TOTAL ORDER on tokens, not
+    a dense integer rank — so there is no vocabulary-wide window and no
+    rank-table broadcast anywhere. The df table is a plain distributed
+    aggregation joined back on the token (AQE broadcasts it when it
+    happens to be small, shuffles it when the vocabulary is billions of
+    rows); per-document rarity ordering is a local array_sort over
+    (df, token) structs. Candidate generation shuffles prefix tokens (a
+    t-dependent fraction of the corpus); verification joins shingle
+    sets only for candidate pairs. Candidate volume tracks how RARE
+    prefix tokens actually are: on natural text (Zipfian, huge tails of
+    df=1 shingles) the prefixes prune aggressively; the synthetic
+    fixture's word-soup reuses 3-word shingles heavily (see
+    dup_span_stats), so its candidate set is denser than a real corpus
+    would produce.
     """
+    # Spread the shingle explode across the cluster up front: a small-SF
+    # corpus arrives as one input split, which would leave the explode +
+    # token hashing single-task (AQE would coalesce a column-only
+    # repartition right back to one partition, so pin the count to the
+    # executor-core total). At 100 TB the scan already has thousands of
+    # splits wider than core count, and the no-op repartition guard
+    # below skips the extra text shuffle entirely.
+    sc = docs.sparkSession.sparkContext
+    if docs.rdd.getNumPartitions() < sc.defaultParallelism:
+        docs = docs.repartition(sc.defaultParallelism, F.col("doc_id"))
     sh_tbl = docs.select(
         "doc_id", word_shingles(F.col("text")).alias("sh")
     )
     tok = sh_tbl.select("doc_id", F.explode("sh").alias("t"))
-    rank_tbl = (
-        tok.groupBy("t")
-        .agg(F.count(F.lit(1)).alias("df"))
-        .withColumn(
-            "rk",
-            F.row_number().over(
-                W.orderBy(F.col("df").asc(), F.col("t").asc())
-            ),
-        )
-        .select("t", "rk")
-    )
-    # Everything downstream works in the INTEGER rank domain: rk ↔
-    # shingle is a bijection, so set intersections over rk arrays equal
-    # shingle-set intersections exactly, while join keys and
-    # array_intersect run over ints instead of 20-char strings. Arrays
-    # arrive rarity-sorted for free (sort by rk).
+    df_tbl = tok.groupBy("t").agg(F.count(F.lit(1)).alias("df"))
+    # Rarity order WITHOUT a global rank: sort each document's shingle
+    # array by the (df, token) struct — array_sort on structs compares
+    # fields left-to-right, giving exactly the (df ASC, token ASC)
+    # total order the prefix-filtering proof needs — then project back
+    # to plain token strings. Set intersections over token arrays ARE
+    # shingle-set intersections (no bijection argument needed).
     ordered = (
-        tok.join(F.broadcast(rank_tbl), "t")
+        tok.join(df_tbl, "t")
         .groupBy("doc_id")
-        .agg(F.sort_array(F.collect_list(F.col("rk"))).alias("ot"))
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("df", "t"))),
+                lambda x: x["t"],
+            ).alias("ot")
+        )
         .withColumn("n", F.size("ot"))
     )
     # L = n - ceil(t*n) + 1, integer-exact

@@ -333,3 +333,16 @@ def test_weighted_sample_take_ordered(spark, sf_dir):
 
     plan = _plan(q_weighted_sample(spark, sf_dir))
     assert "TakeOrderedAndProject" in plan
+
+
+def test_prefix_jaccard_no_global_rank_window(spark, sf_dir):
+    """The prefix-filtering join must order tokens by (df, token) struct
+    sort inside each document — a vocabulary-wide row_number would be a
+    single-partition sort of the entire shingle vocabulary (the round-4
+    scale-killer). Guard: no Window node and no single-partition
+    Exchange anywhere in the plan."""
+    from pleiades_spark.plans.llm import q_dedup_jaccard_prefix
+
+    plan = _plan(q_dedup_jaccard_prefix(spark, sf_dir))
+    assert "Window" not in plan
+    assert "Exchange SinglePartition" not in plan
