@@ -1137,13 +1137,30 @@ GROUP BY event_type
 """
 
 
+RFM_SAMPLE_K = 256
+
+
 def q_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RFM segmentation: per-user Recency (days since last event),
     Frequency (event count), Monetary (value sum), each scored into
     quintiles, plus the classic segment label — the behavioral-cohort
-    primitive. One per-user aggregation + three ntile windows over the
-    user-cardinality table (tiny relative to events); quintile ties
-    break by user_id through the windows' total order."""
+    primitive.
+
+    Scale shape (replacing three global ntile(5) windows, which were
+    three single-partition sorts of every user): quintile CUT KEYS come
+    from a deterministic bottom-k hash sample (h32 of user_id, same
+    engine-stable draw as sampled_percentiles) — orderBy(h).limit(k)
+    compiles to TakeOrderedAndProject (per-partition heaps, no global
+    sort). The 4 cut keys per metric are composite (metric, user_id)
+    order statistics of the sample, so ties on a constant-ish metric
+    still split into ~equal buckets; the 1-row cut table broadcasts and
+    scoring is a map-side comparison count. At the fixture SFs <=
+    RFM_SAMPLE_K users the sample IS the population (exact quintiles);
+    at 100 TB the boundaries carry O(1/sqrt k) rank error, which is the
+    correct trade for segment labels. Oracle replays the identical
+    sample, cut ranks, and comparison order."""
+    from pleiades_spark.functions.hashing import h32
+
     ev = _events(spark, sf_dir)
     anchor = ev.agg(F.max(F.unix_timestamp("ts")).alias("m")).collect()[0]["m"]
     per_user = ev.groupBy("user_id").agg(
@@ -1153,17 +1170,54 @@ def q_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("frequency"),
         F.round(F.sum("value"), 4).alias("monetary"),
     )
-    r_w = W.orderBy(F.col("recency_days").asc(), F.col("user_id").asc())
-    f_w = W.orderBy(F.col("frequency").desc(), F.col("user_id").asc())
-    m_w = W.orderBy(F.col("monetary").desc(), F.col("user_id").asc())
-    scored = per_user.select(
+    sample = (
+        per_user.withColumn("h", h32(F.col("user_id").cast("string")))
+        .orderBy(F.col("h").asc(), F.col("user_id").asc())
+        .limit(RFM_SAMPLE_K)
+    )
+    # Cut key j (1..4) = the ceil(j*c/5)-th composite (metric, user_id)
+    # order statistic of the sample; DESC metrics are negated so every
+    # comparison is ASC-lexicographic on both engines.
+    metrics = {
+        "r": F.col("recency_days"),
+        "f": -F.col("frequency"),
+        "m": -F.col("monetary"),
+    }
+    cut_cols = []
+    for tag, mcol in metrics.items():
+        arr = F.sort_array(
+            F.collect_list(F.struct(mcol.alias("mv"), F.col("user_id").alias("u")))
+        )
+        for j in range(1, 5):
+            cut_cols.append(
+                F.element_at(
+                    arr, F.expr(f"cast((({j} * count(1) + 4) div 5) as int)")
+                ).alias(f"c{tag}{j}")
+            )
+    cuts = sample.agg(*cut_cols)
+    scored = per_user.crossJoin(F.broadcast(cuts))
+    score_exprs = {}
+    for tag, mcol in metrics.items():
+        above = [
+            F.when(
+                (mcol > F.col(f"c{tag}{j}.mv"))
+                | (
+                    (mcol == F.col(f"c{tag}{j}.mv"))
+                    & (F.col("user_id") > F.col(f"c{tag}{j}.u"))
+                ),
+                1,
+            ).otherwise(0)
+            for j in range(1, 5)
+        ]
+        score_exprs[tag] = (F.lit(1) + sum(above[1:], above[0])).cast("int")
+    scored = scored.select(
         "user_id",
         "recency_days",
         "frequency",
         "monetary",
-        F.ntile(5).over(r_w).alias("r_score"),
-        F.ntile(5).over(f_w).alias("f_score"),
-        F.ntile(5).over(m_w).alias("m_score"),
+        score_exprs["r"].alias("r_score"),
+        score_exprs["f"].alias("f_score"),
+        score_exprs["m"].alias("m_score"),
     )
     seg = (
         F.when((F.col("r_score") <= 2) & (F.col("f_score") <= 2), "champion")
@@ -1174,7 +1228,24 @@ def q_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scored.withColumn("segment", seg)
 
 
-ORACLE_RFM_SEGMENTS = """
+def _rfm_oracle() -> str:
+    k = RFM_SAMPLE_K
+    metric_sql = {"r": "recency_days", "f": "-frequency", "m": "-monetary"}
+    cut_lists = ",\n    ".join(
+        f"list({{'mv': {m}, 'u': user_id}} ORDER BY {m} ASC, user_id ASC) AS a{t}"
+        for t, m in metric_sql.items()
+    )
+    score_terms = {
+        t: " + ".join(
+            f"(CASE WHEN {m} > (a{t}[CAST((({j} * c + 4) // 5) AS INT)]).mv"
+            f" OR ({m} = (a{t}[CAST((({j} * c + 4) // 5) AS INT)]).mv"
+            f" AND user_id > (a{t}[CAST((({j} * c + 4) // 5) AS INT)]).u)"
+            f" THEN 1 ELSE 0 END)"
+            for j in range(1, 5)
+        )
+        for t, m in metric_sql.items()
+    }
+    return f"""
 WITH anchor AS (SELECT max(floor(epoch(ts))) AS mx FROM events),
 per_user AS (
   SELECT user_id,
@@ -1184,16 +1255,29 @@ per_user AS (
          round(sum(value), 4) AS monetary
   FROM events GROUP BY user_id
 ),
+samp AS (
+  SELECT user_id, recency_days, frequency, monetary
+  FROM (
+    SELECT pu.*,
+           CAST('0x' || substring(md5(CAST(user_id AS VARCHAR)), 1, 8)
+                AS BIGINT) AS h
+    FROM per_user pu
+  )
+  ORDER BY h ASC, user_id ASC
+  LIMIT {k}
+),
+cuts AS (
+  SELECT count(*) AS c,
+    {cut_lists}
+  FROM samp
+),
 scored AS (
   SELECT user_id, recency_days, CAST(frequency AS BIGINT) AS frequency,
          monetary,
-         CAST(ntile(5) OVER (ORDER BY recency_days ASC, user_id ASC) AS INT)
-           AS r_score,
-         CAST(ntile(5) OVER (ORDER BY frequency DESC, user_id ASC) AS INT)
-           AS f_score,
-         CAST(ntile(5) OVER (ORDER BY monetary DESC, user_id ASC) AS INT)
-           AS m_score
-  FROM per_user
+         CAST(1 + {score_terms['r']} AS INT) AS r_score,
+         CAST(1 + {score_terms['f']} AS INT) AS f_score,
+         CAST(1 + {score_terms['m']} AS INT) AS m_score
+  FROM per_user, cuts
 )
 SELECT *,
        CASE WHEN r_score <= 2 AND f_score <= 2 THEN 'champion'
@@ -1202,6 +1286,9 @@ SELECT *,
             ELSE 'hibernating' END AS segment
 FROM scored
 """
+
+
+ORACLE_RFM_SEGMENTS = _rfm_oracle()
 
 
 def q_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -346,3 +346,16 @@ def test_prefix_jaccard_no_global_rank_window(spark, sf_dir):
     plan = _plan(q_dedup_jaccard_prefix(spark, sf_dir))
     assert "Window" not in plan
     assert "Exchange SinglePartition" not in plan
+
+
+def test_rfm_segments_no_global_ntile_sort(spark, sf_dir):
+    """RFM quintiles must come from the broadcast sample-cut table, not
+    ntile windows: three unpartitioned ntile(5) sorts of every user was
+    the round-4 scale-killer. Guard: no Window node, the sample is a
+    TakeOrderedAndProject, and the cut row reaches users by broadcast."""
+    from pleiades_spark.plans.pleiades import q_rfm_segments
+
+    plan = _plan(q_rfm_segments(spark, sf_dir))
+    assert "Window" not in plan
+    assert "TakeOrderedAndProject" in plan
+    assert "BroadcastExchange" in plan
