@@ -451,15 +451,16 @@ def embedding_near_dup_srp(
     ``rows_bits`` (bits per band, r) follows the SCALING RULE in
     functions/hashing.py: candidate volume grows as n²/2^r, so r must
     track the corpus — r ≈ log2(n / B) for target bucket size B. When
-    None it is derived from a corpus count (floor at the gate's
-    SRP_ROWS=4, which the frozen DuckDB oracle replays for the ≤1k-vector
-    gate fixtures; larger corpora get wider bands and strictly fewer
-    candidates per bucket). Passing an explicit value skips the count
-    job.
+    None it is derived from a corpus count — the floor at SRP_ROWS=4
+    holds only up to n=511 (r = max(4, (n//32).bit_length()) reaches 5
+    at n=512), so callers that must replay the frozen r=4 DuckDB oracle
+    (the gate query) pass rows_bits=SRP_ROWS explicitly rather than rely
+    on the fixture staying under the boundary. Passing an explicit value
+    also skips the count job.
     """
     if rows_bits is None:
-        # B=32 target bucket size; 500-vector gate fixtures → r=4 (the
-        # frozen oracle config), 2000 → r=6, 1M → r=15, ...
+        # B=32 target bucket size; 500-vector fixtures → r=4, 2000 →
+        # r=6, 1M → r=15, ...
         n = emb.count()
         rows_bits = max(SRP_ROWS, (max(n, 1) // 32).bit_length())
     planes = SRP_PLANES if rows_bits == SRP_ROWS else srp_planes(SRP_BANDS * rows_bits)

@@ -635,8 +635,15 @@ SELECT vec_a, vec_b, cos FROM (
 
 
 def q_dedup_embedding_srp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # rows_bits is PINNED to the frozen-oracle config: the auto-derived
+    # width flips to r=5 at n>=512 while the DuckDB twin stays at r=4,
+    # so a fixture regeneration anywhere in 512..1024 vectors would
+    # silently drop candidate pairs. Pinning also skips the count job.
+    from pleiades_spark.functions.hashing import SRP_ROWS
+
     return embedding_near_dup_srp(
-        _t(spark, sf_dir, "embeddings"), COSINE_DUP_THRESHOLD
+        _t(spark, sf_dir, "embeddings"), COSINE_DUP_THRESHOLD,
+        rows_bits=SRP_ROWS,
     )
 
 

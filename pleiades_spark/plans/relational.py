@@ -1507,6 +1507,11 @@ def q_higher_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Every moment expression below is the SAME left-associated
+# multiplication chain the Spark side builds (2*m*m*m, not 2*pow(m,3);
+# m2*m2, not pow(m2,2)): pow() may round differently from repeated
+# multiplication, and a one-ulp divergence can flip round(...,6) at a
+# boundary. Only pow(x, 1.5) remains — it appears verbatim on both sides.
 ORACLE_HIGHER_MOMENTS = """
 WITH agg AS (
   SELECT l_returnflag, count(*) AS n,
@@ -1518,11 +1523,13 @@ WITH agg AS (
   FROM lineitem GROUP BY l_returnflag
 )
 SELECT l_returnflag, CAST(n AS BIGINT) AS n,
-       round((s3 / n - 3 * (s1 / n) * s2 / n + 2 * pow(s1 / n, 3))
-             / pow(s2 / n - pow(s1 / n, 2), 1.5), 6) AS skewness_pop,
+       round((s3 / n - 3 * (s1 / n) * s2 / n + 2 * (s1 / n) * (s1 / n) * (s1 / n))
+             / pow(s2 / n - (s1 / n) * (s1 / n), 1.5), 6) AS skewness_pop,
        round((s4 / n - 4 * (s1 / n) * s3 / n
-              + 6 * pow(s1 / n, 2) * s2 / n - 3 * pow(s1 / n, 4))
-             / pow(s2 / n - pow(s1 / n, 2), 2) - 3.0, 6)
+              + 6 * (s1 / n) * (s1 / n) * s2 / n
+              - 3 * (s1 / n) * (s1 / n) * (s1 / n) * (s1 / n))
+             / ((s2 / n - (s1 / n) * (s1 / n))
+                * (s2 / n - (s1 / n) * (s1 / n))) - 3.0, 6)
          AS excess_kurtosis_pop
 FROM agg
 """

@@ -54,7 +54,11 @@ def _parse(fname: str) -> tuple[str, str]:
     with open(fname) as f:
         text = f.read()
     first_nl = text.find("\n")
-    return text[:first_nl], text[first_nl + 1 :].rstrip("\r\n")
+    # Strip a CRLF file's trailing '\r' from the id so this path agrees
+    # with the pushdown reader (which uses readline().rstrip()) — the
+    # same query must yield the same ids whether or not a predicate was
+    # pushed.
+    return text[:first_nl].rstrip("\r"), text[first_nl + 1 :].rstrip("\r\n")
 
 
 class _FilesPartition(InputPartition):

@@ -42,6 +42,11 @@ def write_webdataset(
     mtime/uid so tar metadata doesn't smuggle wall-clock in).
     """
     os.makedirs(out_dir, exist_ok=True)
+    # A re-run with a smaller n_shards must not leave stale high-numbered
+    # shards behind for read_webdataset_index to pick up.
+    for fname in os.listdir(out_dir):
+        if fname.startswith("shard-") and fname.endswith(".tar"):
+            os.remove(os.path.join(out_dir, fname))
     comp_cols = [c for c in samples.columns if c != key_col]
     schema = dict(samples.dtypes)
     sharded = samples.withColumn(
@@ -55,7 +60,13 @@ def write_webdataset(
         for shard_id, members in by_shard.items():
             members.sort(key=lambda r: str(r[key_col]))
             path = os.path.join(out_dir, f"shard-{shard_id:05d}.tar")
-            with tarfile.open(path, "w") as tar:
+            # Write-then-rename: a speculative/retried attempt may run
+            # concurrently with another attempt on the same shard, and
+            # in-place tarfile.open(path, 'w') would interleave corrupt
+            # bytes. os.replace is atomic, and because shard content is
+            # deterministic both attempts publish identical files.
+            tmp = f"{path}.tmp.{os.getpid()}"
+            with tarfile.open(tmp, "w") as tar:
                 for r in members:
                     for c in comp_cols:
                         v = r[c]
@@ -71,6 +82,7 @@ def write_webdataset(
                         info.uid = info.gid = 0
                         info.uname = info.gname = ""
                         tar.addfile(info, io.BytesIO(data))
+            os.replace(tmp, path)
 
     sharded.foreachPartition(_write_partition)
 

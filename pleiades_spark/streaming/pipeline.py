@@ -63,6 +63,11 @@ def events_file_stream(spark: SparkSession, path: str) -> DataFrame:
     left at default here because fixtures are read-only.
     """
     apply_runtime_confs(spark)
+    # The probe itself must survive the INT64 TIMESTAMP(NANOS) vintage:
+    # without this conf spark.read.parquet throws PARQUET_TYPE_ILLEGAL,
+    # and previously only catalog.load set it — so "either vintage"
+    # support silently depended on a prior catalog.load in the session.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     probed = spark.read.parquet(path).schema
     ts_is_long = any(
         f.name == "ts" and f.dataType.simpleString() == "bigint"

@@ -224,3 +224,18 @@ def test_batch_reader_filter_pushdown(spark, tmp_path):
     assert [(r["id"], r["value"]) for r in df.collect()] == [
         ("id4", '{"n": 4}')
     ]
+
+
+def test_crlf_file_same_id_with_and_without_pushdown(spark, tmp_path):
+    """A CRLF-written queue file must yield the same id whether Spark
+    pushed an id predicate (readline path) or not (_parse path) —
+    a trailing '\\r' on the unfiltered scan would make the same query's
+    results depend on predicate pushdown."""
+    _register(spark)
+    out = tmp_path / "queue"
+    out.mkdir()
+    (out / "0-event-1.dat").write_bytes(b"ev-1\r\n{\"n\": 1}\r\n")
+    df = spark.read.format("pleiades_filequeue").load(str(out))
+    assert [(r.id, r.value) for r in df.collect()] == [("ev-1", '{"n": 1}')]
+    pushed = df.filter(F.col("id") == "ev-1")
+    assert [(r.id, r.value) for r in pushed.collect()] == [("ev-1", '{"n": 1}')]

@@ -129,3 +129,27 @@ def test_webdataset_shard_writer(spark, tmp_path):
         for f in before
     }
     assert h_before == h_after
+
+
+def test_webdataset_rewrite_with_fewer_shards_cleans_stale(spark, tmp_path):
+    """Re-running with a smaller n_shards must not leave round-1's
+    high-numbered shard files for the index to pick up; and no *.tmp.*
+    intermediates may survive the atomic rename."""
+    import os
+
+    from pleiades_spark.sources.webdataset import (
+        read_webdataset_index,
+        write_webdataset,
+    )
+
+    df = spark.createDataFrame(
+        [(f"k{i}", f"t{i}") for i in range(24)], "key string, text string"
+    )
+    out = str(tmp_path / "wds")
+    write_webdataset(df, out, n_shards=8)
+    assert len(read_webdataset_index(out)) == 8
+    write_webdataset(df, out, n_shards=2)
+    idx = read_webdataset_index(out)
+    assert len(idx) == 2
+    assert sum(len(s["entries"]) for s in idx) == 24
+    assert not [f for f in os.listdir(out) if ".tmp." in f]

@@ -312,3 +312,17 @@ def test_streaming_session_window_matches_batch(spark, sf_dir, tmp_path):
     assert want <= got
     all_batch = {(r["user_id"], r["s"], r["e"], r["n_events"]) for r in batch}
     assert got <= all_batch
+
+
+def test_events_file_stream_probe_survives_fresh_session(spark, sf_dir):
+    """events_file_stream must set the nanos conf itself: on the INT64
+    TIMESTAMP(NANOS) fixture vintage the schema probe throws
+    PARQUET_TYPE_ILLEGAL when only catalog.load had set it earlier in
+    the session. Unset it to simulate a session with no prior
+    catalog.load, then require the probe + schema to come back."""
+    spark.conf.unset("spark.sql.legacy.parquet.nanosAsLong")
+    try:
+        df = events_file_stream(spark, f"{sf_dir}/events.parquet")
+        assert dict(df.dtypes)["ts"] == "timestamp"
+    finally:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
