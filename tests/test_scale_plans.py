@@ -359,3 +359,43 @@ def test_rfm_segments_no_global_ntile_sort(spark, sf_dir):
     assert "Window" not in plan
     assert "TakeOrderedAndProject" in plan
     assert "BroadcastExchange" in plan
+
+
+def test_unpartitioned_windows_are_enumerated():
+    """Source-level guard: every unpartitioned Window (W.orderBy with no
+    partitionBy — a single-partition sort of its whole input) must be on
+    this reviewed allowlist. Each allowed site is a row_number + rank<=k
+    filter (Spark rewrites to WindowGroupLimit: per-partition top-k
+    heaps, no global sort) or ranks an already-bounded table (sketch
+    top-k after limit(k); vocab assignment bounded by vocab_size). A new
+    query that reintroduces a global ntile/rank over unbounded data
+    fails here before it ever ships."""
+    import pathlib
+    import re
+
+    pkg = pathlib.Path(__file__).resolve().parent.parent / "pleiades_spark"
+    allowed = {
+        ("plans/pleiades.py", "q_top_types"),           # rank <= 3
+        ("plans/relational.py", "q_shipping_priority"), # rank <= 10
+        ("plans/relational.py", "q_returned_item_revenue"),  # rank <= 20
+        ("plans/relational.py", "q_waiting_suppliers"), # rank <= 10
+        ("plans/corpus.py", "q_bpe_pair_counts"),       # rank <= BPE_TOPK
+        ("operators/corpus.py", "vocab_encode"),        # bounded by vocab_size
+        ("operators/sketch.py", "cms_heavy_hitters"),   # input pre-limited to k
+    }
+    found = set()
+    for py in pkg.rglob("*.py"):
+        lines = py.read_text().splitlines()
+        for i, line in enumerate(lines):
+            if re.search(r"\bW(?:indow)?\.orderBy\(", line) and "partitionBy" not in line:
+                fn = "<module>"
+                for j in range(i, -1, -1):
+                    m = re.match(r"\s*def\s+(\w+)", lines[j])
+                    if m:
+                        fn = m.group(1)
+                        break
+                found.add((str(py.relative_to(pkg)), fn))
+    assert found == allowed, (
+        f"unreviewed unpartitioned windows: {found - allowed or '{}'}; "
+        f"stale allowlist entries: {allowed - found or '{}'}"
+    )
