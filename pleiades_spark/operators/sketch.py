@@ -141,26 +141,35 @@ def bloom_bits_for(n_keys: int, bits_per_key: int = 10) -> int:
     return m
 
 
-def bloom_words_from_keys(keys: list[str], bits: int) -> list[int]:
-    """Driver-side bitmap from an already-collected key list — the
-    Python-md5 twin of (bloom_build → collect): h32 is the first 8 hex
-    chars of md5, so hashlib reproduces the JVM column bit-for-bit.
-
-    The bitmap must reach the driver either way (it ships into the fact
-    scan as a literal); collecting the keys once and hashing here saves
-    the separate explode/distinct/collect job AND the extra dim scan a
-    count-for-sizing would cost — size with bloom_bits_for(len(keys)).
-    """
-    import hashlib
-
+def bloom_words_from_hashes(hashes: list[int], bits: int) -> list[int]:
+    """Driver-side bitmap from already-computed h32 draws. The bitmap
+    must reach the driver either way (it ships into the fact scan as a
+    literal), but the md5 work should NOT: hash keys executor-side
+    (``dim.select(h32(key))``) and collect one bigint per key, so the
+    driver's remaining cost is k integer perms per key — at a
+    multi-million-row dim the Python md5 loop was the driver-CPU
+    bottleneck, the perms are not."""
     words = [0] * (bits // 32)
-    for k in keys:
-        h = int(hashlib.md5(k.encode()).hexdigest()[:8], 16)
+    for h in hashes:
         for i in range(BLOOM_HASHES):
             a, b = MINHASH_PERMS[CMS_DEPTH + i]
             p = (a * h + b) % MINHASH_P % bits
             words[p // 32] |= 1 << (p % 32)
     return words
+
+
+def bloom_words_from_keys(keys: list[str], bits: int) -> list[int]:
+    """Driver-side bitmap from a raw key list — the Python-md5 twin of
+    (bloom_build → collect): h32 is the first 8 hex chars of md5, so
+    hashlib reproduces the JVM column bit-for-bit. Prefer
+    ``bloom_words_from_hashes`` + an executor-side h32 when the keys
+    come from a DataFrame anyway; this form remains for already-local
+    key lists (tests, serving-layer probes)."""
+    import hashlib
+
+    return bloom_words_from_hashes(
+        [int(hashlib.md5(k.encode()).hexdigest()[:8], 16) for k in keys], bits
+    )
 
 
 def bloom_build(dim: DataFrame, key: Column, bits: int = BLOOM_BITS) -> DataFrame:

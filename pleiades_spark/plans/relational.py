@@ -32,7 +32,7 @@ from pleiades_spark.operators.sketch import (
     bloom_build,
     bloom_prune,
     bloom_prune_words,
-    bloom_words_from_keys,
+    bloom_words_from_hashes,
     cms_heavy_hitters,
 )
 from pleiades_spark.operators.layout import zvalue, zvalue_sql
@@ -1288,21 +1288,24 @@ def q_bloom_semi_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem")
     # ONE collect feeds both the size choice and the bitmap: the bitmap
     # has to land on the driver regardless (it ships into the fact scan
-    # as a literal), so the keys are hashed driver-side
-    # (bloom_words_from_keys, bit-identical Python md5) instead of
-    # running separate count and explode/distinct/collect jobs.
+    # as a literal), but the md5 runs EXECUTOR-side (h32 inside the dim
+    # scan) — the driver receives one pre-hashed bigint per key and does
+    # only the k integer perms (bloom_words_from_hashes), so its cost no
+    # longer scales with md5 throughput if the dim grows to millions.
+    from pleiades_spark.functions.hashing import h32
+
     dim = (
         orders.filter(F.col("o_totalprice") > BLOOM_PRICE_MIN)
         .select(F.col("o_orderkey").cast("string").alias("k"))
         .distinct()
     )
-    keys = [r["k"] for r in dim.collect()]
+    hashes = [r["h"] for r in dim.select(h32(F.col("k")).alias("h")).collect()]
     # Size the filter from the build side (bloom_bits_for): the ≤606-key
     # gate fixture stays at the frozen BLOOM_BITS floor region the
     # oracle's bsize subquery replays; bigger dims get a bigger bitmap
     # instead of a saturated one.
-    bits = bloom_bits_for(len(keys))
-    words = bloom_words_from_keys(keys, bits)
+    bits = bloom_bits_for(len(hashes))
+    words = bloom_words_from_hashes(hashes, bits)
     fact = li.select(
         F.col("l_orderkey").cast("string").alias("k"), "l_extendedprice"
     )
