@@ -38,3 +38,36 @@ def test_streaming_metrics_text_format():
     assert "pleiades_ingest_rows_total 150" in text
     assert "pleiades_ingest_malformed_total 2" in text
     assert "# TYPE pleiades_ingest_rows_total counter" in text
+
+
+def test_dashboard_series_are_exported():
+    """Every series referenced by dashboard.json's panel exprs must be
+    one the code actually exports — a renamed metric or a stale panel
+    breaks here, not in Grafana. The exported set is collected from the
+    serving registry (cli.make_handler describes its series up front)
+    and the streaming exporter's naming contract."""
+    import json
+    import pathlib
+    import re
+
+    dash = json.loads(
+        (pathlib.Path(__file__).resolve().parent.parent / "dashboard.json").read_text()
+    )
+    referenced = set()
+    for panel in dash["panels"]:
+        for target in panel.get("targets", []):
+            referenced |= set(re.findall(r"pleiades_[a-z_]+", target["expr"]))
+    assert referenced, "dashboard references no pleiades series"
+
+    import pleiades_spark.cli as cli_mod
+
+    cli_src = pathlib.Path(cli_mod.__file__).read_text()
+    serving = set(re.findall(r'"(pleiades_[a-z_]+)"', cli_src))
+    streaming = {"pleiades_ingest_rows_total", "pleiades_ingest_malformed_total"}
+    # the streaming names derive from observe("ingest", rows, malformed)
+    # + the streaming_metrics_text prefix contract; pin both ends
+    text = streaming_metrics_text(_FakeQuery())
+    assert all(s in text for s in streaming)
+    exported = serving | streaming
+    missing = referenced - exported
+    assert not missing, f"dashboard references unexported series: {missing}"
