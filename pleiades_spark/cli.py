@@ -221,6 +221,15 @@ def make_handler(spark, counters_path: str):
         def do_GET(self) -> None:  # noqa: N802 (stdlib API)
             parts = [p for p in self.path.split("/") if p]
             self._route = "/" + "/".join(parts[:2]) if parts else "/"
+            if parts in ([], ["index.html"], ["ui"]):
+                # The SPA analog (web/index.html, see its header comment):
+                # same /api endpoints the reference's Vue store consumes
+                # (/root/reference/web/src/script/store.js:151-190), served
+                # as one dependency-free static file.
+                page = os.path.join(os.path.dirname(__file__), "web", "index.html")
+                with open(page, "rb") as fh:
+                    self._send(fh.read(), "text/html; charset=utf-8", 200)
+                return
             if parts == ["metrics"]:
                 for r in self._alltime_counter_rows():
                     labels = {"counter": r["counter"]}

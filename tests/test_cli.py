@@ -95,6 +95,16 @@ def test_ingest_aggregate_serve_roundtrip(spark, tmp_path):
         except urllib.error.HTTPError as e:
             assert e.code == 404
 
+        # / serves the SPA-analog page; its JS drives the same API the
+        # reference's Vue store consumes, so assert those couplings hold.
+        resp = urllib.request.urlopen(f"{base}/")
+        assert resp.headers["Content-Type"].startswith("text/html")
+        page = resp.read().decode()
+        for marker in ("/api/stats", "/api/days", "pleiades_total",
+                       "pleiades_type_", "day-select"):
+            assert marker in page, marker
+        assert urllib.request.urlopen(f"{base}/ui").status == 200
+
         # /metrics: Prometheus text with request counters + counter gauges
         resp = urllib.request.urlopen(f"{base}/metrics")
         assert resp.headers["Content-Type"].startswith("text/plain")
