@@ -118,6 +118,8 @@ HEADLINE = [
     "higher_moments",
     "sampled_percentiles",
     "grouped_sampled_quantiles",
+    # round 5: fact-to-fact temporal join
+    "interval_join_bucketized",
 ]
 
 

@@ -472,6 +472,8 @@ FROM events GROUP BY event_type, {_BUCKET_CASE}
 
 SESSION_GAP_MIN = 30
 
+HOUR_SECS = 3600
+
 
 def q_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-user sessions: a gap > 30 min starts a new session (lag +
@@ -666,6 +668,63 @@ WITH tiers(lo, hi, tier) AS (VALUES {_TIER_VALUES})
 SELECT tier, count(*) AS n_orders, round(avg(o_totalprice), 4) AS avg_price
 FROM orders JOIN tiers ON o_totalprice >= lo AND o_totalprice < hi
 GROUP BY tier
+"""
+
+
+# --- big-big interval join (bucketized, no broadcast side) --------------------
+
+
+def q_interval_join_bucketized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fact-to-fact temporal interval join: for every event, how many
+    events the same user fired in the NEXT hour (and the largest value
+    among them) — the "what happened right after" join that powers
+    attribution and burst analysis.
+
+    The broadcast range join above (q_price_tier_range_join) only works
+    when one side is dim-sized; with BOTH sides fact-sized the scale
+    strategy is bucketization: band time into interval-length buckets,
+    explode each probe interval over the (at most two) buckets it can
+    touch, and equi-join on (user_id, bucket) so Catalyst plans a plain
+    shuffled hash/sort-merge join — the exact range predicate rides along
+    as a post-join filter. No broadcast-nested-loop, no theta join: the
+    shuffle key is (user, hour), work per bucket is |probe|×|build| WITHIN
+    that user-hour only, and skew folds into AQE's skew-join splitting.
+    A matching build row lives in exactly one bucket, so the explode
+    can't double-count. Same banding pattern as the length-blocked dedup
+    join (operators/dedup.py) applied to time.
+    """
+    ev = _events(spark, sf_dir)
+    b0 = F.floor(F.unix_timestamp("ts") / HOUR_SECS).cast("long")
+    probe = ev.select("event_id", "user_id", "ts").withColumn(
+        "bucket", F.explode(F.array(b0, b0 + 1))
+    )
+    build = ev.select(
+        F.col("user_id").alias("f_user"),
+        F.col("ts").alias("f_ts"),
+        F.col("value").alias("f_value"),
+    ).withColumn("f_bucket", F.floor(F.unix_timestamp("f_ts") / HOUR_SECS).cast("long"))
+    joined = probe.join(
+        build,
+        (probe.user_id == build.f_user)
+        & (probe.bucket == build.f_bucket)
+        & (build.f_ts > probe.ts)
+        & (build.f_ts <= probe.ts + F.expr("INTERVAL 1 HOUR")),
+        "left",
+    )
+    return joined.groupBy("event_id", "user_id").agg(
+        F.count("f_ts").alias("n_next_hour"),
+        F.round(F.coalesce(F.max("f_value"), F.lit(0.0)), 4).alias("max_next_value"),
+    )
+
+
+ORACLE_INTERVAL_JOIN_BUCKETIZED = """
+SELECT e.event_id, e.user_id,
+       count(f.ts) AS n_next_hour,
+       round(coalesce(max(f.value), 0.0), 4) AS max_next_value
+FROM events e
+LEFT JOIN events f ON f.user_id = e.user_id
+  AND f.ts > e.ts AND f.ts <= e.ts + INTERVAL 1 HOUR
+GROUP BY e.event_id, e.user_id
 """
 
 
@@ -1690,6 +1749,9 @@ QUERIES = [
           ORACLE_COUNTERS_SLIDING_WINDOW, "2h/1h hopping window aggregation"),
     Query("price_tier_range_join", q_price_tier_range_join,
           ORACLE_PRICE_TIER_RANGE_JOIN, "interval/range join (broadcast form)"),
+    Query("interval_join_bucketized", q_interval_join_bucketized,
+          ORACLE_INTERVAL_JOIN_BUCKETIZED,
+          "big-big temporal interval join via time-bucket banding"),
     Query("extreme_orders", q_extreme_orders, ORACLE_EXTREME_ORDERS,
           "min_by/max_by argmin-argmax aggregates"),
     Query("top_orders_global", q_top_orders_global, ORACLE_TOP_ORDERS_GLOBAL,

@@ -361,6 +361,21 @@ def test_rfm_segments_no_global_ntile_sort(spark, sf_dir):
     assert "BroadcastExchange" in plan
 
 
+def test_interval_join_bucketized_equi_join_only(spark, sf_dir):
+    """The big-big interval join must reach Catalyst as a hash-joinable
+    equi-join on (user_id, time_bucket) with the range predicate as a
+    post-join condition — never a nested-loop/cartesian theta join. At
+    fixture scale AQE broadcasts the build side; at 100 TB the same equi
+    keys shuffle — either way the join keys exist, which BNLJ lacks."""
+    from pleiades_spark.plans.pleiades import q_interval_join_bucketized
+
+    plan = _plan(q_interval_join_bucketized(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # the exact range survives as a join condition, not a lost predicate
+    assert "INTERVAL '01' HOUR" in plan
+
+
 def test_unpartitioned_windows_are_enumerated():
     """Source-level guard: every unpartitioned Window (W.orderBy with no
     partitionBy — a single-partition sort of its whole input) must be on

@@ -1,0 +1,73 @@
+"""Full-registry benchmark: every query in the gate registry, min-of-2,
+at an arbitrary SF dir (VERDICT r04 next-round #4 — the scaling bench
+must cover all queries, not just the headline set).
+
+    python tools/bench_full.py /root/testdata/sf0.1  bench_full_sf01.json
+    python tools/bench_full.py testdata_sf1          bench_full_sf1.json
+
+Writes {"queries": {name: sec}, "total": sec, "sf_dir": ...} to the
+output path (and one JSON line to stdout). Streaming-sink queries run
+exactly as the oracle gate runs them (the query fn executes the stream
+and returns the batch result frame); everything executes end-to-end via
+the noop sink so no driver-side transfer skews the numbers.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pleiades_spark.plans import collect_queries  # noqa: E402
+from pleiades_spark.session import get_spark  # noqa: E402
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    out_path = sys.argv[2] if len(sys.argv) > 2 else None
+    only = set(sys.argv[3:])
+
+    spark = get_spark("pleiades_bench_full")
+    registry = collect_queries()
+
+    # warmup: JVM, codegen, parquet footers
+    registry["counters_rollup"].fn(spark, sf_dir).write.format("noop").mode(
+        "overwrite"
+    ).save()
+
+    timings: dict[str, float] = {}
+    failures: dict[str, str] = {}
+    for name in sorted(registry):
+        if only and name not in only:
+            continue
+        q = registry[name]
+        best = float("inf")
+        try:
+            for _ in range(2):
+                t0 = time.time()
+                q.fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+                best = min(best, time.time() - t0)
+            timings[name] = round(best, 3)
+            print(f"BENCH {name}: {timings[name]}s", file=sys.stderr, flush=True)
+        except Exception as exc:  # keep going; report at the end
+            failures[name] = str(exc).split("\n")[0][:200]
+            print(f"FAIL {name}: {failures[name]}", file=sys.stderr, flush=True)
+
+    result = {
+        "queries": timings,
+        "total": round(sum(timings.values()), 3),
+        "n": len(timings),
+        "failures": failures,
+        "sf_dir": sf_dir,
+    }
+    if out_path:
+        with open(out_path, "w") as fh:
+            json.dump(result, fh, indent=1, sort_keys=True)
+    print(json.dumps({k: result[k] for k in ("total", "n", "failures", "sf_dir")}))
+
+
+if __name__ == "__main__":
+    main()
