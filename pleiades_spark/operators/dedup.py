@@ -451,18 +451,24 @@ def embedding_near_dup_srp(
     ``rows_bits`` (bits per band, r) follows the SCALING RULE in
     functions/hashing.py: candidate volume grows as n²/2^r, so r must
     track the corpus — r ≈ log2(n / B) for target bucket size B. When
-    None it is derived from a corpus count — the floor at SRP_ROWS=4
-    holds only up to n=511 (r = max(4, (n//32).bit_length()) reaches 5
-    at n=512), so callers that must replay the frozen r=4 DuckDB oracle
-    (the gate query) pass rows_bits=SRP_ROWS explicitly rather than rely
-    on the fixture staying under the boundary. Passing an explicit value
-    also skips the count job.
+    None it is derived from a corpus count, with the r=4 frozen-oracle
+    region deliberately WIDENED to every corpus up to 1024 vectors: the
+    gate fixtures are documented as "<=1k vectors", so any fixture
+    regeneration in that range keeps replaying the frozen r=4 DuckDB
+    planes (a bare max() would flip to r=5 at n=512 and silently drop
+    candidate pairs vs the oracle — round-4 advice). Above 1024 the
+    B=32 rule takes over and buckets stay bounded at any scale; pinning
+    r=4 there instead would leave only 16 row-buckets per band — a
+    measured 28.9s quadratic blowup at sf1's 20k vectors vs ~5s scaled.
+    Passing an explicit value skips the count job.
     """
     if rows_bits is None:
-        # B=32 target bucket size; 500-vector fixtures → r=4, 2000 →
-        # r=6, 1M → r=15, ...
+        # r=4 through n=1024 (oracle-replay region with regen margin);
+        # then B=32 target bucket size: 2000 → r=6, 1M → r=15, ...
         n = emb.count()
-        rows_bits = max(SRP_ROWS, (max(n, 1) // 32).bit_length())
+        rows_bits = SRP_ROWS if n <= 1024 else max(
+            SRP_ROWS, (n // 32).bit_length()
+        )
     planes = SRP_PLANES if rows_bits == SRP_ROWS else srp_planes(SRP_BANDS * rows_bits)
     v = emb.select("vec_id", as_double(F.col("embedding")).alias("v"))
     # ONE nested-array literal for the whole plane matrix: a plans×dim

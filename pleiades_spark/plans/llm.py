@@ -635,15 +635,14 @@ SELECT vec_a, vec_b, cos FROM (
 
 
 def q_dedup_embedding_srp(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # rows_bits is PINNED to the frozen-oracle config: the auto-derived
-    # width flips to r=5 at n>=512 while the DuckDB twin stays at r=4,
-    # so a fixture regeneration anywhere in 512..1024 vectors would
-    # silently drop candidate pairs. Pinning also skips the count job.
-    from pleiades_spark.functions.hashing import SRP_ROWS
-
+    # rows_bits auto-derives with the r=4 frozen-oracle region widened to
+    # n<=1024 (operators/dedup.py): the oracle-checked fixtures are
+    # "<=1k vectors" so regeneration can't flip the plane set, while big
+    # corpora (the sf1 scaling bench's 20k vectors) still get
+    # bucket-bounded wider bands — pinning r=4 here cost a measured
+    # 28.9s-vs-5s quadratic blowup at sf1.
     return embedding_near_dup_srp(
-        _t(spark, sf_dir, "embeddings"), COSINE_DUP_THRESHOLD,
-        rows_bits=SRP_ROWS,
+        _t(spark, sf_dir, "embeddings"), COSINE_DUP_THRESHOLD
     )
 
 

@@ -28,7 +28,11 @@ from pleiades_spark.session import get_spark  # noqa: E402
 def main() -> None:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
     out_path = sys.argv[2] if len(sys.argv) > 2 else None
-    only = set(sys.argv[3:])
+    names = sys.argv[3:]
+    # "-name" excludes (for the deliberately-quadratic ground-truth ops
+    # at big SFs); bare names restrict the run to those queries.
+    only = {n for n in names if not n.startswith("-")}
+    skip = {n[1:] for n in names if n.startswith("-")}
 
     spark = get_spark("pleiades_bench_full")
     registry = collect_queries()
@@ -41,7 +45,7 @@ def main() -> None:
     timings: dict[str, float] = {}
     failures: dict[str, str] = {}
     for name in sorted(registry):
-        if only and name not in only:
+        if (only and name not in only) or name in skip:
             continue
         q = registry[name]
         best = float("inf")
