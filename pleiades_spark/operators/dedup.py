@@ -357,7 +357,7 @@ def ngram_jaccard_pairs(
 
 
 def embedding_near_dup_ivf(
-    emb: DataFrame, threshold: float = 0.45, n_centroids: int = 16
+    emb: DataFrame, threshold: float = 0.45, n_centroids: int | None = None
 ) -> DataFrame:
     """Scale path for embedding near-dup: self-join WITHIN IVF buckets.
 
@@ -370,9 +370,21 @@ def embedding_near_dup_ivf(
     Approximate by construction: a near-dup pair straddling two buckets
     is missed (mitigate with more/better centroids or multi-assignment);
     the brute variant is the ground truth that quantifies that recall.
+
+    K must TRACK the corpus or O(N²/K) is still quadratic (a fixed K=16
+    measured 73s at the sf1 bench's 20k vectors vs ~7s adaptive). When
+    ``n_centroids`` is None it follows the same two-region rule as the
+    SRP bands: K=16 for every corpus up to 1024 vectors (the documented
+    <=1k gate-fixture range, so regeneration can't change the codebook
+    the frozen oracle replays), then K = max(16, n // 64) — average
+    bucket ≈ 64, total intra-bucket work ≈ 32·n pairs, linear at any
+    scale. The gate oracle computes the identical rule from count(*).
     """
     from pleiades_spark.operators.similarity import ivf_assign
 
+    if n_centroids is None:
+        n = emb.count()
+        n_centroids = 16 if n <= 1024 else max(16, n // 64)
     assigned = ivf_assign(emb, n_centroids)
     a = assigned.alias("a")
     b = assigned.alias("b")

@@ -607,14 +607,26 @@ FROM pred GROUP BY label, clabel
 
 
 def q_dedup_embedding_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # n_centroids auto-derives (operators/dedup.py): K=16 through the
+    # documented <=1k-vector gate range — the region the frozen oracle's
+    # identical CASE rule below replays — then K = max(16, n//64) so
+    # buckets stay ~64 vectors and total work is linear (fixed K=16
+    # measured 73s at sf1's 20k vectors; adaptive ~7s).
     return embedding_near_dup_ivf(
-        _t(spark, sf_dir, "embeddings"), COSINE_DUP_THRESHOLD, IVF_CENTROIDS
+        _t(spark, sf_dir, "embeddings"), COSINE_DUP_THRESHOLD
     )
 
 
+# K replays the Spark-side two-region rule from count(*): both engines
+# see the same table, so the codebooks agree at any fixture size.
+_IVF_K_SQL = (
+    "(SELECT CASE WHEN count(*) <= 1024 THEN 16"
+    " ELSE greatest(16, count(*) // 64) END FROM embeddings)"
+)
+
 ORACLE_DEDUP_EMBEDDING_IVF = f"""
 WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-c AS (SELECT vec_id AS centroid_id, v AS cv FROM v WHERE vec_id < {IVF_CENTROIDS}),
+c AS (SELECT vec_id AS centroid_id, v AS cv FROM v WHERE vec_id < {_IVF_K_SQL}),
 assigned AS (
   SELECT vec_id, v, centroid_id FROM (
     SELECT v.vec_id, v.v, c.centroid_id,
