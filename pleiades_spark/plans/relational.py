@@ -1422,37 +1422,78 @@ SELECT * FROM (
 
 
 
+MEDIAN_BUCKET_STEP = 64.0  # power of two: v/STEP is exact in binary
+
+
 def q_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact WEIGHTED median of extended price per return flag, weighted
     by quantity — the order statistic percentile_cont can't express
-    (each row counts qty times). One sort per group via a cumulative
-    window over integer weights: the answer is the first value whose
-    running weight reaches half the total — integer comparisons
-    (2·cum ≥ total) all the way, so no float boundary exists to
-    diverge on."""
+    (each row counts qty times). The answer is min{v : 2·W(v) ≥ W_tot}
+    with W(v) the cumulative weight through v — integer comparisons all
+    the way, so no float boundary exists to diverge on.
+
+    Scale shape — two-phase bucket refinement, NOT a per-group sort:
+    l_returnflag has 3 values, so a cumulative window straight over the
+    rows is three single-task sorts of a third of the table each (the
+    same constant-cardinality trap as the RFM ntile fix). Instead:
+    (1) aggregate weight per (flag, v) — ties collapse, one shuffle;
+    (2) aggregate again per (flag, floor(v/64)) price bucket and take
+        the bucket-grain running sum — the window sees ~1.6k rows per
+        group at ANY data size (the price domain is fixed; shrink the
+        power-of-two step if the domain grows), locating the single
+        bucket that contains the weighted midpoint;
+    (3) rerun the running sum INSIDE that one bucket only (distinct
+        values per 64-wide band, ~1/1600 of the value space), offset by
+        the prior buckets' weight from phase 2.
+    Same integer threshold, same answer, windows only ever over
+    aggregation-grain row counts. The oracle keeps the direct
+    one-window form — both compute min v with 2·W(v) ≥ W_tot."""
     li = _t(spark, sf_dir, "lineitem")
     rows = li.select(
         "l_returnflag",
         F.col("l_extendedprice").alias("v"),
         F.col("l_quantity").cast("long").alias("w"),
     )
-    wcum = (
+    per_v = rows.groupBy("l_returnflag", "v").agg(F.sum("w").alias("wv"))
+    tot = rows.groupBy("l_returnflag").agg(F.sum("w").alias("tot"))
+
+    bucketed = per_v.withColumn(
+        "b", F.floor(F.col("v") / MEDIAN_BUCKET_STEP).cast("long")
+    )
+    per_b = bucketed.groupBy("l_returnflag", "b").agg(F.sum("wv").alias("wb"))
+    bwin = (
         W.partitionBy("l_returnflag")
-        .orderBy(F.col("v").asc(), F.col("w").asc())
+        .orderBy("b")
         .rowsBetween(W.unboundedPreceding, 0)
     )
-    wtot = W.partitionBy("l_returnflag")
-    marked = rows.select(
-        "l_returnflag",
-        "v",
-        F.sum("w").over(wcum).alias("cum"),
-        F.sum("w").over(wtot).alias("tot"),
-    ).filter(2 * F.col("cum") >= F.col("tot"))
+    with_cum = per_b.join(tot, "l_returnflag").withColumn(
+        "cum_b", F.sum("wb").over(bwin)
+    )
+    # first bucket whose cumulative weight crosses the midpoint, plus the
+    # weight of everything before it
+    target = (
+        with_cum.filter(2 * F.col("cum_b") >= F.col("tot"))
+        .groupBy("l_returnflag")
+        .agg(
+            F.min("b").alias("b_star"),
+            F.min_by(F.col("cum_b") - F.col("wb"), F.col("b")).alias("prior"),
+            F.min("tot").alias("tot"),
+        )
+    )
+    vwin = (
+        W.partitionBy("l_returnflag")
+        .orderBy("v")
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
     return (
-        marked.groupBy("l_returnflag")
+        bucketed.join(F.broadcast(target), "l_returnflag")
+        .filter(F.col("b") == F.col("b_star"))
+        .withColumn("cum_v", F.sum("wv").over(vwin))
+        .filter(2 * (F.col("prior") + F.col("cum_v")) >= F.col("tot"))
+        .groupBy("l_returnflag")
         .agg(
             F.min("v").alias("weighted_median"),
-            F.max("tot").alias("total_weight"),
+            F.min("tot").alias("total_weight"),
         )
     )
 

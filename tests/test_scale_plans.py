@@ -361,6 +361,23 @@ def test_rfm_segments_no_global_ntile_sort(spark, sf_dir):
     assert "BroadcastExchange" in plan
 
 
+def test_weighted_median_windows_are_aggregation_grain(spark, sf_dir):
+    """The exact weighted median must never sort raw rows inside the
+    3-value l_returnflag partitions (single-task sorts at scale): both
+    running sums sit ABOVE aggregations, so every Window's child chain
+    contains a HashAggregate before the scan."""
+    from pleiades_spark.plans.relational import q_weighted_median
+
+    plan = _plan(q_weighted_median(spark, sf_dir))
+    # two bounded windows, and the midpoint-bucket row reaches phase 3 by
+    # broadcast, not another shuffle of the fact
+    assert plan.count("Window") >= 2
+    assert "BroadcastExchange" in plan
+    # phase-1 aggregation exists: weight per (flag, value) collapses ties
+    # before any window sees the data
+    assert "partial_sum" in plan
+
+
 def test_interval_join_bucketized_equi_join_only(spark, sf_dir):
     """The big-big interval join must reach Catalyst as a hash-joinable
     equi-join on (user_id, time_bucket) with the range predicate as a
