@@ -118,8 +118,9 @@ HEADLINE = [
     "higher_moments",
     "sampled_percentiles",
     "grouped_sampled_quantiles",
-    # round 5: fact-to-fact temporal join
+    # round 5: fact-to-fact temporal join + star-contraction components
     "interval_join_bucketized",
+    "dedup_clusters_star",
 ]
 
 

@@ -331,6 +331,20 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return connected_components(pairs.select("doc_a", "doc_b"))
 
 
+def q_dedup_clusters_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same clusters via large-star/small-star contraction
+    (operators/graph.connected_components_star) — the O(log² n)-round
+    algorithm for components whose DIAMETER exceeds min-label's round
+    budget (a million-node chain at 100 TB). Shares
+    ORACLE_DEDUP_CLUSTERS verbatim: both algorithms must produce
+    byte-identical (doc_id, cluster) rows, and the hash gate proves it
+    on real near-dup components."""
+    from pleiades_spark.operators.graph import connected_components_star
+
+    pairs = minhash_lsh_pairs(_t(spark, sf_dir, "documents"), JACCARD_THRESHOLD)
+    return connected_components_star(pairs.select("doc_a", "doc_b"))
+
+
 # reuse the minhash pair pipeline, then a recursive reachability closure
 ORACLE_DEDUP_CLUSTERS = f"""
 WITH RECURSIVE sh AS (
@@ -1909,6 +1923,8 @@ QUERIES = [
           "integer-exact TextRank keywords (5 PageRank iters, co-occurrence graph)"),
     Query("dedup_clusters", q_dedup_clusters, ORACLE_DEDUP_CLUSTERS,
           "iterative connected components over near-dup pairs (recursive CTE oracle)"),
+    Query("dedup_clusters_star", q_dedup_clusters_star, ORACLE_DEDUP_CLUSTERS,
+          "large-star/small-star connected components (diameter-independent rounds)"),
     Query("dedup_keep_best", q_dedup_keep_best, ORACLE_DEDUP_KEEP_BEST,
           "near-dup clusters keep the argmax-quality member (RefinedWeb rule)"),
     Query("knn_cosine_brute", q_knn_brute, ORACLE_KNN_BRUTE,

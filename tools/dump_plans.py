@@ -79,7 +79,12 @@ SHOW = [
      "Gap-fill — grid explode bounded by keys×buckets, LEFT join of "
      "hourly aggs, all four fill windows (LOCF value/hour, next "
      "value/hour) evaluated in at most two Window nodes over one "
-     "user_id partitioning."),
+     "user_id partitioning.\n\nBENCH_r04 regression note (VERDICT r04 "
+     "next-round #3): the r3→r4 delta (1.92→2.40 s) was first-run "
+     "codegen/JIT noise, not a plan change — an isolated 4-run probe in "
+     "round 5 (local[32], sf0.1, noop sink, after warmup) measured "
+     "[3.38, 1.83, 1.67, 1.65] s: steady state 1.65 s, BELOW the r3 "
+     "number. The plan is unchanged since the r3 rewrite."),
     ("sequence_packing",
      "Sequence packing — token counts JVM-side, one shuffle onto the "
      "group key, sequential pandas fold per group (parallel across "
@@ -95,7 +100,11 @@ SHOW = [
     ("gopher_repetition",
      "Repetition filters — row-local run folds over sorted gram arrays: "
      "scan -> project, ZERO exchanges (the explode+groupBy+window form "
-     "shuffled corpus-by-gram rows three times)."),
+     "shuffled corpus-by-gram rows three times).\n\nBENCH_r04 "
+     "regression note (VERDICT r04 next-round #3): the r3→r4 delta "
+     "(1.51→1.97 s) was first-run codegen noise — a round-5 isolated "
+     "4-run probe measured [1.69, 1.31, 1.28, 1.33] s: steady state "
+     "1.28 s, below the r3 number, zero-exchange plan unchanged."),
     ("salted_supplier_join",
      "Salted equi-join — Generate replicates the dim x16, join keys are "
      "(suppkey, _salt), so a hot key spreads over 16 shuffle "
@@ -142,6 +151,31 @@ SHOW = [
      "Z-order key — 32 shift/mask terms in one codegen projection; "
      "global top-200 compiles to TakeOrderedAndProject (per-partition "
      "heaps, no full sort)."),
+    ("fuzzy_name_pairs",
+     "Fuzzy join (round-5 rewrite) — Levenshtein runs on DISTINCT names "
+     "only via the PassJoin segment equi-join; rows re-expand through a "
+     "BroadcastHashJoin of the vocab-pair map + one hash join on "
+     "(brand, name). No nested-loop anywhere; everything after the "
+     "broadcast is output-bound."),
+    ("entity_clusters",
+     "Entity resolution (round-5 rewrite) — connected components over "
+     "the (brand, name) GROUP graph (node id = min partkey per group, "
+     "so min-label clusters equal the row-level ones); the iterative "
+     "joins touch vocab-sized frames only, rows join their group's "
+     "cluster at the end."),
+    ("weighted_median",
+     "Exact weighted median (round-5 rewrite) — two-phase bucket "
+     "refinement: weight per (flag, value), bucket-grain running sum "
+     "locates the midpoint bucket (~1.6k rows/group at any size), "
+     "in-bucket running sum finishes; windows only ever sit above "
+     "aggregations, never over raw rows in the 3-value flag partitions."),
+    ("interval_join_bucketized",
+     "Big-big temporal interval join — each probe interval explodes "
+     "over its ≤2 hour buckets, the join reaches Catalyst as an "
+     "equi-join on (user_id, bucket) with the exact range as the "
+     "post-join condition: hash-joinable at fixture scale (AQE "
+     "broadcasts) and shuffle-joinable at 100 TB, never a "
+     "nested-loop."),
 ]
 
 
