@@ -119,8 +119,10 @@ HEADLINE = [
     "sampled_percentiles",
     "grouped_sampled_quantiles",
     # round 5: fact-to-fact temporal join + star-contraction components
+    # + seasonal decomposition
     "interval_join_bucketized",
     "dedup_clusters_star",
+    "seasonal_decompose",
 ]
 
 

@@ -144,6 +144,69 @@ def ewma_user_value(events: DataFrame, alpha: float = EWMA_ALPHA) -> DataFrame:
     )
 
 
+TREND_HALF_WINDOW = 12  # hours each side → 25-hour centered frame
+
+
+def seasonal_decompose_hourly(events: DataFrame) -> DataFrame:
+    """Classic additive seasonal decomposition of the per-type hourly
+    series: value = trend + seasonal + residual — the moving-average STL
+    shape (centered 25 h mean for trend, hour-of-day means of the
+    detrended series for the seasonal profile).
+
+    Cross-engine float parity by construction: fixture values carry two
+    decimals, so the hourly sum is held as INTEGER centi-units
+    (hv = round(100·Σv)), the trend numerator is an integer window sum
+    over a FIXED 25-row interior frame (edge hours where the frame is
+    short are excluded, the standard MA-decomposition edge rule — the
+    den=25 filter also enforces series contiguity), and the detrended
+    series stays integer as hv·25 − Σframe. Every double is then derived
+    from integers by the same expression on both engines, so the
+    floor-quantizer can never straddle an engine-dependent ulp.
+
+    Scale shape: the only corpus-sized stage is the map-side-combined
+    (type, hour) aggregation; the trend window runs over the per-type
+    HOURLY series (bounded by the collection window, not by rows), the
+    seasonal profile is a ≤ types×24-row broadcast, and everything else
+    is a projection.
+    """
+    hourly = (
+        events.select(
+            "event_type",
+            F.floor(F.unix_timestamp("ts") / HOUR).cast("long").alias("hour"),
+            "value",
+        )
+        .groupBy("event_type", "hour")
+        .agg(F.round(F.sum("value") * 100, 0).cast("long").alias("hv"))
+    )
+    w = (
+        W.partitionBy("event_type")
+        .orderBy("hour")
+        .rangeBetween(-TREND_HALF_WINDOW, TREND_HALF_WINDOW)
+    )
+    interior = (
+        hourly.withColumn("num", F.sum("hv").over(w))
+        .withColumn("den", F.count(F.lit(1)).over(w))
+        .filter(F.col("den") == 2 * TREND_HALF_WINDOW + 1)
+        .withColumn("hod", F.col("hour") % 24)
+        .withColumn("det_units", F.col("hv") * 25 - F.col("num"))
+    )
+    seasonal = interior.groupBy("event_type", "hod").agg(
+        F.sum("det_units").alias("s_units"), F.count(F.lit(1)).alias("s_n")
+    )
+    seas = F.col("s_units").cast("double") / (F.col("s_n") * 2500.0)
+    return (
+        interior.join(F.broadcast(seasonal), ["event_type", "hod"])
+        .select(
+            "event_type",
+            "hour",
+            _quantize4(F.col("hv") / 100.0).alias("hour_value"),
+            _quantize4(F.col("num") / 2500.0).alias("trend"),
+            _quantize4(seas).alias("seasonal"),
+            _quantize4(F.col("det_units") / 2500.0 - seas).alias("resid"),
+        )
+    )
+
+
 def ohlc_hourly(events: DataFrame) -> DataFrame:
     """Per (event_type, hour) OHLC + VWAP-style bars over event values —
     the standard downsampling that turns a tick stream into fixed-grain

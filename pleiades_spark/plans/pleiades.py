@@ -1647,6 +1647,50 @@ def q_timeseries_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
     return gapfill_hourly(_events(spark, sf_dir))
 
 
+def q_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Additive trend/seasonal/residual decomposition of the per-type
+    hourly series (operators/timeseries.seasonal_decompose_hourly) —
+    integer-unit arithmetic end-to-end so both engines derive identical
+    doubles; see the operator docstring for the parity argument."""
+    from pleiades_spark.operators.timeseries import seasonal_decompose_hourly
+
+    return seasonal_decompose_hourly(_events(spark, sf_dir))
+
+
+ORACLE_SEASONAL_DECOMPOSE = """
+WITH hourly AS (
+  SELECT event_type, CAST(floor(epoch(ts) / 3600) AS BIGINT) AS hour,
+         CAST(round(sum(value) * 100, 0) AS BIGINT) AS hv
+  FROM events GROUP BY event_type, hour
+), framed AS (
+  SELECT event_type, hour, hv,
+         CAST(sum(hv) OVER w AS BIGINT) AS num,
+         count(*) OVER w AS den
+  FROM hourly
+  WINDOW w AS (PARTITION BY event_type ORDER BY hour
+               RANGE BETWEEN 12 PRECEDING AND 12 FOLLOWING)
+), interior AS (
+  SELECT event_type, hour, hv, num, hour % 24 AS hod,
+         hv * 25 - num AS det_units
+  FROM framed WHERE den = 25
+), seasonal AS (
+  SELECT event_type, hod, CAST(sum(det_units) AS BIGINT) AS s_units,
+         count(*) AS s_n
+  FROM interior GROUP BY event_type, hod
+)
+SELECT i.event_type, i.hour,
+       floor((i.hv / 100.0) * 10000 + 0.5) / 10000 AS hour_value,
+       floor((i.num / 2500.0) * 10000 + 0.5) / 10000 AS trend,
+       floor((CAST(s.s_units AS DOUBLE) / (s.s_n * 2500.0)) * 10000 + 0.5)
+         / 10000 AS seasonal,
+       floor((i.det_units / 2500.0
+              - CAST(s.s_units AS DOUBLE) / (s.s_n * 2500.0)) * 10000 + 0.5)
+         / 10000 AS resid
+FROM interior i JOIN seasonal s
+  ON i.event_type = s.event_type AND i.hod = s.hod
+"""
+
+
 ORACLE_TIMESERIES_GAPFILL = """
 WITH hourly AS (
   SELECT user_id, CAST(floor(epoch(ts) / 3600) AS BIGINT) AS hour,
@@ -1786,6 +1830,8 @@ QUERIES = [
           "7-day rolling sum/avg per type via RANGE frame (gap-correct)"),
     Query("value_anomalies", q_value_anomalies, ORACLE_VALUE_ANOMALIES,
           "median/MAD robust outlier flags per event type"),
+    Query("seasonal_decompose", q_seasonal_decompose, ORACLE_SEASONAL_DECOMPOSE,
+          "additive trend/seasonal/residual split of the hourly series"),
     Query("timeseries_gapfill", q_timeseries_gapfill, ORACLE_TIMESERIES_GAPFILL,
           "hourly resample: grid explode + LOCF + linear interpolation"),
     Query("ewma_user_value", q_ewma_user_value, ORACLE_EWMA_USER_VALUE,
