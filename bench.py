@@ -123,6 +123,7 @@ HEADLINE = [
     "interval_join_bucketized",
     "dedup_clusters_star",
     "seasonal_decompose",
+    "streaming_sessions",
 ]
 
 

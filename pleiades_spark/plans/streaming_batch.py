@@ -384,6 +384,92 @@ GROUP BY day_date
 """
 
 
+def q_streaming_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGING event-time windows under streaming: session_window +
+    watermark in append mode — the one stateful-window semantic the other
+    streaming gates don't touch (sessions have no fixed boundaries; the
+    state store must merge windows as late events bridge gaps, and a
+    session may only finalize once the watermark passes its gap-extended
+    end). Events staged as two time-ordered micro-batches so the
+    watermark provably advances mid-stream; only watermark-closed
+    sessions emit, and the oracle replays exactly those via the batch
+    gaps-and-islands numbering + the same end <= max(ts) - 7d cutoff."""
+    apply_runtime_confs(spark)
+    src = tempfile.mkdtemp(prefix="sess_")
+    events = catalog.load(spark, sf_dir, "events")
+    max_day = events.agg(
+        F.max(F.date_trunc("day", F.col("ts"))).alias("m")
+    ).collect()[0]["m"]
+    early = events.filter(F.date_trunc("day", F.col("ts")) < F.lit(max_day))
+    late = events.filter(F.date_trunc("day", F.col("ts")) >= F.lit(max_day))
+    for i, part in enumerate([early, late]):
+        tmp = f"{src}/_stage{i}"
+        part.coalesce(1).write.mode("overwrite").parquet(tmp)
+        pf = next(f for f in os.listdir(tmp) if f.endswith(".parquet"))
+        shutil.copyfile(f"{tmp}/{pf}", f"{src}/{i:02d}.parquet")
+        shutil.rmtree(tmp)
+
+    stream = (
+        spark.readStream.schema(EVENTS_MICROS_SCHEMA)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+        .select("ts", "user_id", "value")
+        .withWatermark("ts", "7 days")
+    )
+    sess = stream.groupBy(
+        F.col("user_id"),
+        F.session_window(F.col("ts"), "30 minutes").alias("sw"),
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum("value"), 4).alias("session_value"),
+    )
+    q = (
+        sess.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("sessions_gate")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+        q.awaitTermination()
+    return spark.table("sessions_gate").select(
+        "user_id",
+        F.date_format("sw.start", "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+        F.date_format("sw.end", "yyyy-MM-dd HH:mm:ss").alias("session_end"),
+        "n_events",
+        "session_value",
+    )
+
+
+ORACLE_STREAMING_SESSIONS = """
+WITH wm AS (SELECT max(ts) - INTERVAL 7 DAY AS w FROM events),
+flagged AS (
+  SELECT *, CASE WHEN prev_ts IS NULL
+                  OR epoch(ts) - epoch(prev_ts) >= 1800
+             THEN 1 ELSE 0 END AS new_session
+  FROM (SELECT *, lag(ts, 1) OVER ww AS prev_ts FROM events
+        WINDOW ww AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC))
+), numbered AS (
+  SELECT *, sum(new_session) OVER (PARTITION BY user_id
+            ORDER BY ts ASC, event_id ASC
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+  FROM flagged
+), sessions AS (
+  SELECT user_id,
+         strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+         strftime(max(ts) + INTERVAL 30 MINUTE,
+                  '%Y-%m-%d %H:%M:%S') AS session_end,
+         count(*) AS n_events, round(sum(value), 4) AS session_value,
+         max(ts) + INTERVAL 30 MINUTE AS end_ts
+  FROM numbered GROUP BY user_id, session_id
+)
+SELECT user_id, session_start, session_end, n_events, session_value
+FROM sessions, wm WHERE end_ts <= w
+"""
+
+
 QUERIES = [
     Query("streaming_counters", q_streaming_counters, ORACLE_STREAMING_COUNTERS,
           "real Structured Streaming run: file source → window agg → memory sink"),
@@ -396,6 +482,8 @@ QUERIES = [
     Query("stateful_stream_dedup", q_stateful_stream_dedup,
           ORACLE_STATEFUL_STREAM_DEDUP,
           "applyInPandasWithState cross-batch dedup: replayed batch emits 0 rows"),
+    Query("streaming_sessions", q_streaming_sessions, ORACLE_STREAMING_SESSIONS,
+          "streaming session_window (merging windows) in append mode"),
     Query("streaming_dau", q_streaming_dau, ORACLE_STREAMING_DAU,
           "chained stateful ops: streaming dedup -> windowed exact DAU"),
     Query("streaming_dedup_builtin", q_streaming_dedup_builtin,
