@@ -124,6 +124,7 @@ HEADLINE = [
     "dedup_clusters_star",
     "seasonal_decompose",
     "streaming_sessions",
+    "type_reachability",
 ]
 
 

@@ -1391,6 +1391,77 @@ FROM counts
 """
 
 
+def q_type_reachability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transitive closure with path length over the most-likely-next-type
+    graph, via Spark 4's native WITH RECURSIVE — the first-class
+    recursive-query feature the engine gained in 4.0, exercised
+    end-to-end against DuckDB's recursive CTE semantics.
+
+    Edges: for each event type, its single most frequent successor
+    (ties break lexicographically) — a functional graph, so closure is
+    genuinely multi-hop (chains and cycles), not the trivial dense
+    closure the full 5×5 transition matrix would give. The corpus-sized
+    work (per-user lag + pair counts) happens ONCE in DataFrame land;
+    the recursion then iterates on a ≤|types|-row edge list, bounded at
+    6 hops (> graph diameter, cycles cut by the bound). min(hops) makes
+    the result path-order independent."""
+    ev = _events(spark, sf_dir)
+    wu = W.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
+    pairs = ev.select(
+        F.lag("event_type", 1).over(wu).alias("from_type"),
+        F.col("event_type").alias("to_type"),
+    ).filter(F.col("from_type").isNotNull())
+    counts = pairs.groupBy("from_type", "to_type").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    wr = W.partitionBy("from_type").orderBy(F.col("n").desc(), F.col("to_type").asc())
+    top = (
+        counts.withColumn("rk", F.row_number().over(wr))
+        .filter(F.col("rk") == 1)
+        .select("from_type", "to_type")
+    )
+    top.createOrReplaceTempView("rcte_type_edges")
+    return spark.sql("""
+      WITH RECURSIVE reach(src, dst, hops) AS (
+        SELECT from_type, to_type, 1 FROM rcte_type_edges
+        UNION ALL
+        SELECT r.src, e.to_type, r.hops + 1
+        FROM reach r JOIN rcte_type_edges e ON e.from_type = r.dst
+        WHERE r.hops < 6
+      )
+      SELECT src, dst, CAST(min(hops) AS BIGINT) AS min_hops
+      FROM reach GROUP BY src, dst
+    """)
+
+
+ORACLE_TYPE_REACHABILITY = """
+WITH RECURSIVE pairs AS (
+  SELECT lag(event_type, 1) OVER
+           (PARTITION BY user_id ORDER BY ts ASC, event_id ASC) AS from_type,
+         event_type AS to_type
+  FROM events
+), counts AS (
+  SELECT from_type, to_type, count(*) AS n
+  FROM pairs WHERE from_type IS NOT NULL
+  GROUP BY from_type, to_type
+), edges AS (
+  SELECT from_type, to_type FROM (
+    SELECT *, row_number() OVER (PARTITION BY from_type
+                                 ORDER BY n DESC, to_type ASC) AS rk
+    FROM counts
+  ) WHERE rk = 1
+), reach(src, dst, hops) AS (
+  SELECT from_type, to_type, 1 FROM edges
+  UNION ALL
+  SELECT r.src, e.to_type, r.hops + 1
+  FROM reach r JOIN edges e ON e.from_type = r.dst
+  WHERE r.hops < 6
+)
+SELECT src, dst, CAST(min(hops) AS BIGINT) AS min_hops
+FROM reach GROUP BY src, dst
+"""
+
+
 def q_chi_square_lang_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pearson χ² independence test for lang × source on the documents
     table (is the language mix uniform across sources?): χ² =
@@ -1804,6 +1875,8 @@ QUERIES = [
           "RFM quintile scoring + behavioral segment labels per user"),
     Query("event_transitions", q_event_transitions, ORACLE_EVENT_TRANSITIONS,
           "first-order Markov transition matrix over event types"),
+    Query("type_reachability", q_type_reachability, ORACLE_TYPE_REACHABILITY,
+          "native WITH RECURSIVE transitive closure (Spark 4 recursive CTE)"),
     Query("chi_square_lang_source", q_chi_square_lang_source, ORACLE_CHI_SQUARE,
           "Pearson chi-square independence test (lang x source grid)"),
     Query("user_burstiness", q_user_burstiness, ORACLE_USER_BURSTINESS,
