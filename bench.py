@@ -125,6 +125,7 @@ HEADLINE = [
     "seasonal_decompose",
     "streaming_sessions",
     "type_reachability",
+    "value_mad_outliers",
 ]
 
 

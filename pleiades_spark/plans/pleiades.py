@@ -1391,6 +1391,121 @@ FROM counts
 """
 
 
+MAD_K_X10000 = 44478  # 3 · 1.4826 (normal-consistency) · 10⁴, exact integer
+
+
+def q_value_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust per-type outlier statistics: median, MAD (median absolute
+    deviation), and the count of events beyond 3·1.4826·MAD — the
+    standard robust z-score rule that, unlike the mean/stddev form
+    (value_anomalies), a few extreme values cannot drag.
+
+    Everything is EXACT integer arithmetic on centi-units (fixture
+    values carry 2 decimals): medians are min{v : 2·W(v) ≥ W_tot} over
+    per-(type, value) counts, the deviation pass reruns the same rule on
+    |v − med|, and the outlier rule compares dv·10⁴ > 44478·mad — no
+    float ever crosses an engine boundary except the final /100.0
+    projections, computed identically on both sides.
+
+    Scale shape: the only corpus-sized stages are the two
+    map-side-combined (type, units) aggregations; every window runs over
+    DISTINCT 2-decimal values of a bounded domain (≤ ~10k rows per type
+    at ANY corpus size), so there is no per-row sort anywhere."""
+    ev = _events(spark, sf_dir)
+    units = ev.select(
+        "event_type",
+        F.round(F.col("value") * 100, 0).cast("long").alias("u"),
+    )
+    per_v = units.groupBy("event_type", "u").agg(F.count(F.lit(1)).alias("c"))
+    tot = per_v.groupBy("event_type").agg(F.sum("c").alias("tot"))
+    wv = (
+        W.partitionBy("event_type").orderBy("u").rowsBetween(W.unboundedPreceding, 0)
+    )
+    med = (
+        per_v.join(tot, "event_type")
+        .withColumn("cum", F.sum("c").over(wv))
+        .filter(2 * F.col("cum") >= F.col("tot"))
+        .groupBy("event_type")
+        .agg(F.min("u").alias("med_u"), F.min("tot").alias("tot"))
+    )
+    dev = (
+        per_v.join(F.broadcast(med), "event_type")
+        .withColumn("dv", F.abs(F.col("u") - F.col("med_u")))
+        .groupBy("event_type", "dv")
+        .agg(F.sum("c").alias("c"), F.min("med_u").alias("med_u"),
+             F.min("tot").alias("tot"))
+    )
+    wd = (
+        W.partitionBy("event_type").orderBy("dv").rowsBetween(W.unboundedPreceding, 0)
+    )
+    mad = (
+        dev.withColumn("cum", F.sum("c").over(wd))
+        .filter(2 * F.col("cum") >= F.col("tot"))
+        .groupBy("event_type")
+        .agg(F.min("dv").alias("mad_u"))
+    )
+    return (
+        dev.join(F.broadcast(mad), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.min("med_u").alias("med_u"),
+            F.min("mad_u").alias("mad_u"),
+            F.min("tot").alias("n_events"),
+            F.sum(
+                F.when(
+                    F.col("dv") * 10000 > MAD_K_X10000 * F.col("mad_u"),
+                    F.col("c"),
+                ).otherwise(F.lit(0))
+            ).alias("n_outliers"),
+        )
+        .select(
+            "event_type",
+            (F.col("med_u") / 100.0).alias("median_value"),
+            (F.col("mad_u") / 100.0).alias("mad"),
+            "n_events",
+            "n_outliers",
+        )
+    )
+
+
+ORACLE_VALUE_MAD_OUTLIERS = """
+WITH units AS (
+  SELECT event_type, CAST(round(value * 100, 0) AS BIGINT) AS u FROM events
+), per_v AS (
+  SELECT event_type, u, count(*) AS c FROM units GROUP BY event_type, u
+), tot AS (
+  SELECT event_type, CAST(sum(c) AS BIGINT) AS tot FROM per_v GROUP BY event_type
+), med AS (
+  SELECT event_type, min(u) AS med_u, min(tot) AS tot FROM (
+    SELECT p.event_type, p.u, t.tot,
+           sum(p.c) OVER (PARTITION BY p.event_type ORDER BY p.u
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+    FROM per_v p JOIN tot t ON p.event_type = t.event_type
+  ) WHERE 2 * cum >= tot GROUP BY event_type
+), dev AS (
+  SELECT p.event_type, abs(p.u - m.med_u) AS dv, CAST(sum(p.c) AS BIGINT) AS c,
+         min(m.med_u) AS med_u, min(m.tot) AS tot
+  FROM per_v p JOIN med m ON p.event_type = m.event_type
+  GROUP BY p.event_type, abs(p.u - m.med_u)
+), mad AS (
+  SELECT event_type, min(dv) AS mad_u FROM (
+    SELECT event_type, dv, tot,
+           sum(c) OVER (PARTITION BY event_type ORDER BY dv
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+    FROM dev
+  ) WHERE 2 * cum >= tot GROUP BY event_type
+)
+SELECT d.event_type,
+       min(d.med_u) / 100.0 AS median_value,
+       min(a.mad_u) / 100.0 AS mad,
+       CAST(min(d.tot) AS BIGINT) AS n_events,
+       CAST(sum(CASE WHEN d.dv * 10000 > 44478 * a.mad_u THEN d.c ELSE 0 END)
+            AS BIGINT) AS n_outliers
+FROM dev d JOIN mad a ON d.event_type = a.event_type
+GROUP BY d.event_type
+"""
+
+
 def q_type_reachability(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Transitive closure with path length over the most-likely-next-type
     graph, via Spark 4's native WITH RECURSIVE — the first-class
@@ -1877,6 +1992,8 @@ QUERIES = [
           "first-order Markov transition matrix over event types"),
     Query("type_reachability", q_type_reachability, ORACLE_TYPE_REACHABILITY,
           "native WITH RECURSIVE transitive closure (Spark 4 recursive CTE)"),
+    Query("value_mad_outliers", q_value_mad_outliers, ORACLE_VALUE_MAD_OUTLIERS,
+          "robust median/MAD outlier stats, exact integer units"),
     Query("chi_square_lang_source", q_chi_square_lang_source, ORACLE_CHI_SQUARE,
           "Pearson chi-square independence test (lang x source grid)"),
     Query("user_burstiness", q_user_burstiness, ORACLE_USER_BURSTINESS,
