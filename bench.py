@@ -126,6 +126,7 @@ HEADLINE = [
     "streaming_sessions",
     "type_reachability",
     "value_mad_outliers",
+    "time_weighted_avg",
 ]
 
 

@@ -1391,6 +1391,66 @@ FROM counts
 """
 
 
+def q_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type time-weighted average value (TWAP): each observation
+    holds until the type's next event, so its value is weighted by that
+    holding duration — the standard correction when sampling is
+    irregular (a plain avg over-weights bursty periods).
+
+    lead() supplies the holding interval (the type's last event has no
+    successor and drops out, the standard convention). Parity: weights
+    are integer SECONDS × integer centi-units — every per-row product
+    (≤ 2.6e10) and every group sum fits a 64-bit long exactly, so the
+    only float op is the single final division, computed identically on
+    both engines. One lag-window shuffle on event_type + one aggregation;
+    the window partitions by type over time-ordered rows (same shape the
+    sessionization family already carries at scale)."""
+    ev = _events(spark, sf_dir)
+    wt = W.partitionBy("event_type").orderBy(
+        F.col("ts").asc(), F.col("event_id").asc()
+    )
+    rows = ev.select(
+        "event_type",
+        F.unix_timestamp("ts").alias("t"),
+        F.round(F.col("value") * 100, 0).cast("long").alias("vu"),
+        F.lead(F.unix_timestamp("ts"), 1).over(wt).alias("t_next"),
+    ).filter(F.col("t_next").isNotNull())
+    dur = F.col("t_next") - F.col("t")
+    return (
+        rows.groupBy("event_type")
+        .agg(
+            F.sum(dur * F.col("vu")).alias("wsum"),
+            F.sum(dur).alias("dsum"),
+            F.count(F.lit(1)).alias("n_intervals"),
+        )
+        .select(
+            "event_type",
+            (F.floor((F.col("wsum") / (F.col("dsum") * 100.0)) * 10000
+                     + F.lit(0.5)) / 10000).alias("twap"),
+            F.col("dsum").alias("total_seconds"),
+            "n_intervals",
+        )
+    )
+
+
+ORACLE_TIME_WEIGHTED_AVG = """
+WITH rows_t AS (
+  SELECT event_type, CAST(floor(epoch(ts)) AS BIGINT) AS t,
+         CAST(round(value * 100, 0) AS BIGINT) AS vu,
+         lead(CAST(floor(epoch(ts)) AS BIGINT), 1) OVER
+           (PARTITION BY event_type ORDER BY ts ASC, event_id ASC) AS t_next
+  FROM events
+)
+SELECT event_type,
+       floor((CAST(sum((t_next - t) * vu) AS DOUBLE)
+              / (sum(t_next - t) * 100.0)) * 10000 + 0.5) / 10000 AS twap,
+       CAST(sum(t_next - t) AS BIGINT) AS total_seconds,
+       count(*) AS n_intervals
+FROM rows_t WHERE t_next IS NOT NULL
+GROUP BY event_type
+"""
+
+
 MAD_K_X10000 = 44478  # 3 · 1.4826 (normal-consistency) · 10⁴, exact integer
 
 
@@ -1994,6 +2054,8 @@ QUERIES = [
           "native WITH RECURSIVE transitive closure (Spark 4 recursive CTE)"),
     Query("value_mad_outliers", q_value_mad_outliers, ORACLE_VALUE_MAD_OUTLIERS,
           "robust median/MAD outlier stats, exact integer units"),
+    Query("time_weighted_avg", q_time_weighted_avg, ORACLE_TIME_WEIGHTED_AVG,
+          "duration-weighted TWAP per type (integer-exact accumulation)"),
     Query("chi_square_lang_source", q_chi_square_lang_source, ORACLE_CHI_SQUARE,
           "Pearson chi-square independence test (lang x source grid)"),
     Query("user_burstiness", q_user_burstiness, ORACLE_USER_BURSTINESS,
