@@ -273,19 +273,44 @@ def make_handler(spark, counters_path: str):
 
 
 def cmd_serve(args: argparse.Namespace) -> int:
+    import signal
+    import threading
+
     from pleiades_spark.session import get_spark
 
     spark = get_spark("pleiades_serve")
     server = ThreadingHTTPServer(
         (args.host, args.port), make_handler(spark, args.counters)
     )
-    print(f"serving counters on http://{args.host}:{args.port}")
+
+    # cmd/shutdown.go parity: SIGINT/SIGTERM drain in-flight requests and
+    # stop cleanly instead of dying mid-response (shutdown() must run off
+    # the serving thread, or it deadlocks waiting on itself).
+    def _stop(signum, frame):
+        threading.Thread(target=server.shutdown, daemon=True).start()
+
+    for sig in (signal.SIGINT, signal.SIGTERM):
+        signal.signal(sig, _stop)
+
+    print(
+        f"serving counters on http://{args.host}:{server.server_port}",
+        flush=True,
+    )
     server.serve_forever()
+    server.server_close()
+    spark.stop()
+    print("shut down cleanly", flush=True)
     return 0
 
 
 def build_parser() -> argparse.ArgumentParser:
+    from pleiades_spark import __version__
+
     p = argparse.ArgumentParser(prog="pleiades_spark")
+    # cmd/version.go parity: the reference logs its build version at start
+    p.add_argument(
+        "--version", action="version", version=f"pleiades_spark {__version__}"
+    )
     sub = p.add_subparsers(dest="cmd", required=True)
 
     ing = sub.add_parser("ingest", help="SSE → file queue")

@@ -182,3 +182,59 @@ def test_cli_explain(capsys):
     rc = main(["explain", "no_such_query"])
     out = capsys.readouterr().out
     assert rc == 2 and "close:" in out
+
+
+def test_version_flag():
+    """--version prints and exits 0 without touching Spark (cmd/version.go
+    parity)."""
+    import subprocess
+    import sys
+
+    r = subprocess.run(
+        [sys.executable, "-m", "pleiades_spark", "--version"],
+        capture_output=True, text=True, timeout=60, cwd="/root/repo",
+    )
+    assert r.returncode == 0
+    assert r.stdout.strip().startswith("pleiades_spark ")
+
+
+def test_serve_graceful_shutdown(spark, tmp_path):
+    """SIGTERM on the serve personality drains and exits 0 with a clean
+    shutdown message (cmd/shutdown.go parity) — subprocess because signal
+    handlers only register on a main thread."""
+    import signal
+    import subprocess
+    import sys
+    import time
+
+    counters = tmp_path / "counters"
+    spark.createDataFrame(
+        [(18474, "pleiades_total", 2, 55.0)],
+        "day long, counter string, events long, growth double",
+    ).write.partitionBy("day").parquet(str(counters))
+
+    proc = subprocess.Popen(
+        [sys.executable, "-m", "pleiades_spark", "serve",
+         "--counters", str(counters), "--port", "0"],
+        stdout=subprocess.PIPE, text=True, cwd="/root/repo",
+    )
+    try:
+        line = ""
+        deadline = time.time() + 120
+        while time.time() < deadline:
+            line = proc.stdout.readline()
+            if "serving counters on" in line:
+                break
+        assert "serving counters on" in line, "server never came up"
+        port = int(line.rsplit(":", 1)[1])
+        body = json.load(
+            urllib.request.urlopen(f"http://127.0.0.1:{port}/api/stats")
+        )
+        assert body["Counters"][0]["Name"] == "pleiades_total"
+        proc.send_signal(signal.SIGTERM)
+        out, _ = proc.communicate(timeout=60)
+        assert proc.returncode == 0
+        assert "shut down cleanly" in out
+    finally:
+        if proc.poll() is None:
+            proc.kill()
