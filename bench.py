@@ -127,6 +127,7 @@ HEADLINE = [
     "type_reachability",
     "value_mad_outliers",
     "time_weighted_avg",
+    "conversion_lag",
 ]
 
 

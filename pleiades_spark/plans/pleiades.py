@@ -1391,6 +1391,80 @@ FROM counts
 """
 
 
+def q_conversion_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per first-view-day cohort: how long users take from their first
+    view to their first subsequent purchase — exact p50/p90 lag seconds
+    plus cohort size. The time-to-convert statistic funnel_conversion's
+    counts don't give.
+
+    Percentiles come from operators/robust.grouped_exact_percentiles:
+    min{v : 100·W(v) ≥ p·W_tot} in pure integer comparisons, located via
+    a bucket-grain cumulative window (value-range/4096 rows per cohort
+    at ANY user count) and finished inside the one matching bucket —
+    never a per-row sort. Lags are integer seconds, so every quantity
+    both engines compare is exact."""
+    from pleiades_spark.operators.robust import grouped_exact_percentiles
+
+    ev = _events(spark, sf_dir)
+    v0 = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min(F.unix_timestamp("ts")).alias("v0"))
+    )
+    lags = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select("user_id", F.unix_timestamp("ts").alias("pt"))
+        .join(v0, "user_id")
+        .filter(F.col("pt") > F.col("v0"))
+        .groupBy("user_id")
+        .agg(
+            F.min(F.col("pt") - F.col("v0")).alias("lag_s"),
+            F.min(F.floor(F.col("v0") / 86400).cast("long")).alias("cohort_day"),
+        )
+    )
+    per_v = lags.groupBy("cohort_day", "lag_s").agg(F.count(F.lit(1)).alias("c"))
+    pct = grouped_exact_percentiles(per_v, ["cohort_day"], "lag_s", "c", [50, 90])
+    wide = pct.groupBy("cohort_day").agg(
+        F.min(F.when(F.col("p") == 50, F.col("pv"))).alias("p50_lag_s"),
+        F.min(F.when(F.col("p") == 90, F.col("pv"))).alias("p90_lag_s"),
+    )
+    sizes = per_v.groupBy("cohort_day").agg(F.sum("c").alias("n_converted"))
+    return sizes.join(wide, "cohort_day").select(
+        "cohort_day", "n_converted", "p50_lag_s", "p90_lag_s"
+    )
+
+
+ORACLE_CONVERSION_LAG = """
+WITH v0 AS (
+  SELECT user_id, CAST(min(floor(epoch(ts))) AS BIGINT) AS v0
+  FROM events WHERE event_type = 'view' GROUP BY user_id
+), lags AS (
+  SELECT e.user_id,
+         CAST(min(floor(epoch(e.ts)) - v.v0) AS BIGINT) AS lag_s,
+         CAST(min(floor(v.v0 / 86400)) AS BIGINT) AS cohort_day
+  FROM events e JOIN v0 v ON e.user_id = v.user_id
+  WHERE e.event_type = 'purchase' AND floor(epoch(e.ts)) > v.v0
+  GROUP BY e.user_id
+), per_v AS (
+  SELECT cohort_day, lag_s, count(*) AS c FROM lags
+  GROUP BY cohort_day, lag_s
+), cum AS (
+  SELECT cohort_day, lag_s, c,
+         sum(c) OVER (PARTITION BY cohort_day ORDER BY lag_s
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+         sum(c) OVER (PARTITION BY cohort_day) AS tot
+  FROM per_v
+)
+SELECT c1.cohort_day,
+       CAST(min(c1.tot) AS BIGINT) AS n_converted,
+       CAST(min(CASE WHEN 100 * c1.cum >= 50 * c1.tot THEN c1.lag_s END)
+            AS BIGINT) AS p50_lag_s,
+       CAST(min(CASE WHEN 100 * c1.cum >= 90 * c1.tot THEN c1.lag_s END)
+            AS BIGINT) AS p90_lag_s
+FROM cum c1 GROUP BY c1.cohort_day
+"""
+
+
 def q_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-type time-weighted average value (TWAP): each observation
     holds until the type's next event, so its value is weighted by that
@@ -2056,6 +2130,8 @@ QUERIES = [
           "robust median/MAD outlier stats, exact integer units"),
     Query("time_weighted_avg", q_time_weighted_avg, ORACLE_TIME_WEIGHTED_AVG,
           "duration-weighted TWAP per type (integer-exact accumulation)"),
+    Query("conversion_lag", q_conversion_lag, ORACLE_CONVERSION_LAG,
+          "exact p50/p90 view→purchase lag per cohort (bucketed percentiles)"),
     Query("chi_square_lang_source", q_chi_square_lang_source, ORACLE_CHI_SQUARE,
           "Pearson chi-square independence test (lang x source grid)"),
     Query("user_burstiness", q_user_burstiness, ORACLE_USER_BURSTINESS,
