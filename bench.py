@@ -128,6 +128,7 @@ HEADLINE = [
     "value_mad_outliers",
     "time_weighted_avg",
     "conversion_lag",
+    "hourly_trend_ols",
 ]
 
 

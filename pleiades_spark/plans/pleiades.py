@@ -1391,6 +1391,75 @@ FROM counts
 """
 
 
+def q_hourly_trend_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type OLS trend of the hourly value series: slope and intercept
+    from the closed-form normal equations — is each event type's volume
+    drifting up or down, in value units per hour?
+
+    Float parity by construction (the built-in regr_slope would float-sum
+    in engine order): hours are origin-shifted per type (x' = hour −
+    min hour, ≤ series length), values held as integer centi-units, so
+    Σx, Σy, Σxy, Σx² and both normal-equation determinants are EXACT
+    64-bit integers; the only float ops are the two final divisions,
+    identical on both engines. One (type, hour) aggregation (map-side
+    combined), a broadcast per-type min, and a 5-row output."""
+    ev = _events(spark, sf_dir)
+    hourly = (
+        ev.select(
+            "event_type",
+            F.floor(F.unix_timestamp("ts") / 3600).cast("long").alias("h"),
+            "value",
+        )
+        .groupBy("event_type", "h")
+        .agg(F.round(F.sum("value") * 100, 0).cast("long").alias("yu"))
+    )
+    x0 = hourly.groupBy("event_type").agg(F.min("h").alias("h0"))
+    pts = hourly.join(F.broadcast(x0), "event_type").withColumn(
+        "x", F.col("h") - F.col("h0")
+    )
+    sums = pts.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("yu").alias("sy"),
+        F.sum(F.col("x") * F.col("yu")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.min("h0").alias("h0"),
+    )
+    det = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    slope_num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    icept_num = F.col("sy") * F.col("sxx") - F.col("sx") * F.col("sxy")
+    q4 = lambda c: F.floor(c * 10000 + F.lit(0.5)) / 10000  # noqa: E731
+    return sums.select(
+        "event_type",
+        F.col("n").alias("n_hours"),
+        q4(slope_num / (det * 100.0)).alias("slope_per_hour"),
+        q4(icept_num / (det * 100.0)).alias("intercept_value"),
+    )
+
+
+ORACLE_HOURLY_TREND_OLS = """
+WITH hourly AS (
+  SELECT event_type, CAST(floor(epoch(ts) / 3600) AS BIGINT) AS h,
+         CAST(round(sum(value) * 100, 0) AS BIGINT) AS yu
+  FROM events GROUP BY event_type, h
+), pts AS (
+  SELECT hourly.*, h - min(h) OVER (PARTITION BY event_type) AS x FROM hourly
+), sums AS (
+  SELECT event_type, count(*) AS n,
+         CAST(sum(x) AS BIGINT) AS sx, CAST(sum(yu) AS BIGINT) AS sy,
+         CAST(sum(x * yu) AS BIGINT) AS sxy,
+         CAST(sum(x * x) AS BIGINT) AS sxx
+  FROM pts GROUP BY event_type
+)
+SELECT event_type, n AS n_hours,
+       floor(((n * sxy - sx * sy) / ((n * sxx - sx * sx) * 100.0))
+             * 10000 + 0.5) / 10000 AS slope_per_hour,
+       floor(((sy * sxx - sx * sxy) / ((n * sxx - sx * sx) * 100.0))
+             * 10000 + 0.5) / 10000 AS intercept_value
+FROM sums
+"""
+
+
 def q_conversion_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per first-view-day cohort: how long users take from their first
     view to their first subsequent purchase — exact p50/p90 lag seconds
@@ -2132,6 +2201,8 @@ QUERIES = [
           "duration-weighted TWAP per type (integer-exact accumulation)"),
     Query("conversion_lag", q_conversion_lag, ORACLE_CONVERSION_LAG,
           "exact p50/p90 view→purchase lag per cohort (bucketed percentiles)"),
+    Query("hourly_trend_ols", q_hourly_trend_ols, ORACLE_HOURLY_TREND_OLS,
+          "integer-exact OLS slope/intercept of each type's hourly series"),
     Query("chi_square_lang_source", q_chi_square_lang_source, ORACLE_CHI_SQUARE,
           "Pearson chi-square independence test (lang x source grid)"),
     Query("user_burstiness", q_user_burstiness, ORACLE_USER_BURSTINESS,
