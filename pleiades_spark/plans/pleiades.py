@@ -1540,24 +1540,49 @@ def q_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     holding duration — the standard correction when sampling is
     irregular (a plain avg over-weights bursty periods).
 
-    lead() supplies the holding interval (the type's last event has no
-    successor and drops out, the standard convention). Parity: weights
-    are integer SECONDS × integer centi-units — every per-row product
-    (≤ 2.6e10) and every group sum fits a 64-bit long exactly, so the
-    only float op is the single final division, computed identically on
-    both engines. One lag-window shuffle on event_type + one aggregation;
-    the window partitions by type over time-ordered rows (same shape the
-    sessionization family already carries at scale)."""
+    The holding interval is "time to the type's next event" — but a
+    lead() window partitioned by event_type alone would sort each of the
+    5 type partitions in ONE task (the constant-cardinality window trap
+    this repo keeps killing). Segmented-window decomposition instead:
+    lead() runs inside (type, hour) buckets — partition count grows with
+    the time axis, per-partition rows are bounded by the type's hourly
+    arrival rate — and each hour's LAST event takes its successor from
+    the next event-bearing hour's first timestamp, computed on the
+    HOURLY aggregate: running min over descending hours with a
+    [unboundedPreceding, -1] frame (the gapfill "next non-null" trick),
+    a window over aggregate-grain rows only. Identical successor, no
+    raw-row type-wide sort.
+
+    Parity: weights are integer SECONDS × integer centi-units — every
+    per-row product (≤ 2.6e10) and every group sum fits a 64-bit long
+    exactly, so the only float op is the single final division, computed
+    identically on both engines."""
     ev = _events(spark, sf_dir)
-    wt = W.partitionBy("event_type").orderBy(
+    base = ev.select(
+        "event_type",
+        F.col("ts"),
+        F.col("event_id"),
+        F.unix_timestamp("ts").alias("t"),
+        F.floor(F.unix_timestamp("ts") / 3600).cast("long").alias("h"),
+        F.round(F.col("value") * 100, 0).cast("long").alias("vu"),
+    )
+    wlead = W.partitionBy("event_type", "h").orderBy(
         F.col("ts").asc(), F.col("event_id").asc()
     )
-    rows = ev.select(
-        "event_type",
-        F.unix_timestamp("ts").alias("t"),
-        F.round(F.col("value") * 100, 0).cast("long").alias("vu"),
-        F.lead(F.unix_timestamp("ts"), 1).over(wt).alias("t_next"),
-    ).filter(F.col("t_next").isNotNull())
+    hourly = base.groupBy("event_type", "h").agg(F.min("t").alias("first_t"))
+    wnext = (
+        W.partitionBy("event_type")
+        .orderBy(F.col("h").desc())
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    with_next = hourly.withColumn("next_first_t", F.min("first_t").over(wnext))
+    rows = (
+        base.withColumn("intra_next", F.lead("t", 1).over(wlead))
+        .join(with_next.select("event_type", "h", "next_first_t"),
+              ["event_type", "h"])
+        .withColumn("t_next", F.coalesce("intra_next", "next_first_t"))
+        .filter(F.col("t_next").isNotNull())
+    )
     dur = F.col("t_next") - F.col("t")
     return (
         rows.groupBy("event_type")

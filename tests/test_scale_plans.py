@@ -393,6 +393,65 @@ def test_interval_join_bucketized_equi_join_only(spark, sf_dir):
     assert "INTERVAL '01' HOUR" in plan
 
 
+def test_twap_windows_are_hour_segmented(spark, sf_dir):
+    """time_weighted_avg must never sort a whole event_type partition of
+    raw rows: the lead() runs inside (type, hour) buckets and the
+    boundary successor comes from a window over the HOURLY aggregate.
+    Guard: every Window node's partition expressions include the hour
+    bucket or sit above an aggregation (the hourly table)."""
+    import re
+
+    from pleiades_spark.plans.pleiades import q_time_weighted_avg
+
+    plan = _plan(q_time_weighted_avg(spark, sf_dir))
+    # the raw-row lead windowspec carries BOTH partition keys (type, hour)
+    assert re.search(
+        r"lead\(t#\d+L, 1, null\) windowspecdefinition\(event_type#\d+, h#\d+L",
+        plan,
+    )
+    # the type-only window is the boundary successor over the hourly
+    # aggregate: min(first_t), i.e. aggregate-grain input
+    assert re.search(
+        r"min\(first_t#\d+L\) windowspecdefinition\(event_type#\d+, h#\d+L DESC",
+        plan,
+    )
+    # and that aggregate exists below it
+    assert "partial_min" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_seasonal_decompose_windows_above_aggregation(spark, sf_dir):
+    """The trend window must run over the (type, hour) aggregate — never
+    raw events — and the seasonal profile must reach rows by broadcast."""
+    from pleiades_spark.plans.pleiades import q_seasonal_decompose
+
+    plan = _plan(q_seasonal_decompose(spark, sf_dir))
+    assert "partial_sum" in plan          # hourly aggregation below the window
+    assert "BroadcastExchange" in plan    # seasonal profile join
+    assert "CartesianProduct" not in plan
+
+
+def test_conversion_lag_percentiles_broadcast_targets(spark, sf_dir):
+    """grouped_exact_percentiles' per-(cohort, p) target rows must
+    broadcast onto the value rows; no nested-loop anywhere."""
+    from pleiades_spark.plans.pleiades import q_conversion_lag
+
+    plan = _plan(q_conversion_lag(spark, sf_dir))
+    assert "BroadcastExchange" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_hourly_trend_ols_single_pass_no_window_over_rows(spark, sf_dir):
+    """OLS sums reduce in one hash aggregation; the only extra exchange
+    is the broadcast per-type origin — no row-level Window at all."""
+    from pleiades_spark.plans.pleiades import q_hourly_trend_ols
+
+    plan = _plan(q_hourly_trend_ols(spark, sf_dir))
+    assert "Window" not in plan
+    assert "partial_sum" in plan
+
+
 def test_unpartitioned_windows_are_enumerated():
     """Source-level guard: every unpartitioned Window (W.orderBy with no
     partitionBy — a single-partition sort of its whole input) must be on
