@@ -176,6 +176,23 @@ SHOW = [
      "post-join condition: hash-joinable at fixture scale (AQE "
      "broadcasts) and shuffle-joinable at 100 TB, never a "
      "nested-loop."),
+    ("seasonal_decompose",
+     "Additive STL-shape decomposition — trend window over the hourly "
+     "AGGREGATE (bounded by the time axis), seasonal profile broadcast, "
+     "all arithmetic integer centi-units until the final projections."),
+    ("time_weighted_avg",
+     "TWAP with hour-segmented successor windows: lead() inside "
+     "(type, hour) buckets + the next event-bearing hour's first "
+     "timestamp from a descending running-min over the hourly "
+     "aggregate — no constant-cardinality raw-row sort."),
+    ("conversion_lag",
+     "Exact p50/p90 via grouped_exact_percentiles: bucket-grain "
+     "cumulative window locates each percentile's bucket, the in-bucket "
+     "window finishes; per-(cohort, p) targets broadcast."),
+    ("value_mad_outliers",
+     "Robust median/MAD — every window runs over DISTINCT 2-decimal "
+     "values (bounded domain), corpus touches only two "
+     "map-side-combined aggregations."),
 ]
 
 
