@@ -36,6 +36,7 @@ class Query:
 def collect_queries() -> dict[str, Query]:
     """Flatten all plan modules' registries into one dict (name → Query)."""
     from pleiades_spark.plans import (
+        analytics,
         corpus,
         llm,
         pleiades,
@@ -45,7 +46,8 @@ def collect_queries() -> dict[str, Query]:
     )
 
     out: dict[str, Query] = {}
-    for mod in (pleiades, relational, llm, corpus, serving, streaming_batch):
+    for mod in (pleiades, relational, llm, corpus, serving, streaming_batch,
+                analytics):
         for q in mod.QUERIES:
             if q.name in out:
                 raise ValueError(f"duplicate query name {q.name!r}")

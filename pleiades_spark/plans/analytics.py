@@ -1,0 +1,491 @@
+"""Search-relevance, time-series-diagnostic, and graph-centrality queries.
+
+Round-5 additions past the reference surface: BM25 retrieval over the
+inverted-index corpus (the serving-side twin of tfidf_top_terms /
+inverted_index), autocorrelation + CUSUM changepoint diagnostics of the
+hourly event series (the detection layer on top of seasonal_decompose /
+hourly_trend_ols), and PageRank over the event-type transition graph
+(the centrality view of event_transitions / type_reachability).
+
+Reference anchors: the event stream these diagnose is the reference's
+recentchange feed (/root/reference/pkg/ingester/ingester.go); the
+reference has no search/centrality layer — these extend the rebuild's
+LLM-corpus suite.
+
+Float-parity strategy (repo invariant): every accumulation that crosses
+an engine boundary is INTEGER — BM25 per-term scores are quantized to
+micro-units before the per-doc sum, autocorrelation moments are raw
+integer sums of counts, CUSUM works on n·x − T mean-centered integers,
+and PageRank iterates in integer nano-prob units with `div`/`//` floor
+division. The only float ops are final divisions/sqrt/ln applied in
+identical textual order on both engines.
+
+Scale notes: each plan's shuffles are bounded by data keys (doc_id,
+event_type × hour) with map-side combine; the hourly series and the
+type graph are |types|·|hours| / |types|² bounded, so their joins are
+explicitly broadcast; global top-k goes through functions/ranking.py's
+global_topk (TakeOrderedAndProject, no single-partition sort).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
+
+from pleiades_spark import catalog
+from pleiades_spark.plans import Query
+from pleiades_spark.session import apply_runtime_confs
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    apply_runtime_confs(spark)
+    return catalog.load(spark, sf_dir, name)
+
+
+# --- BM25 retrieval ------------------------------------------------------
+
+# Frozen query-term set: two high-df terms, two mid, one rare (df≈25 at
+# sf0.01) so the idf spread is visible in the ranking.
+BM25_TERMS = ("hash", "join", "vector", "scan", "dup")
+BM25_K = 10
+# k1 frozen at 1.25 (5/4) and b at 0.75 (3/4): binary-exact literals per
+# the repo float invariant (k1+1 = 2.25 and 1−b = 0.25 likewise exact).
+BM25_K1 = 1.25
+BM25_B = 0.75
+
+
+def q_bm25_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Okapi BM25 top-k document retrieval for a fixed term set.
+
+    score(d) = Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1 − b + b·dl/avgdl)),
+    idf(t) = ln(1 + (N − df + ½)/(df + ½)).
+
+    Parity: dl/avgdl is computed as (dl·N)/tot_tokens so both operands
+    of the single float division are exact BIGINTs; each per-term score
+    is quantized to integer micro-units BEFORE the per-doc sum, so the
+    cross-term accumulation is exact integer addition in both engines.
+
+    Plan: one documents scan → explode filtered to the 5-term literal
+    set → (doc, term) tf agg; df and the global (N, tot_tokens) aggs are
+    1-to-5-row broadcasts; top-k is TakeOrderedAndProject via
+    global_topk (per-partition heaps — no global sort materializes)."""
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.split("text", " ").alias("toks")
+    )
+    base = docs.select(
+        "doc_id", F.size("toks").cast("long").alias("dl"), "toks"
+    )
+    glob = base.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("dl").alias("tot_tokens"),
+    )
+    hits = base.select(
+        "doc_id",
+        "dl",
+        F.explode(
+            F.array_intersect("toks", F.array(*[F.lit(t) for t in BM25_TERMS]))
+        ).alias("term"),
+        "toks",
+    ).select(
+        "doc_id",
+        "dl",
+        "term",
+        F.size(F.filter("toks", lambda x: x == F.col("term")))
+        .cast("long")
+        .alias("tf"),
+    )
+    df_tab = hits.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    scored = (
+        hits.join(F.broadcast(df_tab), "term")
+        .crossJoin(F.broadcast(glob))
+        .withColumn(
+            "norm",
+            F.lit(1.0 - BM25_B)
+            + F.lit(BM25_B)
+            * ((F.col("dl") * F.col("n_docs")) / F.col("tot_tokens")),
+        )
+        .withColumn(
+            "idf",
+            F.log(
+                F.lit(1.0)
+                + (F.col("n_docs") - F.col("df") + F.lit(0.5))
+                / (F.col("df") + F.lit(0.5))
+            ),
+        )
+        .withColumn(
+            "su",
+            F.floor(
+                F.col("idf")
+                * (F.col("tf") * F.lit(BM25_K1 + 1.0))
+                / (F.col("tf") + F.lit(BM25_K1) * F.col("norm"))
+                * 1000000
+                + F.lit(0.5)
+            ).cast("long"),
+        )
+    )
+    from pleiades_spark.functions.ranking import global_topk
+
+    per_doc = scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_terms_hit"),
+        F.sum("su").alias("score_u"),
+    )
+    return global_topk(
+        per_doc, BM25_K, F.col("score_u").desc(), F.col("doc_id").asc(),
+        rank_col="rk",
+    ).select(
+        "rk",
+        "doc_id",
+        "n_terms_hit",
+        (F.col("score_u") / F.lit(1000000.0)).alias("score"),
+    )
+
+
+_BM25_TERMS_SQL = "[" + ", ".join(f"'{t}'" for t in BM25_TERMS) + "]"
+
+ORACLE_BM25_RETRIEVAL = f"""
+WITH base AS (
+  SELECT doc_id, string_split(text, ' ') AS toks,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS dl
+  FROM documents
+), corpus_stats AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(dl) AS BIGINT) AS tot_tokens
+  FROM base
+), hits AS (
+  SELECT doc_id, dl, unnest(list_intersect(toks, {_BM25_TERMS_SQL})) AS term,
+         toks
+  FROM base
+), tf_tab AS (
+  SELECT doc_id, dl, term,
+         CAST(len(list_filter(toks, x -> x = term)) AS BIGINT) AS tf
+  FROM hits
+), df_tab AS (
+  SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf_tab GROUP BY term
+), scored AS (
+  SELECT t.doc_id,
+         CAST(floor(
+           ln(1.0 + (g.n_docs - d.df + 0.5) / (d.df + 0.5))
+           * (t.tf * {BM25_K1 + 1.0})
+           / (t.tf + {BM25_K1} * ({1.0 - BM25_B} + {BM25_B}
+              * ((t.dl * g.n_docs) / g.tot_tokens)))
+           * 1000000 + 0.5) AS BIGINT) AS su
+  FROM tf_tab t JOIN df_tab d ON t.term = d.term CROSS JOIN corpus_stats g
+), per_doc AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_terms_hit,
+         CAST(sum(su) AS BIGINT) AS score_u
+  FROM scored GROUP BY doc_id
+)
+SELECT rk, doc_id, n_terms_hit, score_u / 1000000.0 AS score FROM (
+  SELECT *, row_number() OVER (ORDER BY score_u DESC, doc_id ASC) AS rk
+  FROM per_doc
+) WHERE rk <= {BM25_K}
+"""
+
+
+# --- hourly autocorrelation ----------------------------------------------
+
+ACF_LAGS = (1, 2, 3)
+
+
+def q_hourly_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Autocorrelation of each type's hourly event-count series at lags
+    1–3h — the periodicity diagnostic behind seasonal_decompose's fixed
+    24h assumption (a flat ACF says don't bother deseasonalizing).
+
+    Pearson r over the (x_h, x_{h+k}) pairs that BOTH exist, paired by
+    an explicit h+k equi-join (window lag would silently pair across
+    gaps). All five moments are exact BIGINT sums of counts; the only
+    float ops are the final sqrt/division, identical on both engines.
+
+    Plan: one (type, hour) agg (map-side combined) → ×3 lag explode →
+    self-join on (type, h+k) with the hourly side broadcast (bounded by
+    |types|·|hours|, ~3.4k rows at any event volume for a fixed time
+    range) → per-(type, lag) agg."""
+    ev = _t(spark, sf_dir, "events")
+    hourly = (
+        ev.select(
+            "event_type",
+            F.floor(F.unix_timestamp("ts") / 3600).cast("long").alias("h"),
+        )
+        .groupBy("event_type", "h")
+        .agg(F.count(F.lit(1)).alias("x"))
+    )
+    lagged = hourly.withColumn(
+        "lag_h", F.explode(F.array(*[F.lit(k) for k in ACF_LAGS]))
+    )
+    nxt = hourly.select(
+        F.col("event_type"), F.col("h").alias("h2"), F.col("x").alias("y")
+    )
+    pairs = lagged.join(
+        F.broadcast(nxt),
+        (lagged.event_type == nxt.event_type)
+        & (nxt.h2 == lagged.h + lagged.lag_h),
+    ).select(lagged.event_type, "lag_h", "x", "y")
+    sums = pairs.groupBy("event_type", "lag_h").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    d1 = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    d2 = F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    acf = F.when(
+        (d1 > 0) & (d2 > 0),
+        F.floor(num / (F.sqrt(d1) * F.sqrt(d2)) * 10000 + F.lit(0.5)) / 10000,
+    )
+    return sums.select(
+        "event_type",
+        "lag_h",
+        F.col("n").alias("n_pairs"),
+        acf.alias("acf"),
+    )
+
+
+ORACLE_HOURLY_AUTOCORR = f"""
+WITH hourly AS (
+  SELECT event_type, CAST(floor(epoch(ts) / 3600) AS BIGINT) AS h,
+         CAST(count(*) AS BIGINT) AS x
+  FROM events GROUP BY event_type, h
+), pairs AS (
+  SELECT a.event_type, k.lag_h, a.x, b.x AS y
+  FROM hourly a
+  CROSS JOIN (SELECT unnest({list(ACF_LAGS)}) AS lag_h) k
+  JOIN hourly b ON b.event_type = a.event_type AND b.h = a.h + k.lag_h
+), sums AS (
+  SELECT event_type, lag_h, count(*) AS n,
+         CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+         CAST(sum(x * y) AS BIGINT) AS sxy,
+         CAST(sum(x * x) AS BIGINT) AS sxx,
+         CAST(sum(y * y) AS BIGINT) AS syy
+  FROM pairs GROUP BY event_type, lag_h
+)
+SELECT event_type, CAST(lag_h AS INT) AS lag_h, n AS n_pairs,
+       CASE WHEN (n * sxx - sx * sx) > 0 AND (n * syy - sy * sy) > 0 THEN
+         floor((n * sxy - sx * sy)
+               / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy))
+               * 10000 + 0.5) / 10000
+       END AS acf
+FROM sums
+"""
+
+
+# --- CUSUM changepoint ---------------------------------------------------
+
+
+def q_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-sided CUSUM over each type's hourly count series: the hour
+    where the cumulative upward drift from the series mean peaks — the
+    changepoint detector paired with value_anomalies' pointwise z-score.
+
+    The recurrence S_t = max(0, S_{t-1} + (x_t − μ)) is NOT computed
+    sequentially: with P_t the prefix sum of (x_t − μ), the closed form
+    is S_t = P_t − min(0, min_{j≤t} P_j) — two window passes. To keep
+    both engines exact, the series is mean-centered in scaled integers
+    v_t = n·x_t − T (n hours, T total), so P, the running min, and S are
+    all BIGINT; the single float op is the final S/n division.
+
+    Plan: one (type, hour) agg → whole-partition window for (n, T) →
+    two ordered windows + one rank-filtered row_number, all partitioned
+    by event_type — no global sort, no shuffle beyond the hourly agg."""
+    ev = _t(spark, sf_dir, "events")
+    hourly = (
+        ev.select(
+            "event_type",
+            F.floor(F.unix_timestamp("ts") / 3600).cast("long").alias("h"),
+        )
+        .groupBy("event_type", "h")
+        .agg(F.count(F.lit(1)).alias("x"))
+    )
+    wp = W.partitionBy("event_type")
+    wo = (
+        W.partitionBy("event_type")
+        .orderBy("h")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    centered = hourly.select(
+        "event_type",
+        "h",
+        F.count(F.lit(1)).over(wp).alias("n"),
+        (F.col("x") * F.count(F.lit(1)).over(wp) - F.sum("x").over(wp)).alias(
+            "v"
+        ),
+    )
+    pref = centered.withColumn("p", F.sum("v").over(wo)).withColumn(
+        "s", F.col("p") - F.least(F.min("p").over(wo), F.lit(0).cast("long"))
+    )
+    rk = F.row_number().over(
+        W.partitionBy("event_type").orderBy(F.col("s").desc(), F.col("h").asc())
+    )
+    return (
+        pref.withColumn("rk", rk)
+        .filter(F.col("rk") == 1)
+        .select(
+            "event_type",
+            F.col("n").alias("n_hours"),
+            F.col("h").alias("changepoint_hour"),
+            (F.floor(F.col("s") / F.col("n") * 10000 + F.lit(0.5)) / 10000).alias(
+                "max_cusum"
+            ),
+        )
+    )
+
+
+ORACLE_CUSUM_CHANGEPOINT = """
+WITH hourly AS (
+  SELECT event_type, CAST(floor(epoch(ts) / 3600) AS BIGINT) AS h,
+         CAST(count(*) AS BIGINT) AS x
+  FROM events GROUP BY event_type, h
+), centered AS (
+  SELECT event_type, h,
+         CAST(count(*) OVER (PARTITION BY event_type) AS BIGINT) AS n,
+         CAST(x * count(*) OVER (PARTITION BY event_type)
+              - sum(x) OVER (PARTITION BY event_type) AS BIGINT) AS v
+  FROM hourly
+), pref AS (
+  SELECT event_type, h, n,
+         CAST(sum(v) OVER w AS BIGINT) AS p
+  FROM centered
+  WINDOW w AS (PARTITION BY event_type ORDER BY h
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+), scored AS (
+  SELECT event_type, h, n,
+         p - least(CAST(min(p) OVER w AS BIGINT), 0) AS s
+  FROM pref
+  WINDOW w AS (PARTITION BY event_type ORDER BY h
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+)
+SELECT event_type, n AS n_hours, h AS changepoint_hour,
+       floor(s / n * 10000 + 0.5) / 10000 AS max_cusum
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY event_type
+            ORDER BY s DESC, h ASC) AS rk
+  FROM scored
+) WHERE rk = 1
+"""
+
+
+# --- PageRank over the type-transition graph -----------------------------
+
+PAGERANK_ITERS = 5
+# Damping 7/8 — binary-exact, and 1−d = 1/8 keeps the teleport term an
+# integer division (125000000 // N nano-units).
+PAGERANK_SCALE = 1_000_000_000
+
+
+def q_pagerank_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank centrality of event types in the consecutive-event
+    transition graph — which state the per-user Markov chain
+    (event_transitions) concentrates on.
+
+    Fixed 5 power iterations ENTIRELY in integer nano-prob units:
+    contribution i→j is (r_u(i)·n(i,j)) div out(i), the new rank is
+    125000000 div N + (7·Σ contrib) div 8 — floor division at every
+    step, so both engines agree bit-for-bit with no float in the loop
+    (mass lost to flooring is deterministic and identical). The oracle
+    unrolls the same 5 iterations as chained CTEs.
+
+    Plan: the edge list is |types|² ≤ a few hundred rows (one shuffle to
+    build, from a per-user lag window); each iteration is a broadcast
+    join + tiny agg. At 100 TB the per-user window dominates; the loop
+    itself is constant-size."""
+    ev = _t(spark, sf_dir, "events")
+    wu = W.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
+    pairs = ev.select(
+        F.lag("event_type", 1).over(wu).alias("src"),
+        F.col("event_type").alias("dst"),
+    ).filter(F.col("src").isNotNull())
+    edges = (
+        pairs.groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .withColumn("out_n", F.sum("n").over(W.partitionBy("src")))
+    )
+    nodes = ev.select(F.col("event_type").alias("node")).distinct()
+    nn = nodes.agg(F.count(F.lit(1)).alias("n_nodes"))
+    ranks = (
+        nodes.crossJoin(F.broadcast(nn))
+        .select("node", F.expr(f"{PAGERANK_SCALE} div n_nodes").alias("r_u"))
+    )
+    base = nodes.crossJoin(F.broadcast(nn)).select(
+        "node", F.expr(f"{PAGERANK_SCALE // 8} div n_nodes").alias("base_u")
+    )
+    for _ in range(PAGERANK_ITERS):
+        contrib = edges.join(
+            F.broadcast(ranks), edges.src == ranks.node
+        ).select(
+            F.col("dst").alias("node"),
+            F.expr("(r_u * n) div out_n").alias("c"),
+        )
+        s = contrib.groupBy("node").agg(F.sum("c").alias("s"))
+        ranks = (
+            base.join(F.broadcast(s), "node", "left")
+            .select(
+                "node",
+                (
+                    F.col("base_u")
+                    + F.expr("(7 * coalesce(s, 0L)) div 8")
+                ).alias("r_u"),
+            )
+        )
+    return ranks.select(
+        F.col("node").alias("event_type"),
+        F.col("r_u").alias("rank_u"),
+        (F.col("r_u") / F.lit(float(PAGERANK_SCALE))).alias("pagerank"),
+    )
+
+
+def _pagerank_oracle() -> str:
+    its = []
+    for k in range(1, PAGERANK_ITERS + 1):
+        its.append(
+            f"""s{k} AS (
+  SELECT e.dst AS node, CAST(sum((r.r_u * e.n) // e.out_n) AS BIGINT) AS s
+  FROM eo e JOIN it{k - 1} r ON r.node = e.src GROUP BY e.dst
+), it{k} AS (
+  SELECT n.node,
+         ({PAGERANK_SCALE // 8} // nn.n_nodes)
+           + (7 * coalesce(s.s, 0)) // 8 AS r_u
+  FROM nodes n CROSS JOIN nn LEFT JOIN s{k} s ON s.node = n.node
+)"""
+        )
+    chain = ", ".join(its)
+    return f"""
+WITH pairs AS (
+  SELECT lag(event_type, 1) OVER
+           (PARTITION BY user_id ORDER BY ts ASC, event_id ASC) AS src,
+         event_type AS dst
+  FROM events
+), edges AS (
+  SELECT src, dst, CAST(count(*) AS BIGINT) AS n
+  FROM pairs WHERE src IS NOT NULL GROUP BY src, dst
+), eo AS (
+  SELECT src, dst, n,
+         CAST(sum(n) OVER (PARTITION BY src) AS BIGINT) AS out_n
+  FROM edges
+), nodes AS (SELECT DISTINCT event_type AS node FROM events),
+nn AS (SELECT count(*) AS n_nodes FROM nodes),
+it0 AS (
+  SELECT node, {PAGERANK_SCALE} // nn.n_nodes AS r_u FROM nodes CROSS JOIN nn
+), {chain}
+SELECT node AS event_type, CAST(r_u AS BIGINT) AS rank_u,
+       r_u / {float(PAGERANK_SCALE)} AS pagerank
+FROM it{PAGERANK_ITERS}
+"""
+
+
+ORACLE_PAGERANK_TYPES = _pagerank_oracle()
+
+
+QUERIES = [
+    Query("bm25_retrieval", q_bm25_retrieval, ORACLE_BM25_RETRIEVAL,
+          "Okapi BM25 top-k retrieval, integer micro-unit score sums"),
+    Query("hourly_autocorr", q_hourly_autocorr, ORACLE_HOURLY_AUTOCORR,
+          "hourly-count ACF at lags 1-3, exact integer moments"),
+    Query("cusum_changepoint", q_cusum_changepoint, ORACLE_CUSUM_CHANGEPOINT,
+          "one-sided CUSUM changepoint via prefix-sum closed form"),
+    Query("pagerank_types", q_pagerank_types, ORACLE_PAGERANK_TYPES,
+          "integer-unit PageRank power iteration over type transitions"),
+]

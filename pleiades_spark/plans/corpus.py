@@ -308,13 +308,13 @@ def q_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("pair"),
         "n",
     )
+    from pleiades_spark.functions.ranking import global_topk
+
     counted = pairs.groupBy("pair").agg(F.sum("n").alias("n_occurrences"))
-    w = W.orderBy(F.col("n_occurrences").desc(), F.col("pair").asc())
-    return (
-        counted.withColumn("rk", F.row_number().over(w))
-        .filter(F.col("rk") <= BPE_TOPK)
-        .select("pair", "n_occurrences", "rk")
-    )
+    return global_topk(
+        counted, BPE_TOPK, F.col("n_occurrences").desc(), F.col("pair").asc(),
+        rank_col="rk",
+    ).select("pair", "n_occurrences", "rk")
 
 
 ORACLE_BPE_PAIR_COUNTS = f"""

@@ -258,18 +258,18 @@ WHERE name LIKE 'pleiades_type_%' AND name <> 'pleiades_type_error'
 def q_top_types(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-3 type counters by count (store.js:23-27 top-14 wikis pattern).
 
-    Deterministic total order (value DESC, name ASC) via row_number — the
-    scale-safe formulation (a global sort-limit on k rows, not a full sort).
+    Deterministic total order (value DESC, name ASC); global_topk plans
+    it as TakeOrderedAndProject (per-partition heaps), not a
+    single-partition rank window — see functions/ranking.py.
     """
+    from pleiades_spark.functions.ranking import global_topk
+
     counters = _counters_alltime(spark, sf_dir).filter(
         F.col("name").startswith("pleiades_type_")
     )
-    w = W.orderBy(F.col("value").desc(), F.col("name").asc())
-    return (
-        counters.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= 3)
-        .select("rank", "name", "value")
-    )
+    return global_topk(
+        counters, 3, F.col("value").desc(), F.col("name").asc()
+    ).select("rank", "name", "value")
 
 
 ORACLE_TOP_TYPES = f"""

@@ -94,9 +94,12 @@ def q_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     """customer ⋈ orders ⋈ lineitem, revenue per order, top-10.
 
     customer is broadcast (small side); orders⋈lineitem shuffles on
-    o_orderkey — the natural bucketing key at scale. Top-k is a window
-    row_number, which AQE executes as a partial top-k per partition.
+    o_orderkey — the natural bucketing key at scale. Top-k is
+    TakeOrderedAndProject via global_topk (per-partition heaps; the
+    unpartitioned rank-window form would be a single-partition sort).
     """
+    from pleiades_spark.functions.ranking import global_topk
+
     cust = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
     orders = _t(spark, sf_dir, "orders").filter(
         F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp")
@@ -113,17 +116,14 @@ def q_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
             "revenue"
         )
     )
-    w = W.orderBy(F.col("revenue").desc(), F.col("l_orderkey").asc())
-    return (
-        rev.withColumn("rk", F.row_number().over(w))
-        .filter(F.col("rk") <= 10)
-        .select(
-            "l_orderkey",
-            F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
-            "o_orderpriority",
-            "revenue",
-            "rk",
-        )
+    return global_topk(
+        rev, 10, F.col("revenue").desc(), F.col("l_orderkey").asc(), rank_col="rk"
+    ).select(
+        "l_orderkey",
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+        "o_orderpriority",
+        "revenue",
+        "rk",
     )
 
 
@@ -866,7 +866,10 @@ GROUP BY n_name, year(o_orderdate)
 def q_returned_item_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q10: top-20 customers by revenue lost to returns in a
     half-year window. customer/nation broadcast into the fact agg; top-k
-    is a deterministic row_number, not a global sort."""
+    is TakeOrderedAndProject via global_topk (per-partition heaps, no
+    single-partition rank window)."""
+    from pleiades_spark.functions.ranking import global_topk
+
     li = _t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
     orders = _t(spark, sf_dir, "orders").filter(
         (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp"))
@@ -885,12 +888,9 @@ def q_returned_item_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("revenue")
         )
     )
-    w = W.orderBy(F.col("revenue").desc(), F.col("c_custkey").asc())
-    return (
-        rev.withColumn("rk", F.row_number().over(w))
-        .filter(F.col("rk") <= 20)
-        .select("c_custkey", "c_name", "revenue", "c_acctbal", "n_name", "rk")
-    )
+    return global_topk(
+        rev, 20, F.col("revenue").desc(), F.col("c_custkey").asc(), rank_col="rk"
+    ).select("c_custkey", "c_name", "revenue", "c_acctbal", "n_name", "rk")
 
 
 ORACLE_RETURNED_ITEM_REVENUE = """
@@ -1159,14 +1159,15 @@ def q_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("l_orderkey", "l_suppkey")
         .distinct()
     )
+    from pleiades_spark.functions.ranking import global_topk
+
     counted = waiters.groupBy("l_suppkey").agg(F.count(F.lit(1)).alias("numwait"))
-    w = W.orderBy(F.col("numwait").desc(), F.col("s_name").asc())
-    return (
-        counted.join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
-        .withColumn("rk", F.row_number().over(w))
-        .filter(F.col("rk") <= 10)
-        .select("s_name", "numwait", "rk")
+    named = counted.join(
+        F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey")
     )
+    return global_topk(
+        named, 10, F.col("numwait").desc(), F.col("s_name").asc(), rank_col="rk"
+    ).select("s_name", "numwait", "rk")
 
 
 ORACLE_WAITING_SUPPLIERS = """

@@ -455,22 +455,22 @@ def test_hourly_trend_ols_single_pass_no_window_over_rows(spark, sf_dir):
 def test_unpartitioned_windows_are_enumerated():
     """Source-level guard: every unpartitioned Window (W.orderBy with no
     partitionBy — a single-partition sort of its whole input) must be on
-    this reviewed allowlist. Each allowed site is a row_number + rank<=k
-    filter (Spark rewrites to WindowGroupLimit: per-partition top-k
-    heaps, no global sort) or ranks an already-bounded table (sketch
-    top-k after limit(k); vocab assignment bounded by vocab_size). A new
-    query that reintroduces a global ntile/rank over unbounded data
-    fails here before it ever ships."""
+    this reviewed allowlist. NOTE (measured, Spark 4.1): the
+    InferWindowGroupLimit rewrite does NOT fire for unpartitioned
+    windows, so a global rank<=k filter is a REAL single-partition
+    sort — global top-k must go through functions/ranking.global_topk
+    (orderBy+limit → TakeOrderedAndProject, then rank over the k-row
+    result). Each allowed site therefore ranks an already-bounded
+    input (global_topk's window input is limit(k); sketch top-k after
+    limit(k); vocab assignment bounded by vocab_size). A new query
+    that reintroduces a global ntile/rank over unbounded data fails
+    here before it ever ships."""
     import pathlib
     import re
 
     pkg = pathlib.Path(__file__).resolve().parent.parent / "pleiades_spark"
     allowed = {
-        ("plans/pleiades.py", "q_top_types"),           # rank <= 3
-        ("plans/relational.py", "q_shipping_priority"), # rank <= 10
-        ("plans/relational.py", "q_returned_item_revenue"),  # rank <= 20
-        ("plans/relational.py", "q_waiting_suppliers"), # rank <= 10
-        ("plans/corpus.py", "q_bpe_pair_counts"),       # rank <= BPE_TOPK
+        ("functions/ranking.py", "global_topk"),        # input is limit(k)
         ("operators/corpus.py", "vocab_encode"),        # bounded by vocab_size
         ("operators/sketch.py", "cms_heavy_hitters"),   # input pre-limited to k
     }
@@ -490,3 +490,49 @@ def test_unpartitioned_windows_are_enumerated():
         f"unreviewed unpartitioned windows: {found - allowed or '{}'}; "
         f"stale allowlist entries: {allowed - found or '{}'}"
     )
+
+
+def test_bm25_broadcasts_stats_and_topk_is_take_ordered(spark, sf_dir):
+    """BM25's df table and corpus stats are broadcast (≤5 rows / 1 row);
+    the global top-k is a TakeOrderedAndProject partial heap, not a
+    full sort of every scored document."""
+    from pleiades_spark.plans.analytics import q_bm25_retrieval
+
+    plan = _plan(q_bm25_retrieval(spark, sf_dir))
+    assert "BroadcastExchange" in plan
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_hourly_autocorr_broadcasts_lag_side(spark, sf_dir):
+    """The self-join pairs (type, h) with (type, h+k): the lagged side is
+    bounded by |types|·|hours| and must broadcast — no shuffle join of
+    two full hourly aggregations."""
+    from pleiades_spark.plans.analytics import q_hourly_autocorr
+
+    plan = _plan(q_hourly_autocorr(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_cusum_windows_are_partitioned_by_type(spark, sf_dir):
+    """Both ordered windows and the argmax rank run partitioned by
+    event_type; the rank<=1 filter becomes a WindowGroupLimit."""
+    from pleiades_spark.plans.analytics import q_cusum_changepoint
+
+    plan = _plan(q_cusum_changepoint(spark, sf_dir))
+    assert "WindowGroupLimit" in plan
+    # every Window node in the plan is keyed by event_type
+    for frag in plan.split("Arguments: ")[1:]:
+        if frag.startswith("[row_number") or frag.startswith("[sum") or frag.startswith("[min"):
+            assert "event_type" in frag.splitlines()[0]
+
+
+def test_pagerank_iterations_broadcast_rank_vector(spark, sf_dir):
+    """Each power iteration joins the |types|-row rank vector against the
+    |types|²-row edge list — all broadcast joins, no SortMergeJoin in
+    the loop."""
+    from pleiades_spark.plans.analytics import q_pagerank_types
+
+    plan = _plan(q_pagerank_types(spark, sf_dir))
+    assert "SortMergeJoin" not in plan
+    assert plan.count("BroadcastHashJoin") >= 5
