@@ -479,6 +479,175 @@ FROM it{PAGERANK_ITERS}
 ORACLE_PAGERANK_TYPES = _pagerank_oracle()
 
 
+# --- token co-occurrence triangles ---------------------------------------
+
+# Edge threshold as a corpus FRACTION (co-occur in ≥60% of docs): an
+# absolute count degenerates with corpus size (at sf0.1 every hub pair
+# clears any small constant and the graph is a complete clique); the
+# fraction keeps the same non-trivial graph shape at every SF. Integer
+# comparison (100·count ≥ 60·n_docs) — no float threshold.
+COOC_MIN_PCT = 60
+
+
+def q_token_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle census of the token co-occurrence graph (edges = token
+    pairs sharing ≥ COOC_MIN_PCT% of documents): edge/wedge/triangle
+    counts and the global clustering coefficient 3·T/W — the graph-shape
+    statistic behind topic-coherence and stopword-hub detection.
+
+    Scale design: pair generation is ROW-LOCAL (each doc's sorted
+    distinct-token array emits its own pairs via one nested transform —
+    no doc-keyed self-join), bounded by doc length, feeding one
+    map-side-combined (t1, t2) count. Triangle counting uses the
+    DEGREE-ORIENTED join: each edge points from its lower-(deg, token)
+    endpoint to the higher, so every out-neighborhood is O(√m) even at
+    hub tokens, and each triangle is counted exactly once as
+    a→b, a→c, b→c. The degree table is vocabulary-bounded and
+    broadcast. All counts integer; the coefficient is the single float
+    division, quantized identically on both engines."""
+    docs = _t(spark, sf_dir, "documents")
+    nd = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    arrs = docs.select(
+        F.array_sort(F.array_distinct(F.split("text", " "))).alias("arr")
+    )
+    pairs = arrs.select(
+        F.explode(
+            F.flatten(
+                F.transform(
+                    "arr",
+                    lambda x, i: F.transform(
+                        F.slice(
+                            F.col("arr"),
+                            i + F.lit(2),
+                            F.size(F.col("arr")),
+                        ),
+                        lambda y: F.struct(
+                            x.alias("t1"), y.alias("t2")
+                        ),
+                    ),
+                )
+            )
+        ).alias("p")
+    ).select("p.t1", "p.t2")
+    edges = (
+        pairs.groupBy("t1", "t2")
+        .agg(F.count(F.lit(1)).alias("ndocs"))
+        .crossJoin(F.broadcast(nd))
+        .filter(F.col("ndocs") * 100 >= F.lit(COOC_MIN_PCT) * F.col("n_docs"))
+        .select("t1", "t2", "ndocs")
+    )
+    deg = (
+        edges.select(F.col("t1").alias("t"))
+        .unionAll(edges.select(F.col("t2").alias("t")))
+        .groupBy("t")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    # orient: src = smaller (deg, token), dst = larger — carry dst's key
+    keyed = (
+        edges.join(F.broadcast(deg).withColumnRenamed("t", "t1"), "t1")
+        .withColumnRenamed("deg", "d1")
+        .join(
+            F.broadcast(deg).withColumnRenamed("t", "t2").withColumnRenamed(
+                "deg", "d2"
+            ),
+            "t2",
+        )
+    )
+    a_first = (F.col("d1") < F.col("d2")) | (
+        (F.col("d1") == F.col("d2")) & (F.col("t1") < F.col("t2"))
+    )
+    oriented = keyed.select(
+        F.when(a_first, F.col("t1")).otherwise(F.col("t2")).alias("src"),
+        F.when(a_first, F.col("t2")).otherwise(F.col("t1")).alias("dst"),
+        F.when(a_first, F.col("d2")).otherwise(F.col("d1")).alias("dd"),
+    )
+    e2 = oriented.select(
+        F.col("src").alias("src2"),
+        F.col("dst").alias("dst2"),
+        F.col("dd").alias("dd2"),
+    )
+    wedges2 = oriented.join(e2, F.col("src") == F.col("src2")).filter(
+        (F.col("dd") < F.col("dd2"))
+        | ((F.col("dd") == F.col("dd2")) & (F.col("dst") < F.col("dst2")))
+    )
+    closing = oriented.select(
+        F.col("src").alias("cv"), F.col("dst").alias("cw")
+    )
+    tri = wedges2.join(
+        closing,
+        (F.col("dst") == F.col("cv")) & (F.col("dst2") == F.col("cw")),
+        "left_semi",
+    ).agg(F.count(F.lit(1)).alias("n_triangles"))
+    stats = (
+        deg.agg(
+            F.count(F.lit(1)).alias("n_nodes"),
+            (F.sum(F.col("deg") * (F.col("deg") - 1)) / F.lit(2))
+            .cast("long")
+            .alias("n_wedges"),
+        )
+        .crossJoin(edges.agg(F.count(F.lit(1)).alias("n_edges")))
+        .crossJoin(tri)
+    )
+    clustering = F.when(
+        F.col("n_wedges") > 0,
+        F.floor(
+            (F.lit(3) * F.col("n_triangles")) / F.col("n_wedges") * 10000
+            + F.lit(0.5)
+        )
+        / 10000,
+    )
+    return stats.select(
+        "n_nodes", "n_edges", "n_wedges", "n_triangles",
+        clustering.alias("global_clustering"),
+    )
+
+
+ORACLE_TOKEN_TRIANGLES = f"""
+WITH dt AS (
+  SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS t FROM documents
+), pairs AS (
+  SELECT a.t AS t1, b.t AS t2
+  FROM dt a JOIN dt b ON a.doc_id = b.doc_id AND a.t < b.t
+), edges AS (
+  SELECT t1, t2, count(*) AS ndocs FROM pairs GROUP BY t1, t2
+  HAVING count(*) * 100 >= {COOC_MIN_PCT} * (SELECT count(*) FROM documents)
+), deg AS (
+  SELECT t, CAST(count(*) AS BIGINT) AS deg FROM (
+    SELECT t1 AS t FROM edges UNION ALL SELECT t2 AS t FROM edges
+  ) GROUP BY t
+), keyed AS (
+  SELECT e.t1, e.t2, d1.deg AS d1, d2.deg AS d2,
+         (d1.deg < d2.deg OR (d1.deg = d2.deg AND e.t1 < e.t2)) AS a_first
+  FROM edges e
+  JOIN deg d1 ON d1.t = e.t1
+  JOIN deg d2 ON d2.t = e.t2
+), oriented AS (
+  SELECT CASE WHEN a_first THEN t1 ELSE t2 END AS src,
+         CASE WHEN a_first THEN t2 ELSE t1 END AS dst,
+         CASE WHEN a_first THEN d2 ELSE d1 END AS dd
+  FROM keyed
+), tri AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_triangles
+  FROM oriented w1 JOIN oriented w2
+    ON w1.src = w2.src
+   AND (w1.dd < w2.dd OR (w1.dd = w2.dd AND w1.dst < w2.dst))
+  WHERE EXISTS (
+    SELECT 1 FROM oriented c WHERE c.src = w1.dst AND c.dst = w2.dst
+  )
+), stats AS (
+  SELECT (SELECT CAST(count(*) AS BIGINT) FROM deg) AS n_nodes,
+         (SELECT CAST(sum(deg * (deg - 1)) / 2 AS BIGINT) FROM deg) AS n_wedges,
+         (SELECT CAST(count(*) AS BIGINT) FROM edges) AS n_edges,
+         (SELECT n_triangles FROM tri) AS n_triangles
+)
+SELECT n_nodes, n_edges, n_wedges, n_triangles,
+       CASE WHEN n_wedges > 0 THEN
+         floor((3 * n_triangles) / n_wedges * 10000 + 0.5) / 10000
+       END AS global_clustering
+FROM stats
+"""
+
+
 QUERIES = [
     Query("bm25_retrieval", q_bm25_retrieval, ORACLE_BM25_RETRIEVAL,
           "Okapi BM25 top-k retrieval, integer micro-unit score sums"),
@@ -488,4 +657,6 @@ QUERIES = [
           "one-sided CUSUM changepoint via prefix-sum closed form"),
     Query("pagerank_types", q_pagerank_types, ORACLE_PAGERANK_TYPES,
           "integer-unit PageRank power iteration over type transitions"),
+    Query("token_triangles", q_token_triangles, ORACLE_TOKEN_TRIANGLES,
+          "degree-oriented triangle census of the co-occurrence graph"),
 ]

@@ -22,10 +22,13 @@ SHOW = [
      "TPC-H Q1 — filter pushdown + column pruning into the parquet scan "
      "(PushedFilters / 7-of-11-column ReadSchema)."),
     ("shipping_priority",
-     "TPC-H Q3 — broadcast joins. The global top-10 row_number is rewritten "
-     "by Catalyst into TakeOrderedAndProject (per-partition heaps); the "
-     "single-partition Window then ranks only the 10 survivors, so the "
-     "'No Partition Defined' warning is benign at any scale."),
+     "TPC-H Q3 — broadcast joins. Global top-10 via "
+     "functions/ranking.global_topk: orderBy+limit compiles to "
+     "TakeOrderedAndProject (per-partition heaps) and the "
+     "single-partition Window ranks only the 10 survivors. (Round-5 "
+     "finding: Catalyst does NOT rewrite unpartitioned rank-filter "
+     "windows — InferWindowGroupLimit requires a partitionSpec — so the "
+     "old filter form was a real global sort.)"),
     ("dedup_minhash_lsh",
      "MinHash LSH — single-fold md5 signatures, banded self-join on "
      "(band_idx, band_key), exact-Jaccard verification joins."),
@@ -193,6 +196,26 @@ SHOW = [
      "Robust median/MAD — every window runs over DISTINCT 2-decimal "
      "values (bounded domain), corpus touches only two "
      "map-side-combined aggregations."),
+    ("bm25_retrieval",
+     "Okapi BM25 — one documents scan feeds tf (per-doc count over the "
+     "5-term literal intersect), df and corpus stats broadcast back "
+     "(≤5-row / 1-row builds); per-term scores quantize to integer "
+     "micro-units before the per-doc sum; global top-10 is "
+     "TakeOrderedAndProject via global_topk."),
+    ("hourly_autocorr",
+     "Hourly-count ACF — one (type, hour) map-side-combined agg; the "
+     "lag pairing self-join broadcasts the hourly side (bounded by "
+     "|types|·|hours|); Pearson moments are exact BIGINT sums."),
+    ("cusum_changepoint",
+     "CUSUM via prefix-sum closed form — hourly agg, then whole- "
+     "partition stats window + two ordered windows + rank-1 argmax, "
+     "ALL partitioned by event_type (WindowGroupLimit applies); "
+     "mean-centering in n·x−T integers keeps both engines exact."),
+    ("pagerank_types",
+     "PageRank power iteration — the |types|²-row edge list is built "
+     "once from the per-user lag window; all 5 iterations are "
+     "broadcast joins + tiny aggs in integer nano-prob units with "
+     "div flooring (no float in the loop)."),
 ]
 
 
