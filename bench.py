@@ -129,6 +129,13 @@ HEADLINE = [
     "time_weighted_avg",
     "conversion_lag",
     "hourly_trend_ols",
+    # round 5 (cont.): retrieval + series diagnostics + graph centrality
+    "bm25_retrieval",
+    "hourly_autocorr",
+    "cusum_changepoint",
+    "pagerank_types",
+    "token_triangles",
+    "holt_linear",
 ]
 
 

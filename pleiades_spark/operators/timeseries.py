@@ -242,3 +242,74 @@ def ohlc_hourly(events: DataFrame) -> DataFrame:
             ).alias("vwap"),
         )
     )
+
+
+HOLT_ALPHA = 0.5  # level smoothing — binary-exact
+HOLT_BETA = 0.5   # trend smoothing — binary-exact
+HOLT_HORIZON = 24  # forecast this many hours past the series end
+
+HOLT_SCHEMA = (
+    "event_type string, n_hours long, level double, trend double,"
+    " forecast_24h double"
+)
+
+
+def holt_linear_hourly(events: DataFrame) -> DataFrame:
+    """Holt's linear (double-exponential) smoothing of each type's hourly
+    value series, plus the 24h-ahead forecast l_n + 24·b_n — the
+    trend-aware upgrade of ewma_user_value, and the model-based
+    counterpart of hourly_trend_ols' global OLS line.
+
+        l_t = α·y_t + (1−α)·(l_{t−1} + b_{t−1})
+        b_t = β·(l_t − l_{t−1}) + (1−β)·b_{t−1},   l_1 = y_1, b_1 = 0
+
+    Cross-engine parity: the hourly series is integer centi-units
+    (hv = round(100·Σv), like seasonal_decompose), y = hv/100.0 is an
+    exact double, α = β = 1/2 are binary-exact, and the recurrence is an
+    explicit Python loop in EXACTLY the oracle CTE's operation order —
+    0.5·y + 0.5·(l + b), then 0.5·(l_new − l) + 0.5·b — so every
+    intermediate double matches DuckDB's bit-for-bit; only the final
+    three outputs are quantized.
+
+    Scale: the recurrence is genuinely sequential per key (this is the
+    one shape where applyInPandas is the right tool — repo invariant);
+    the corpus collapses to |types|·|hours| rows BEFORE the pandas
+    stage, keys run in parallel, and the per-key series length is
+    bounded by the time axis, not the event volume."""
+    import math
+
+    hourly = (
+        events.select(
+            "event_type",
+            F.floor(F.unix_timestamp("ts") / 3600).cast("long").alias("h"),
+            "value",
+        )
+        .groupBy("event_type", "h")
+        .agg(F.round(F.sum("value") * 100, 0).cast("long").alias("hv"))
+    )
+
+    def _holt(pdf):
+        pdf = pdf.sort_values("h").reset_index(drop=True)
+        l = b = None
+        for hv in pdf["hv"]:
+            y = float(hv) / 100.0
+            if l is None:
+                l, b = y, 0.0
+            else:
+                l_new = 0.5 * y + 0.5 * (l + b)
+                b = 0.5 * (l_new - l) + 0.5 * b
+                l = l_new
+        q4 = lambda v: math.floor(v * 10000 + 0.5) / 10000  # noqa: E731
+        import pandas as pd
+
+        return pd.DataFrame(
+            {
+                "event_type": [pdf["event_type"].iloc[0]],
+                "n_hours": [len(pdf)],
+                "level": [q4(l)],
+                "trend": [q4(b)],
+                "forecast_24h": [q4(l + 24.0 * b)],
+            }
+        )
+
+    return hourly.groupBy("event_type").applyInPandas(_holt, HOLT_SCHEMA)

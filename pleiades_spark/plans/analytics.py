@@ -648,6 +648,49 @@ FROM stats
 """
 
 
+# --- Holt linear smoothing ----------------------------------------------
+
+
+def q_holt_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt double-exponential level/trend + 24h forecast per event type
+    (operators/timeseries.holt_linear_hourly; recursive-CTE oracle).
+    See the operator docstring for the float-parity argument."""
+    from pleiades_spark.operators.timeseries import holt_linear_hourly
+
+    return holt_linear_hourly(_t(spark, sf_dir, "events"))
+
+
+ORACLE_HOLT_LINEAR = """
+WITH RECURSIVE hourly AS (
+  SELECT event_type, CAST(floor(epoch(ts) / 3600) AS BIGINT) AS h,
+         CAST(round(sum(value) * 100, 0) AS BIGINT) AS hv
+  FROM events GROUP BY event_type, h
+), ordered AS (
+  SELECT event_type, hv / 100.0 AS y,
+         row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn
+  FROM hourly
+), rec AS (
+  SELECT event_type, rn, y AS l, CAST(0.0 AS DOUBLE) AS b
+  FROM ordered WHERE rn = 1
+  UNION ALL
+  SELECT o.event_type, o.rn,
+         0.5 * o.y + 0.5 * (r.l + r.b) AS l,
+         0.5 * ((0.5 * o.y + 0.5 * (r.l + r.b)) - r.l) + 0.5 * r.b AS b
+  FROM rec r JOIN ordered o
+    ON o.event_type = r.event_type AND o.rn = r.rn + 1
+), last AS (
+  SELECT event_type, rn, l, b,
+         row_number() OVER (PARTITION BY event_type ORDER BY rn DESC) AS rk
+  FROM rec
+)
+SELECT event_type, rn AS n_hours,
+       floor(l * 10000 + 0.5) / 10000 AS level,
+       floor(b * 10000 + 0.5) / 10000 AS trend,
+       floor((l + 24.0 * b) * 10000 + 0.5) / 10000 AS forecast_24h
+FROM last WHERE rk = 1
+"""
+
+
 QUERIES = [
     Query("bm25_retrieval", q_bm25_retrieval, ORACLE_BM25_RETRIEVAL,
           "Okapi BM25 top-k retrieval, integer micro-unit score sums"),
@@ -659,4 +702,6 @@ QUERIES = [
           "integer-unit PageRank power iteration over type transitions"),
     Query("token_triangles", q_token_triangles, ORACLE_TOKEN_TRIANGLES,
           "degree-oriented triangle census of the co-occurrence graph"),
+    Query("holt_linear", q_holt_linear, ORACLE_HOLT_LINEAR,
+          "Holt double-exponential level/trend + 24h forecast per type"),
 ]
