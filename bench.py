@@ -136,6 +136,7 @@ HEADLINE = [
     "pagerank_types",
     "token_triangles",
     "holt_linear",
+    "type_crosscorr",
 ]
 
 

@@ -273,6 +273,83 @@ FROM sums
 """
 
 
+# --- cross-type correlation ----------------------------------------------
+
+
+def q_type_crosscorr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson correlation between every PAIR of event types' hourly
+    count series (hours where both are present) — do clicks and views
+    move together, is the error series independent of load? The
+    cross-series companion of hourly_autocorr, same exact-integer
+    moment machinery.
+
+    Plan: one (type, hour) agg; the pairing self-join is an equi-join on
+    the hour with the right side broadcast (|types|·|hours| bounded);
+    t1 < t2 keeps each pair once; one tiny per-pair agg."""
+    ev = _t(spark, sf_dir, "events")
+    hourly = (
+        ev.select(
+            "event_type",
+            F.floor(F.unix_timestamp("ts") / 3600).cast("long").alias("h"),
+        )
+        .groupBy("event_type", "h")
+        .agg(F.count(F.lit(1)).alias("x"))
+    )
+    rhs = hourly.select(
+        F.col("event_type").alias("t2"), F.col("h").alias("h2"),
+        F.col("x").alias("y"),
+    )
+    pairs = hourly.join(
+        F.broadcast(rhs),
+        (F.col("h") == F.col("h2")) & (F.col("event_type") < F.col("t2")),
+    ).select(F.col("event_type").alias("t1"), "t2", "x", "y")
+    sums = pairs.groupBy("t1", "t2").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    d1 = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    d2 = F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    corr = F.when(
+        (d1 > 0) & (d2 > 0),
+        F.floor(num / (F.sqrt(d1) * F.sqrt(d2)) * 10000 + F.lit(0.5)) / 10000,
+    )
+    return sums.select(
+        "t1", "t2", F.col("n").alias("n_hours"), corr.alias("corr")
+    )
+
+
+ORACLE_TYPE_CROSSCORR = """
+WITH hourly AS (
+  SELECT event_type, CAST(floor(epoch(ts) / 3600) AS BIGINT) AS h,
+         CAST(count(*) AS BIGINT) AS x
+  FROM events GROUP BY event_type, h
+), pairs AS (
+  SELECT a.event_type AS t1, b.event_type AS t2, a.x, b.x AS y
+  FROM hourly a JOIN hourly b
+    ON a.h = b.h AND a.event_type < b.event_type
+), sums AS (
+  SELECT t1, t2, count(*) AS n,
+         CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+         CAST(sum(x * y) AS BIGINT) AS sxy,
+         CAST(sum(x * x) AS BIGINT) AS sxx,
+         CAST(sum(y * y) AS BIGINT) AS syy
+  FROM pairs GROUP BY t1, t2
+)
+SELECT t1, t2, n AS n_hours,
+       CASE WHEN (n * sxx - sx * sx) > 0 AND (n * syy - sy * sy) > 0 THEN
+         floor((n * sxy - sx * sy)
+               / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy))
+               * 10000 + 0.5) / 10000
+       END AS corr
+FROM sums
+"""
+
+
 # --- CUSUM changepoint ---------------------------------------------------
 
 
@@ -710,4 +787,6 @@ QUERIES = [
           "degree-oriented triangle census of the co-occurrence graph"),
     Query("holt_linear", q_holt_linear, ORACLE_HOLT_LINEAR,
           "Holt double-exponential level/trend + 24h forecast per type"),
+    Query("type_crosscorr", q_type_crosscorr, ORACLE_TYPE_CROSSCORR,
+          "pairwise Pearson correlation of hourly type series"),
 ]

@@ -73,10 +73,15 @@ def events_file_stream(spark: SparkSession, path: str) -> DataFrame:
         f.name == "ts" and f.dataType.simpleString() == "bigint"
         for f in probed.fields
     )
+    import os
+
     reader = spark.readStream.schema(EVENTS_SCHEMA_NANOS if ts_is_long else probed)
-    if path.endswith(".parquet"):
+    if path.endswith(".parquet") and not os.path.isdir(path):
         # The streaming file source needs a directory basePath; a single
-        # fixture file is addressed as dir + glob.
+        # fixture file is addressed as dir + glob. A DIRECTORY named
+        # *.parquet (Spark-written tables, e.g. the generated sf1
+        # fixture) must stream as-is — globbing on the dir name matches
+        # zero data files and the stream silently yields nothing.
         base, _, fname = path.rpartition("/")
         reader = reader.option("pathGlobFilter", fname)
         path = base

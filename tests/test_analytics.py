@@ -1,0 +1,166 @@
+"""Behavioral tests for the round-5 analytics queries — synthetic series
+with KNOWN answers, beyond the fixture-replay oracle gate.
+
+Each test stages a tiny hand-built events/documents parquet dir (the
+queries load through catalog.load, so the staged files use the
+TIMESTAMP-micros vintage) and asserts the statistic the query claims to
+compute, on inputs where the right answer is computable by hand.
+"""
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+UTC = dt.timezone.utc
+
+
+def _stage_events(spark, tmp_path, rows):
+    """rows: (event_id, epoch_s, user_id, event_type, value)."""
+    d = str(tmp_path / "fx")
+    df = spark.createDataFrame(
+        [
+            (eid, dt.datetime.fromtimestamp(ts, tz=UTC).replace(tzinfo=None),
+             uid, et, float(v), "{}")
+            for eid, ts, uid, et, v in rows
+        ],
+        "event_id long, ts timestamp_ntz, user_id long, event_type string,"
+        " value double, props string",
+    )
+    df.coalesce(1).write.mode("overwrite").parquet(f"{d}/events.parquet")
+    return d
+
+
+def _stage_documents(spark, tmp_path, texts):
+    d = str(tmp_path / "fx")
+    df = spark.createDataFrame(
+        [(i, "en", "test", t) for i, t in enumerate(texts)],
+        "doc_id long, lang string, source string, text string",
+    )
+    df.coalesce(1).write.mode("overwrite").parquet(f"{d}/documents.parquet")
+    return d
+
+
+def test_cusum_finds_injected_level_shift(spark, tmp_path):
+    """20 hours at value-rate 1 event/h, then 20 hours at 3 events/h: the
+    one-sided CUSUM of hourly counts must peak at the LAST hour (drift
+    keeps accumulating after the shift), and max_cusum must equal the
+    hand-computed closed form."""
+    from pleiades_spark.plans.analytics import q_cusum_changepoint
+
+    rows, eid = [], 0
+    for h in range(40):
+        for k in range(1 if h < 20 else 3):
+            rows.append((eid, 3600 * h + 60 * k, 1, "click", 1.0))
+            eid += 1
+    d = _stage_events(spark, tmp_path, rows)
+    out = {r["event_type"]: r for r in q_cusum_changepoint(spark, d).collect()}
+    r = out["click"]
+    # mean = 2: prefix of (x-mean) is -1 per early hour, +1 per late hour
+    # → minimum prefix −20 at hour 19, peak drift at the final hour
+    assert r["n_hours"] == 40
+    assert r["changepoint_hour"] == 39
+    assert r["max_cusum"] == pytest.approx(20.0)
+
+
+def test_pagerank_uniform_on_symmetric_chain(spark, tmp_path):
+    """A symmetric 2-cycle a↔b: ranks must be equal, and total mass
+    ≈ 1 (up to deterministic integer flooring loss)."""
+    from pleiades_spark.plans.analytics import q_pagerank_types
+
+    rows = []
+    for i in range(10):
+        rows.append((2 * i, 3600 * i, 1, "a" if i % 2 == 0 else "b", 1.0))
+    d = _stage_events(spark, tmp_path, rows)
+    out = q_pagerank_types(spark, d).collect()
+    ranks = {r["event_type"]: r["rank_u"] for r in out}
+    assert set(ranks) == {"a", "b"}
+    assert ranks["a"] == ranks["b"]
+    total = sum(ranks.values())
+    assert abs(total - 1_000_000_000) < 100  # flooring loss only
+
+
+def test_bm25_rare_term_outranks(spark, tmp_path):
+    """Two docs differing only in one rare query term: the doc with the
+    rare term must rank first (higher idf → higher score)."""
+    from pleiades_spark.plans.analytics import q_bm25_retrieval
+
+    base = "join hash scan filter row batch"
+    texts = [base + " dup", base] + ["filler words only here"] * 8
+    d = _stage_documents(spark, tmp_path, texts)
+    out = q_bm25_retrieval(spark, d).collect()
+    assert out[0]["doc_id"] == 0
+    assert out[0]["score"] > out[1]["score"]
+
+
+def test_holt_linear_converges_on_linear_series(spark, tmp_path):
+    """On hourly sums following y = 10 + 2h the Holt trend converges
+    toward 2 and the forecast extrapolates level + 24·trend."""
+    from pleiades_spark.plans.analytics import q_holt_linear
+
+    rows, eid = [], 0
+    for h in range(200):
+        rows.append((eid, 3600 * h, 1, "a", 10.0 + 2.0 * h))
+        eid += 1
+    d = _stage_events(spark, tmp_path, rows)
+    r = q_holt_linear(spark, d).collect()[0]
+    assert r["n_hours"] == 200
+    assert r["trend"] == pytest.approx(2.0, abs=0.01)
+    assert r["forecast_24h"] == pytest.approx(r["level"] + 24 * r["trend"], abs=0.001)
+
+
+def test_autocorr_perfect_period_two(spark, tmp_path):
+    """Hourly counts alternating 1,3,1,3…: ACF at lag 2 must be +1, at
+    lag 1 must be −1 (exact integer moments, quantized)."""
+    from pleiades_spark.plans.analytics import q_hourly_autocorr
+
+    rows, eid = [], 0
+    for h in range(60):
+        for k in range(1 if h % 2 == 0 else 3):
+            rows.append((eid, 3600 * h + 60 * k, 1, "a", 1.0))
+            eid += 1
+    d = _stage_events(spark, tmp_path, rows)
+    out = {r["lag_h"]: r["acf"] for r in q_hourly_autocorr(spark, d).collect()}
+    assert out[1] == pytest.approx(-1.0)
+    assert out[2] == pytest.approx(1.0)
+
+
+def test_crosscorr_sign(spark, tmp_path):
+    """Type b moves WITH a, type c moves AGAINST a: corr(a,b) = +1,
+    corr(a,c) = −1 on the shared hours."""
+    from pleiades_spark.plans.analytics import q_type_crosscorr
+
+    rows, eid = [], 0
+    for h in range(40):
+        hi = h % 2 == 0
+        for k in range(1 if hi else 3):
+            rows.append((eid, 3600 * h + 60 * k, 1, "a", 1.0)); eid += 1
+        for k in range(2 if hi else 6):
+            rows.append((eid, 3600 * h + 60 * k, 2, "b", 1.0)); eid += 1
+        for k in range(5 if hi else 1):
+            rows.append((eid, 3600 * h + 60 * k, 3, "c", 1.0)); eid += 1
+    d = _stage_events(spark, tmp_path, rows)
+    out = {(r["t1"], r["t2"]): r["corr"]
+           for r in q_type_crosscorr(spark, d).collect()}
+    assert out[("a", "b")] == pytest.approx(1.0)
+    assert out[("a", "c")] == pytest.approx(-1.0)
+    assert out[("b", "c")] == pytest.approx(-1.0)
+
+
+def test_triangles_on_handbuilt_graph(spark, tmp_path):
+    """4 tokens; doc set engineered so the co-occurrence graph (≥60% of
+    docs) is exactly a 4-cycle plus one chord: 5 edges, 2 triangles,
+    wedges = Σ d(d−1)/2 = 1+3+1+3 = 8 → clustering 0.75."""
+    from pleiades_spark.plans.analytics import q_token_triangles
+
+    # 10 docs, edge ⇔ pair co-occurs in ≥6 (60%). Pair counts:
+    # ab=6, ad=6, bc=6, cd=6, bd=8, ac=5 → the 4-cycle a-b-c-d plus the
+    # bd chord; ac misses the threshold by one.
+    docs = (
+        ["a b c d"] * 5 + ["a b d"] + ["b c d"] + ["b d"] + ["a", "c"]
+    )
+    d = _stage_documents(spark, tmp_path, docs)
+    r = q_token_triangles(spark, d).collect()[0]
+    assert (r["n_nodes"], r["n_edges"], r["n_triangles"]) == (4, 5, 2)
+    assert r["n_wedges"] == 8
+    assert r["global_clustering"] == pytest.approx(0.75)

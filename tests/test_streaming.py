@@ -326,3 +326,23 @@ def test_events_file_stream_probe_survives_fresh_session(spark, sf_dir):
         assert dict(df.dtypes)["ts"] == "timestamp"
     finally:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+
+
+def test_events_file_stream_reads_directory_shaped_fixture(spark, sf_dir, tmp_path):
+    """A Spark-written events table is a DIRECTORY named events.parquet
+    (multi part-file) — the stream must read it as-is. Regression: the
+    single-file glob path treated any *.parquet path as a file, so a
+    directory fixture streamed ZERO rows silently (found via the sf1
+    scaling bench, where streaming_counters returned an empty frame)."""
+    from pleiades_spark import catalog
+    from pleiades_spark.streaming.pipeline import run_counters_to_memory
+
+    events = catalog.load(spark, sf_dir, "events")
+    d = str(tmp_path / "events.parquet")
+    events.repartition(3).write.mode("overwrite").parquet(d)
+    mem = run_counters_to_memory(spark, d, query_name="dirshape_gate")
+    n = mem.count()
+    single = run_counters_to_memory(
+        spark, f"{sf_dir}/events.parquet", query_name="dirshape_ref"
+    ).count()
+    assert n == single and n > 0

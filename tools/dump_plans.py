@@ -216,6 +216,12 @@ SHOW = [
      "once from the per-user lag window; all 5 iterations are "
      "broadcast joins + tiny aggs in integer nano-prob units with "
      "div flooring (no float in the loop)."),
+    ("token_triangles",
+     "Degree-oriented triangle census — row-local pair generation "
+     "(nested transform per doc, no doc-keyed self-join), one edge "
+     "agg whose shuffle every downstream branch reuses (16 "
+     "ReusedExchange nodes at runtime), vocabulary-bounded degree "
+     "broadcast, oriented wedge + closure semi equi-joins."),
 ]
 
 
