@@ -215,13 +215,14 @@ def q_hourly_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
         "lag_h", F.explode(F.array(*[F.lit(k) for k in ACF_LAGS]))
     )
     nxt = hourly.select(
-        F.col("event_type"), F.col("h").alias("h2"), F.col("x").alias("y")
+        F.col("event_type").alias("et2"), F.col("h").alias("h2"),
+        F.col("x").alias("y"),
     )
     pairs = lagged.join(
         F.broadcast(nxt),
-        (lagged.event_type == nxt.event_type)
-        & (nxt.h2 == lagged.h + lagged.lag_h),
-    ).select(lagged.event_type, "lag_h", "x", "y")
+        (F.col("event_type") == F.col("et2"))
+        & (F.col("h2") == F.col("h") + F.col("lag_h")),
+    ).select("event_type", "lag_h", "x", "y")
     sums = pairs.groupBy("event_type", "lag_h").agg(
         F.count(F.lit(1)).alias("n"),
         F.sum("x").alias("sx"),

@@ -1490,12 +1490,16 @@ def q_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     64-bit-safe value per doc) + shingle cardinality — the building block
     for shingle-level containment checks."""
     docs = _t(spark, sf_dir, "documents")
-    sh = char_shingles(F.col("text"), 5)
-    hashed = F.transform(sh, h32)
-    return docs.select(
+    # Two-step projection: referencing the shingle expression from both
+    # array_min(transform(...)) and size(...) re-evaluates the whole
+    # char-5-gram build per reference (no CSE across projections of the
+    # same expression tree — measured 3.8 s vs 2.3 s at sf0.1).
+    # Materialize it as a column once, then derive both outputs.
+    base = docs.select("doc_id", char_shingles(F.col("text"), 5).alias("sh"))
+    return base.select(
         "doc_id",
-        F.array_min(hashed).alias("fingerprint"),
-        F.size(sh).alias("n_shingles"),
+        F.array_min(F.transform("sh", h32)).alias("fingerprint"),
+        F.size("sh").alias("n_shingles"),
     )
 
 

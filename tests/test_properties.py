@@ -196,3 +196,87 @@ def test_snapshot_diff_partitions_ids(spark, old_ids, new_ids, changed):
             assert got[i] == "changed"
         else:
             assert got[i] == "unchanged"
+
+
+# --- round-5 analytics math ----------------------------------------------
+
+
+@given(st.lists(st.integers(min_value=0, max_value=50), min_size=1, max_size=200))
+def test_cusum_closed_form_equals_recurrence(xs):
+    """The Spark plan computes S_t = P_t − min(0, min_{j≤t} P_j) with two
+    windows; the definition is the recurrence S_t = max(0, S_{t−1} + v_t).
+    They must agree on every prefix for any integer series (the identity
+    q_cusum_changepoint's correctness rests on)."""
+    n, tot = len(xs), sum(xs)
+    vs = [n * x - tot for x in xs]
+    s_rec, p, mn = 0, 0, 0
+    for v in vs:
+        s_rec = max(0, s_rec + v)
+        p += v
+        mn = min(mn, p)
+        assert s_rec == p - min(mn, 0)
+
+
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 4), st.integers(0, 4), st.integers(1, 50)),
+        min_size=1,
+        max_size=20,
+    )
+)
+def test_pagerank_integer_iteration_bounds(edges):
+    """Python model of q_pagerank_types' integer update: every rank stays
+    ≥ the teleport floor, total mass never exceeds the scale, and the
+    deterministic flooring loss per iteration is bounded by one unit per
+    floor op (≤ 2·N + |E|)."""
+    from collections import defaultdict
+
+    nodes = sorted({a for a, _, _ in edges} | {b for _, b, _ in edges})
+    n_map = defaultdict(int)
+    for a, b, w in edges:
+        n_map[(a, b)] += w
+    out = defaultdict(int)
+    for (a, _), w in n_map.items():
+        out[a] += w
+    N = len(nodes)
+    scale = 1_000_000_000
+    base = (scale // 8) // N
+    r = {v: scale // N for v in nodes}
+    for _ in range(5):
+        s = defaultdict(int)
+        for (a, b), w in n_map.items():
+            s[b] += (r[a] * w) // out[a]
+        r = {v: base + (7 * s[v]) // 8 for v in nodes}
+        total = sum(r.values())
+        assert all(rv >= base for rv in r.values())
+        assert total <= scale
+        # flooring can lose at most 1 unit per integer division plus the
+        # teleport remainder: N divisions for base, N for the 7/8 damp,
+        # |E| for contributions (each scaled by ≤7/8 damping), plus the
+        # mass parked on dangling nodes (no outgoing edges) which the
+        # update intentionally drops — exclude graphs with dangling mass
+        # from the tight bound.
+        if all(v in out for v in nodes):
+            assert total >= scale - 8 * (2 * N + len(n_map) + 1)
+
+
+@given(
+    st.integers(1, 100),   # tf
+    st.integers(1, 1000),  # dl
+    st.integers(1, 999),   # df < n_docs
+)
+def test_bm25_term_score_monotone_in_tf(tf, dl, df):
+    """The per-term BM25 score must increase strictly with tf and
+    decrease with document length (the two properties the ranking
+    relies on), for any idf > 0."""
+    import math
+
+    n_docs, tot_tokens = 1000, 50000
+    idf = math.log(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+
+    def score(tf_, dl_):
+        norm = 0.25 + 0.75 * ((dl_ * n_docs) / tot_tokens)
+        return idf * (tf_ * 2.25) / (tf_ + 1.25 * norm)
+
+    assert score(tf + 1, dl) > score(tf, dl)
+    assert score(tf, dl + 100) < score(tf, dl)
