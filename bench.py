@@ -137,6 +137,7 @@ HEADLINE = [
     "token_triangles",
     "holt_linear",
     "type_crosscorr",
+    "cdc_apply",
 ]
 
 

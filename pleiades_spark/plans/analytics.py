@@ -557,6 +557,98 @@ FROM it{PAGERANK_ITERS}
 ORACLE_PAGERANK_TYPES = _pagerank_oracle()
 
 
+# --- CDC / MERGE apply ---------------------------------------------------
+
+
+def q_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE INTO semantics in plain DataFrame ops: apply a change feed
+    (upserts + deletes, last-writer-wins per key) to the orders base
+    table — the SCD1 counterpart of scd2_user_state, and the batch core
+    of any CDC ingestion pipeline.
+
+    The change feed derives deterministically from events: each event
+    targets order key (event_id·7919) mod 60000 + 1 (7919 prime spreads
+    keys), user_id%10 ≥ 8 means delete, else upsert with price
+    round(value·100, 2). Last change per key = one (ts, event_id)-ordered
+    row_number partitioned BY KEY — never a global sort. The apply is a
+    single full-outer join on the key:
+
+      base ⋉ no change        → keep base row            (src 'base')
+      base + upsert           → new values               (src 'updated')
+      no base + upsert        → insert                   (src 'inserted')
+      delete (base or not)    → row absent
+
+    Scale: both sides shuffle once on the natural merge key (exactly the
+    co-partitioning a bucketed base table would make shuffle-free); the
+    change feed collapses to ≤ one row per key before the join."""
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.col("o_orderstatus").alias("base_status"),
+        F.col("o_totalprice").alias("base_price"),
+    )
+    ev = _t(spark, sf_dir, "events")
+    changes = ev.select(
+        ((F.col("event_id") * 7919) % 60000 + 1).alias("k"),
+        "ts",
+        "event_id",
+        (F.col("user_id") % 10 >= 8).alias("is_delete"),
+        F.round(F.col("value") * 100, 2).alias("new_price"),
+    )
+    wk = W.partitionBy("k").orderBy(F.col("ts").desc(), F.col("event_id").desc())
+    last = (
+        changes.withColumn("rn", F.row_number().over(wk))
+        .filter(F.col("rn") == 1)
+        .select("k", "is_delete", "new_price")
+    )
+    merged = orders.join(last, orders.o_orderkey == last.k, "full_outer")
+    alive = merged.filter(
+        (F.col("is_delete").isNull() | ~F.col("is_delete"))
+        & (F.col("o_orderkey").isNotNull() | F.col("k").isNotNull())
+    )
+    return alive.select(
+        F.coalesce(F.col("o_orderkey"), F.col("k")).alias("okey"),
+        F.when(F.col("k").isNull(), F.col("base_status"))
+        .otherwise(F.lit("O"))
+        .alias("status"),
+        F.round(
+            F.coalesce(F.col("new_price"), F.col("base_price")), 2
+        ).alias("price"),
+        F.when(F.col("k").isNull(), F.lit("base"))
+        .when(F.col("o_orderkey").isNull(), F.lit("inserted"))
+        .otherwise(F.lit("updated"))
+        .alias("src"),
+    )
+
+
+ORACLE_CDC_APPLY = """
+WITH changes AS (
+  SELECT (event_id * 7919) % 60000 + 1 AS k, ts, event_id,
+         (user_id % 10 >= 8) AS is_delete,
+         round(value * 100, 2) AS new_price
+  FROM events
+), last AS (
+  SELECT k, is_delete, new_price FROM (
+    SELECT *, row_number() OVER (PARTITION BY k
+              ORDER BY ts DESC, event_id DESC) AS rn
+    FROM changes
+  ) WHERE rn = 1
+), merged AS (
+  SELECT o.o_orderkey, o.o_orderstatus AS base_status,
+         o.o_totalprice AS base_price, l.k, l.is_delete, l.new_price
+  FROM orders o FULL OUTER JOIN last l ON o.o_orderkey = l.k
+)
+SELECT coalesce(o_orderkey, k) AS okey,
+       CASE WHEN k IS NULL THEN base_status ELSE 'O' END AS status,
+       round(coalesce(new_price, base_price), 2) AS price,
+       CASE WHEN k IS NULL THEN 'base'
+            WHEN o_orderkey IS NULL THEN 'inserted'
+            ELSE 'updated' END AS src
+FROM merged
+WHERE (is_delete IS NULL OR NOT is_delete)
+  AND (o_orderkey IS NOT NULL OR k IS NOT NULL)
+"""
+
+
 # --- token co-occurrence triangles ---------------------------------------
 
 # Edge threshold as a corpus FRACTION (co-occur in ≥60% of docs): an
@@ -790,4 +882,6 @@ QUERIES = [
           "Holt double-exponential level/trend + 24h forecast per type"),
     Query("type_crosscorr", q_type_crosscorr, ORACLE_TYPE_CROSSCORR,
           "pairwise Pearson correlation of hourly type series"),
+    Query("cdc_apply", q_cdc_apply, ORACLE_CDC_APPLY,
+          "MERGE-INTO semantics: last-writer-wins upsert+delete apply"),
 ]
