@@ -476,6 +476,11 @@ def q_pagerank_types(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lag("event_type", 1).over(wu).alias("src"),
         F.col("event_type").alias("dst"),
     ).filter(F.col("src").isNotNull())
+    # NOT localCheckpoint'd (unlike type_reachability's edge list): the
+    # iteration branches share the edge aggregation via ReuseExchange at
+    # runtime, and the eager checkpoint jobs measured SLOWER in the
+    # bench harness (3.3 s vs 1.7 s at sf0.1) — the corpus-sized window
+    # executes once either way.
     edges = (
         pairs.groupBy("src", "dst")
         .agg(F.count(F.lit(1)).alias("n"))
