@@ -138,6 +138,7 @@ HEADLINE = [
     "holt_linear",
     "type_crosscorr",
     "cdc_apply",
+    "seasonal_anomalies",
 ]
 
 

@@ -562,6 +562,53 @@ FROM it{PAGERANK_ITERS}
 ORACLE_PAGERANK_TYPES = _pagerank_oracle()
 
 
+# --- seasonal-adjusted anomalies -----------------------------------------
+
+SEASONAL_ANOM_K = 3
+
+
+def q_seasonal_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k anomalous hours per type AFTER seasonal adjustment: rank
+    |residual| from the additive decomposition
+    (operators/timeseries.seasonal_decompose_hourly) instead of the raw
+    value — catches the 2pm spike that a raw z-score
+    (value_anomalies) hides inside the daily cycle, and ignores the
+    nightly dip that a raw score would flag every day.
+
+    Residuals are already deterministic integers-over-2500 quantized to
+    4 decimals on both engines, so |resid| ranking ties break
+    identically; the top-k window is partitioned by event_type with a
+    rank filter (WindowGroupLimit — per-type heaps over the
+    hours-bounded decomposition output)."""
+    from pleiades_spark.operators.timeseries import seasonal_decompose_hourly
+
+    dec = seasonal_decompose_hourly(_t(spark, sf_dir, "events"))
+    w = W.partitionBy("event_type").orderBy(
+        F.abs(F.col("resid")).desc(), F.col("hour").asc()
+    )
+    return (
+        dec.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= SEASONAL_ANOM_K)
+        .select("event_type", "rk", "hour", "hour_value", "trend", "resid")
+    )
+
+
+def _seasonal_anomalies_oracle() -> str:
+    from pleiades_spark.plans.pleiades import ORACLE_SEASONAL_DECOMPOSE
+
+    return f"""
+WITH dec AS ({ORACLE_SEASONAL_DECOMPOSE})
+SELECT event_type, rk, hour, hour_value, trend, resid FROM (
+  SELECT *, row_number() OVER (PARTITION BY event_type
+            ORDER BY abs(resid) DESC, hour ASC) AS rk
+  FROM dec
+) WHERE rk <= {SEASONAL_ANOM_K}
+"""
+
+
+ORACLE_SEASONAL_ANOMALIES = _seasonal_anomalies_oracle()
+
+
 # --- CDC / MERGE apply ---------------------------------------------------
 
 
@@ -889,4 +936,6 @@ QUERIES = [
           "pairwise Pearson correlation of hourly type series"),
     Query("cdc_apply", q_cdc_apply, ORACLE_CDC_APPLY,
           "MERGE-INTO semantics: last-writer-wins upsert+delete apply"),
+    Query("seasonal_anomalies", q_seasonal_anomalies, ORACLE_SEASONAL_ANOMALIES,
+          "top-k |residual| hours per type after seasonal adjustment"),
 ]

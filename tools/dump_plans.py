@@ -222,6 +222,17 @@ SHOW = [
      "agg whose shuffle every downstream branch reuses (16 "
      "ReusedExchange nodes at runtime), vocabulary-bounded degree "
      "broadcast, oriented wedge + closure semi equi-joins."),
+    ("type_reachability",
+     "Native WITH RECURSIVE transitive closure — the edge list is "
+     "localCheckpoint'd BEFORE the recursion because UnionLoop "
+     "re-executes the view subplan per step (unlike a driver-loop "
+     "single plan, where ReuseExchange shares it): 6.4→2.1 s at "
+     "sf0.1, one corpus pass instead of six at any scale."),
+    ("cdc_apply",
+     "MERGE INTO semantics — last change per key from a KEY-partitioned "
+     "row_number, then ONE full-outer join on the natural merge key "
+     "(the co-partitioning a bucketed base table makes shuffle-free); "
+     "inserts/updates/deletes/base rows tagged in a single pass."),
 ]
 
 
