@@ -139,6 +139,7 @@ HEADLINE = [
     "type_crosscorr",
     "cdc_apply",
     "seasonal_anomalies",
+    "rolling_kmv_users",
 ]
 
 

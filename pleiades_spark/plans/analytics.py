@@ -34,6 +34,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
 
 from pleiades_spark import catalog
+from pleiades_spark.functions.hashing import h32_sql
 from pleiades_spark.plans import Query
 from pleiades_spark.session import apply_runtime_confs
 
@@ -562,6 +563,117 @@ FROM it{PAGERANK_ITERS}
 ORACLE_PAGERANK_TYPES = _pagerank_oracle()
 
 
+# --- rolling-window distinct via mergeable KMV ---------------------------
+
+ROLLING_KMV_K = 64
+ROLLING_KMV_DAYS = 7
+
+
+def q_rolling_kmv_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 7-day distinct users per window-end day, twice: the exact
+    count (the expensive path a 100 TB deployment drops) and the KMV
+    bottom-k estimate — the mergeable-sketch form of "rolling weekly
+    uniques", the classic metric exact distinct cannot serve at scale
+    because COUNT(DISTINCT) over sliding windows recomputes per window.
+
+    KMV here is deterministic cross-engine (md5-derived h32, estimate
+    (k−1)/h_(k) replayed bit-for-bit by the oracle, exact below k). The
+    (day, user) de-dup collapses the corpus first; each day then fans
+    out to its ≤7 covering windows, and the per-window bottom-k is a
+    rank-filtered window PARTITIONED by window end (WindowGroupLimit:
+    per-window heaps of k hashes — never a full sort of the user set).
+
+    Scale: state per window is k·8 bytes; the only corpus-sized shuffle
+    is the (day, user) distinct. The exact column's cost is the point —
+    it rides the same fan-out here for auditability, and the |err_pct|
+    column shows the sketch honest (~1/√k ≈ 12.5 % error bound)."""
+    from pleiades_spark.functions.hashing import h32
+    from pleiades_spark.operators.sketch import KMV_K  # noqa: F401  (doc link)
+
+    ev = _t(spark, sf_dir, "events")
+    day_user = (
+        ev.select(
+            F.floor(F.unix_timestamp("ts") / 86400).cast("long").alias("day"),
+            F.col("user_id"),
+        )
+        .distinct()
+        .withColumn("h", h32(F.col("user_id").cast("string")))
+    )
+    # a (day, user) pair is visible to windows ending day .. day+6 that
+    # actually exist in the data — restrict to observed end-days so both
+    # engines enumerate identical windows
+    ends = day_user.select(F.col("day").alias("wend")).distinct()
+    fan = day_user.join(
+        F.broadcast(ends),
+        (F.col("wend") >= F.col("day"))
+        & (F.col("wend") < F.col("day") + ROLLING_KMV_DAYS),
+    )
+    # distinct users per window (a user may appear on several days)
+    wu = fan.select("wend", "user_id", "h").distinct()
+    rk = F.row_number().over(
+        W.partitionBy("wend").orderBy(F.col("h").asc(), F.col("user_id").asc())
+    )
+    bottomk = wu.withColumn("rn", rk).filter(F.col("rn") <= ROLLING_KMV_K)
+    sk = bottomk.groupBy("wend").agg(
+        F.count(F.lit(1)).alias("n_min"), F.max("h").alias("h_k")
+    )
+    exact = wu.groupBy("wend").agg(F.count(F.lit(1)).alias("exact_users"))
+    est = F.when(
+        F.col("n_min") < ROLLING_KMV_K, F.col("n_min").cast("double")
+    ).otherwise(
+        (F.lit(ROLLING_KMV_K - 1))
+        / (F.col("h_k") / F.lit(4294967296.0))
+    )
+    joined = sk.join(exact, "wend")
+    q4 = lambda c: F.floor(c * 10000 + F.lit(0.5)) / 10000  # noqa: E731
+    return joined.select(
+        F.col("wend").alias("window_end_day"),
+        "exact_users",
+        q4(est).alias("kmv_estimate"),
+        q4((est - F.col("exact_users")) / F.col("exact_users") * 100).alias(
+            "err_pct"
+        ),
+    )
+
+
+ORACLE_ROLLING_KMV_USERS = f"""
+WITH day_user AS (
+  SELECT DISTINCT CAST(floor(epoch(ts) / 86400) AS BIGINT) AS day, user_id
+  FROM events
+), hashed AS (
+  SELECT day, user_id, {h32_sql("CAST(user_id AS VARCHAR)")} AS h FROM day_user
+), ends AS (SELECT DISTINCT day AS wend FROM day_user),
+fan AS (
+  SELECT e.wend, d.user_id, d.h
+  FROM hashed d JOIN ends e
+    ON e.wend >= d.day AND e.wend < d.day + {ROLLING_KMV_DAYS}
+), wu AS (SELECT DISTINCT wend, user_id, h FROM fan),
+bottomk AS (
+  SELECT wend, h FROM (
+    SELECT wend, h, row_number() OVER (PARTITION BY wend
+           ORDER BY h ASC, user_id ASC) AS rn
+    FROM wu
+  ) WHERE rn <= {ROLLING_KMV_K}
+), sk AS (
+  SELECT wend, count(*) AS n_min, CAST(max(h) AS BIGINT) AS h_k
+  FROM bottomk GROUP BY wend
+), exact AS (
+  SELECT wend, CAST(count(*) AS BIGINT) AS exact_users FROM wu GROUP BY wend
+)
+SELECT s.wend AS window_end_day, e.exact_users,
+       floor((CASE WHEN s.n_min < {ROLLING_KMV_K}
+                   THEN CAST(s.n_min AS DOUBLE)
+                   ELSE {ROLLING_KMV_K - 1} / (s.h_k / 4294967296.0) END)
+             * 10000 + 0.5) / 10000 AS kmv_estimate,
+       floor(((CASE WHEN s.n_min < {ROLLING_KMV_K}
+                    THEN CAST(s.n_min AS DOUBLE)
+                    ELSE {ROLLING_KMV_K - 1} / (s.h_k / 4294967296.0) END
+               - e.exact_users) / e.exact_users * 100)
+             * 10000 + 0.5) / 10000 AS err_pct
+FROM sk s JOIN exact e ON s.wend = e.wend
+"""
+
+
 # --- seasonal-adjusted anomalies -----------------------------------------
 
 SEASONAL_ANOM_K = 3
@@ -938,4 +1050,6 @@ QUERIES = [
           "MERGE-INTO semantics: last-writer-wins upsert+delete apply"),
     Query("seasonal_anomalies", q_seasonal_anomalies, ORACLE_SEASONAL_ANOMALIES,
           "top-k |residual| hours per type after seasonal adjustment"),
+    Query("rolling_kmv_users", q_rolling_kmv_users, ORACLE_ROLLING_KMV_USERS,
+          "rolling 7-day distinct users: exact vs mergeable KMV sketch"),
 ]
