@@ -140,6 +140,7 @@ HEADLINE = [
     "cdc_apply",
     "seasonal_anomalies",
     "rolling_kmv_users",
+    "lsh_recall_audit",
 ]
 
 

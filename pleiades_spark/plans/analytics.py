@@ -563,6 +563,149 @@ FROM it{PAGERANK_ITERS}
 ORACLE_PAGERANK_TYPES = _pagerank_oracle()
 
 
+# --- LSH recall audit ----------------------------------------------------
+
+AUDIT_N = 500
+
+
+def q_lsh_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The honesty metric for the MinHash-LSH dedup path, inside the
+    hash gate itself: on a FIXED-SIZE deterministic sample (bottom-500
+    docs by audit hash — TakeOrderedAndProject, so the audit costs the
+    same at any corpus size), compare the pairs the banded LSH pipeline
+    verifies against ALL true pairs at the same Jaccard threshold.
+    recall_pct = LSH-found / true; the quadratic exact side is bounded
+    to C(500,2) pairs by construction, never corpus-sized (this is the
+    gate-registry twin of tests/test_ann_recall.py's audits).
+
+    Both sides round jaccard to 6 before the threshold compare, exactly
+    as the LSH verify step does, so boundary pairs classify identically
+    across engines."""
+    from pleiades_spark.functions.hashing import h32
+    from pleiades_spark.functions.text import word_shingles
+    from pleiades_spark.operators.dedup import minhash_lsh_pairs
+    from pleiades_spark.plans.llm import JACCARD_THRESHOLD
+
+    docs = _t(spark, sf_dir, "documents")
+    sample = (
+        docs.withColumn(
+            "ah", h32(F.concat(F.lit("audit:"), F.col("doc_id").cast("string")))
+        )
+        .orderBy(F.col("ah").asc(), F.col("doc_id").asc())
+        .limit(AUDIT_N)
+        .select("doc_id", "text")
+    )
+    shs = sample.select(
+        "doc_id",
+        word_shingles(F.col("text")).alias("sh"),
+    ).withColumn("ns", F.size("sh"))
+    # repartition spreads the bounded nested loop over the cores (the
+    # broadcast side streams against ONE 500-row partition otherwise —
+    # a single-task 125k-pair stage); the shuffle moves ≤ AUDIT_N rows.
+    a = shs.select(
+        F.col("doc_id").alias("da"), F.col("sh").alias("sh_a"),
+        F.col("ns").alias("na"),
+    ).repartition(32)
+    b = shs.select(
+        F.col("doc_id").alias("db"), F.col("sh").alias("sh_b"),
+        F.col("ns").alias("nb"),
+    )
+    # bounded all-pairs: both sides are ≤ AUDIT_N rows by construction,
+    # so the nested-loop inequality join is a constant ≤ C(500,2) pairs.
+    # |A∪B| = |A|+|B|−|A∩B| (shingle arrays are distinct sets), so the
+    # union is never materialized — same integer operands, same double.
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    exact = (
+        a.join(F.broadcast(b), F.col("da") < F.col("db"))
+        .withColumn("ni", inter)
+        .withColumn(
+            "jaccard",
+            F.round(F.col("ni") / (F.col("na") + F.col("nb") - F.col("ni")), 6),
+        )
+        .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+    )
+    n_true = exact.agg(F.count(F.lit(1)).alias("n_true_pairs"))
+    n_lsh = minhash_lsh_pairs(sample, JACCARD_THRESHOLD).agg(
+        F.count(F.lit(1)).alias("n_lsh_pairs")
+    )
+    n_docs = sample.agg(F.count(F.lit(1)).alias("n_docs_sampled"))
+    out = n_docs.crossJoin(n_true).crossJoin(n_lsh)
+    recall = F.when(
+        F.col("n_true_pairs") > 0,
+        F.floor(
+            F.col("n_lsh_pairs") / F.col("n_true_pairs") * 100 * 10000
+            + F.lit(0.5)
+        )
+        / 10000,
+    )
+    return out.select(
+        "n_docs_sampled", "n_true_pairs", "n_lsh_pairs",
+        recall.alias("recall_pct"),
+    )
+
+
+def _lsh_audit_oracle() -> str:
+    from pleiades_spark.functions.text import word_shingles_sql
+    from pleiades_spark.plans.llm import (
+        _BANDS_RANGE_SQL,
+        _SIG_SQL,
+        JACCARD_THRESHOLD,
+    )
+    from pleiades_spark.functions.hashing import LSH_ROWS
+
+    return f"""
+WITH samp AS (
+  SELECT doc_id, text FROM (
+    SELECT doc_id, text,
+           row_number() OVER (
+             ORDER BY {h32_sql("'audit:' || CAST(doc_id AS VARCHAR)")} ASC,
+                      doc_id ASC) AS rn
+    FROM documents
+  ) WHERE rn <= {AUDIT_N}
+), sh AS (
+  SELECT doc_id, {word_shingles_sql('text')} AS sh FROM samp
+), exact AS (
+  SELECT da, db FROM (
+    SELECT a.doc_id AS da, b.doc_id AS db,
+           len(list_intersect(a.sh, b.sh)) AS ni,
+           len(a.sh) AS na, len(b.sh) AS nb
+    FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+  ) WHERE round(ni * 1.0 / (na + nb - ni), 6) >= {JACCARD_THRESHOLD}
+), hashed AS (
+  SELECT doc_id, sh, list_transform(sh, s -> {h32_sql('s')}) AS hs FROM sh
+), sig AS (
+  SELECT doc_id, {_SIG_SQL} AS sig FROM hashed
+), bands AS (
+  SELECT doc_id, band_idx,
+         array_to_string(sig[band_idx*{LSH_ROWS}+1 : band_idx*{LSH_ROWS}+{LSH_ROWS}], '-') AS band_key
+  FROM sig, {_BANDS_RANGE_SQL}
+), cand AS (
+  SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
+  FROM bands l JOIN bands r
+    ON l.band_idx = r.band_idx AND l.band_key = r.band_key
+   AND l.doc_id < r.doc_id
+), lsh AS (
+  SELECT doc_a, doc_b FROM (
+    SELECT doc_a, doc_b,
+           len(list_intersect(a.sh, b.sh)) AS ni,
+           len(a.sh) AS na, len(b.sh) AS nb
+    FROM cand JOIN sh a ON a.doc_id = cand.doc_a
+              JOIN sh b ON b.doc_id = cand.doc_b
+  ) WHERE round(ni * 1.0 / (na + nb - ni), 6) >= {JACCARD_THRESHOLD}
+)
+SELECT (SELECT CAST(count(*) AS BIGINT) FROM samp) AS n_docs_sampled,
+       (SELECT CAST(count(*) AS BIGINT) FROM exact) AS n_true_pairs,
+       (SELECT CAST(count(*) AS BIGINT) FROM lsh) AS n_lsh_pairs,
+       CASE WHEN (SELECT count(*) FROM exact) > 0 THEN
+         floor((SELECT count(*) FROM lsh) * 1.0
+               / (SELECT count(*) FROM exact) * 100 * 10000 + 0.5) / 10000
+       END AS recall_pct
+"""
+
+
+ORACLE_LSH_RECALL_AUDIT = _lsh_audit_oracle()
+
+
 # --- rolling-window distinct via mergeable KMV ---------------------------
 
 ROLLING_KMV_K = 64
@@ -1052,4 +1195,6 @@ QUERIES = [
           "top-k |residual| hours per type after seasonal adjustment"),
     Query("rolling_kmv_users", q_rolling_kmv_users, ORACLE_ROLLING_KMV_USERS,
           "rolling 7-day distinct users: exact vs mergeable KMV sketch"),
+    Query("lsh_recall_audit", q_lsh_recall_audit, ORACLE_LSH_RECALL_AUDIT,
+          "LSH recall vs bounded exact ground truth on a fixed sample"),
 ]
