@@ -164,3 +164,45 @@ def test_triangles_on_handbuilt_graph(spark, tmp_path):
     assert (r["n_nodes"], r["n_edges"], r["n_triangles"]) == (4, 5, 2)
     assert r["n_wedges"] == 8
     assert r["global_clustering"] == pytest.approx(0.75)
+
+
+def test_analytics_queries_survive_empty_events(spark, tmp_path):
+    """Zero-row events: every event-driven analytics query must return
+    an empty frame (no ANSI division errors, no crashes) — the guards
+    (d1>0, n_wedges>0, per-row div) must never evaluate on empty input."""
+    from pleiades_spark.plans.analytics import (
+        q_cusum_changepoint,
+        q_holt_linear,
+        q_hourly_autocorr,
+        q_pagerank_types,
+        q_rolling_kmv_users,
+        q_type_crosscorr,
+    )
+
+    d = _stage_events(spark, tmp_path, [])
+    for q in (q_cusum_changepoint, q_holt_linear, q_hourly_autocorr,
+              q_pagerank_types, q_rolling_kmv_users, q_type_crosscorr):
+        assert q(spark, d).count() == 0, q.__name__
+
+
+def test_analytics_degenerate_single_hour(spark, tmp_path):
+    """One event, one hour: CUSUM yields S=0 at the only hour, Holt
+    yields trend 0 and forecast == level, ACF/crosscorr produce no rows
+    (no pairs), PageRank produces no rows (no transitions)."""
+    from pleiades_spark.plans.analytics import (
+        q_cusum_changepoint,
+        q_holt_linear,
+        q_hourly_autocorr,
+        q_pagerank_types,
+    )
+
+    d = _stage_events(spark, tmp_path, [(0, 3600, 1, "a", 5.0)])
+    r = q_cusum_changepoint(spark, d).collect()[0]
+    assert (r["n_hours"], r["max_cusum"]) == (1, 0.0)
+    h = q_holt_linear(spark, d).collect()[0]
+    assert h["trend"] == 0.0 and h["forecast_24h"] == h["level"]
+    assert q_hourly_autocorr(spark, d).count() == 0
+    # one node, no transitions: rank collapses to the teleport floor
+    # 125000000 div 1 (the damped term contributes nothing)
+    pr = q_pagerank_types(spark, d).collect()
+    assert len(pr) == 1 and pr[0]["rank_u"] == 125_000_000
