@@ -743,14 +743,16 @@ def q_rolling_kmv_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("h", h32(F.col("user_id").cast("string")))
     )
     # a (day, user) pair is visible to windows ending day .. day+6 that
-    # actually exist in the data — restrict to observed end-days so both
-    # engines enumerate identical windows
+    # actually exist in the data — explode the 7 candidate ends per row
+    # (constant fan-out) and EQUI-join the observed end-days broadcast:
+    # the inequality-join form would compare every row against every
+    # end-day (rows × |days| nested-loop work once the time axis grows),
+    # where this is rows × 7 at any history length.
     ends = day_user.select(F.col("day").alias("wend")).distinct()
-    fan = day_user.join(
-        F.broadcast(ends),
-        (F.col("wend") >= F.col("day"))
-        & (F.col("wend") < F.col("day") + ROLLING_KMV_DAYS),
-    )
+    fan = day_user.withColumn(
+        "wend",
+        F.explode(F.sequence(F.col("day"), F.col("day") + ROLLING_KMV_DAYS - 1)),
+    ).join(F.broadcast(ends), "wend")
     # distinct users per window (a user may appear on several days)
     wu = fan.select("wend", "user_id", "h").distinct()
     rk = F.row_number().over(
