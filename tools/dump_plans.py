@@ -233,6 +233,21 @@ SHOW = [
      "row_number, then ONE full-outer join on the natural merge key "
      "(the co-partitioning a bucketed base table makes shuffle-free); "
      "inserts/updates/deletes/base rows tagged in a single pass."),
+    ("rolling_kmv_users",
+     "Rolling 7-day distinct users via mergeable KMV — (day,user) dedup "
+     "collapses the corpus, each row explodes its 7 candidate window "
+     "ends (constant fan-out equi-join, not an inequality nested loop "
+     "that grows with the day axis), per-window bottom-k is a "
+     "window-end-partitioned rank filter (WindowGroupLimit heaps)."),
+    ("lsh_recall_audit",
+     "In-gate LSH honesty metric — fixed 500-doc sample via "
+     "TakeOrderedAndProject (constant audit cost at any corpus size), "
+     "bounded C(500,2) exact side repartitioned across cores, "
+     "|A∪B| = na+nb−ni so no union array materializes."),
+    ("seasonal_anomalies",
+     "Seasonal-adjusted anomalies — reuses the decomposition operator's "
+     "integer-exact residuals; top-k per type is a partitioned rank "
+     "filter over the hours-bounded decomposition output."),
 ]
 
 
