@@ -141,6 +141,7 @@ HEADLINE = [
     "seasonal_anomalies",
     "rolling_kmv_users",
     "lsh_recall_audit",
+    "token_communities",
 ]
 
 

@@ -563,6 +563,154 @@ FROM it{PAGERANK_ITERS}
 ORACLE_PAGERANK_TYPES = _pagerank_oracle()
 
 
+# Co-occurrence edge threshold as a corpus FRACTION (pairs sharing ≥60%
+# of docs): an absolute count degenerates with corpus size (at sf0.1
+# every hub pair clears any small constant and the graph is a complete
+# clique); the fraction keeps the same non-trivial graph shape at every
+# SF. Integer comparison (100·count ≥ 60·n_docs) — no float threshold.
+# Shared by token_triangles and token_communities.
+COOC_MIN_PCT = 60
+
+
+# --- label-propagation communities ---------------------------------------
+
+LPA_ITERS = 3
+
+
+def q_token_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Community detection on the token co-occurrence graph by
+    synchronous label propagation: each node starts as its own label;
+    each round it adopts the label with the highest total edge weight
+    among its neighbors (ties → lexicographically smallest label;
+    isolated nodes keep their own). Fixed 3 rounds, fully deterministic
+    — the community layer between connected components (too coarse:
+    one giant component) and triangles (too local).
+
+    Plan: the corpus-sized pair aggregation builds the
+    vocabulary-bounded weighted edge list ONCE; each round is a
+    broadcast join + (node, label) weight agg + per-node rank-1 argmax
+    (partitioned window). The oracle unrolls the same 3 rounds.
+
+    Scale: label state is |nodes| rows; per-round cost is |edges| —
+    both vocabulary-bounded here. On a billion-node graph the same loop
+    runs with hash joins instead of broadcasts; the synchronous
+    update rule is what makes the result partition-independent."""
+    docs = _t(spark, sf_dir, "documents")
+    nd = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    arrs = docs.select(
+        F.array_sort(F.array_distinct(F.split("text", " "))).alias("arr")
+    )
+    pairs = arrs.select(
+        F.explode(
+            F.flatten(
+                F.transform(
+                    "arr",
+                    lambda x, i: F.transform(
+                        F.slice(F.col("arr"), i + F.lit(2), F.size(F.col("arr"))),
+                        lambda y: F.struct(x.alias("t1"), y.alias("t2")),
+                    ),
+                )
+            )
+        ).alias("p")
+    ).select("p.t1", "p.t2")
+    # localCheckpoint: the symmetric union references `und` twice and the
+    # loop re-references the union 3× — the corpus-sized pair explode
+    # lands in branches ReuseExchange does not fully cover (measured
+    # 4.7 s vs 2.4 s at sf0.1). The checkpointed frame is
+    # vocabulary²-bounded.
+    und = (
+        pairs.groupBy("t1", "t2")
+        .agg(F.count(F.lit(1)).alias("w"))
+        .crossJoin(F.broadcast(nd))
+        .filter(F.col("w") * 100 >= F.lit(COOC_MIN_PCT) * F.col("n_docs"))
+        .select("t1", "t2", "w")
+        .localCheckpoint()
+    )
+    edges = und.select(
+        F.col("t1").alias("src"), F.col("t2").alias("dst"), "w"
+    ).unionAll(und.select(F.col("t2").alias("src"), F.col("t1").alias("dst"), "w"))
+    nodes = edges.select(F.col("src").alias("node")).distinct().localCheckpoint()
+    labels = nodes.select("node", F.col("node").alias("lab"))
+    for _ in range(LPA_ITERS):
+        scores = (
+            edges.join(
+                F.broadcast(labels.withColumnRenamed("node", "src")), "src"
+            )
+            .groupBy(F.col("dst").alias("node"), "lab")
+            .agg(F.sum("w").alias("tw"))
+        )
+        rk = F.row_number().over(
+            W.partitionBy("node").orderBy(F.col("tw").desc(), F.col("lab").asc())
+        )
+        best = scores.withColumn("rn", rk).filter(F.col("rn") == 1).select(
+            "node", F.col("lab").alias("new_lab")
+        )
+        labels = (
+            nodes.join(F.broadcast(best), "node", "left")
+            .join(
+                F.broadcast(
+                    labels.select("node", F.col("lab").alias("old_lab"))
+                ),
+                "node",
+            )
+            .select(
+                "node", F.coalesce("new_lab", "old_lab").alias("lab")
+            )
+        )
+    sizes = labels.groupBy("lab").agg(F.count(F.lit(1)).alias("community_size"))
+    return (
+        labels.join(F.broadcast(sizes), "lab")
+        .select(
+            F.col("node").alias("token"),
+            F.col("lab").alias("community"),
+            "community_size",
+        )
+    )
+
+
+def _lpa_oracle() -> str:
+    its = []
+    for k in range(1, LPA_ITERS + 1):
+        its.append(f"""s{k} AS (
+  SELECT e.dst AS node, l.lab AS lab, CAST(sum(e.w) AS BIGINT) AS tw
+  FROM edges e JOIN it{k - 1} l ON l.node = e.src GROUP BY e.dst, l.lab
+), b{k} AS (
+  SELECT node, lab AS new_lab FROM (
+    SELECT node, lab, row_number() OVER (PARTITION BY node
+           ORDER BY tw DESC, lab ASC) AS rn
+    FROM s{k}
+  ) WHERE rn = 1
+), it{k} AS (
+  SELECT n.node, coalesce(b.new_lab, p.lab) AS lab
+  FROM nodes n LEFT JOIN b{k} b ON b.node = n.node
+  JOIN it{k - 1} p ON p.node = n.node
+)""")
+    chain = ", ".join(its)
+    return f"""
+WITH dt AS (
+  SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS t FROM documents
+), pairs AS (
+  SELECT a.t AS t1, b.t AS t2
+  FROM dt a JOIN dt b ON a.doc_id = b.doc_id AND a.t < b.t
+), und AS (
+  SELECT t1, t2, CAST(count(*) AS BIGINT) AS w FROM pairs GROUP BY t1, t2
+  HAVING count(*) * 100 >= {COOC_MIN_PCT} * (SELECT count(*) FROM documents)
+), edges AS (
+  SELECT t1 AS src, t2 AS dst, w FROM und
+  UNION ALL SELECT t2 AS src, t1 AS dst, w FROM und
+), nodes AS (SELECT DISTINCT src AS node FROM edges),
+it0 AS (SELECT node, node AS lab FROM nodes), {chain}
+SELECT l.node AS token, l.lab AS community, s.community_size
+FROM it{LPA_ITERS} l JOIN (
+  SELECT lab, CAST(count(*) AS BIGINT) AS community_size
+  FROM it{LPA_ITERS} GROUP BY lab
+) s ON s.lab = l.lab
+"""
+
+
+ORACLE_TOKEN_COMMUNITIES = _lpa_oracle()
+
+
 # --- LSH recall audit ----------------------------------------------------
 
 AUDIT_N = 500
@@ -960,14 +1108,6 @@ WHERE (is_delete IS NULL OR NOT is_delete)
 
 # --- token co-occurrence triangles ---------------------------------------
 
-# Edge threshold as a corpus FRACTION (co-occur in ≥60% of docs): an
-# absolute count degenerates with corpus size (at sf0.1 every hub pair
-# clears any small constant and the graph is a complete clique); the
-# fraction keeps the same non-trivial graph shape at every SF. Integer
-# comparison (100·count ≥ 60·n_docs) — no float threshold.
-COOC_MIN_PCT = 60
-
-
 def q_token_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Triangle census of the token co-occurrence graph (edges = token
     pairs sharing ≥ COOC_MIN_PCT% of documents): edge/wedge/triangle
@@ -1199,4 +1339,6 @@ QUERIES = [
           "rolling 7-day distinct users: exact vs mergeable KMV sketch"),
     Query("lsh_recall_audit", q_lsh_recall_audit, ORACLE_LSH_RECALL_AUDIT,
           "LSH recall vs bounded exact ground truth on a fixed sample"),
+    Query("token_communities", q_token_communities, ORACLE_TOKEN_COMMUNITIES,
+          "synchronous label-propagation communities, 3 unrolled rounds"),
 ]
