@@ -142,6 +142,7 @@ HEADLINE = [
     "rolling_kmv_users",
     "lsh_recall_audit",
     "token_communities",
+    "kfold_splits",
 ]
 
 

@@ -563,6 +563,60 @@ FROM it{PAGERANK_ITERS}
 ORACLE_PAGERANK_TYPES = _pagerank_oracle()
 
 
+# --- k-fold cross-validation splits --------------------------------------
+
+KFOLD_K = 5
+
+
+def q_kfold_splits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic k-fold assignment over documents (fold =
+    md5-derived hash of the doc id, mod k — stable across runs,
+    engines, and partitionings, like hash_split's train/val/test) plus
+    the per-fold balance report a CV harness checks before training:
+    fold sizes, token mass, and per-language composition.
+
+    Plan: one map-side fold assignment (no shuffle until the
+    (fold, lang) agg), grouping-sets rollup so the per-fold total and
+    the per-(fold, lang) rows come from ONE pass."""
+    from pleiades_spark.functions.hashing import h32
+
+    docs = _t(spark, sf_dir, "documents")
+    folded = docs.select(
+        (h32(F.concat(F.lit("fold:"), F.col("doc_id").cast("string")))
+         % KFOLD_K).alias("fold"),
+        "lang",
+        F.size(F.split("text", " ")).cast("long").alias("n_tok"),
+    )
+    out = folded.rollup("fold", "lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tok").alias("n_tokens"),
+    )
+    # drop the grand-total row (fold IS NULL): the report is per fold,
+    # with lang IS NULL marking each fold's subtotal
+    return out.filter(F.col("fold").isNotNull()).select(
+        "fold",
+        F.coalesce(F.col("lang"), F.lit("ALL")).alias("lang"),
+        "n_docs",
+        "n_tokens",
+    )
+
+
+ORACLE_KFOLD_SPLITS = f"""
+WITH folded AS (
+  SELECT {h32_sql("'fold:' || CAST(doc_id AS VARCHAR)")} % {KFOLD_K} AS fold,
+         lang,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+  FROM documents
+)
+SELECT fold, coalesce(lang, 'ALL') AS lang,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_tok) AS BIGINT) AS n_tokens
+FROM folded
+GROUP BY ROLLUP (fold, lang)
+HAVING fold IS NOT NULL
+"""
+
+
 # Co-occurrence edge threshold as a corpus FRACTION (pairs sharing ≥60%
 # of docs): an absolute count degenerates with corpus size (at sf0.1
 # every hub pair clears any small constant and the graph is a complete
@@ -1341,4 +1395,6 @@ QUERIES = [
           "LSH recall vs bounded exact ground truth on a fixed sample"),
     Query("token_communities", q_token_communities, ORACLE_TOKEN_COMMUNITIES,
           "synchronous label-propagation communities, 3 unrolled rounds"),
+    Query("kfold_splits", q_kfold_splits, ORACLE_KFOLD_SPLITS,
+          "deterministic k-fold CV assignment + per-fold balance rollup"),
 ]
