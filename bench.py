@@ -63,6 +63,8 @@ HEADLINE = [
     # sketch family (round 2)
     "heavy_hitters_cms",
     "bloom_semi_prune",
+    # round 6: production xxhash64 hash family + exact verify
+    "bloom_semi_prune_prod",
     # time series + model-based scoring + incremental dedup (round 2)
     "timeseries_gapfill",
     "value_anomalies",

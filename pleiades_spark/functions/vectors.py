@@ -44,3 +44,25 @@ def cosine_sql(a: str, b: str) -> str:
         f"(list_inner_product({a}, {b}) / "
         f"(sqrt(list_inner_product({a}, {a})) * sqrt(list_inner_product({b}, {b}))))"
     )
+
+
+def attach_matrix(df, matrix, name: str = "_planes"):
+    """Attach a constant double matrix as a broadcast one-row array column.
+
+    Replaces ``F.lit(nested_list)`` for anything beyond a few hundred
+    elements: the literal path converts ELEMENT-BY-ELEMENT over py4j at
+    plan-construction time (measured 0.6-1.2 s of pure driver time for a
+    16-40×64 plane matrix, 14 s for a 32k-word bitmap) and then re-ships
+    inside every task binary; createDataFrame moves the same doubles in
+    one Arrow batch and the broadcast goes once per executor. The
+    crossJoin's build side is one row — a pointer attach
+    (BroadcastNestedLoopJoin, no shuffle), and every value is the same
+    Python float the literal would carry, so oracle parity is unchanged.
+
+    Returns ``df`` with column ``name: array<array<double>>``.
+    """
+    spark = df.sparkSession
+    mdf = spark.createDataFrame(
+        [([list(r) for r in matrix],)], f"{name} array<array<double>>"
+    )
+    return df.crossJoin(F.broadcast(mdf))

@@ -483,17 +483,20 @@ def embedding_near_dup_srp(
         )
     planes = SRP_PLANES if rows_bits == SRP_ROWS else srp_planes(SRP_BANDS * rows_bits)
     v = emb.select("vec_id", as_double(F.col("embedding")).alias("v"))
-    # ONE nested-array literal for the whole plane matrix: a plans×dim
-    # matrix as per-component F.lit nodes is thousands of expression
-    # nodes — analysis + codegen time dwarfed the actual scan. The fold
+    # The plane matrix arrives as a broadcast one-row array column
+    # (attach_matrix): per-component F.lit nodes were thousands of
+    # expression nodes (analysis + codegen dwarfed the scan), and even
+    # the single nested-array literal burned ~1 s of driver-side py4j
+    # conversion per call and re-shipped in every task binary. The fold
     # inside the lambda is the same left-to-right dot the oracle replays;
-    # only the expression-tree shape changes, not a single double.
-    planes_lit = F.lit([list(p) for p in planes])
-    bits = v.select(
+    # only the delivery of the constants changes, not a single double.
+    from pleiades_spark.functions.vectors import attach_matrix
+
+    bits = attach_matrix(v, planes).select(
         "vec_id",
         "v",
         F.transform(
-            planes_lit, lambda p: (dot(F.col("v"), p) >= 0).cast("int")
+            F.col("_planes"), lambda p: (dot(F.col("v"), p) >= 0).cast("int")
         ).alias("bits"),
     )
     band_arr = F.array(

@@ -380,15 +380,15 @@ def jl_project(emb: DataFrame, k: int = JL_K) -> DataFrame:
     list_inner_product replays bit-for-bit.
     """
     from pleiades_spark.functions.hashing import srp_planes
-    from pleiades_spark.functions.vectors import dot, norm
+    from pleiades_spark.functions.vectors import attach_matrix, dot, norm
 
     planes = srp_planes(k)
-    planes_lit = F.lit([list(p) for p in planes])
     v = emb.select("vec_id", as_double(F.col("embedding")).alias("v"))
-    proj = v.select(
+    # broadcast one-row matrix, not a nested literal — see attach_matrix
+    proj = attach_matrix(v, planes).select(
         "vec_id",
         "v",
-        F.transform(planes_lit, lambda p: dot(F.col("v"), p)).alias("proj"),
+        F.transform(F.col("_planes"), lambda p: dot(F.col("v"), p)).alias("proj"),
     )
     norm16 = F.sqrt(
         F.aggregate(

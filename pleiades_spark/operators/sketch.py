@@ -210,13 +210,31 @@ def bloom_prune(
 
 
 def bloom_prune_words(
-    fact: DataFrame, key: Column, words: list[int], bits: int
+    fact: DataFrame, key: Column, words: list[int], bits: int, hfn=h32
 ) -> DataFrame:
     """Map-side Bloom prune against a driver-resident bitmap (see
-    bloom_prune; words from bloom_words_from_keys or a collected build)."""
-    warr = F.lit(words)
+    bloom_prune; words from bloom_words_from_keys or a collected build).
+
+    ``hfn`` selects the 32-bit hash family: md5-derived ``h32`` (default,
+    oracle-replayable) or ``h32_prod`` (xxhash64, JVM-intrinsic — the
+    production path; the build side must use the SAME family).
+
+    The bitmap ships as a BROADCAST one-row DataFrame crossJoined in —
+    not a literal array. Two measured reasons (sf1, 32k-word bitmap):
+    (1) ``F.lit(list)`` converts element-by-element over py4j — 14-18 s
+    of pure DRIVER time at plan construction, dwarfing the 2 s scan it
+    feeds; createDataFrame ships the same words in one Arrow batch
+    (0.1 s). (2) a literal is baked into the task binary and re-shipped
+    with EVERY task (1.4 MB observed), a broadcast goes once per
+    executor — the difference compounds with dim size at 100 TB. The
+    probe stays O(1) per row: element_at on the single shared array +
+    bit-AND; the crossJoin's build side is one row, so the "join" is a
+    no-shuffle pointer attach (BroadcastNestedLoopJoin, 1-row build)."""
+    spark = fact.sparkSession
+    wdf = spark.createDataFrame([(words,)], "_bloom_words array<bigint>")
     pow2 = F.lit([1 << i for i in range(32)])
-    pruned = fact.withColumn("_h", h32(key))
+    pruned = fact.withColumn("_h", hfn(key)).crossJoin(F.broadcast(wdf))
+    warr = F.col("_bloom_words")
     cond = F.lit(True)
     for pos in _bloom_positions_from_h(F.col("_h"), BLOOM_HASHES, bits):
         # pos ∈ [0, bits): word index via integer shift — floor(pos/32)
@@ -224,7 +242,7 @@ def bloom_prune_words(
         word = F.element_at(warr, F.shiftright(pos, 5).cast("int") + F.lit(1))
         bit = F.element_at(pow2, pos.bitwiseAND(F.lit(31)).cast("int") + F.lit(1))
         cond = cond & (word.bitwiseAND(bit) != 0)
-    return pruned.filter(cond).drop("_h")
+    return pruned.filter(cond).drop("_h", "_bloom_words")
 
 
 # --- KMV (k minimum values) cardinality sketch ----------------------------

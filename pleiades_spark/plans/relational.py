@@ -1373,6 +1373,59 @@ FROM pass
 """
 
 
+def q_bloom_semi_prune_prod(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PRODUCTION hash-family twin of q_bloom_semi_prune: the bitmap and
+    the fact-side probe use xxhash64 (h32_prod — JVM intrinsic, no hex
+    round-trip) instead of the oracle-replayable md5-h32, then an exact
+    broadcast semi join drops the false positives. Bloom filters have no
+    false NEGATIVES, so the final aggregate is hash-family-independent —
+    which is what lets a non-DuckDB-reproducible hash keep a FULL value
+    gate: the oracle just computes the exact semi-join aggregate.
+
+    This is the deployment configuration (CLAUDE.md invariant: gate
+    sketches stay on md5 so their ERROR replays; here the error is
+    verified away in-plan, so the cheap hash is safe). Same map-side
+    bitmap shape as the gate twin — plan guard shares
+    test_scale_plans.py's no-join-prune check pattern.
+    """
+    from pleiades_spark.functions.hashing import h32_prod
+
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    dim = (
+        orders.filter(F.col("o_totalprice") > BLOOM_PRICE_MIN)
+        .select(F.col("o_orderkey").cast("string").alias("k"))
+        .distinct()
+    )
+    hashes = [
+        r["h"] for r in dim.select(h32_prod(F.col("k")).alias("h")).collect()
+    ]
+    bits = bloom_bits_for(len(hashes))
+    words = bloom_words_from_hashes(hashes, bits)
+    fact = li.select(
+        F.col("l_orderkey").cast("string").alias("k"), "l_extendedprice"
+    )
+    pruned = bloom_prune_words(fact, F.col("k"), words, bits, hfn=h32_prod)
+    # Exact verify: inner broadcast join — false positives (the only rows
+    # a hash-family change can move) are dropped here, so n_match /
+    # matched_revenue equal the plain semi join bit-for-bit.
+    matched = pruned.join(F.broadcast(dim), "k")
+    return matched.agg(
+        F.count(F.lit(1)).alias("n_match"),
+        F.round(F.sum("l_extendedprice"), 4).alias("matched_revenue"),
+    )
+
+
+ORACLE_BLOOM_SEMI_PRUNE_PROD = f"""
+SELECT CAST(count(*) AS BIGINT) AS n_match,
+       round(sum(l_extendedprice), 4) AS matched_revenue
+FROM lineitem
+WHERE CAST(l_orderkey AS VARCHAR) IN (
+  SELECT DISTINCT CAST(o_orderkey AS VARCHAR)
+  FROM orders WHERE o_totalprice > {BLOOM_PRICE_MIN}
+)
+"""
+
 
 def q_window_function_breadth(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Window-function surface in one gate: rank, dense_rank, percent_rank,
@@ -2196,6 +2249,10 @@ QUERIES = [
           "Count-Min Sketch top-20 frequency estimation (replayed error)"),
     Query("bloom_semi_prune", q_bloom_semi_prune, ORACLE_BLOOM_SEMI_PRUNE,
           "Bloom-filter join pruning with deterministic false-positive count"),
+    Query("bloom_semi_prune_prod", q_bloom_semi_prune_prod,
+          ORACLE_BLOOM_SEMI_PRUNE_PROD,
+          "production xxhash64 Bloom prune + exact verify (hash-family-"
+          "independent final aggregate, full value gate)"),
     Query("market_share", q_market_share, ORACLE_MARKET_SHARE,
           "TPC-H Q8: nation share of regional market per year, 6-table snowflake"),
     Query("parts_supplier_counts", q_parts_supplier_counts,

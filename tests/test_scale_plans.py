@@ -139,15 +139,22 @@ def test_cms_sketch_broadcast_on_probe(spark, sf_dir):
 
 def test_bloom_prune_is_map_side_filter(spark, sf_dir):
     """The bloom membership test must compile into the fact scan as a
-    plain Filter over the literal bitmap — no joins, no shuffle of the
-    fact side. Only the truth-marking join (a query concern, not the
-    prune) may appear, and it must broadcast."""
+    plain Filter over the broadcast bitmap — no hash joins, no shuffle of
+    the fact side. The bitmap arrives as a ONE-ROW broadcast crossJoin
+    (BroadcastNestedLoopJoin with a 1-row build — a pointer attach, not
+    a real join; a literal array instead costs O(words) driver-side py4j
+    conversion and re-ships in every task binary). Only the
+    truth-marking join (a query concern, not the prune) may hash-join,
+    and it must broadcast."""
     from pleiades_spark.plans.relational import q_bloom_semi_prune
 
     plan = _plan(q_bloom_semi_prune(spark, sf_dir))
     # exactly the one truth-marking broadcast join; membership adds none
     # (formatted explain names each node twice: tree + detail section)
     assert plan.count("BroadcastHashJoin") == 2
+    # the bitmap attach: exactly one 1-row-build nested-loop broadcast
+    assert plan.count("BroadcastNestedLoopJoin") == 2
+    assert "SortMergeJoin" not in plan
     assert "LeftSemi" not in plan
     assert "element_at" in plan  # bitmap word probe in the filter
     # the fact (lineitem) side reads only the join key + measure

@@ -57,6 +57,39 @@ def test_bloom_prune_no_false_negatives(spark, sf_dir):
     assert pruned.count() <= fact.count()
 
 
+def test_bloom_prod_hash_family_no_false_negatives(spark, sf_dir):
+    """The xxhash64 production family keeps Bloom's one-sided guarantee:
+    build + probe with h32_prod (not oracle-replayable) must still pass
+    every true match — which is exactly why bloom_semi_prune_prod can
+    carry a FULL value gate (the exact verify join removes the only
+    hash-family-dependent rows, the false positives)."""
+    from pleiades_spark import catalog
+    from pleiades_spark.functions.hashing import h32_prod
+    from pleiades_spark.operators.sketch import (
+        bloom_bits_for,
+        bloom_prune_words,
+        bloom_words_from_hashes,
+    )
+
+    orders = catalog.load(spark, sf_dir, "orders")
+    li = catalog.load(spark, sf_dir, "lineitem")
+    dim = (
+        orders.filter(F.col("o_totalprice") > 300_000)
+        .select(F.col("o_orderkey").cast("string").alias("k"))
+        .distinct()
+    )
+    hashes = [r["h"] for r in dim.select(h32_prod(F.col("k")).alias("h")).collect()]
+    assert all(0 <= h < 2**32 for h in hashes)  # h32 range contract
+    bits = bloom_bits_for(len(hashes))
+    words = bloom_words_from_hashes(hashes, bits)
+    fact = li.select(F.col("l_orderkey").cast("string").alias("k"))
+    pruned = bloom_prune_words(fact, F.col("k"), words, bits, hfn=h32_prod)
+    true_matches = fact.join(dim, "k", "left_semi").count()
+    surviving_true = pruned.join(dim, "k", "left_semi").count()
+    assert surviving_true == true_matches
+    assert pruned.count() <= fact.count()
+
+
 def test_kmv_sketch_is_mergeable(spark, sf_dir):
     """The property that makes KMV a real distributed sketch: merging
     per-partition sketches (union hashes, keep k smallest) yields the
