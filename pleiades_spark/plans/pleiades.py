@@ -1864,36 +1864,55 @@ def q_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ordered funnel view → click → purchase, strictly increasing event
     times per user.
 
-    The correlated "first X after Y" steps decorrelate into per-user min
-    aggregations chained through joins — each stage's output is
-    user-cardinality (tiny), so stages 2 and 3 broadcast back against
-    the event scan. One wide shuffle total (the per-user aggs share the
-    user_id key), then three 1-row counts cross-joined.
+    ONE user_id shuffle total (round-6 rework; was three chained
+    per-stage groupBys, each re-scanning + re-shuffling events — 4.8 s at
+    sf1): the "first X after Y" chain becomes two running-min windows
+    over the same (user_id, ts) sort — running first-view ts marks
+    qualifying clicks (strictly after a view), running first-QUALIFYING-
+    click ts marks qualifying purchases — then the per-user flags
+    aggregate on the partitioning the window already established (no
+    second Exchange; the final 1-row rollup moves three ints).
+    Equivalence to the min-chained oracle: a purchase at t qualifies iff
+    the first qualifying click ct < t, and the running min of qualifying
+    click ts at row t is < t exactly when ct < t (the first qualifying
+    click precedes t in ts order). Tie-safe under the strict >: a
+    same-ts view/click never qualifies whichever side of the ROWS frame
+    boundary it lands on. The growing [unboundedPreceding, current]
+    frame is the incremental O(n) one (CLAUDE.md window invariant).
     """
     ev = _events(spark, sf_dir)
-    views = (
-        ev.filter(F.col("event_type") == "view")
-        .groupBy("user_id")
-        .agg(F.min("ts").alias("vt"))
+    ev3 = ev.filter(
+        F.col("event_type").isin("view", "click", "purchase")
+    ).select("user_id", "event_type", "ts", "event_id")
+    w = (
+        W.partitionBy("user_id")
+        .orderBy(F.col("ts").asc(), F.col("event_id").asc())
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
     )
-    clicks = (
-        ev.filter(F.col("event_type") == "click")
-        .join(F.broadcast(views), "user_id")
-        .filter(F.col("ts") > F.col("vt"))
-        .groupBy("user_id")
-        .agg(F.min("ts").alias("ct"))
+    run_vt = F.min(F.when(F.col("event_type") == "view", F.col("ts"))).over(w)
+    staged = ev3.withColumn("_vt", run_vt)
+    qclick = (
+        (F.col("event_type") == "click")
+        & F.col("_vt").isNotNull()
+        & (F.col("ts") > F.col("_vt"))
     )
-    buys = (
-        ev.filter(F.col("event_type") == "purchase")
-        .join(F.broadcast(clicks), "user_id")
-        .filter(F.col("ts") > F.col("ct"))
-        .groupBy("user_id")
-        .agg(F.min("ts").alias("pt"))
+    staged = staged.withColumn(
+        "_qct", F.min(F.when(qclick, F.col("ts"))).over(w)
     )
-    return (
-        views.agg(F.count(F.lit(1)).alias("n_view_users"))
-        .crossJoin(clicks.agg(F.count(F.lit(1)).alias("n_click_after_view")))
-        .crossJoin(buys.agg(F.count(F.lit(1)).alias("n_full_funnel")))
+    qbuy = (
+        (F.col("event_type") == "purchase")
+        & F.col("_qct").isNotNull()
+        & (F.col("ts") > F.col("_qct"))
+    )
+    per_user = staged.groupBy("user_id").agg(
+        F.max((F.col("event_type") == "view").cast("int")).alias("has_view"),
+        F.max(qclick.cast("int")).alias("has_click"),
+        F.max(qbuy.cast("int")).alias("has_buy"),
+    )
+    return per_user.agg(
+        F.sum("has_view").alias("n_view_users"),
+        F.sum("has_click").alias("n_click_after_view"),
+        F.sum("has_buy").alias("n_full_funnel"),
     )
 
 

@@ -107,13 +107,19 @@ def test_corpus_sample_no_shuffle_no_rand(spark, sf_dir):
     assert "rand(" not in plan
 
 
-def test_funnel_stage_aggs_share_user_key(spark, sf_dir):
-    """Funnel stages must broadcast the tiny per-user frames, never
-    shuffle the event scan more than once per stage."""
+def test_funnel_single_user_shuffle(spark, sf_dir):
+    """The funnel must shuffle events on user_id exactly ONCE (round-6
+    rework): both running-min windows and the per-user flag aggregation
+    ride the same hashpartitioning(user_id) Exchange; the only other
+    Exchange is the final 1-row rollup (SinglePartition). No joins at
+    all — the old three-stage broadcast chain re-scanned and re-shuffled
+    events per stage (4.8 s at sf1 vs 0.9 s now)."""
     from pleiades_spark.plans.pleiades import q_funnel_conversion
 
     plan = _plan(q_funnel_conversion(spark, sf_dir))
-    assert plan.count("BroadcastExchange") >= 2  # views into clicks, clicks into buys
+    assert plan.count("hashpartitioning(user_id") == 1
+    assert "Join" not in plan
+    assert "BroadcastExchange" not in plan
 
 
 def test_decontam_no_cartesian_equi_join_only(spark, sf_dir):
@@ -280,7 +286,12 @@ def test_srp_dedup_band_join_no_cartesian(spark, sf_dir):
 
     plan = _plan(q_dedup_embedding_srp(spark, sf_dir))
     assert "CartesianProduct" not in plan
-    assert "BroadcastNestedLoopJoin" not in plan
+    # the only nested-loop allowed is the ONE-ROW plane-matrix attach
+    # (attach_matrix broadcast), which the band self-join duplicates into
+    # both branches — 2 nodes × formatted explain's tree+detail naming =
+    # 4 strings. Anything more means vectors are being nested-loop
+    # joined; the real pair-generation must stay the band equi-join.
+    assert plan.count("BroadcastNestedLoopJoin") <= 4
     assert "band_idx" in plan and "band_val" in plan
 
 
@@ -324,13 +335,17 @@ def test_decontam_broadcasts_eval_side(spark, sf_dir):
     assert "SortMergeJoin" not in plan
 
 
-def test_jl_projection_zero_exchanges(spark, sf_dir):
-    """JL projection is a map-only stage — k dots against one literal
-    matrix inside the scan."""
+def test_jl_projection_zero_shuffles(spark, sf_dir):
+    """JL projection is a map-only stage — k dots against the broadcast
+    one-row projection matrix inside the scan. No SHUFFLE exchange may
+    appear; the single BroadcastExchange is the matrix delivery
+    (attach_matrix — cheaper than a nested literal, see
+    functions/vectors.py)."""
     from pleiades_spark.plans.llm import q_jl_projection
 
     plan = _plan(q_jl_projection(spark, sf_dir))
-    assert "Exchange" not in plan
+    assert "ShuffleExchange" not in plan and "hashpartitioning" not in plan
+    assert plan.count("BroadcastExchange") <= 2  # tree + detail naming
 
 
 def test_weighted_sample_take_ordered(spark, sf_dir):
