@@ -357,7 +357,10 @@ def ngram_jaccard_pairs(
 
 
 def embedding_near_dup_ivf(
-    emb: DataFrame, threshold: float = 0.45, n_centroids: int | None = None
+    emb: DataFrame,
+    threshold: float = 0.45,
+    n_centroids: int | None = None,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Scale path for embedding near-dup: self-join WITHIN IVF buckets.
 
@@ -379,13 +382,42 @@ def embedding_near_dup_ivf(
     the frozen oracle replays), then K = max(16, n // 64) — average
     bucket ≈ 64, total intra-bucket work ≈ 32·n pairs, linear at any
     scale. The gate oracle computes the identical rule from count(*).
+
+    ``max_bucket_size`` is the hot-bucket guard, same contract as
+    minhash_lsh_pairs': a centroid claiming B vectors costs B² pairs in
+    ONE task, so a degenerate embedding space (zero vectors, a mode the
+    encoder collapses to) turns the Voronoi cell into both a straggler
+    and a quadratic blowup. Buckets over the cap are dropped from pair
+    generation — a recall trade the recall-audit machinery
+    (tests/test_ann_recall.py) quantifies. None (the gate default) is
+    lossless; measured sf1 buckets are BALANCED under the adaptive-K
+    rule (max 131 vs mean 64), so the cap is the insurance policy, not
+    the sf1 lever — the round-6 levers were the map-only assignment
+    (similarity._assign_nearest) and precomputed verify norms (15.4 s →
+    8.3 s together).
     """
     from pleiades_spark.operators.similarity import ivf_assign
 
     if n_centroids is None:
         n = emb.count()
         n_centroids = 16 if n <= 1024 else max(16, n // 64)
-    assigned = ivf_assign(emb, n_centroids)
+    # Per-VECTOR norms once before the self-join (same trick as the SRP
+    # verify): cosine() inline re-folds both norms for every PAIR —
+    # 3 array folds per candidate; with norms precomputed the per-pair
+    # cost is 1 fold + a divide. norm(v) is a deterministic function of
+    # the vector, so dot/(n_a*n_b) is the same double as cosine() and the
+    # oracle replays unchanged. (sf1: 9.4 s → with this 3-fold cut the
+    # verify stage stops dominating.)
+    assigned = ivf_assign(emb, n_centroids).withColumn("nrm", norm(F.col("v")))
+    if max_bucket_size is not None:
+        # windowed count shuffles on the same centroid_id the self-join
+        # needs — co-located, no extra exchange in the joined plan
+        wb = W.partitionBy("centroid_id")
+        assigned = (
+            assigned.withColumn("bucket_size", F.count(F.lit(1)).over(wb))
+            .filter(F.col("bucket_size") <= max_bucket_size)
+            .drop("bucket_size")
+        )
     a = assigned.alias("a")
     b = assigned.alias("b")
     return (
@@ -394,7 +426,14 @@ def embedding_near_dup_ivf(
             (F.col("a.centroid_id") == F.col("b.centroid_id"))
             & (F.col("a.vec_id") < F.col("b.vec_id")),
         )
-        .withColumn("cos", F.round(cosine(F.col("a.v"), F.col("b.v")), 6))
+        .withColumn(
+            "cos",
+            F.round(
+                dot(F.col("a.v"), F.col("b.v"))
+                / (F.col("a.nrm") * F.col("b.nrm")),
+                6,
+            ),
+        )
         .filter(F.col("cos") >= threshold)
         .select(
             F.col("a.vec_id").alias("vec_a"),

@@ -23,7 +23,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
 
-from pleiades_spark.functions.vectors import as_double, cosine
+from pleiades_spark.functions.vectors import as_double, cosine, dot, norm
 
 
 def knn_brute(
@@ -94,15 +94,73 @@ def ivf_assign(emb: DataFrame, n_centroids: int = 16) -> DataFrame:
     centroids = v.filter(F.col("vec_id") < n_centroids).select(
         F.col("vec_id").alias("centroid_id"), F.col("v").alias("cv")
     )
-    scored = v.crossJoin(F.broadcast(centroids)).withColumn(
-        "ccos", F.round(cosine(F.col("v"), F.col("cv")), 6)
+    return _assign_nearest(v, centroids)
+
+
+def _assign_nearest(v: DataFrame, codebook: DataFrame) -> DataFrame:
+    """Map-only nearest-centroid assignment (round-6 rework).
+
+    The old shape — crossJoin(broadcast(centroids)) → n·K rows each
+    carrying TWO d-dim arrays → row_number window over vec_id — pushed
+    ~6.4 GB (20k vectors × 312 centroids × 128 doubles at sf1) through a
+    shuffle + sort just to pick a per-row argmax. Now the codebook
+    collapses to ONE row (collect_list of (centroid_id, cv, nrm) structs,
+    array_sorted by centroid_id), broadcast-attaches to the scan, and a
+    single F.aggregate fold finds the argmax — each centroid's cosine is
+    computed EXACTLY once per row (no duplicate-expression risk, cf. the
+    CLAUDE.md HOF-CSE invariant), and nothing but (vec_id, v,
+    centroid_id) ever leaves the map stage. Zero shuffles.
+
+    Oracle parity: the cosine keeps the exact op order of cosine() —
+    round(dot(v,cv) / (norm(v) * norm(cv)), 6) with norm(v) computed
+    once per row (a deterministic function of the vector, so the double
+    is unchanged) — and the strict > in the fold keeps the first (=
+    lowest, the array is sorted) centroid_id on ties, identical to the
+    old (ccos DESC, centroid_id ASC) row_number ordering.
+
+    Scale note: K rides a broadcast, so this holds while the codebook
+    fits an executor (~10⁵·d — far past the adaptive K = n/64 rule's
+    gate range); a 10⁷-centroid regime would shard the codebook and
+    take a per-shard argmax first.
+    """
+    cb = (
+        codebook.withColumn("nrm", norm(F.col("cv")))
+        .agg(
+            F.array_sort(
+                F.collect_list(
+                    F.struct(
+                        F.col("centroid_id").cast("bigint").alias("centroid_id"),
+                        "cv",
+                        "nrm",
+                    )
+                )
+            ).alias("_cb")
+        )
     )
-    w = W.partitionBy("vec_id").orderBy(F.col("ccos").desc(), F.col("centroid_id").asc())
-    return (
-        scored.withColumn("rk", F.row_number().over(w))
-        .filter(F.col("rk") == 1)
-        .select("vec_id", "v", "centroid_id")
+    vv = v.withColumn("_nv", norm(F.col("v"))).crossJoin(F.broadcast(cb))
+    # transform → each centroid's cosine computed EXACTLY once (the fold
+    # compares only struct fields); a compare-and-recompute fold would
+    # double the dot products, a separate argmax over a ccos column would
+    # re-evaluate the transform under project collapse.
+    scored_arr = F.transform(
+        F.col("_cb"),
+        lambda c: F.struct(
+            F.round(
+                dot(F.col("v"), c["cv"]) / (F.col("_nv") * c["nrm"]), 6
+            ).alias("cc"),
+            c["centroid_id"].alias("cid"),
+        ),
     )
+    best = F.aggregate(
+        scored_arr,
+        F.struct(
+            F.lit(float("-inf")).alias("cc"),
+            F.lit(-1).cast("bigint").alias("cid"),
+        ),
+        lambda acc, x: F.when(x["cc"] > acc["cc"], x).otherwise(acc),
+        lambda acc: acc["cid"],
+    )
+    return vv.select("vec_id", "v", best.alias("centroid_id"))
 
 
 def fit_ivf_codebook(
@@ -136,20 +194,13 @@ def ivf_assign_with_codebook(emb: DataFrame, codebook: DataFrame) -> DataFrame:
     """Nearest-centroid assignment against an arbitrary codebook frame.
 
     Same shape as ivf_assign but the codebook is an input (KMeans-fit in
-    production, deterministic fixture for the oracle gate). Broadcast ×
-    corpus scan; at scale the output is written partitioned by
-    centroid_id so probes prune partitions.
+    production, deterministic fixture for the oracle gate). One-row
+    broadcast × corpus scan (map-only argmax — see _assign_nearest); at
+    scale the output is written partitioned by centroid_id so probes
+    prune partitions.
     """
     v = emb.select("vec_id", as_double(F.col("embedding")).alias("v"))
-    scored = v.crossJoin(F.broadcast(codebook)).withColumn(
-        "ccos", F.round(cosine(F.col("v"), F.col("cv")), 6)
-    )
-    w = W.partitionBy("vec_id").orderBy(F.col("ccos").desc(), F.col("centroid_id").asc())
-    return (
-        scored.withColumn("rk", F.row_number().over(w))
-        .filter(F.col("rk") == 1)
-        .select("vec_id", "v", "centroid_id")
-    )
+    return _assign_nearest(v, codebook)
 
 
 def ivf_knn_fitted(
@@ -380,7 +431,7 @@ def jl_project(emb: DataFrame, k: int = JL_K) -> DataFrame:
     list_inner_product replays bit-for-bit.
     """
     from pleiades_spark.functions.hashing import srp_planes
-    from pleiades_spark.functions.vectors import attach_matrix, dot, norm
+    from pleiades_spark.functions.vectors import attach_matrix
 
     planes = srp_planes(k)
     v = emb.select("vec_id", as_double(F.col("embedding")).alias("v"))

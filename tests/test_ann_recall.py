@@ -125,6 +125,38 @@ def test_uncapped_lsh_still_lossless_on_boilerplate(spark):
     assert (100, 101) in pairs and (200, 201) in pairs
 
 
+def test_ivf_hot_bucket_cap_drops_degenerate_cell_keeps_rest(spark):
+    """embedding_near_dup_ivf's max_bucket_size (round 6): a degenerate
+    embedding mode that collapses many vectors into one Voronoi cell is
+    dropped from pair generation; pairs in healthy buckets survive, and
+    the capped output is exactly the uncapped output minus the hot
+    bucket's pairs (subset, never new pairs)."""
+    from pleiades_spark.operators.dedup import embedding_near_dup_ivf
+
+    # 2 far-apart codebook anchors (vec_id 0,1) + 30 vectors piled onto
+    # anchor 0's direction (the degenerate mode) + one near-dup pair at
+    # anchor 1.
+    dim = 8
+    rows = [(0, [1.0] + [0.0] * (dim - 1)), (1, [0.0] * (dim - 1) + [1.0])]
+    rows += [
+        (10 + i, [1.0, 0.001 * i] + [0.0] * (dim - 2)) for i in range(30)
+    ]
+    rows += [(100, [0.0] * (dim - 1) + [0.9]), (101, [0.01] * (dim - 1) + [0.95])]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    uncapped = _pair_set(
+        embedding_near_dup_ivf(emb, 0.9, n_centroids=2).select("vec_a", "vec_b")
+    )
+    capped = _pair_set(
+        embedding_near_dup_ivf(
+            emb, 0.9, n_centroids=2, max_bucket_size=8
+        ).select("vec_a", "vec_b")
+    )
+    assert (100, 101) in uncapped and (100, 101) in capped  # healthy bucket
+    assert any(a >= 10 and b < 100 for a, b in uncapped)  # hot-cell pairs exist
+    assert not any(a >= 10 and b < 100 for a, b in capped)  # ...and are capped
+    assert capped <= uncapped
+
+
 def test_quadratic_ground_truth_ops_guard_rail(spark):
     """The O(n^2) ground-truth operators refuse oversized inputs unless
     explicitly overridden — the fence that keeps them out of scale
