@@ -50,14 +50,20 @@ def _stage_event_files(spark: SparkSession, sf_dir: str, out_dir: str, *, split:
     halves = (
         [events.filter(F.col("event_id") % 2 == 0), events.filter(F.col("event_id") % 2 == 1)]
         if split
-        else [events, events]
+        else [events]  # re-delivery: write ONCE, copy the file per batch
     )
     for i, half in enumerate(halves):
         tmp = f"{out_dir}/_stage{i}"
-        half.coalesce(1).write.mode("overwrite").parquet(tmp)
+        # repartition(1), NOT coalesce(1): coalesce collapses the WHOLE
+        # scan+filter into one task; repartition keeps them parallel and
+        # only the final write is single-task (needed: exactly one file
+        # per micro-batch). Measured 3.3 s → 1.75 s per staging at sf1.
+        half.repartition(1).write.mode("overwrite").parquet(tmp)
         part = next(f for f in os.listdir(tmp) if f.endswith(".parquet"))
         shutil.copyfile(f"{tmp}/{part}", f"{out_dir}/{i:02d}.parquet")
         shutil.rmtree(tmp)
+    if not split:
+        shutil.copyfile(f"{out_dir}/00.parquet", f"{out_dir}/01.parquet")
 
 
 def _run_stateful(
@@ -66,25 +72,43 @@ def _run_stateful(
     op,
     output_mode: str,
     query_name: str,
+    sink: str = "memory",
 ) -> DataFrame:
+    """Drive ``op`` over the staged files to completion, return the sink.
+
+    ``sink="parquet"`` (append mode only — Spark's file sink contract)
+    keeps the output EXECUTOR-side and reads it back as a batch frame:
+    the memory sink materializes every output row on the driver, which
+    for the dedup/join gates means millions of rows of pure driver
+    transfer at sf1 (measured: the dominant cost, not the stateful
+    work). Update-mode gates (running totals: one row per user per
+    batch) stay on the memory sink — tiny output, and the file sink
+    cannot express update semantics.
+    """
     stream = (
         spark.readStream.schema(EVENTS_MICROS_SCHEMA)
         .option("maxFilesPerTrigger", "1")
         .parquet(src_dir)
         .drop("props")
     )
-    q = (
-        op(stream)
-        .writeStream.outputMode(output_mode)
-        .format("memory")
-        .queryName(query_name)
-        .start()
-    )
+    writer = op(stream).writeStream.outputMode(output_mode)
+    if sink == "parquet":
+        out = tempfile.mkdtemp(prefix=f"{query_name}_out_")
+        q = (
+            writer.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", f"{out}/_checkpoint")
+            .start()
+        )
+    else:
+        q = writer.format("memory").queryName(query_name).start()
     try:
         q.processAllAvailable()
     finally:
         q.stop()
         q.awaitTermination()
+    if sink == "parquet":
+        return spark.read.parquet(out)
     return spark.table(query_name)
 
 
@@ -123,7 +147,8 @@ def q_stateful_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     src = tempfile.mkdtemp(prefix="stateful_dedup_")
     _stage_event_files(spark, sf_dir, src, split=False)
     mem = _run_stateful(
-        spark, src, streaming_dedup, "append", "stateful_dedup_gate"
+        spark, src, streaming_dedup, "append", "stateful_dedup_gate",
+        sink="parquet",  # ~3M output rows at sf1 — keep them off the driver
     )
     return mem.select(
         "event_id",
@@ -158,7 +183,10 @@ def q_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         return stream_stream_user_join(stream, other)
 
-    return _run_stateful(spark, src, _op, "append", "ssjoin_gate")
+    return _run_stateful(
+        spark, src, _op, "append", "ssjoin_gate",
+        sink="parquet",  # join output is event×event scale — executor-side
+    )
 
 
 ORACLE_STREAM_STREAM_JOIN = """
