@@ -202,7 +202,17 @@ def q_hourly_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
     Plan: one (type, hour) agg (map-side combined) → ×3 lag explode →
     self-join on (type, h+k) with the hourly side broadcast (bounded by
     |types|·|hours|, ~3.4k rows at any event volume for a fixed time
-    range) → per-(type, lag) agg."""
+    range) → per-(type, lag) agg.
+
+    HARD ASSUMPTION (round-6 advice): the broadcast bound scales with
+    HISTORY LENGTH, not event volume — |types|·|hours| ≈ 9·24·days. The
+    ~230 MB/decade growth stays inside the default 8 GB driver ceiling
+    for any realistic retention, but an unbounded time axis (centuries,
+    or second-granularity re-bucketing) must drop the broadcast() hint
+    and let AQE pick the join side at runtime — the equi-keys
+    (event_type, h+k) make it a plain shuffled hash join then. Same
+    caveat applies to q_type_crosscorr and q_rolling_kmv_users' end-day
+    broadcast."""
     ev = _t(spark, sf_dir, "events")
     hourly = (
         ev.select(
@@ -287,7 +297,11 @@ def q_type_crosscorr(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Plan: one (type, hour) agg; the pairing self-join is an equi-join on
     the hour with the right side broadcast (|types|·|hours| bounded);
-    t1 < t2 keeps each pair once; one tiny per-pair agg."""
+    t1 < t2 keeps each pair once; one tiny per-pair agg.
+
+    Same HARD ASSUMPTION as q_hourly_autocorr (see its docstring): the
+    broadcast grows with history length — drop the hint past a
+    multi-decade axis and let AQE choose."""
     ev = _t(spark, sf_dir, "events")
     hourly = (
         ev.select(
@@ -671,19 +685,21 @@ def q_token_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
     # loop re-references the union 3× — the corpus-sized pair explode
     # lands in branches ReuseExchange does not fully cover (measured
     # 4.7 s vs 2.4 s at sf0.1). The checkpointed frame is
-    # vocabulary²-bounded.
+    # vocabulary²-bounded. eager=False keeps plan-only paths job-free
+    # (materializes on first action; non-reliable on executor loss —
+    # see type_reachability's note).
     und = (
         pairs.groupBy("t1", "t2")
         .agg(F.count(F.lit(1)).alias("w"))
         .crossJoin(F.broadcast(nd))
         .filter(F.col("w") * 100 >= F.lit(COOC_MIN_PCT) * F.col("n_docs"))
         .select("t1", "t2", "w")
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     edges = und.select(
         F.col("t1").alias("src"), F.col("t2").alias("dst"), "w"
     ).unionAll(und.select(F.col("t2").alias("src"), F.col("t1").alias("dst"), "w"))
-    nodes = edges.select(F.col("src").alias("node")).distinct().localCheckpoint()
+    nodes = edges.select(F.col("src").alias("node")).distinct().localCheckpoint(eager=False)
     labels = nodes.select("node", F.col("node").alias("lab"))
     for _ in range(LPA_ITERS):
         scores = (
@@ -949,7 +965,10 @@ def q_rolling_kmv_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (constant fan-out) and EQUI-join the observed end-days broadcast:
     # the inequality-join form would compare every row against every
     # end-day (rows × |days| nested-loop work once the time axis grows),
-    # where this is rows × 7 at any history length.
+    # where this is rows × 7 at any history length. The ends broadcast
+    # is ONE bigint per retained day (~3 KB/decade) — the same
+    # history-length-bounded assumption as q_hourly_autocorr's docstring,
+    # with orders of magnitude more headroom.
     ends = day_user.select(F.col("day").alias("wend")).distinct()
     fan = day_user.withColumn(
         "wend",
@@ -957,12 +976,17 @@ def q_rolling_kmv_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).join(F.broadcast(ends), "wend")
     # distinct users per window (a user may appear on several days)
     wu = fan.select("wend", "user_id", "h").distinct()
-    rk = F.row_number().over(
-        W.partitionBy("wend").orderBy(F.col("h").asc(), F.col("user_id").asc())
-    )
+    # KMV ranks DISTINCT HASH values (round-6 advice fix): two users
+    # colliding on the 32-bit h previously occupied two bottom-k slots,
+    # biasing the estimator relative to the (k-1)/h_(k) theory, which is
+    # defined on the hash SET. dense_rank gives the distinct-h semantics
+    # in the SAME single window pass row_number used (equal h share a
+    # rank; countDistinct collapses them in the aggregate) — no second
+    # corpus-sized distinct. exact_users still counts users.
+    rk = F.dense_rank().over(W.partitionBy("wend").orderBy(F.col("h").asc()))
     bottomk = wu.withColumn("rn", rk).filter(F.col("rn") <= ROLLING_KMV_K)
     sk = bottomk.groupBy("wend").agg(
-        F.count(F.lit(1)).alias("n_min"), F.max("h").alias("h_k")
+        F.countDistinct("h").alias("n_min"), F.max("h").alias("h_k")
     )
     exact = wu.groupBy("wend").agg(F.count(F.lit(1)).alias("exact_users"))
     est = F.when(
@@ -997,12 +1021,12 @@ fan AS (
 ), wu AS (SELECT DISTINCT wend, user_id, h FROM fan),
 bottomk AS (
   SELECT wend, h FROM (
-    SELECT wend, h, row_number() OVER (PARTITION BY wend
-           ORDER BY h ASC, user_id ASC) AS rn
+    SELECT wend, h, dense_rank() OVER (PARTITION BY wend
+           ORDER BY h ASC) AS rn
     FROM wu
   ) WHERE rn <= {ROLLING_KMV_K}
 ), sk AS (
-  SELECT wend, count(*) AS n_min, CAST(max(h) AS BIGINT) AS h_k
+  SELECT wend, count(DISTINCT h) AS n_min, CAST(max(h) AS BIGINT) AS h_k
   FROM bottomk GROUP BY wend
 ), exact AS (
   SELECT wend, CAST(count(*) AS BIGINT) AS exact_users FROM wu GROUP BY wend

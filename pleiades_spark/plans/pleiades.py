@@ -1766,7 +1766,14 @@ def q_type_reachability(spark: SparkSession, sf_dir: str) -> DataFrame:
         # recursive join otherwise re-derives the corpus-sized lag+agg
         # under the view at every iteration (6.4 s → 2.1 s at sf0.1;
         # at 100 TB it is the difference between 1 and 6 corpus passes).
-        .localCheckpoint()
+        # eager=False (round-6 advice): materialization happens on the
+        # FIRST ACTION, not at plan construction, so plan-only paths
+        # (explain CLI, dump_plans) stay job-free; the recursion still
+        # reuses the one materialized copy. Trade-off: localCheckpoint
+        # is non-reliable — executor loss during the query loses the
+        # blocks instead of recomputing; a long-lived production job
+        # would use checkpoint() to reliable storage here.
+        .localCheckpoint(eager=False)
     )
     top.createOrReplaceTempView("rcte_type_edges")
     return spark.sql("""
