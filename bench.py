@@ -145,6 +145,11 @@ HEADLINE = [
     "lsh_recall_audit",
     "token_communities",
     "kfold_splits",
+    # round 6: containment dedup + novelty + source overlap + attribution
+    "dedup_containment",
+    "doc_novelty",
+    "source_overlap_minhash",
+    "attribution_last_touch",
 ]
 
 

@@ -708,3 +708,94 @@ def prefix_jaccard_pairs(
         .filter(F.col("jaccard") >= thr)
         .select("doc_a", "doc_b", "jaccard")
     )
+
+
+def prefix_containment_pairs(
+    docs: DataFrame, t_num: int = 4, t_den: int = 5
+) -> DataFrame:
+    """EXACT Jaccard-CONTAINMENT join: directional pairs (a → b) with
+    C(a→b) = |A∩B| / |A| ≥ t — the asymmetric twin of
+    prefix_jaccard_pairs that symmetric Jaccard misses by construction:
+    a paragraph quoted inside a much longer document scores near-zero
+    Jaccard (the union is huge) but containment ≈ 1. This is the
+    sub-document-duplication detector (quotes, embedded boilerplate,
+    near-superset re-crawls) a training-corpus pipeline runs alongside
+    the symmetric dedup.
+
+    Prefix principle adapts (Chaudhuri et al. SSJoin 2006): if
+    |A∩B| ≥ ⌈t·|A|⌉ then A must hit B inside A's first
+    |A| − ⌈t·|A|⌉ + 1 rarest tokens — but only the PROBE side (A) gets a
+    prefix; the indexed side (B) contributes every token, because
+    containment puts no lower bound on which of B's tokens the overlap
+    uses. Candidates = equi-join of A-prefixes against the full token
+    table, pre-pruned by the length filter t·|A| ≤ |B| (an overlap can
+    never exceed |B|). Still recall 1 — the oracle verifies with a
+    BRUTE containment join, valid precisely because this path is exact.
+
+    Scale: the B side is the plain (doc, token) explode the df table
+    already consumed — one extra shuffle of corpus tokens, no window, no
+    rank broadcast; rarity ordering is the same local array_sort over
+    (df, token) structs as the symmetric path. ⌈t·n⌉ in integer
+    arithmetic (see prefix_jaccard_pairs — float ceil voids recall).
+    """
+    sc = docs.sparkSession.sparkContext
+    if docs.rdd.getNumPartitions() < sc.defaultParallelism:
+        docs = docs.repartition(sc.defaultParallelism, F.col("doc_id"))
+    sh_tbl = docs.select("doc_id", word_shingles(F.col("text")).alias("sh"))
+    tok = sh_tbl.select("doc_id", F.explode("sh").alias("t"))
+    df_tbl = tok.groupBy("t").agg(F.count(F.lit(1)).alias("df"))
+    ordered = (
+        tok.join(df_tbl, "t")
+        .groupBy("doc_id")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("df", "t"))),
+                lambda x: x["t"],
+            ).alias("ot")
+        )
+        .withColumn("n", F.size("ot"))
+    )
+    L = (
+        F.col("n")
+        - F.expr(f"({t_num} * n + {t_den} - 1) div {t_den}")
+        + F.lit(1)
+    ).cast("int")
+    pref = ordered.select(
+        "doc_id", "n", F.explode(F.slice(F.col("ot"), 1, L)).alias("rk")
+    )
+    full = ordered.select(
+        F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"),
+        F.explode("ot").alias("rkb"),
+    )
+    cand = (
+        pref.alias("pa")
+        .join(
+            full,
+            (F.col("pa.rk") == F.col("rkb"))
+            & (F.col("pa.doc_id") != F.col("doc_b"))
+            # |A∩B| ≤ |B|, so containment ≥ t needs t_num·|A| ≤ t_den·|B|
+            & (F.lit(t_num) * F.col("pa.n") <= F.lit(t_den) * F.col("nb")),
+        )
+        .select(F.col("pa.doc_id").alias("doc_a"), "doc_b")
+        .distinct()
+    )
+    oa = ordered.select(
+        F.col("doc_id").alias("doc_a"), F.col("ot").alias("ra"),
+        F.col("n").alias("na"),
+    )
+    ob = ordered.select(
+        F.col("doc_id").alias("doc_b"), F.col("ot").alias("rb")
+    )
+    thr = t_num / t_den
+    return (
+        cand.join(oa, "doc_a")
+        .join(ob, "doc_b")
+        .withColumn(
+            "containment",
+            F.round(
+                F.size(F.array_intersect("ra", "rb")) / F.col("na"), 6
+            ),
+        )
+        .filter(F.col("containment") >= thr)
+        .select("doc_a", "doc_b", "containment")
+    )

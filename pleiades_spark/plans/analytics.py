@@ -1394,9 +1394,70 @@ FROM last WHERE rk = 1
 """
 
 
+# --- last-touch channel attribution ----------------------------------------
+
+
+def q_attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch attribution: every purchase is credited to the most
+    recent PRIOR non-purchase event (the "channel") of the same user;
+    per-channel credited conversions + revenue. The marketing-analytics
+    sibling of funnel_conversion, same one-shuffle discipline.
+
+    Plan: running last non-purchase event_type over the growing
+    [unboundedPreceding, -1] frame with ignorenulls (incremental O(n) —
+    the shrinking-frame variant is the CLAUDE.md O(n²) trap), filter to
+    purchases, one tiny per-channel agg riding the same user_id
+    partitioning's output.
+    """
+    ev = _t(spark, sf_dir, "events")
+    w = (
+        W.partitionBy("user_id")
+        .orderBy(F.col("ts").asc(), F.col("event_id").asc())
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    touched = ev.select("user_id", "ts", "event_id", "event_type", "value")
+    touched = touched.withColumn(
+        "channel",
+        F.last(
+            F.when(F.col("event_type") != "purchase", F.col("event_type")),
+            ignorenulls=True,
+        ).over(w),
+    )
+    return (
+        touched.filter(
+            (F.col("event_type") == "purchase") & F.col("channel").isNotNull()
+        )
+        .groupBy("channel")
+        .agg(
+            F.count(F.lit(1)).alias("n_conversions"),
+            F.round(F.sum("value"), 4).alias("credited_value"),
+        )
+    )
+
+
+ORACLE_ATTRIBUTION_LAST_TOUCH = """
+WITH touched AS (
+  SELECT user_id, ts, event_id, event_type, value,
+         last_value(CASE WHEN event_type <> 'purchase' THEN event_type END
+                    IGNORE NULLS)
+           OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS channel
+  FROM events
+)
+SELECT channel, CAST(count(*) AS BIGINT) AS n_conversions,
+       round(sum(value), 4) AS credited_value
+FROM touched
+WHERE event_type = 'purchase' AND channel IS NOT NULL
+GROUP BY channel
+"""
+
+
 QUERIES = [
     Query("bm25_retrieval", q_bm25_retrieval, ORACLE_BM25_RETRIEVAL,
           "Okapi BM25 top-k retrieval, integer micro-unit score sums"),
+    Query("attribution_last_touch", q_attribution_last_touch,
+          ORACLE_ATTRIBUTION_LAST_TOUCH,
+          "last-touch channel attribution for purchases (running ignorenulls)"),
     Query("hourly_autocorr", q_hourly_autocorr, ORACLE_HOURLY_AUTOCORR,
           "hourly-count ACF at lags 1-3, exact integer moments"),
     Query("cusum_changepoint", q_cusum_changepoint, ORACLE_CUSUM_CHANGEPOINT,

@@ -1283,9 +1283,162 @@ FROM (
 """
 
 
+# --- per-document n-gram novelty -------------------------------------------
+
+
+def q_doc_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document n-gram NOVELTY: the fraction of a doc's shingles
+    first introduced by that doc (first = smallest doc_id carrying the
+    shingle) — the cheap streaming-corpus proxy for "how much genuinely
+    new text does this document add", used to rank crawl increments
+    before expensive pairwise dedup.
+
+    Plan: one shingle explode → min(doc_id) per shingle (map-side
+    combined, shuffles 16-byte-ish shingle keys) → equi-join back →
+    per-doc counts. Two key-bounded shuffles, no windows, no all-pairs
+    anything; at 100 TB the shingle-min table is the same first-seen
+    index an incremental dedup pipeline maintains anyway.
+    """
+    docs = _t(spark, sf_dir, "documents")
+    from pleiades_spark.functions.text import word_shingles
+
+    tok = docs.select(
+        "doc_id", F.explode(word_shingles(F.col("text"))).alias("t")
+    )
+    first = tok.groupBy("t").agg(F.min("doc_id").alias("first_doc"))
+    per = (
+        tok.join(first, "t")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.sum(
+                (F.col("first_doc") == F.col("doc_id")).cast("long")
+            ).alias("n_novel"),
+        )
+    )
+    nov = F.col("n_novel") / F.col("n_shingles")
+    return per.select(
+        "doc_id",
+        "n_shingles",
+        "n_novel",
+        (F.floor(nov * 10000 + F.lit(0.5)) / 10000).alias("novelty_r"),
+    )
+
+
+ORACLE_DOC_NOVELTY = f"""
+WITH sh AS (
+  SELECT doc_id, {word_shingles_sql("text")} AS sh FROM documents
+), tok AS (
+  SELECT doc_id, unnest(sh) AS t FROM sh
+), first AS (
+  SELECT t, min(doc_id) AS first_doc FROM tok GROUP BY t
+)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_shingles,
+       CAST(sum(CASE WHEN first_doc = doc_id THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_novel,
+       floor(sum(CASE WHEN first_doc = doc_id THEN 1 ELSE 0 END) * 1.0
+             / count(*) * 10000 + 0.5) / 10000 AS novelty_r
+FROM tok JOIN first USING (t)
+GROUP BY doc_id
+"""
+
+
+# --- cross-source overlap (per-source MinHash) ------------------------------
+
+
+def q_source_overlap_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Estimated shingle-set Jaccard between every SOURCE pair from
+    per-source MinHash signatures — the corpus-level contamination
+    audit (which crawl feeds re-serve each other's content) that at
+    100 TB must NOT be a cross-source shingle join: a shingle shared by
+    k sources costs k² join rows, and boilerplate shared by all feeds
+    makes that quadratic in practice.
+
+    Sketch path instead: ONE scan folds every source's shingles into a
+    NUM_PERM-slot signature (per-slot MIN is associative/commutative —
+    map-side combined, duplicates irrelevant, so no distinct anywhere);
+    the pair matrix is |sources|² over 12-long arrays — driver-trivial
+    at any corpus size. md5-h32 permutations, so the oracle replays the
+    signatures (and therefore the ESTIMATES, error included)
+    bit-for-bit. Estimator: P(min slots agree) = J, so est =
+    matching-slot fraction; ±1/√12 — a ranking signal, not a measure.
+    """
+    from pleiades_spark.functions.hashing import (
+        MINHASH_PERMS,
+        h32,
+        perm_hash,
+    )
+    from pleiades_spark.functions.text import word_shingles
+
+    docs = _t(spark, sf_dir, "documents")
+    tokh = docs.select(
+        "source", F.explode(word_shingles(F.col("text"))).alias("t")
+    ).select("source", h32(F.col("t")).alias("h"))
+    sig = tokh.groupBy("source").agg(
+        *[
+            F.min(perm_hash(F.col("h"), a, b)).alias(f"m{i}")
+            for i, (a, b) in enumerate(MINHASH_PERMS)
+        ]
+    )
+    a = sig.alias("a")
+    b = sig.alias("b")
+    matches = sum(
+        (F.col(f"a.m{i}") == F.col(f"b.m{i}")).cast("int")
+        for i in range(len(MINHASH_PERMS))
+    )
+    est = matches / F.lit(float(len(MINHASH_PERMS)))
+    return (
+        a.join(b, F.col("a.source") < F.col("b.source"))
+        .select(
+            F.col("a.source").alias("source_a"),
+            F.col("b.source").alias("source_b"),
+            (F.floor(est * 10000 + F.lit(0.5)) / 10000).alias("est_jaccard"),
+        )
+    )
+
+
+def _source_sig_sql() -> str:
+    from pleiades_spark.functions.hashing import MINHASH_PERMS, perm_hash_sql
+
+    mins = ", ".join(
+        f"min({perm_hash_sql('h', a, b)}) AS m{i}"
+        for i, (a, b) in enumerate(MINHASH_PERMS)
+    )
+    return mins
+
+
+def _source_match_sql() -> str:
+    from pleiades_spark.functions.hashing import MINHASH_PERMS
+
+    n = len(MINHASH_PERMS)
+    terms = " + ".join(
+        f"CASE WHEN a.m{i} = b.m{i} THEN 1 ELSE 0 END" for i in range(n)
+    )
+    return f"({terms}) * 1.0 / {n}"
+
+
+ORACLE_SOURCE_OVERLAP_MINHASH = f"""
+WITH sh AS (
+  SELECT source, {word_shingles_sql("text")} AS sh FROM documents
+), tokh AS (
+  SELECT source, {h32_sql("unnest(sh)")} AS h FROM sh
+), sig AS (
+  SELECT source, {_source_sig_sql()} FROM tokh GROUP BY source
+)
+SELECT a.source AS source_a, b.source AS source_b,
+       floor({_source_match_sql()} * 10000 + 0.5) / 10000 AS est_jaccard
+FROM sig a JOIN sig b ON a.source < b.source
+"""
+
+
 QUERIES = [
     Query("doc_chunks", q_doc_chunks, ORACLE_DOC_CHUNKS,
           "overlapping token-window chunking (Generate, no shuffle)"),
+    Query("doc_novelty", q_doc_novelty, ORACLE_DOC_NOVELTY,
+          "per-doc first-seen n-gram novelty fraction (crawl-increment rank)"),
+    Query("source_overlap_minhash", q_source_overlap_minhash,
+          ORACLE_SOURCE_OVERLAP_MINHASH,
+          "per-source MinHash signatures -> cross-source overlap matrix"),
     Query("tfidf_top_terms", q_tfidf_top_terms, ORACLE_TFIDF_TOP_TERMS,
           "smoothed TF-IDF top-k distinctive terms per doc"),
     Query("corpus_sample", q_corpus_sample, ORACLE_CORPUS_SAMPLE,

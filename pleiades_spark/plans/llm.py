@@ -870,6 +870,31 @@ def q_dedup_jaccard_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
     return prefix_jaccard_pairs(_t(spark, sf_dir, "documents"))
 
 
+def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directional Jaccard-CONTAINMENT join at t=0.8
+    (operators/dedup.prefix_containment_pairs): sub-document duplication
+    — a doc near-contained in another — that symmetric Jaccard cannot
+    see. Exact (recall 1), so the oracle verifies with a brute
+    containment join."""
+    from pleiades_spark.operators.dedup import prefix_containment_pairs
+
+    return prefix_containment_pairs(_t(spark, sf_dir, "documents"))
+
+
+# Brute-force oracle — valid because the Spark path is EXACT (prefix
+# filtering is recall-1); 500² list intersections at gate SF.
+ORACLE_DEDUP_CONTAINMENT = """
+WITH sh AS (
+  SELECT doc_id, CASE WHEN len(string_split(text,' ')) >= 3 THEN list_distinct(list_transform(range(0, len(string_split(text,' ')) - 2), i -> array_to_string(string_split(text,' ')[i+1:i+3], ' '))) ELSE [text] END AS sh FROM documents
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       round(len(list_intersect(a.sh, b.sh)) * 1.0 / len(a.sh), 6)
+         AS containment
+FROM sh a JOIN sh b ON a.doc_id != b.doc_id
+WHERE round(len(list_intersect(a.sh, b.sh)) * 1.0 / len(a.sh), 6) >= 0.8
+"""
+
+
 ORACLE_DEDUP_JACCARD_PREFIX = """
 WITH sh AS (
   SELECT doc_id, CASE WHEN len(string_split(text,' ')) >= 3 THEN list_distinct(list_transform(range(0, len(string_split(text,' ')) - 2), i -> array_to_string(string_split(text,' ')[i+1:i+3], ' '))) ELSE [text] END AS sh FROM documents
@@ -1918,6 +1943,8 @@ QUERIES = [
     Query("dedup_jaccard_prefix", q_dedup_jaccard_prefix,
           ORACLE_DEDUP_JACCARD_PREFIX,
           "exact Jaccard join via prefix filtering (recall-1 scale path)"),
+    Query("dedup_containment", q_dedup_containment, ORACLE_DEDUP_CONTAINMENT,
+          "exact directional containment join (sub-document duplication)"),
     Query("jl_projection", q_jl_projection, ORACLE_JL_PROJECTION,
           "Johnson-Lindenstrauss 64d->16d frozen random projection (map-only)"),
     Query("collection_functions", q_collection_functions,

