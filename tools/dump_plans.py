@@ -47,9 +47,22 @@ SHOW = [
      "BroadcastExchange), p_name filter pushed to the part scan, the only "
      "fact-fact shuffle is lineitem⋈orders on orderkey."),
     ("dedup_embedding_ivf",
-     "IVF-bucketed near-dup — centroid assignment (broadcast codebook + "
-     "per-vector argmax), then the pair join shuffles on centroid_id "
-     "only: O(Σ bucket²) work, never an all-pairs cartesian."),
+     "IVF-bucketed near-dup — centroid assignment, then the pair join "
+     "shuffles on centroid_id only: O(Σ bucket²) work, never an "
+     "all-pairs cartesian. Round-6 rework (15.4 s → 8.3 s at sf1, and "
+     "NOT the suspected hot buckets — measured max 131 vs mean 64): "
+     "(1) map-only assignment (similarity._assign_nearest) — the old "
+     "crossJoin(centroids) → n·K rows × two 64-d arrays → row_number "
+     "window pushed ~6.4 GB through a vec_id shuffle to take a per-row "
+     "argmax; now the codebook collapses to ONE broadcast row of "
+     "(centroid_id, cv, nrm) structs and a transform+fold argmax runs "
+     "inside the scan, each centroid cosine computed exactly once, zero "
+     "shuffles, identical doubles (same op order, same strict-> "
+     "tie-break). (2) precomputed verify norms (the SRP trick): 1 dot "
+     "fold per pair instead of cosine()'s 3. Plus max_bucket_size as "
+     "the degenerate-cell guard (minhash cap contract, windowed count "
+     "on the join's own centroid_id partitioning; lossless None for "
+     "the gate; capped-bucket test in test_ann_recall.py)."),
     ("doc_chunks",
      "Chunking — pure Generate stage inside one WholeStageCodegen span: "
      "ZERO exchanges; the token array is materialized once per row and "
@@ -62,9 +75,17 @@ SHOW = [
      "1-row corpus size broadcast, WindowGroupLimit partial top-k per "
      "doc."),
     ("funnel_conversion",
-     "Funnel — per-user min aggs chained through broadcast joins (each "
-     "stage's output is user-cardinality); three 1-row counts "
-     "cross-joined at the end."),
+     "Funnel — round-6 rework: ONE user_id shuffle (was three chained "
+     "per-stage groupBys + broadcast joins, 4.8 s at sf1; now 0.84 s). "
+     "Filter to the three funnel types (pushed to the scan); one "
+     "hashpartitioning(user_id) Exchange feeds two running-min windows "
+     "over (ts, event_id) — running first-view ts marks qualifying "
+     "clicks, running first-QUALIFYING-click ts marks qualifying "
+     "purchases — and the per-user flag agg rides the same "
+     "partitioning. Equivalence: first-qualifying-click < t ⇔ running "
+     "min of qualifying clicks at t < t; tie-safe under strict >. "
+     "Guard: test_funnel_single_user_shuffle (exactly one user_id "
+     "hashpartitioning, zero joins)."),
     ("benchmark_decontam",
      "Decontamination — shingle the small eval split once, df-filter the "
      "hot keys, ONE equi-join on the shingle string against the train "
@@ -74,10 +95,28 @@ SHOW = [
      "(map-side combined); probe broadcasts the sketch; top-k compiles "
      "to TakeOrderedAndProject."),
     ("bloom_semi_prune",
-     "Bloom pruning — the bitmap (512-byte word array literal) is probed "
-     "with k O(1) element_at + bit-ANDs inside the Filter Catalyst "
-     "pushes into the column-pruned fact scan; the only join left is "
-     "the truth-marking broadcast LeftOuter."),
+     "Bloom pruning — the bitmap rides a BROADCAST one-row frame "
+     "(round-6 rework) and is probed with k O(1) element_at + bit-ANDs "
+     "inside the Filter over the column-pruned fact scan; the only "
+     "hash join is the truth-marking broadcast LeftOuter. The sf1 cost "
+     "(26.6 s) was NOT the md5 probe (1.0 s measured for all 6M rows): "
+     "F.lit(list) on the 32k-word bitmap burned 14-18 s of DRIVER-side "
+     "py4j conversion at plan build and re-shipped 1.4 MB in every "
+     "task binary; createDataFrame ships one Arrow batch and the "
+     "broadcast goes once per executor (BroadcastNestedLoopJoin with a "
+     "1-row build = pointer attach). sf1: 26.6 → 2.4 s. Same fix on "
+     "the SRP plane matrices (functions/vectors.attach_matrix): "
+     "dedup_embedding_srp 3.9 → 2.0 s at sf0.1."),
+    ("bloom_semi_prune_prod",
+     "Production hash family: h32_prod = xxhash64 folded to 32 bits "
+     "(JVM intrinsic, 0.47 s vs md5's 1.03 s per 6M rows), not "
+     "DuckDB-replayable — so the prod twin prunes with the xxhash "
+     "bitmap then drops false positives with an exact broadcast inner "
+     "join: Bloom has no false NEGATIVES, so the final aggregate is "
+     "hash-family-independent and keeps a FULL value gate (oracle = "
+     "plain semi-join aggregate). 1.7 s at sf1. Gate queries that "
+     "replay sketch ERROR cell-for-cell (CMS/KMV/MinHash) stay on md5 "
+     "per the CLAUDE.md invariant."),
     ("timeseries_gapfill",
      "Gap-fill — grid explode bounded by keys×buckets, LEFT join of "
      "hourly aggs, all four fill windows (LOCF value/hour, next "
@@ -248,7 +287,62 @@ SHOW = [
      "Seasonal-adjusted anomalies — reuses the decomposition operator's "
      "integer-exact residuals; top-k per type is a partitioned rank "
      "filter over the hours-bounded decomposition output."),
+    ("dedup_containment",
+     "Exact directional containment join (round 6) — probe-side prefix "
+     "tokens equi-joined against the FULL token table (containment "
+     "bounds only the probe side), length filter t·|A| ≤ |B| inside "
+     "the join, local array_sort rarity order (no global rank, no "
+     "single-partition window — guard: "
+     "test_containment_join_no_cartesian_no_rank_exchange). Recall 1, "
+     "which is what lets the oracle verify with a brute join."),
+    ("doc_novelty",
+     "First-seen n-gram novelty (round 6) — shingle explode → "
+     "min(doc_id) per shingle (map-side combined) → equi-join back → "
+     "per-doc counts. Two key-bounded shuffles; the shingle-min table "
+     "is the same first-seen index incremental dedup maintains."),
+    ("source_overlap_minhash",
+     "Cross-source overlap (round 6) — per-source MinHash signatures "
+     "folded in ONE scan (per-slot MIN is associative: map-side "
+     "combined, no distinct), then a |sources|² pair matrix over "
+     "12-long arrays. Never a cross-source shingle join (k sources "
+     "sharing a shingle would cost k² join rows)."),
+    ("attribution_last_touch",
+     "Last-touch attribution (round 6) — running last non-purchase "
+     "type over the growing [unboundedPreceding, -1] ignorenulls "
+     "frame (incremental O(n); the shrinking variant is the CLAUDE.md "
+     "O(n²) trap), one user_id shuffle, tiny channel agg. Guard: "
+     "test_attribution_single_user_shuffle."),
 ]
+
+
+def _index_section() -> str:
+    """One-line-per-query navigation table (round-6 ask): first sentence
+    of each audit note + the mechanical guard tests that mention the
+    query (by q_<name> or the quoted name) in test_scale_plans.py."""
+    import re
+
+    tests = open("tests/test_scale_plans.py").read()
+    funcs = re.findall(r"def (test_\w+)\(.*?\):(.*?)(?=\ndef |\Z)", tests, re.S)
+    lines = [
+        "## Index",
+        "",
+        "One line per audited query. Shape = the first sentence of the audit;",
+        "guard = the mechanical plan test that pins it",
+        "(tests/test_scale_plans.py), blank where the audit is narrative-only.",
+        "",
+        "| query | plan shape | guard |",
+        "|---|---|---|",
+    ]
+    for name, note in SHOW:
+        m = re.match(r"(.{20,180}?(?:\.|—))(\s|$)", note)
+        shape = (m.group(1) if m else note[:120]).strip().rstrip("—").strip()
+        guards = sorted(
+            {f for f, b in funcs if (f"q_{name}" in b or f'"{name}"' in b)}
+        )
+        lines.append(
+            f"| {name} | {shape.replace('|', chr(92) + '|')} | {', '.join(guards)} |"
+        )
+    return "\n".join(lines) + "\n"
 
 
 def main() -> None:
@@ -263,6 +357,7 @@ def main() -> None:
         "`tests/test_scale_plans.py`.",
         "",
     ]
+    out.append(_index_section())
     for name, note in SHOW:
         buf = io.StringIO()
         with redirect_stdout(buf):
