@@ -375,13 +375,18 @@ def embedding_near_dup_ivf(
     the brute variant is the ground truth that quantifies that recall.
 
     K must TRACK the corpus or O(N²/K) is still quadratic (a fixed K=16
-    measured 73s at the sf1 bench's 20k vectors vs ~7s adaptive). When
-    ``n_centroids`` is None it follows the same two-region rule as the
-    SRP bands: K=16 for every corpus up to 1024 vectors (the documented
-    <=1k gate-fixture range, so regeneration can't change the codebook
-    the frozen oracle replays), then K = max(16, n // 64) — average
-    bucket ≈ 64, total intra-bucket work ≈ 32·n pairs, linear at any
-    scale. The gate oracle computes the identical rule from count(*).
+    measured 73s at the sf1 bench's 20k vectors vs ~7s adaptive) — but K
+    must not track it LINEARLY either: assignment costs n·K·d, so
+    K = n/64 made the assignment stage Θ(n²·d/64) (measured 320 s at
+    sf10's 200k vectors, 38× for 10× data). When ``n_centroids`` is None
+    it follows the two-region rule: K=16 for every corpus up to 1024
+    vectors (the documented <=1k gate-fixture range, so regeneration
+    can't change the codebook the frozen oracle replays), then
+    K = max(16, isqrt(n)) — the balance point of assignment (n·K·d) vs
+    in-bucket verify (n²·d/K), total Θ(n^1.5·d). The gate oracle
+    computes the identical rule from count(*). Sub-n^1.5 embedding dedup
+    is the SRP path's job (O(n·planes) banding) — exact-nearest-centroid
+    IVF cannot beat n^1.5 without a coarse quantizer in front.
 
     ``max_bucket_size`` is the hot-bucket guard, same contract as
     minhash_lsh_pairs': a centroid claiming B vectors costs B² pairs in
@@ -399,8 +404,10 @@ def embedding_near_dup_ivf(
     from pleiades_spark.operators.similarity import ivf_assign
 
     if n_centroids is None:
+        import math
+
         n = emb.count()
-        n_centroids = 16 if n <= 1024 else max(16, n // 64)
+        n_centroids = 16 if n <= 1024 else max(16, math.isqrt(n))
     # Per-VECTOR norms once before the self-join (same trick as the SRP
     # verify): cosine() inline re-folds both norms for every PAIR —
     # 3 array folds per candidate; with norms precomputed the per-pair

@@ -633,9 +633,15 @@ def q_dedup_embedding_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # K replays the Spark-side two-region rule from count(*): both engines
 # see the same table, so the codebooks agree at any fixture size.
+# K = isqrt(n) above the frozen gate region (round-6 fix; was n//64):
+# assignment costs n·K·d and in-bucket verify n²·d/K, so K = √n balances
+# both at Θ(n^1.5·d) — K = n/64 made ASSIGNMENT quadratic (measured
+# 320 s at sf10's 200k vectors vs 8 s at sf1). See
+# operators/dedup.embedding_near_dup_ivf.
 _IVF_K_SQL = (
     "(SELECT CASE WHEN count(*) <= 1024 THEN 16"
-    " ELSE greatest(16, count(*) // 64) END FROM embeddings)"
+    " ELSE greatest(16, CAST(floor(sqrt(count(*))) AS BIGINT)) END"
+    " FROM embeddings)"
 )
 
 ORACLE_DEDUP_EMBEDDING_IVF = f"""
