@@ -676,19 +676,43 @@ def prefix_jaccard_pairs(
         + F.lit(1)
     ).cast("int")
     pref = ordered.select(
-        "doc_id", "n", F.explode(F.slice(F.col("ot"), 1, L)).alias("rk")
+        "doc_id", "n",
+        F.posexplode(F.slice(F.col("ot"), 1, L)).alias("p", "rk"),
     )
     pa, pb = pref.alias("pa"), pref.alias("pb")
     # AllPairs length filter: J ≥ t forces |a∩b| ≥ t·max(n_a, n_b) ≤
     # min(n_a, n_b), i.e. t_num·max ≤ t_den·min — integer-exact, prunes
     # candidates inside the join before the distinct/verify stages.
+    #
+    # PPJoin POSITIONAL filter (round 6): both docs order tokens by the
+    # same global (df, token) total order, so for the FIRST common
+    # prefix token — at 0-based positions p_a, p_b — every common token
+    # sits at p_a.. / p_b.. onward, giving overlap ≤ min(n_a−p_a,
+    # n_b−p_b). J ≥ t needs overlap ≥ α = ⌈t(n_a+n_b)/(1+t)⌉
+    # (J = O/(n_a+n_b−O)), so any pair whose first match fails
+    # min(n_a−p_a, n_b−p_b) ≥ α cannot qualify — and a qualifying
+    # pair's first match always passes, so recall stays 1 and the
+    # brute-side oracle is untouched. Integer-exact α. On shingle-reuse-
+    # heavy corpora this is the filter that keeps hot prefix buckets
+    # from emitting B² candidates the verify stage then discards.
+    alpha = F.expr(
+        f"({t_num} * (pa.n + pb.n) + {t_num + t_den} - 1)"
+        f" div {t_num + t_den}"
+    )
     cand = (
         pa.join(
             pb,
             (F.col("pa.rk") == F.col("pb.rk"))
             & (F.col("pa.doc_id") < F.col("pb.doc_id"))
             & (F.lit(t_num) * F.col("pa.n") <= F.lit(t_den) * F.col("pb.n"))
-            & (F.lit(t_num) * F.col("pb.n") <= F.lit(t_den) * F.col("pa.n")),
+            & (F.lit(t_num) * F.col("pb.n") <= F.lit(t_den) * F.col("pa.n"))
+            & (
+                F.least(
+                    F.col("pa.n") - F.col("pa.p"),
+                    F.col("pb.n") - F.col("pb.p"),
+                )
+                >= alpha
+            ),
         )
         .select(
             F.col("pa.doc_id").alias("doc_a"), F.col("pb.doc_id").alias("doc_b")
@@ -768,12 +792,17 @@ def prefix_containment_pairs(
         + F.lit(1)
     ).cast("int")
     pref = ordered.select(
-        "doc_id", "n", F.explode(F.slice(F.col("ot"), 1, L)).alias("rk")
+        "doc_id", "n",
+        F.posexplode(F.slice(F.col("ot"), 1, L)).alias("p", "rk"),
     )
     full = ordered.select(
         F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"),
-        F.explode("ot").alias("rkb"),
+        F.posexplode("ot").alias("pb", "rkb"),
     )
+    # Positional filter (same first-common-token argument as
+    # prefix_jaccard_pairs): overlap ≤ min(n_a−p_a, n_b−p_b), and
+    # containment ≥ t needs overlap ≥ ⌈t·n_a⌉ — recall-1 preserving.
+    alpha = F.expr(f"({t_num} * pa.n + {t_den} - 1) div {t_den}")
     cand = (
         pref.alias("pa")
         .join(
@@ -781,7 +810,13 @@ def prefix_containment_pairs(
             (F.col("pa.rk") == F.col("rkb"))
             & (F.col("pa.doc_id") != F.col("doc_b"))
             # |A∩B| ≤ |B|, so containment ≥ t needs t_num·|A| ≤ t_den·|B|
-            & (F.lit(t_num) * F.col("pa.n") <= F.lit(t_den) * F.col("nb")),
+            & (F.lit(t_num) * F.col("pa.n") <= F.lit(t_den) * F.col("nb"))
+            & (
+                F.least(
+                    F.col("pa.n") - F.col("pa.p"), F.col("nb") - F.col("pb")
+                )
+                >= alpha
+            ),
         )
         .select(F.col("pa.doc_id").alias("doc_a"), "doc_b")
         .distinct()

@@ -41,6 +41,58 @@ def _stage_documents(spark, tmp_path, texts):
     return d
 
 
+def test_funnel_ordering_semantics_hand_built(spark, tmp_path):
+    """The round-6 single-shuffle funnel must preserve the ORDERED
+    semantics on corner cases the aggregate-only form gets wrong:
+    a click BEFORE the first view doesn't count, a click at the SAME ts
+    as the view doesn't count (strict >), and the purchase must follow
+    the first QUALIFYING click, not just any click."""
+    from pleiades_spark.plans.pleiades import q_funnel_conversion
+
+    rows = [
+        # u1: click(10) view(20) click(30) purchase(40) — full funnel,
+        #     the pre-view click must be ignored, 30 is the qualifying one
+        (1, 10, 1, "click", 0), (2, 20, 1, "view", 0),
+        (3, 30, 1, "click", 0), (4, 40, 1, "purchase", 0),
+        # u2: view and click at the SAME ts → click not strictly after
+        (5, 100, 2, "view", 0), (6, 100, 2, "click", 0),
+        # u3: purchase between view and the only qualifying click —
+        #     view(10) purchase(20) click(30): no purchase AFTER click
+        (7, 10, 3, "view", 0), (8, 20, 3, "purchase", 0),
+        (9, 30, 3, "click", 0),
+        # u4: clicks only — no view, nothing counts
+        (10, 10, 4, "click", 0), (11, 20, 4, "click", 0),
+    ]
+    d = _stage_events(spark, tmp_path, rows)
+    out = q_funnel_conversion(spark, d).collect()[0]
+    assert out["n_view_users"] == 3        # u1, u2, u3
+    assert out["n_click_after_view"] == 2  # u1 (click@30), u3 (click@30)
+    assert out["n_full_funnel"] == 1       # only u1
+
+
+def test_attribution_last_touch_hand_built(spark, tmp_path):
+    """Purchases credit the most recent PRIOR non-purchase event; a
+    purchase with no prior touch is dropped; back-to-back purchases both
+    credit the same last touch."""
+    from pleiades_spark.plans.analytics import q_attribution_last_touch
+
+    rows = [
+        (1, 10, 1, "view", 0), (2, 20, 1, "click", 0),
+        (3, 30, 1, "purchase", 5.0),   # credits click
+        (4, 40, 1, "purchase", 7.0),   # still credits click (purchase
+                                       # at 30 is not a touch)
+        (5, 10, 2, "purchase", 9.0),   # no prior touch → dropped
+        (6, 20, 2, "view", 0),
+        (7, 30, 2, "purchase", 1.0),   # credits view
+    ]
+    d = _stage_events(spark, tmp_path, rows)
+    got = {
+        r["channel"]: (r["n_conversions"], r["credited_value"])
+        for r in q_attribution_last_touch(spark, d).collect()
+    }
+    assert got == {"click": (2, 12.0), "view": (1, 1.0)}
+
+
 def test_cusum_finds_injected_level_shift(spark, tmp_path):
     """20 hours at value-rate 1 event/h, then 20 hours at 3 events/h: the
     one-sided CUSUM of hourly counts must peak at the LAST hour (drift
