@@ -150,6 +150,7 @@ HEADLINE = [
     "doc_novelty",
     "source_overlap_minhash",
     "attribution_last_touch",
+    "split_leakage_audit",
 ]
 
 

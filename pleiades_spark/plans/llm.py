@@ -864,6 +864,106 @@ FROM proj
 """
 
 
+# --- train/eval split leakage audit ----------------------------------------
+
+LEAK_EVAL_PCT = 10  # deterministic 10% eval slice for the audit
+
+
+def q_split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Self-decontamination report: near-duplicate pairs CROSSING a
+    train/eval split — the contamination an external-benchmark decontam
+    pass (benchmark_decontam) cannot see, because the leak is between a
+    corpus and its own held-out slice. Every eval doc with a
+    near-duplicate in train inflates eval scores.
+
+    Split = deterministic 10 % hash slice (h32-salted, engine-stable);
+    candidates ride minhash_lsh_pairs' incremental machinery
+    (new_col="is_eval": only pairs touching >=1 eval doc are generated —
+    train×train, the bulk, is excluded INSIDE candidate generation), and
+    eval×eval pairs drop in a post-filter. Output: one report row —
+    leaky pair count, distinct leaked eval docs, eval-set size, worst
+    jaccard. Scale: the audit costs O(eval-side bucket occupancy), not
+    O(corpus²) — the same economics as the nightly incremental dedup.
+    """
+    from pleiades_spark.functions.hashing import h32
+
+    docs = _t(spark, sf_dir, "documents").withColumn(
+        "is_eval",
+        h32(F.concat(F.lit("leak:"), F.col("doc_id").cast("string"))) % 100
+        < LEAK_EVAL_PCT,
+    )
+    pairs = minhash_lsh_pairs(docs, JACCARD_THRESHOLD, new_col="is_eval")
+    flags = docs.select("doc_id", "is_eval")
+    fa = flags.select(
+        F.col("doc_id").alias("doc_a"), F.col("is_eval").alias("ev_a")
+    )
+    fb = flags.select(
+        F.col("doc_id").alias("doc_b"), F.col("is_eval").alias("ev_b")
+    )
+    cross = (
+        pairs.join(F.broadcast(fa), "doc_a")
+        .join(F.broadcast(fb), "doc_b")
+        .filter(F.col("ev_a") != F.col("ev_b"))
+        .withColumn(
+            "eval_doc",
+            F.when(F.col("ev_a"), F.col("doc_a")).otherwise(F.col("doc_b")),
+        )
+    )
+    report = cross.agg(
+        F.count(F.lit(1)).alias("n_leaky_pairs"),
+        F.countDistinct("eval_doc").alias("n_eval_docs_leaked"),
+        F.round(F.coalesce(F.max("jaccard"), F.lit(0.0)), 6).alias(
+            "max_jaccard"
+        ),
+    )
+    n_eval = docs.filter(F.col("is_eval")).agg(
+        F.count(F.lit(1)).alias("n_eval_docs")
+    )
+    return report.crossJoin(n_eval)
+
+
+_LEAK_SPLIT_SQL = (
+    h32_sql("concat('leak:', CAST(doc_id AS VARCHAR))") + f" % 100 < {LEAK_EVAL_PCT}"
+)
+
+ORACLE_SPLIT_LEAKAGE_AUDIT = f"""
+WITH sh AS (
+  SELECT doc_id, {_LEAK_SPLIT_SQL} AS is_eval,
+         {word_shingles_sql('text')} AS sh
+  FROM documents
+), hashed AS (
+  SELECT doc_id, is_eval, sh, list_transform(sh, s -> {h32_sql('s')}) AS hs FROM sh
+), sig AS (
+  SELECT doc_id, is_eval, {_SIG_SQL} AS sig FROM hashed
+), bands AS (
+  SELECT doc_id, is_eval, band_idx,
+         array_to_string(sig[band_idx*{LSH_ROWS}+1 : band_idx*{LSH_ROWS}+{LSH_ROWS}], '-') AS band_key
+  FROM sig, {_BANDS_RANGE_SQL}
+), cand AS (
+  SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b,
+         l.is_eval AS ev_a, r.is_eval AS ev_b
+  FROM bands l JOIN bands r
+    ON l.band_idx = r.band_idx AND l.band_key = r.band_key
+   AND l.doc_id < r.doc_id AND (l.is_eval OR r.is_eval)
+), verified AS (
+  SELECT doc_a, doc_b, ev_a, ev_b,
+         CASE WHEN ev_a THEN doc_a ELSE doc_b END AS eval_doc,
+         round(len(list_intersect(a.sh, b.sh)) * 1.0
+               / len(list_distinct(list_concat(a.sh, b.sh))), 6) AS jaccard
+  FROM cand JOIN sh a ON a.doc_id = cand.doc_a JOIN sh b ON b.doc_id = cand.doc_b
+  WHERE ev_a <> ev_b
+), leaks AS (
+  SELECT * FROM verified WHERE jaccard >= {JACCARD_THRESHOLD}
+)
+SELECT CAST((SELECT count(*) FROM leaks) AS BIGINT) AS n_leaky_pairs,
+       CAST((SELECT count(DISTINCT eval_doc) FROM leaks) AS BIGINT)
+         AS n_eval_docs_leaked,
+       round(coalesce((SELECT max(jaccard) FROM leaks), 0.0), 6)
+         AS max_jaccard,
+       CAST((SELECT count(*) FROM sh WHERE is_eval) AS BIGINT) AS n_eval_docs
+"""
+
+
 # --- exact prefix-filter similarity join -----------------------------------
 
 
@@ -1951,6 +2051,9 @@ QUERIES = [
           "exact Jaccard join via prefix filtering (recall-1 scale path)"),
     Query("dedup_containment", q_dedup_containment, ORACLE_DEDUP_CONTAINMENT,
           "exact directional containment join (sub-document duplication)"),
+    Query("split_leakage_audit", q_split_leakage_audit,
+          ORACLE_SPLIT_LEAKAGE_AUDIT,
+          "near-dup pairs crossing the train/eval split (self-decontam)"),
     Query("jl_projection", q_jl_projection, ORACLE_JL_PROJECTION,
           "Johnson-Lindenstrauss 64d->16d frozen random projection (map-only)"),
     Query("collection_functions", q_collection_functions,
