@@ -151,6 +151,7 @@ HEADLINE = [
     "source_overlap_minhash",
     "attribution_last_touch",
     "split_leakage_audit",
+    "langid_confusion",
 ]
 
 

@@ -1424,6 +1424,73 @@ SELECT doc_id, cand_lang AS predicted_lang, matches FROM (
 """
 
 
+# --- language-ID confusion matrix -------------------------------------------
+
+
+def q_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Confusion matrix of n-gram language-ID predictions vs the stored
+    ``lang`` label — the calibration table a corpus pipeline checks
+    before trusting the classifier as a filter (per-cell counts +
+    per-true-lang recall). Rides q_lang_id's argmax output; one extra
+    |langs|²-bounded aggregation on top, so the cost is the langid pass
+    itself.
+    """
+    docs = _t(spark, sf_dir, "documents")
+    pred = q_lang_id(spark, sf_dir).select("doc_id", "predicted_lang")
+    joined = docs.select("doc_id", F.col("lang").alias("true_lang")).join(
+        pred, "doc_id"
+    )
+    cells = joined.groupBy("true_lang", "predicted_lang").agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )
+    wt = W.partitionBy("true_lang")
+    return cells.select(
+        "true_lang",
+        "predicted_lang",
+        "n_docs",
+        (
+            F.floor(
+                F.col("n_docs")
+                / F.sum("n_docs").over(wt)
+                * 10000
+                + F.lit(0.5)
+            )
+            / 10000
+        ).alias("row_frac"),
+    )
+
+
+ORACLE_LANGID_CONFUSION = f"""
+WITH profiles(cand_lang, trigram) AS (VALUES {_PROFILE_VALUES}),
+doc_tg AS (
+  SELECT doc_id, unnest({char_shingles_sql('text', 3)}) AS trigram FROM documents
+),
+scores AS (
+  SELECT doc_id, cand_lang, count(*) AS matches
+  FROM doc_tg JOIN profiles USING (trigram)
+  GROUP BY doc_id, cand_lang
+),
+pred AS (
+  SELECT doc_id, cand_lang AS predicted_lang FROM (
+    SELECT *, row_number() OVER (PARTITION BY doc_id
+              ORDER BY matches DESC, cand_lang ASC) AS rk
+    FROM scores
+  ) WHERE rk = 1
+),
+cells AS (
+  SELECT d.lang AS true_lang, p.predicted_lang,
+         CAST(count(*) AS BIGINT) AS n_docs
+  FROM documents d JOIN pred p USING (doc_id)
+  GROUP BY 1, 2
+)
+SELECT true_lang, predicted_lang, n_docs,
+       floor(n_docs * 1.0
+             / sum(n_docs) OVER (PARTITION BY true_lang) * 10000 + 0.5)
+         / 10000 AS row_frac
+FROM cells
+"""
+
+
 # --- language-ID confidence margin ------------------------------------------
 
 
@@ -2054,6 +2121,8 @@ QUERIES = [
     Query("split_leakage_audit", q_split_leakage_audit,
           ORACLE_SPLIT_LEAKAGE_AUDIT,
           "near-dup pairs crossing the train/eval split (self-decontam)"),
+    Query("langid_confusion", q_langid_confusion, ORACLE_LANGID_CONFUSION,
+          "langid confusion matrix vs stored labels (classifier calibration)"),
     Query("jl_projection", q_jl_projection, ORACLE_JL_PROJECTION,
           "Johnson-Lindenstrauss 64d->16d frozen random projection (map-only)"),
     Query("collection_functions", q_collection_functions,
