@@ -803,6 +803,12 @@ def prefix_containment_pairs(
     # prefix_jaccard_pairs): overlap ≤ min(n_a−p_a, n_b−p_b), and
     # containment ≥ t needs overlap ≥ ⌈t·n_a⌉ — recall-1 preserving.
     alpha = F.expr(f"({t_num} * pa.n + {t_den} - 1) div {t_den}")
+    # (A PPJoin-style overlap upper bound — c matched prefix tokens +
+    # positional tails — was measured here and filtered ZERO of 1.74M
+    # sf1 candidates: word-soup matches sit early in ~300-token lists,
+    # so the positional tail always covers the requirement. Kept as the
+    # simpler distinct; the bound only bites on corpora with long
+    # rarity-sorted lists matching near the tail.)
     cand = (
         pref.alias("pa")
         .join(
