@@ -310,6 +310,22 @@ def _guard_quadratic(df: DataFrame, op: str, allow_quadratic: bool) -> None:
         )
 
 
+def _observe_candidates(cand: DataFrame, observation) -> DataFrame:
+    """Attach a raw-candidate-row metric to a prefix join's candidate
+    frame (pre-distinct, so skew shows up undeduplicated). Candidate
+    volume — not doc count — is what explodes when the Zipfian-pruning
+    assumption behind prefix filtering fails (the sf10 containment
+    lesson, BENCH_SF10.md): a production run passes an
+    ``pyspark.sql.Observation`` here and alarms when
+    ``observation.get["candidate_rows"]`` blows its budget. Piggybacks
+    on the job (CollectMetrics node) — zero extra scans or shuffles."""
+    if observation is None:
+        return cand
+    return cand.observe(
+        observation, F.count(F.lit(1)).alias("candidate_rows")
+    )
+
+
 def ngram_jaccard_pairs(
     docs: DataFrame, threshold: float = 0.6, allow_quadratic: bool = False
 ) -> DataFrame:
@@ -602,7 +618,10 @@ def embedding_near_dup_srp(
 
 
 def prefix_jaccard_pairs(
-    docs: DataFrame, t_num: int = 3, t_den: int = 5
+    docs: DataFrame,
+    t_num: int = 3,
+    t_den: int = 5,
+    candidate_observation=None,
 ) -> DataFrame:
     """EXACT Jaccard similarity join by prefix filtering (Bayardo et al.
     2007 "Scaling Up All Pairs Similarity Search" / PPJoin): guaranteed
@@ -717,8 +736,8 @@ def prefix_jaccard_pairs(
         .select(
             F.col("pa.doc_id").alias("doc_a"), F.col("pb.doc_id").alias("doc_b")
         )
-        .distinct()
     )
+    cand = _observe_candidates(cand, candidate_observation).distinct()
     oa = ordered.select(
         F.col("doc_id").alias("doc_a"), F.col("ot").alias("ra"),
         F.col("n").alias("na"),
@@ -742,7 +761,11 @@ def prefix_jaccard_pairs(
 
 
 def prefix_containment_pairs(
-    docs: DataFrame, t_num: int = 4, t_den: int = 5
+    docs: DataFrame,
+    t_num: int = 4,
+    t_den: int = 5,
+    allow_quadratic: bool = False,
+    candidate_observation=None,
 ) -> DataFrame:
     """EXACT Jaccard-CONTAINMENT join: directional pairs (a → b) with
     C(a→b) = |A∩B| / |A| ≥ t — the asymmetric twin of
@@ -768,7 +791,22 @@ def prefix_containment_pairs(
     rank broadcast; rarity ordering is the same local array_sort over
     (df, token) structs as the symmetric path. ⌈t·n⌉ in integer
     arithmetic (see prefix_jaccard_pairs — float ceil voids recall).
+
+    DEMOTED TO BOUNDED GROUND TRUTH (round 7): candidate volume grows
+    ~quadratically on shingle-reuse-heavy corpora (22.2× for 10× data at
+    sf10, the one cell over the 20× bar in BENCH_SF10.md) — exactness is
+    the wrong default at 100 TB. This now carries the same guard as the
+    O(n²) ground truths (raises above QUADRATIC_GUARD_ROWS docs unless
+    ``allow_quadratic=True``); :func:`containment_lsh_pairs` is the
+    scale path, and this join is what its recall is audited against.
+
+    ``candidate_observation``: optional ``pyspark.sql.Observation``;
+    when given, the RAW (pre-distinct) candidate row count is recorded
+    under ``candidate_rows`` on the first action — the production alarm
+    for the corpus-shape assumption behind prefix pruning (the sf10
+    lesson: candidate volume, not doc count, is what explodes).
     """
+    _guard_quadratic(docs, "prefix_containment_pairs", allow_quadratic)
     sc = docs.sparkSession.sparkContext
     if docs.rdd.getNumPartitions() < sc.defaultParallelism:
         docs = docs.repartition(sc.defaultParallelism, F.col("doc_id"))
@@ -825,8 +863,8 @@ def prefix_containment_pairs(
             ),
         )
         .select(F.col("pa.doc_id").alias("doc_a"), "doc_b")
-        .distinct()
     )
+    cand = _observe_candidates(cand, candidate_observation).distinct()
     oa = ordered.select(
         F.col("doc_id").alias("doc_a"), F.col("ot").alias("ra"),
         F.col("n").alias("na"),
@@ -846,4 +884,145 @@ def prefix_containment_pairs(
         )
         .filter(F.col("containment") >= thr)
         .select("doc_a", "doc_b", "containment")
+    )
+
+
+# --- approximate containment join (bottom-k MinHash sample) ----------------
+
+CONTAINMENT_SAMPLE_K = 32
+
+
+def containment_lsh_pairs(
+    docs: DataFrame,
+    t_num: int = 4,
+    t_den: int = 5,
+    k: int = CONTAINMENT_SAMPLE_K,
+    candidate_observation=None,
+) -> DataFrame:
+    """APPROXIMATE directional containment join — the 100 TB scale path
+    that :func:`prefix_containment_pairs` (now a bounded ground truth)
+    is audited against.
+
+    Estimator (bottom-k MinHash / Broder-style sampling): hash every
+    distinct shingle with the deterministic 32-bit h32; a document's
+    SAMPLE is its k smallest distinct hash values. Under a random hash
+    the k minima are a uniform size-k subset of A's shingle set, so with
+    cnt = |sample_A ∩ h(B)| the statistic cnt/k_eff (k_eff = min(k,
+    |h(A)|)) is hypergeometric with mean EXACTLY |h(A)∩h(B)|/|h(A)| —
+    an unbiased estimate of containment C(A→B), collapsing to the exact
+    value whenever |A| ≤ k. Std ≈ √(C(1−C)/k) ≈ 0.07 at C = 0.8,
+    k = 32: borderline pairs flip, clear pairs (C ≥ 0.9) survive with
+    ≥ 95 % probability — the recall audit in tests/test_approx.py
+    measures this against the exact join.
+
+    Candidate generation (why this scales where exact cannot): a pair
+    can pass only with cnt ≥ ⌈t·k_eff⌉, i.e. at most k_eff − ⌈t·k_eff⌉
+    sample misses — so by pigeonhole ANY fixed m = k_eff − ⌈t·k_eff⌉ + 1
+    sample elements must contain a hit. The m probes are chosen as the
+    sample's globally RAREST hashes (order by (df, h) — pigeonhole is
+    order-free, so this is recall-preserving FOR THE ESTIMATOR), giving
+    the same rare-token pruning as the exact prefix join but with the
+    probe side bounded at m ≈ k(1−t)+1 rows per document (7 at k=32,
+    t=0.8) instead of (1−t)·|A|+1 ≈ 61 growing with document length.
+    Verification is one array_intersect of the k-element sample against
+    B's hash set per candidate — no re-join of full shingle arrays.
+    The exact length filter t·|A| ≤ |B| (overlap cannot exceed |B|)
+    pre-prunes pairs whose TRUE containment cannot reach t; it only
+    removes estimator false-positives, and the oracle replicates it.
+
+    Every ingredient is deterministic md5-h32 + integer arithmetic, so
+    the DuckDB oracle reproduces the output bit-for-bit (brute form —
+    valid because the pigeonhole probe selection is lossless w.r.t. the
+    estimator's own threshold).
+
+    ``candidate_observation``: see :func:`_observe_candidates`.
+
+    Reference parity: the sub-document twin of the dedup mandated by
+    SURVEY.md §2.6; same role as prefix_containment_pairs but with
+    LSH-grade economics (cf. minhash_lsh_pairs vs ngram_jaccard_pairs).
+    """
+    sc = docs.sparkSession.sparkContext
+    if docs.rdd.getNumPartitions() < sc.defaultParallelism:
+        docs = docs.repartition(sc.defaultParallelism, F.col("doc_id"))
+    # Sorted distinct hash set per doc; the sample is a prefix slice.
+    # Cached: referenced by four branches (df table, probes, B index,
+    # verify sides) — without the cache each branch re-runs the md5
+    # hashing of every shingle from the text scan (6 scans observed in
+    # the uncached plan). Same precedent as minhash_lsh_pairs' signed
+    # cache; MEMORY_AND_DISK, ~n_docs × |shingles| × 8 B.
+    hs_tbl = (
+        docs.select(
+            "doc_id",
+            F.array_sort(
+                F.array_distinct(
+                    F.transform(word_shingles(F.col("text")), h32)
+                )
+            ).alias("hs"),
+        )
+        .withColumn("n", F.size("hs"))
+        .withColumn("samp", F.slice(F.col("hs"), 1, k))
+        .withColumn("k_eff", F.least(F.lit(k), F.col("n")))
+        .cache()
+    )
+    # Global document frequency of each hash (for rarity-ordered probes).
+    tok = hs_tbl.select("doc_id", F.explode("hs").alias("h"))
+    df_tbl = tok.groupBy("h").agg(F.count(F.lit(1)).alias("df"))
+    # m rarest sample hashes per doc: explode the k-bounded sample, join
+    # df, re-collect sorted by (df, h), slice m. All joins are equi-joins
+    # on the 8-byte hash; the per-doc arrays are ≤ k elements.
+    m = (
+        F.col("k_eff")
+        - F.expr(f"({t_num} * k_eff + {t_den} - 1) div {t_den}")
+        + F.lit(1)
+    ).cast("int")
+    probes = (
+        hs_tbl.select("doc_id", "n", "k_eff", F.explode("samp").alias("h"))
+        .join(df_tbl, "h")
+        .groupBy("doc_id", "n", "k_eff")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("df", "h"))),
+                lambda x: x["h"],
+            ).alias("rare")
+        )
+        .select(
+            "doc_id", "n",
+            F.explode(F.slice(F.col("rare"), 1, m)).alias("h"),
+        )
+    )
+    index = tok.select(
+        F.col("doc_id").alias("doc_b"), F.col("h").alias("hb")
+    ).join(
+        hs_tbl.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb")),
+        "doc_b",
+    )
+    cand = (
+        probes.alias("pa")
+        .join(
+            index,
+            (F.col("pa.h") == F.col("hb"))
+            & (F.col("pa.doc_id") != F.col("doc_b"))
+            & (F.lit(t_num) * F.col("pa.n") <= F.lit(t_den) * F.col("nb")),
+        )
+        .select(F.col("pa.doc_id").alias("doc_a"), "doc_b")
+    )
+    cand = _observe_candidates(cand, candidate_observation).distinct()
+    a_side = hs_tbl.select(
+        F.col("doc_id").alias("doc_a"), F.col("samp").alias("samp_a"),
+        F.col("k_eff").alias("ka"),
+    )
+    b_side = hs_tbl.select(
+        F.col("doc_id").alias("doc_b"), F.col("hs").alias("hs_b")
+    )
+    cnt = F.size(F.array_intersect("samp_a", "hs_b"))
+    return (
+        cand.join(a_side, "doc_a")
+        .join(b_side, "doc_b")
+        .withColumn("hits", cnt)
+        .filter(F.lit(t_den) * F.col("hits") >= F.lit(t_num) * F.col("ka"))
+        .withColumn(
+            "containment_est",
+            F.round(F.col("hits") / F.col("ka"), 6),
+        )
+        .select("doc_a", "doc_b", "containment_est")
     )

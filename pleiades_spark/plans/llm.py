@@ -869,6 +869,19 @@ FROM proj
 LEAK_EVAL_PCT = 10  # deterministic 10% eval slice for the audit
 
 
+def _leak_eval_flag(doc_id: F.Column) -> F.Column:
+    """Deterministic train/eval split flag — a pure function of doc_id
+    (h32-salted 10 % slice), recomputable anywhere a doc_id column
+    exists. Keeping it a function of the key is what lets the audit
+    avoid joining a per-doc flags frame back onto the pair table."""
+    from pleiades_spark.functions.hashing import h32
+
+    return (
+        h32(F.concat(F.lit("leak:"), doc_id.cast("string"))) % 100
+        < LEAK_EVAL_PCT
+    )
+
+
 def q_split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Self-decontamination report: near-duplicate pairs CROSSING a
     train/eval split — the contamination an external-benchmark decontam
@@ -885,24 +898,18 @@ def q_split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     jaccard. Scale: the audit costs O(eval-side bucket occupancy), not
     O(corpus²) — the same economics as the nightly incremental dedup.
     """
-    from pleiades_spark.functions.hashing import h32
-
     docs = _t(spark, sf_dir, "documents").withColumn(
-        "is_eval",
-        h32(F.concat(F.lit("leak:"), F.col("doc_id").cast("string"))) % 100
-        < LEAK_EVAL_PCT,
+        "is_eval", _leak_eval_flag(F.col("doc_id"))
     )
     pairs = minhash_lsh_pairs(docs, JACCARD_THRESHOLD, new_col="is_eval")
-    flags = docs.select("doc_id", "is_eval")
-    fa = flags.select(
-        F.col("doc_id").alias("doc_a"), F.col("is_eval").alias("ev_a")
-    )
-    fb = flags.select(
-        F.col("doc_id").alias("doc_b"), F.col("is_eval").alias("ev_b")
-    )
+    # The eval flag is a deterministic pure function of doc_id, so the
+    # per-pair flags are RECOMPUTED inline from doc_a/doc_b — no join, no
+    # broadcast of a per-doc flags frame (which at 100 TB is a
+    # billions-row broadcast and a driver OOM; round-6 verdict finding).
+    # Bit-identical to the joined form: same h32 on the same cast.
     cross = (
-        pairs.join(F.broadcast(fa), "doc_a")
-        .join(F.broadcast(fb), "doc_b")
+        pairs.withColumn("ev_a", _leak_eval_flag(F.col("doc_a")))
+        .withColumn("ev_b", _leak_eval_flag(F.col("doc_b")))
         .filter(F.col("ev_a") != F.col("ev_b"))
         .withColumn(
             "eval_doc",
@@ -998,6 +1005,43 @@ SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
          AS containment
 FROM sh a JOIN sh b ON a.doc_id != b.doc_id
 WHERE round(len(list_intersect(a.sh, b.sh)) * 1.0 / len(a.sh), 6) >= 0.8
+"""
+
+
+def q_dedup_containment_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate directional containment at t=0.8 via bottom-k MinHash
+    sampling (operators/dedup.containment_lsh_pairs) — the 100 TB scale
+    path whose candidate volume rides rarity-ordered k-bounded probes
+    instead of the exact join's per-length prefixes. Deterministic
+    md5-h32 end-to-end, so the oracle replays the ESTIMATOR itself
+    bit-for-bit (brute form: the pigeonhole probe selection is lossless
+    w.r.t. the estimator threshold, and the t·|A| ≤ |B| length filter is
+    replicated)."""
+    from pleiades_spark.operators.dedup import containment_lsh_pairs
+
+    return containment_lsh_pairs(_t(spark, sf_dir, "documents"))
+
+
+_CLSH_K = 32
+
+ORACLE_DEDUP_CONTAINMENT_LSH = f"""
+WITH sh AS (
+  SELECT doc_id, {word_shingles_sql('text')} AS sh FROM documents
+), hs AS (
+  SELECT doc_id,
+         list_sort(list_distinct(list_transform(sh, s -> {h32_sql('s')}))) AS hs
+  FROM sh
+), samp AS (
+  SELECT doc_id, hs, hs[1:{_CLSH_K}] AS samp, len(hs) AS n,
+         least({_CLSH_K}, len(hs)) AS k_eff
+  FROM hs
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       round(len(list_intersect(a.samp, b.hs)) * 1.0 / a.k_eff, 6)
+         AS containment_est
+FROM samp a JOIN samp b
+  ON a.doc_id != b.doc_id AND 4 * a.n <= 5 * b.n
+WHERE 5 * len(list_intersect(a.samp, b.hs)) >= 4 * a.k_eff
 """
 
 
@@ -2118,6 +2162,9 @@ QUERIES = [
           "exact Jaccard join via prefix filtering (recall-1 scale path)"),
     Query("dedup_containment", q_dedup_containment, ORACLE_DEDUP_CONTAINMENT,
           "exact directional containment join (sub-document duplication)"),
+    Query("dedup_containment_lsh", q_dedup_containment_lsh,
+          ORACLE_DEDUP_CONTAINMENT_LSH,
+          "approximate containment via bottom-k MinHash sampling (scale path)"),
     Query("split_leakage_audit", q_split_leakage_audit,
           ORACLE_SPLIT_LEAKAGE_AUDIT,
           "near-dup pairs crossing the train/eval split (self-decontam)"),

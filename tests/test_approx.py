@@ -35,3 +35,84 @@ def test_sampled_percentiles_error_bound(spark, sf_dir):
     assert p40 <= got["p50"] <= p60
     assert p05 <= got["p10"] <= p15
     assert p85 <= got["p90"] <= p95
+
+
+def test_containment_lsh_recall_vs_exact(spark, sf_dir):
+    """The bottom-k containment estimator must recover ≥90 % of the
+    exact join's high-confidence pairs (true C ≥ 0.9 — where the
+    hypergeometric tail gives ≥95 % per-pair survival at k=32), and any
+    extra pair it emits must be a genuine near-threshold case (true
+    containment ≥ 0.7), not an artifact."""
+    from pleiades_spark import catalog
+    from pleiades_spark.operators.dedup import (
+        containment_lsh_pairs,
+        prefix_containment_pairs,
+    )
+
+    docs = catalog.load(spark, sf_dir, "documents")
+    exact = {
+        (r.doc_a, r.doc_b): r.containment
+        for r in prefix_containment_pairs(docs).collect()
+    }
+    approx = {(r.doc_a, r.doc_b) for r in containment_lsh_pairs(docs).collect()}
+    hi = {p for p, c in exact.items() if c >= 0.9}
+    assert hi, "fixture should contain high-containment pairs"
+    recall_hi = len(hi & approx) / len(hi)
+    assert recall_hi >= 0.9, (recall_hi, len(hi), len(approx))
+
+    extras = approx - set(exact)
+    if extras:
+        # brute-verify the estimator's extra pairs: true containment of
+        # doc_a's shingle set in doc_b must be near the threshold
+        from pleiades_spark.functions.text import word_shingles
+        from pyspark.sql import functions as F
+
+        sh = {
+            r.doc_id: set(r.sh)
+            for r in docs.select(
+                "doc_id", word_shingles(F.col("text")).alias("sh")
+            ).collect()
+        }
+        for a, b in extras:
+            true_c = len(sh[a] & sh[b]) / len(sh[a])
+            assert true_c >= 0.7, (a, b, true_c)
+
+
+def test_containment_candidate_observation_fires(spark, sf_dir):
+    """Both containment joins must report raw candidate volume through
+    an attached Observation — the production alarm for the
+    Zipfian-pruning assumption (round-6 sf10 lesson)."""
+    from pyspark.sql import Observation
+
+    from pleiades_spark import catalog
+    from pleiades_spark.operators.dedup import (
+        containment_lsh_pairs,
+        prefix_containment_pairs,
+        prefix_jaccard_pairs,
+    )
+
+    docs = catalog.load(spark, sf_dir, "documents")
+    for op in (containment_lsh_pairs, prefix_containment_pairs,
+               prefix_jaccard_pairs):
+        obs = Observation(f"cand_{op.__name__}")
+        op(docs, candidate_observation=obs).collect()
+        assert obs.get["candidate_rows"] > 0, op.__name__
+
+
+def test_prefix_containment_quadratic_guard(spark, sf_dir):
+    """The exact containment join is demoted to a bounded ground truth:
+    corpora above the guard must raise unless explicitly allowed."""
+    import pytest
+    from pleiades_spark import catalog
+    from pleiades_spark.operators import dedup as D
+
+    docs = catalog.load(spark, sf_dir, "documents")
+    orig = D.QUADRATIC_GUARD_ROWS
+    D.QUADRATIC_GUARD_ROWS = 10  # fixture has ~50 docs
+    try:
+        with pytest.raises(ValueError, match="prefix_containment_pairs"):
+            D.prefix_containment_pairs(docs).collect()
+        # explicit override still works
+        assert D.prefix_containment_pairs(docs, allow_quadratic=True) is not None
+    finally:
+        D.QUADRATIC_GUARD_ROWS = orig

@@ -1,0 +1,45 @@
+"""tools/bench_full.py argument validation.
+
+A misspelled "-skipname" used to be silently ignored, letting the
+deliberately-quadratic ground truths run at sf1 (374 s — round-6
+lesson). The tool must now reject unknown names BEFORE building a
+Spark session.
+"""
+
+import subprocess
+import sys
+
+
+def test_bench_full_rejects_unknown_skip_name():
+    proc = subprocess.run(
+        [
+            sys.executable,
+            "tools/bench_full.py",
+            "/root/testdata/sf0.01",
+            "/tmp/bench_should_not_exist.json",
+            "-dedup_ngram_jacard",  # misspelled (missing the second 'c')
+        ],
+        capture_output=True,
+        text=True,
+        timeout=120,
+    )
+    assert proc.returncode != 0
+    assert "unknown query name" in proc.stderr
+    assert "dedup_ngram_jacard" in proc.stderr
+
+
+def test_bench_full_rejects_unknown_only_name():
+    proc = subprocess.run(
+        [
+            sys.executable,
+            "tools/bench_full.py",
+            "/root/testdata/sf0.01",
+            "/tmp/bench_should_not_exist.json",
+            "no_such_query_anywhere",
+        ],
+        capture_output=True,
+        text=True,
+        timeout=120,
+    )
+    assert proc.returncode != 0
+    assert "unknown query name" in proc.stderr

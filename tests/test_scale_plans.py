@@ -609,3 +609,24 @@ def test_token_triangles_no_cartesian_and_broadcast_degrees(spark, sf_dir):
             assert "Cross" in head, f"non-cross BNLJ: {head}"
     # row-local pair generation: a Generate (explode) feeds the edge agg
     assert "Generate" in plan
+
+
+def test_split_leakage_audit_no_flag_broadcast(spark, sf_dir):
+    """The train/eval flag is a pure function of doc_id, recomputed
+    inline on the pair table — no FORCED broadcast of a per-doc flags
+    frame may remain (a billions-row driver OOM at 100 TB; round-6
+    verdict finding). Catalyst may still auto-broadcast small sides on
+    size estimates — that is the desired scale-adaptive behavior — so
+    the test disables the size-based threshold and asserts the plan
+    then contains no BroadcastExchange at all: with auto-broadcast off,
+    any remaining one can only come from an explicit hint."""
+    from pleiades_spark.plans.llm import q_split_leakage_audit
+
+    df = q_split_leakage_audit(spark, sf_dir)
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        plan = _plan(df)
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    assert "BroadcastExchange" not in plan

@@ -34,8 +34,18 @@ def main() -> None:
     only = {n for n in names if not n.startswith("-")}
     skip = {n[1:] for n in names if n.startswith("-")}
 
-    spark = get_spark("pleiades_bench_full")
     registry = collect_queries()
+    # Fail FAST on names that don't exist in the registry: a silently
+    # ignored misspelled "-skipname" lets the O(n²) ground truths run by
+    # accident (374 s at sf1 — round-6 lesson, CLAUDE.md).
+    unknown = (only | skip) - set(registry)
+    if unknown:
+        sys.exit(
+            f"unknown query name(s): {sorted(unknown)}; "
+            f"registry has {len(registry)} queries — check spelling"
+        )
+
+    spark = get_spark("pleiades_bench_full")
 
     # warmup: JVM, codegen, parquet footers
     registry["counters_rollup"].fn(spark, sf_dir).write.format("noop").mode(
