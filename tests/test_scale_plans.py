@@ -630,3 +630,19 @@ def test_split_leakage_audit_no_flag_broadcast(spark, sf_dir):
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
     assert "BroadcastExchange" not in plan
+
+
+def test_containment_lsh_equi_join_only_bounded_probes(spark, sf_dir):
+    """The approximate containment join must stay equi-join-only (hash
+    probes vs the exploded hash index), with no cartesian fallback, no
+    global vocabulary rank (rarity ordering is a per-doc array_sort over
+    (df, h) structs), and no single-partition exchange anywhere — the
+    probe side is bounded at m ≈ k(1−t)+1 rows per doc by construction,
+    which the plan can't show, but the join/shuffle shape it relies on
+    can be enforced."""
+    from pleiades_spark.plans.llm import q_dedup_containment_lsh
+
+    plan = _plan(q_dedup_containment_lsh(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert plan.count("Exchange SinglePartition") == 0
