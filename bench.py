@@ -158,6 +158,10 @@ HEADLINE = [
     "langid_confusion",
     # round 7: approximate containment dedup (the 100 TB scale path)
     "dedup_containment_lsh",
+    # round 7: two-level IVF embedding dedup (coarse quantizer)
+    "dedup_embedding_ivf2",
+    # round 7: IVFADC search (coarse probe + PQ-coded ADC ranking)
+    "ivf_adc_knn",
 ]
 
 # Iterative driver-loop queries: many small jobs per query, so per-job

@@ -45,6 +45,7 @@ from pleiades_spark.functions.text import (
 from pleiades_spark.operators.dedup import (
     SIMHASH_BITS,
     embedding_near_dup_ivf,
+    embedding_near_dup_ivf2,
     embedding_near_dup_pairs,
     embedding_near_dup_srp,
     exact_dedup_groups,
@@ -536,6 +537,76 @@ SELECT query_id, rank, vec_id, cos FROM (
 """
 
 
+# --- IVFADC: coarse quantizer + PQ-coded ADC scan -------------------------
+
+
+def q_ivf_adc_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FAISS-IndexIVFPQ-shaped search: probe the query's IVF bucket,
+    rank its candidates by ADC over their PQ codes
+    (operators/similarity.ivf_adc_knn). The oracle composes the
+    ORACLE_IVF_KNN bucket restriction with ORACLE_PQ_ADC_KNN's
+    code/LUT pipeline — both approximations replayed bit-for-bit."""
+    from pleiades_spark.operators.similarity import ivf_adc_knn
+
+    return ivf_adc_knn(_t(spark, sf_dir, "embeddings"), KNN_QUERIES, KNN_K)
+
+
+ORACLE_IVF_ADC_KNN = f"""
+WITH v AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+         len(embedding) // 4 AS sl
+  FROM embeddings
+), c AS (SELECT vec_id AS centroid_id, v AS cv FROM v WHERE vec_id < {IVF_CENTROIDS}),
+assigned AS (
+  SELECT vec_id, centroid_id FROM (
+    SELECT v.vec_id, c.centroid_id,
+           row_number() OVER (PARTITION BY v.vec_id
+             ORDER BY {_CCOS_SQL} DESC, c.centroid_id ASC) AS rk
+    FROM v CROSS JOIN c
+  ) WHERE rk = 1
+),
+cand AS (
+  SELECT q.vec_id AS query_id, a.vec_id
+  FROM assigned q JOIN assigned a
+    ON a.centroid_id = q.centroid_id AND a.vec_id <> q.vec_id
+  WHERE q.vec_id < {KNN_QUERIES}
+),
+subs AS (
+  SELECT vec_id, m, v[m * sl + 1 : (m + 1) * sl] AS subv, sl
+  FROM v, (SELECT unnest(range(0, 4)) AS m)
+), cb AS (
+  SELECT m, vec_id AS cid, subv AS cv FROM subs WHERE vec_id < 8
+), scored AS (
+  SELECT s.vec_id, s.m, c.cid,
+         round(list_sum(list_transform(range(1, s.sl + 1),
+               i -> (s.subv[i] - c.cv[i]) * (s.subv[i] - c.cv[i]))), 6) AS d
+  FROM subs s JOIN cb c ON s.m = c.m
+), codes AS (
+  SELECT vec_id, m, cid FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id, m
+              ORDER BY d ASC, cid ASC) AS rk
+    FROM scored
+  ) WHERE rk = 1
+), lut AS (
+  SELECT s.vec_id AS query_id, s.m, c.cid,
+         round(list_sum(list_transform(range(1, s.sl + 1),
+               i -> (s.subv[i] - c.cv[i]) * (s.subv[i] - c.cv[i]))), 6) AS d
+  FROM subs s JOIN cb c ON s.m = c.m
+  WHERE s.vec_id < {KNN_QUERIES}
+), adc AS (
+  SELECT cand.query_id, cand.vec_id, round(sum(l.d), 6) AS adc_d
+  FROM cand JOIN codes co ON co.vec_id = cand.vec_id
+  JOIN lut l ON l.query_id = cand.query_id AND l.m = co.m AND l.cid = co.cid
+  GROUP BY cand.query_id, cand.vec_id
+)
+SELECT query_id, rank, vec_id, adc_d FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+            ORDER BY adc_d ASC, vec_id ASC) AS rank
+  FROM adc
+) WHERE rank <= {KNN_K}
+"""
+
+
 # --- label-centroid classification (embedding analytics) ------------------
 
 
@@ -653,6 +724,95 @@ assigned AS (
            row_number() OVER (PARTITION BY v.vec_id
              ORDER BY {_CCOS_SQL} DESC, c.centroid_id ASC) AS rk
     FROM v CROSS JOIN c
+  ) WHERE rk = 1
+)
+SELECT vec_a, vec_b, cos FROM (
+  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, {_COS_SQL} AS cos
+  FROM assigned a JOIN assigned b
+    ON a.centroid_id = b.centroid_id AND a.vec_id < b.vec_id
+) WHERE cos >= {COSINE_DUP_THRESHOLD}
+"""
+
+
+# --- two-level (coarse-quantizer) IVF embedding near-dup ------------------
+
+
+def q_dedup_embedding_ivf2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sub-n^1.5 IVF dedup: a coarse quantizer (K1 = ⌊n^(1/3)⌋ cells)
+    in front of K = ⌊n^(2/3)⌋ fine centroids — K1 + K/K1 cosines per
+    vector instead of K, total Θ(n^(4/3)·d)
+    (operators/dedup.embedding_near_dup_ivf2)."""
+    return embedding_near_dup_ivf2(
+        _t(spark, sf_dir, "embeddings"), COSINE_DUP_THRESHOLD
+    )
+
+
+# K/K1 replay the Spark-side rule from count(*): frozen K=16/K1=4 through
+# the ≤1k gate region, else K = t², K1 = t with t = icbrt(n) — the float
+# cbrt estimate is corrected to the exact integer cube root by the two
+# CASE adjustments, so libm differences between engines cancel
+# (operators/dedup._icbrt is the Python twin).
+_IVF2_PRM_SQL = (
+    "(SELECT CASE WHEN n <= 1024 THEN 16 ELSE greatest(16, t * t) END"
+    " FROM (SELECT n, CASE WHEN (t0+1)*(t0+1)*(t0+1) <= n THEN t0 + 1"
+    "              WHEN t0*t0*t0 > n THEN t0 - 1 ELSE t0 END AS t"
+    "       FROM (SELECT count(*) AS n,"
+    "                    CAST(round(cbrt(CAST(count(*) AS DOUBLE)))"
+    "                         AS BIGINT) AS t0"
+    "             FROM embeddings)))"
+)
+
+_IVF2_K1_SQL = (
+    "(SELECT CASE WHEN n <= 1024 THEN 4 ELSE greatest(4, t) END"
+    " FROM (SELECT n, CASE WHEN (t0+1)*(t0+1)*(t0+1) <= n THEN t0 + 1"
+    "              WHEN t0*t0*t0 > n THEN t0 - 1 ELSE t0 END AS t"
+    "       FROM (SELECT count(*) AS n,"
+    "                    CAST(round(cbrt(CAST(count(*) AS DOUBLE)))"
+    "                         AS BIGINT) AS t0"
+    "             FROM embeddings)))"
+)
+
+# cosine between a fine centroid (c.cv) and a coarse centroid (g.gv) —
+# same op order as _assign_nearest's fold (norms as sqrt(ip), round 6).
+_GCOS_C_SQL = (
+    "round(list_inner_product(c.cv, g.gv) / "
+    "(sqrt(list_inner_product(c.cv, c.cv)) * sqrt(list_inner_product(g.gv, g.gv))), 6)"
+)
+_GCOS_V_SQL = (
+    "round(list_inner_product(v.v, g.gv) / "
+    "(sqrt(list_inner_product(v.v, v.v)) * sqrt(list_inner_product(g.gv, g.gv))), 6)"
+)
+_FCOS_SQL = (
+    "round(list_inner_product(vg.v, ca.cv) / "
+    "(sqrt(list_inner_product(vg.v, vg.v)) * sqrt(list_inner_product(ca.cv, ca.cv))), 6)"
+)
+
+ORACLE_DEDUP_EMBEDDING_IVF2 = f"""
+WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+c AS (SELECT vec_id AS centroid_id, v AS cv FROM v WHERE vec_id < {_IVF2_PRM_SQL}),
+g AS (SELECT vec_id AS coarse_id, v AS gv FROM v WHERE vec_id < {_IVF2_K1_SQL}),
+ca AS (
+  SELECT centroid_id, cv, coarse_id FROM (
+    SELECT c.centroid_id, c.cv, g.coarse_id,
+           row_number() OVER (PARTITION BY c.centroid_id
+             ORDER BY {_GCOS_C_SQL} DESC, g.coarse_id ASC) AS rk
+    FROM c CROSS JOIN g
+  ) WHERE rk = 1
+),
+vg AS (
+  SELECT vec_id, v, coarse_id FROM (
+    SELECT v.vec_id, v.v, g.coarse_id,
+           row_number() OVER (PARTITION BY v.vec_id
+             ORDER BY {_GCOS_V_SQL} DESC, g.coarse_id ASC) AS rk
+    FROM v CROSS JOIN g
+  ) WHERE rk = 1
+),
+assigned AS (
+  SELECT vec_id, v, centroid_id FROM (
+    SELECT vg.vec_id, vg.v, ca.centroid_id,
+           row_number() OVER (PARTITION BY vg.vec_id
+             ORDER BY {_FCOS_SQL} DESC, ca.centroid_id ASC) AS rk
+    FROM vg JOIN ca ON ca.coarse_id = vg.coarse_id
   ) WHERE rk = 1
 )
 SELECT vec_a, vec_b, cos FROM (
@@ -2141,6 +2301,8 @@ QUERIES = [
           "exact dedup via text-hash groupBy, deterministic representative"),
     Query("pq_quantization", q_pq_quantization, ORACLE_PQ_QUANTIZATION,
           "product quantization: 4 sub-centroid codes + error per vector"),
+    Query("ivf_adc_knn", q_ivf_adc_knn, ORACLE_IVF_ADC_KNN,
+          "IVFADC: coarse-quantizer bucket probe + PQ-coded ADC ranking"),
     Query("pq_adc_knn", q_pq_adc_knn, ORACLE_PQ_ADC_KNN,
           "ADC top-k over PQ codes (per-query LUT, integer-join scan)"),
     Query("dedup_incremental", q_dedup_incremental, ORACLE_DEDUP_INCREMENTAL,
@@ -2155,6 +2317,9 @@ QUERIES = [
           "embedding cosine near-dup pairs (brute ground truth)"),
     Query("dedup_embedding_ivf", q_dedup_embedding_ivf, ORACLE_DEDUP_EMBEDDING_IVF,
           "embedding near-dup within IVF buckets (scale path, O(N²/K))"),
+    Query("dedup_embedding_ivf2", q_dedup_embedding_ivf2,
+          ORACLE_DEDUP_EMBEDDING_IVF2,
+          "two-level IVF near-dup (coarse quantizer, Θ(n^(4/3)·d))"),
     Query("dedup_embedding_srp", q_dedup_embedding_srp, ORACLE_DEDUP_EMBEDDING_SRP,
           "cosine-LSH (signed random projections) near-dup, banded bucket join"),
     Query("dedup_jaccard_prefix", q_dedup_jaccard_prefix,

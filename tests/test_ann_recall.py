@@ -254,3 +254,60 @@ def test_prefix_jaccard_join_is_exact(documents):
     for a, b in set(px) - set(gt):
         assert abs(chars[a] - chars[b]) > 0.2 * max(chars[a], chars[b])
         assert px[(a, b)] >= 0.6
+
+
+def test_two_level_ivf_assignment_structure(embeddings):
+    """ivf_assign_2level invariants: every vector lands in a coarse cell
+    owned by its assigned fine centroid, ids stay inside the codebooks,
+    and the assignment covers the whole corpus (no dropped rows)."""
+    from pleiades_spark.operators.similarity import ivf_assign_2level
+
+    assigned = ivf_assign_2level(embeddings, 16, 4).cache()
+    n = embeddings.count()
+    assert assigned.count() == n
+    rows = assigned.select("vec_id", "coarse_id", "centroid_id").collect()
+    assert all(0 <= r.coarse_id < 4 for r in rows)
+    assert all(0 <= r.centroid_id < 16 for r in rows)
+    # the fine centroid a vector got must belong to the vector's coarse
+    # cell — recompute the fine→coarse map independently and cross-check
+    cells = {
+        r.vec_id: r.centroid_id
+        for r in ivf_assign_2level(
+            embeddings.filter("vec_id < 16"), 16, 4
+        ).select("vec_id", "centroid_id").collect()
+    }
+    from pleiades_spark.operators.similarity import ivf_assign
+
+    fine_cell = {
+        r.vec_id: r.centroid_id
+        for r in ivf_assign(
+            embeddings.filter("vec_id < 16"), 4
+        ).collect()
+    }
+    for r in rows:
+        assert fine_cell[r.centroid_id] == r.coarse_id, (
+            f"vec {r.vec_id}: fine centroid {r.centroid_id} lives in cell "
+            f"{fine_cell[r.centroid_id]}, vector assigned to {r.coarse_id}"
+        )
+    assigned.unpersist()
+
+
+def test_two_level_ivf_dedup_recall_vs_single_level(spark):
+    """The Θ(n^(4/3)) two-level path must keep a useful fraction of the
+    single-level join's pairs in the LIVE adaptive-K region (sf0.1's
+    2000 vectors: K=144/K1=12 vs single-level K=44). Measured 19 of the
+    single level's 28 pairs (68%) — the bound is 50% so fixture
+    regeneration noise can't flap it. Precision is 1 by construction
+    (verify computes the exact cosine), so only recall is at stake;
+    absolute recall vs brute is intrinsically low for BOTH paths on
+    these near-uniform fixtures (0.19 single / 0.13 two-level — see
+    test_fitted_ivf_recall_at_k's calibration note)."""
+    from pleiades_spark.operators.dedup import (
+        embedding_near_dup_ivf,
+        embedding_near_dup_ivf2,
+    )
+
+    emb = catalog.load(spark, "/root/testdata/sf0.1", "embeddings")
+    ivf1 = _pair_set(embedding_near_dup_ivf(emb, 0.45).select("vec_a", "vec_b"))
+    ivf2 = _pair_set(embedding_near_dup_ivf2(emb, 0.45).select("vec_a", "vec_b"))
+    assert len(ivf2) >= 0.5 * len(ivf1), (len(ivf2), len(ivf1))
