@@ -484,6 +484,7 @@ def embedding_near_dup_ivf2(
     emb: DataFrame,
     threshold: float = 0.45,
     max_bucket_size: int | None = None,
+    n_probe_cells: int = 1,
 ) -> DataFrame:
     """Two-level IVF embedding near-dup — the sub-n^1.5 scale path.
 
@@ -511,7 +512,7 @@ def embedding_near_dup_ivf2(
     else:
         t = _icbrt(n)
         kk, k1 = max(16, t * t), max(4, t)
-    assigned = ivf_assign_2level(emb, kk, k1).withColumn(
+    assigned = ivf_assign_2level(emb, kk, k1, n_probe_cells).withColumn(
         "nrm", norm(F.col("v"))
     )
     if max_bucket_size is not None:
@@ -523,7 +524,7 @@ def embedding_near_dup_ivf2(
         )
     a = assigned.alias("a")
     b = assigned.alias("b")
-    return (
+    pairs = (
         a.join(
             b,
             (F.col("a.centroid_id") == F.col("b.centroid_id"))
@@ -544,6 +545,12 @@ def embedding_near_dup_ivf2(
             "cos",
         )
     )
+    if n_probe_cells > 1:
+        # multi-assignment can find the same pair in several shared
+        # buckets (same cos either way) — dedup on the pair key; the
+        # P=1 gate path stays plan-identical with no extra exchange.
+        pairs = pairs.dropDuplicates(["vec_a", "vec_b"])
+    return pairs
 
 
 def embedding_near_dup_pairs(

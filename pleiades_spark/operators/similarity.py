@@ -164,7 +164,7 @@ def _assign_nearest(v: DataFrame, codebook: DataFrame) -> DataFrame:
 
 
 def ivf_assign_2level(
-    emb: DataFrame, n_centroids: int, n_coarse: int
+    emb: DataFrame, n_centroids: int, n_coarse: int, n_probe_cells: int = 1
 ) -> DataFrame:
     """Two-level (coarse-quantizer) nearest-centroid assignment.
 
@@ -185,6 +185,13 @@ def ivf_assign_2level(
     argmax stages keep the exact cosine op order and lowest-id tie rule
     of _assign_nearest so a SQL oracle replays the bucketing
     bit-for-bit.
+
+    ``n_probe_cells`` > 1 is the recall knob (multi-assignment, the
+    IVF nprobe analog on the INDEX side): each vector lands in its
+    top-P coarse cells — P rows out per vector, P× assignment and
+    verify volume, straddling pairs recovered when any probed cell is
+    shared. The gate stays P=1 (identical plan); the recall test
+    measures the trade.
 
     Plan shape: the nested codebook collapses to ONE broadcast row of
     (coarse_id, gv, gnrm, members) structs — the whole assignment is a
@@ -260,7 +267,33 @@ def ivf_assign_2level(
         lambda acc, x: F.when(x["cc"] > acc["cc"], x).otherwise(acc),
         lambda acc: acc["gid"],
     )
-    staged = vv.select("vec_id", "v", "_nv", "_gb", coarse_win.alias("_cell"))
+    if n_probe_cells > 1:
+        p = min(n_probe_cells, n_coarse)
+        ranked = F.slice(
+            F.array_sort(
+                coarse_scored,
+                lambda l, r: F.when(l["cc"] > r["cc"], F.lit(-1))
+                .when(l["cc"] < r["cc"], F.lit(1))
+                .when(l["gid"] < r["gid"], F.lit(-1))
+                .when(l["gid"] > r["gid"], F.lit(1))
+                .otherwise(F.lit(0)),
+            ),
+            1,
+            p,
+        )
+        staged = vv.select(
+            "vec_id",
+            "v",
+            "_nv",
+            "_gb",
+            F.posexplode(ranked).alias("_pr", "_pc"),
+        ).select(
+            "vec_id", "v", "_nv", "_gb", F.col("_pc")["gid"].alias("_cell")
+        )
+    else:
+        staged = vv.select(
+            "vec_id", "v", "_nv", "_gb", coarse_win.alias("_cell")
+        )
     # The winning cell's member list is at ARRAY INDEX _cell + 1: coarse
     # ids are exactly 0..K1-1 by construction (the first K1 vectors) and
     # _gb is array_sorted by coarse_id. A filter(...) lambda here would
