@@ -162,6 +162,8 @@ HEADLINE = [
     "dedup_embedding_ivf2",
     # round 7: IVFADC search (coarse probe + PQ-coded ADC ranking)
     "ivf_adc_knn",
+    # round 7: hybrid retrieval (RRF fusion of BM25 + quality prior)
+    "hybrid_rrf_retrieval",
 ]
 
 # Iterative driver-loop queries: many small jobs per query, so per-job

@@ -184,6 +184,97 @@ SELECT rk, doc_id, n_terms_hit, score_u / 1000000.0 AS score FROM (
 """
 
 
+# --- hybrid retrieval: reciprocal-rank fusion ------------------------------
+
+RRF_C = 60  # the standard RRF damping constant (Cormack et al. 2009)
+RRF_TOPK = 10
+
+
+def q_hybrid_rrf_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reciprocal-rank fusion of two rankings over the same documents:
+    the BM25 relevance list (q_bm25_retrieval's top-10) and a
+    document-prior list (top-10 by composite quality score) —
+    RRF(d) = Σ_lists 1/(C + rank_d) over the lists that contain d, the
+    standard score-free fusion used by hybrid lexical+prior (and
+    lexical+vector) retrieval stacks.
+
+    Parity: each list contribution is quantized to integer micro-units
+    BEFORE the sum (floor(1e6/(C+r) + 0.5) — r is a small integer, so
+    the double division is identical on both engines and the cross-list
+    accumulation is exact BIGINT addition; the BM25 score pipeline uses
+    the same trick). Fusion ordering uses the integer sum; ties break
+    on doc_id.
+
+    Plan: both inputs end in TakeOrderedAndProject top-10s, so the
+    fusion is a full-outer join of two ≤10-row frames plus one 20-row
+    sort — everything after the two corpus scans is driver-trivial, and
+    the scans themselves are the already-audited BM25/quality plans."""
+    from pleiades_spark.functions.ranking import global_topk
+    from pleiades_spark.plans.llm import q_text_quality
+
+    bm = q_bm25_retrieval(spark, sf_dir).select(
+        "doc_id", F.col("rk").alias("r_bm25")
+    )
+    qr = global_topk(
+        q_text_quality(spark, sf_dir).select("doc_id", "quality"),
+        RRF_TOPK,
+        F.col("quality").desc(),
+        F.col("doc_id").asc(),
+        rank_col="r_q",
+    ).select("doc_id", "r_q")
+
+    def _contrib(rank_col: str):
+        return F.coalesce(
+            F.floor(
+                F.lit(1000000.0) / (F.lit(RRF_C) + F.col(rank_col)) + F.lit(0.5)
+            ).cast("long"),
+            F.lit(0).cast("long"),
+        )
+
+    fused = (
+        bm.join(qr, "doc_id", "full")
+        .withColumn("rrf_u", _contrib("r_bm25") + _contrib("r_q"))
+    )
+    return global_topk(
+        fused, RRF_TOPK, F.col("rrf_u").desc(), F.col("doc_id").asc(),
+        rank_col="rank",
+    ).select(
+        "rank",
+        "doc_id",
+        "r_bm25",
+        "r_q",
+        (F.col("rrf_u") / F.lit(1000000.0)).alias("rrf_score"),
+    )
+
+
+def _oracle_hybrid_rrf() -> str:
+    from pleiades_spark.plans.llm import ORACLE_TEXT_QUALITY
+
+    return f"""
+WITH bm AS ({ORACLE_BM25_RETRIEVAL}),
+q0 AS ({ORACLE_TEXT_QUALITY}),
+qr AS (
+  SELECT doc_id, r_q FROM (
+    SELECT doc_id,
+           row_number() OVER (ORDER BY quality DESC, doc_id ASC) AS r_q
+    FROM q0
+  ) WHERE r_q <= {RRF_TOPK}
+),
+fused AS (
+  SELECT doc_id,
+         bm.rk AS r_bm25, qr.r_q,
+         coalesce(CAST(floor(1000000.0 / ({RRF_C} + bm.rk) + 0.5) AS BIGINT), 0)
+         + coalesce(CAST(floor(1000000.0 / ({RRF_C} + qr.r_q) + 0.5) AS BIGINT), 0)
+           AS rrf_u
+  FROM bm FULL JOIN qr USING (doc_id)
+)
+SELECT rank, doc_id, r_bm25, r_q, rrf_u / 1000000.0 AS rrf_score FROM (
+  SELECT *, row_number() OVER (ORDER BY rrf_u DESC, doc_id ASC) AS rank
+  FROM fused
+) WHERE rank <= {RRF_TOPK}
+"""
+
+
 # --- hourly autocorrelation ----------------------------------------------
 
 ACF_LAGS = (1, 2, 3)
@@ -1453,6 +1544,8 @@ GROUP BY channel
 
 
 QUERIES = [
+    Query("hybrid_rrf_retrieval", q_hybrid_rrf_retrieval, _oracle_hybrid_rrf(),
+          "reciprocal-rank fusion of BM25 relevance + quality prior top-10s"),
     Query("bm25_retrieval", q_bm25_retrieval, ORACLE_BM25_RETRIEVAL,
           "Okapi BM25 top-k retrieval, integer micro-unit score sums"),
     Query("attribution_last_touch", q_attribution_last_touch,
