@@ -164,6 +164,8 @@ HEADLINE = [
     "ivf_adc_knn",
     # round 7: hybrid retrieval (RRF fusion of BM25 + quality prior)
     "hybrid_rrf_retrieval",
+    # round 7: streaming near-dedup vs the static LSH index
+    "streaming_lsh_dedup",
 ]
 
 # Iterative driver-loop queries: many small jobs per query, so per-job

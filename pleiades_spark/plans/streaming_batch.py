@@ -545,7 +545,56 @@ FROM sessions, wm WHERE end_ts <= w
 """
 
 
+def q_streaming_lsh_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming near-dedup vs the static LSH band index
+    (streaming/pipeline.lsh_dedup_stream): the corpus arrives as two
+    micro-batches (even/odd doc_id halves — pairs deliberately straddle
+    the batch boundary) and must emit EXACTLY the batch
+    minhash_lsh_pairs rows, which ORACLE_DEDUP_MINHASH hash-checks."""
+    from pleiades_spark.plans.llm import JACCARD_THRESHOLD
+    from pleiades_spark.streaming.pipeline import lsh_dedup_stream
+
+    apply_runtime_confs(spark)
+    src = tempfile.mkdtemp(prefix="lsh_dedup_stream_")
+    docs = catalog.load(spark, sf_dir, "documents")
+    for i, half in enumerate(
+        [docs.filter(F.col("doc_id") % 2 == 0), docs.filter(F.col("doc_id") % 2 == 1)]
+    ):
+        tmp = f"{src}/_stage{i}"
+        half.repartition(1).write.mode("overwrite").parquet(tmp)
+        part = next(f for f in os.listdir(tmp) if f.endswith(".parquet"))
+        shutil.copyfile(f"{tmp}/{part}", f"{src}/{i:02d}.parquet")
+        shutil.rmtree(tmp)
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    q = (
+        lsh_dedup_stream(stream, docs, JACCARD_THRESHOLD)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("lsh_dedup_gate")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+        q.awaitTermination()
+    return spark.table("lsh_dedup_gate").select("doc_a", "doc_b", "jaccard")
+
+
+def _oracle_streaming_lsh_dedup() -> str:
+    from pleiades_spark.plans.llm import ORACLE_DEDUP_MINHASH
+
+    return ORACLE_DEDUP_MINHASH
+
+
 QUERIES = [
+    Query("streaming_lsh_dedup", q_streaming_lsh_dedup,
+          _oracle_streaming_lsh_dedup(),
+          "streaming near-dedup vs static LSH index = batch pairs (2 batches)"),
     Query("streaming_counters", q_streaming_counters, ORACLE_STREAMING_COUNTERS,
           "real Structured Streaming run: file source → window agg → memory sink"),
     Query("streaming_counters_append", q_streaming_counters_append,

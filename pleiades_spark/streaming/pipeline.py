@@ -137,6 +137,75 @@ def dedup_events_stream(
     )
 
 
+def lsh_dedup_stream(
+    stream_docs: DataFrame, static_docs: DataFrame, threshold: float = 0.6
+) -> DataFrame:
+    """Streaming near-dedup against a static LSH index — the nightly
+    crawl-increment shape run CONTINUOUSLY: documents arrive as a
+    stream, band-hash inside the scan, and probe the indexed corpus via
+    a stream-static equi-join on (band_idx, band_key). Never all-pairs,
+    never stream-stream: the quadratic side lives in the static index.
+
+    Emits exactly minhash_lsh_pairs' rows (doc_a < doc_b, doc_b from
+    the stream) once the whole corpus has streamed — the gate
+    hash-checks that equivalence against ORACLE_DEDUP_MINHASH. A pair
+    whose members arrive in different micro-batches is still found
+    exactly once: the static index is complete, and only the
+    larger-id side's arrival emits it.
+
+    State: one dropDuplicates key per candidate PAIR (several shared
+    bands → one output). Production bounds it with
+    dropDuplicatesWithinWatermark on the arrival timestamp — candidate
+    re-emission past the horizon is harmless because verification is
+    deterministic and sinks are idempotent (the same exactly-once
+    argument as counters_stream). The stream side carries its shingle
+    array through the band explode (×LSH_BANDS) because a stream can't
+    re-join itself for verification; the static side's shingles come
+    from a normal batch join on doc_a.
+    """
+    from pleiades_spark.functions.text import word_shingles
+    from pleiades_spark.operators.dedup import (
+        band_keys,
+        minhash_signature,
+        with_signature,
+    )
+
+    idx = with_signature(static_docs).cache()
+    idx_bands = idx.select(
+        F.col("doc_id").alias("doc_a"),
+        F.posexplode(band_keys(F.col("sig"))).alias("band_idx", "band_key"),
+    )
+    idx_sh = idx.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
+    s = stream_docs.select(
+        F.col("doc_id").alias("doc_b"),
+        word_shingles(F.col("text")).alias("sh_b"),
+    ).withColumn("sig", minhash_signature(F.col("sh_b")))
+    s_bands = s.select(
+        "doc_b",
+        "sh_b",
+        F.posexplode(band_keys(F.col("sig"))).alias("band_idx", "band_key"),
+    )
+    cand = (
+        s_bands.join(idx_bands, ["band_idx", "band_key"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", "sh_b")
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    return (
+        cand.join(idx_sh, "doc_a")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.size(F.array_intersect("sh_a", "sh_b"))
+                / F.size(F.array_union("sh_a", "sh_b")),
+                6,
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
 def counters_stream(events: DataFrame, watermark: str = DEFAULT_WATERMARK) -> DataFrame:
     """The standing aggregation: 1-day tumbling event-time window × counter.
 

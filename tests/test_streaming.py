@@ -346,3 +346,59 @@ def test_events_file_stream_reads_directory_shaped_fixture(spark, sf_dir, tmp_pa
         spark, f"{sf_dir}/events.parquet", query_name="dirshape_ref"
     ).count()
     assert n == single and n > 0
+
+
+def test_streaming_lsh_dedup_finds_cross_batch_pairs(spark, tmp_path):
+    """lsh_dedup_stream must find a near-dup pair whose two docs arrive
+    in DIFFERENT micro-batches (the static index carries the other
+    side), emit each pair exactly once despite multi-band collisions
+    (stateful pair dedup), and match the batch minhash_lsh_pairs rows
+    bit-for-bit on the same corpus."""
+    from pleiades_spark.operators.dedup import minhash_lsh_pairs
+    from pleiades_spark.streaming.pipeline import lsh_dedup_stream
+
+    rows = [
+        (0, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+        (1, "alpha beta gamma delta epsilon zeta eta theta iota lambda"),
+        (2, "one two three four five six seven eight nine ten"),
+        (3, "one two three four five six seven eight nine eleven"),
+        (4, "completely different text with no overlap whatsoever at all"),
+    ]
+    schema = "doc_id long, text string"
+    docs = spark.createDataFrame(rows, schema)
+    base = tmp_path / "docs"
+    base.mkdir()
+    # split so both near-dup pairs straddle the batch boundary
+    spark.createDataFrame(rows[0::2], schema).coalesce(1).write.parquet(
+        str(base / "f0")
+    )
+    spark.createDataFrame(rows[1::2], schema).coalesce(1).write.parquet(
+        str(base / "f1")
+    )
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(base / "f*"))
+    )
+    q = (
+        lsh_dedup_stream(stream, docs, 0.6)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("lsh_stream_mem")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+        q.awaitTermination()
+    got = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in spark.table("lsh_stream_mem").collect()
+    }
+    batch = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in minhash_lsh_pairs(docs, 0.6).collect()
+    }
+    assert got == batch
+    assert (0, 1) in got and (2, 3) in got
