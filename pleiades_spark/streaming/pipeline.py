@@ -176,10 +176,19 @@ def lsh_dedup_stream(
         F.posexplode(band_keys(F.col("sig"))).alias("band_idx", "band_key"),
     )
     idx_sh = idx.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
-    s = stream_docs.select(
-        F.col("doc_id").alias("doc_b"),
-        word_shingles(F.col("text")).alias("sh_b"),
-    ).withColumn("sig", minhash_signature(F.col("sh_b")))
+    # repartition BEFORE computing signatures: a file-source micro-batch
+    # is often ONE file = ONE task, and without the exchange the whole
+    # batch's shingle+minhash work runs single-threaded inside that scan
+    # task (measured 100.8 s → 14.6 s at sf10's 500k docs; the band join
+    # forces an exchange anyway, this just moves it below the hashing).
+    s = (
+        stream_docs.repartition(F.col("doc_id"))
+        .select(
+            F.col("doc_id").alias("doc_b"),
+            word_shingles(F.col("text")).alias("sh_b"),
+        )
+        .withColumn("sig", minhash_signature(F.col("sh_b")))
+    )
     s_bands = s.select(
         "doc_b",
         "sh_b",
