@@ -43,3 +43,17 @@ def test_bench_full_rejects_unknown_only_name():
     )
     assert proc.returncode != 0
     assert "unknown query name" in proc.stderr
+
+
+def test_headline_names_all_exist_in_registry():
+    """bench.py's HEADLINE and MIN_OF_3 sets must reference real registry
+    queries — a renamed query would otherwise silently drop out of the
+    per-round bench (the same silent-skip failure mode the -skipname
+    fail-fast fixed for bench_full)."""
+    import bench
+    from pleiades_spark.plans import collect_queries
+
+    registry = set(collect_queries())
+    missing = [n for n in bench.HEADLINE if n not in registry]
+    assert not missing, f"HEADLINE names not in registry: {missing}"
+    assert set(bench.MIN_OF_3) <= set(bench.HEADLINE)

