@@ -127,6 +127,7 @@ def minhash_lsh_pairs(
     threshold: float = 0.6,
     max_bucket_size: int | None = None,
     new_col: str | None = None,
+    candidate_observation=None,
 ) -> DataFrame:
     """Near-duplicate pairs: LSH candidates verified by exact Jaccard.
 
@@ -153,6 +154,11 @@ def minhash_lsh_pairs(
     The bands/signatures of old docs would come from the previous run's
     persisted index in production; here they recompute from the same
     deterministic hashes, which is bit-identical.
+
+    ``candidate_observation``: optional ``pyspark.sql.Observation`` —
+    raw pre-distinct candidate volume (the quantity hot band buckets
+    blow up), same production-alarm contract as the prefix joins'
+    (_observe_candidates).
     """
     sel = ["doc_id"] + ([new_col] if new_col else [])
     signed = with_signature(docs, keep=tuple(sel[1:])).cache()
@@ -177,13 +183,12 @@ def minhash_lsh_pairs(
     )
     if new_col:
         cond = cond & (F.col(f"l.{new_col}") | F.col(f"r.{new_col}"))
-    cand = (
-        left.join(right, cond)
-        .select(
+    cand = _observe_candidates(
+        left.join(right, cond).select(
             F.col("l.doc_id").alias("doc_a"), F.col("r.doc_id").alias("doc_b")
-        )
-        .distinct()
-    )
+        ),
+        candidate_observation,
+    ).distinct()
     sh = signed.select("doc_id", "sh")
     verified = (
         cand.join(sh.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("sh", "sh_a"), "doc_a")

@@ -332,3 +332,19 @@ def test_two_level_ivf_multi_probe_recall_knob(spark):
     single = embedding_near_dup_ivf(emb, 0.45).count()
     assert n2 > n1
     assert n2 >= single
+
+
+def test_two_level_ivf_degenerates_to_exact_argmax_at_one_cell(embeddings):
+    """With a single coarse cell (K1=1) every fine centroid lives in
+    cell 0 and stage 2 scans the whole codebook — the two-level
+    assignment must equal the exact single-level argmax bit-for-bit
+    (same cosines, same tie rule). Links the approximate path's
+    correctness to the oracle-gated exact one."""
+    from pleiades_spark.operators.similarity import ivf_assign, ivf_assign_2level
+
+    exact = {r.vec_id: r.centroid_id for r in ivf_assign(embeddings, 16).collect()}
+    two = {
+        r.vec_id: r.centroid_id
+        for r in ivf_assign_2level(embeddings, 16, 1).collect()
+    }
+    assert exact == two

@@ -87,13 +87,14 @@ def test_containment_candidate_observation_fires(spark, sf_dir):
     from pleiades_spark import catalog
     from pleiades_spark.operators.dedup import (
         containment_lsh_pairs,
+        minhash_lsh_pairs,
         prefix_containment_pairs,
         prefix_jaccard_pairs,
     )
 
     docs = catalog.load(spark, sf_dir, "documents")
     for op in (containment_lsh_pairs, prefix_containment_pairs,
-               prefix_jaccard_pairs):
+               prefix_jaccard_pairs, minhash_lsh_pairs):
         obs = Observation(f"cand_{op.__name__}")
         op(docs, candidate_observation=obs).collect()
         assert obs.get["candidate_rows"] > 0, op.__name__
