@@ -166,6 +166,8 @@ HEADLINE = [
     "hybrid_rrf_retrieval",
     # round 7: streaming near-dedup vs the static LSH index
     "streaming_lsh_dedup",
+    # round 7: 64-bit simhash twin (16-bit chunk blocking)
+    "dedup_simhash_wide",
 ]
 
 # Iterative driver-loop queries: many small jobs per query, so per-job

@@ -212,20 +212,16 @@ def minhash_lsh_pairs(
 SIMHASH_BITS = 32
 
 
-def simhash(toks: Column) -> Column:
-    """32-bit SimHash over the distinct token set.
+def _simhash_of(hashed: Column, n: Column) -> Column:
+    """Majority-vote SimHash fold over a precomputed 32-bit hash array.
 
-    Bit k is set when more than half the token hashes have bit k set
-    (majority vote with ties → 0, the classic >0 threshold on ±1 sums:
-    2·cnt > n ⇔ Σ(2b−1) > 0).
+    Bit k is set when more than half the hashes have bit k set (ties →
+    0, the classic >0 threshold on ±1 sums: 2·cnt > n ⇔ Σ(2b−1) > 0).
+    One fold accumulates all 32 per-bit counts (each hash evaluated
+    once; the naive 32×aggregate form would re-hash per bit — no CSE
+    across HOF arguments), and the counts array is referenced exactly
+    ONCE (element_at per bit would re-run the fold 32×).
     """
-    dtoks = F.array_distinct(toks)
-    hashed = F.transform(dtoks, h32)
-    n = F.size(dtoks)  # NOT size(hashed): that would re-run the md5 transform
-
-    # One fold over the token hashes accumulates all 32 per-bit counts
-    # (md5 evaluated once per token; the naive 32×aggregate form would
-    # re-hash the tokens once per bit — no CSE across HOF arguments).
     start = F.array_repeat(F.lit(0).cast("long"), SIMHASH_BITS)
 
     def _step(acc: Column, h: Column) -> Column:
@@ -235,8 +231,6 @@ def simhash(toks: Column) -> Column:
         return F.zip_with(acc, bits, lambda x, y: x + y)
 
     counts = F.aggregate(hashed, start, _step)
-    # counts must be referenced exactly ONCE (element_at per bit would
-    # re-run the fold 32×): zip with the bit weights and sum.
     powers = F.array(*[F.lit(2**k).cast("long") for k in range(SIMHASH_BITS)])
     contrib = F.zip_with(
         counts,
@@ -244,6 +238,14 @@ def simhash(toks: Column) -> Column:
         lambda c, p: F.when(F.lit(2) * c > n, p).otherwise(F.lit(0).cast("long")),
     )
     return F.aggregate(contrib, F.lit(0).cast("long"), lambda acc, x: acc + x)
+
+
+def simhash(toks: Column) -> Column:
+    """32-bit SimHash over the distinct token set."""
+    dtoks = F.array_distinct(toks)
+    hashed = F.transform(dtoks, h32)
+    n = F.size(dtoks)  # NOT size(hashed): that would re-run the md5 transform
+    return _simhash_of(hashed, n)
 
 
 def simhash_pairs(docs: DataFrame, max_hamming: int = 3) -> DataFrame:
@@ -286,6 +288,77 @@ def simhash_pairs(docs: DataFrame, max_hamming: int = 3) -> DataFrame:
             F.col("r.doc_id").alias("doc_b"),
             F.bit_count(
                 F.col("l.sig").bitwiseXOR(F.col("r.sig"))
+            ).alias("hamming"),
+        )
+        .distinct()
+        .filter(F.col("hamming") <= max_hamming)
+    )
+
+
+def simhash_pairs_wide(docs: DataFrame, max_hamming: int = 6) -> DataFrame:
+    """64-bit SimHash near-dup — the corpus-scale twin of simhash_pairs.
+
+    The 32-bit signature's 8-bit chunk blocking is the round-7 sf10
+    lesson: 256 values per chunk means bucket size grows as n/256 and
+    candidate volume as n²/256 — 46.7 s / 23.5× at 500k docs, a
+    quadratic cliff disguised as blocking. Doubling the signature to 64
+    bits (two independent salted 32-bit halves, so the md5-h32 oracle
+    replays both) makes the chunks 16-bit: 65 536 values per chunk,
+    buckets of ~n/65k, candidate volume n²/16k — 256× less. Pigeonhole
+    is preserved: ``max_hamming`` < 4 chunk corruptions means every
+    qualifying pair still shares at least one intact chunk (recall 1
+    w.r.t. the 64-bit fingerprint).
+
+    ``max_hamming`` defaults to 6 — the same 3/32 corruption FRACTION
+    as the narrow gate, so both flag comparable similarity levels; the
+    two fingerprints are different projections, so pair sets are not
+    expected to be identical (the test quantifies the overlap).
+    Hamming distance is bit_count over each half, summed — all signed
+    32-bit-safe arithmetic on both engines.
+    """
+    from pleiades_spark.functions.text import tokens
+
+    dtoks = F.array_distinct(tokens(F.col("text")))
+    n = F.size(dtoks)
+    hi = _simhash_of(
+        F.transform(dtoks, lambda t: h32(F.concat(F.lit("wh:"), t))), n
+    )
+    lo = _simhash_of(
+        F.transform(dtoks, lambda t: h32(F.concat(F.lit("wl:"), t))), n
+    )
+    sigs = (
+        docs.repartition(F.col("doc_id"))
+        .select("doc_id", hi.alias("hi"), lo.alias("lo"))
+        .cache()
+    )
+    chunks = sigs.select(
+        "doc_id",
+        "hi",
+        "lo",
+        F.posexplode(
+            F.array(
+                F.shiftright(F.col("hi"), 16).bitwiseAND(65535),
+                F.col("hi").bitwiseAND(65535),
+                F.shiftright(F.col("lo"), 16).bitwiseAND(65535),
+                F.col("lo").bitwiseAND(65535),
+            )
+        ).alias("chunk_idx", "chunk_val"),
+    )
+    left = chunks.alias("l")
+    right = chunks.alias("r")
+    return (
+        left.join(
+            right,
+            (F.col("l.chunk_idx") == F.col("r.chunk_idx"))
+            & (F.col("l.chunk_val") == F.col("r.chunk_val"))
+            & (F.col("l.doc_id") < F.col("r.doc_id")),
+        )
+        .select(
+            F.col("l.doc_id").alias("doc_a"),
+            F.col("r.doc_id").alias("doc_b"),
+            (
+                F.bit_count(F.col("l.hi").bitwiseXOR(F.col("r.hi")))
+                + F.bit_count(F.col("l.lo").bitwiseXOR(F.col("r.lo")))
             ).alias("hamming"),
         )
         .distinct()

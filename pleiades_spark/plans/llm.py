@@ -263,11 +263,18 @@ FROM best GROUP BY vec_id
 
 MAX_HAMMING = 3
 
-_SIMHASH_SQL = "CAST(" + " + ".join(
-    f"(CASE WHEN 2 * list_sum(list_transform(hs, x -> (x >> {k}) & 1)) > len(hs) "
-    f"THEN {2**k} ELSE 0 END)"
-    for k in range(SIMHASH_BITS)
-) + " AS BIGINT)"
+def _simhash_sql(arr: str, n: str) -> str:
+    """Majority-vote 32-bit SimHash over a hash-array SQL expression —
+    ``n`` is the distinct-token count (NOT len(arr): the Spark fold's
+    tie rule compares against the token count)."""
+    return "CAST(" + " + ".join(
+        f"(CASE WHEN 2 * list_sum(list_transform({arr}, x -> (x >> {k}) & 1)) > {n} "
+        f"THEN {2**k} ELSE 0 END)"
+        for k in range(SIMHASH_BITS)
+    ) + " AS BIGINT)"
+
+
+_SIMHASH_SQL = _simhash_sql("hs", "len(hs)")
 
 
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -292,6 +299,52 @@ WITH t AS (
     ON l.chunk_idx = r.chunk_idx AND l.chunk_val = r.chunk_val AND l.doc_id < r.doc_id
 )
 SELECT doc_a, doc_b, hamming FROM pairs WHERE hamming <= {MAX_HAMMING}
+"""
+
+
+MAX_HAMMING_WIDE = 6  # same 3/32 corruption fraction at 64 bits
+
+
+def q_dedup_simhash_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """64-bit SimHash with 16-bit chunk blocking — the corpus-scale
+    twin of dedup_simhash (whose 8-bit chunks are a quadratic cliff at
+    500k docs: operators/dedup.simhash_pairs_wide)."""
+    from pleiades_spark.operators.dedup import simhash_pairs_wide
+
+    out = simhash_pairs_wide(_t(spark, sf_dir, "documents"), MAX_HAMMING_WIDE)
+    return out.select(
+        "doc_a", "doc_b", F.col("hamming").cast("int").alias("hamming")
+    )
+
+
+ORACLE_DEDUP_SIMHASH_WIDE = f"""
+WITH t AS (
+  SELECT doc_id, list_distinct(string_split(text, ' ')) AS toks FROM documents
+), h AS (
+  SELECT doc_id,
+         list_transform(toks, tk -> {h32_sql("concat('wh:', tk)")}) AS hh,
+         list_transform(toks, tk -> {h32_sql("concat('wl:', tk)")}) AS hl
+  FROM t
+), s AS (
+  SELECT doc_id, {_simhash_sql('hh', 'len(hh)')} AS hi,
+         {_simhash_sql('hl', 'len(hl)')} AS lo
+  FROM h
+), chunks AS (
+  SELECT doc_id, hi, lo, chunk_idx,
+         CASE chunk_idx WHEN 0 THEN (hi >> 16) & 65535
+                        WHEN 1 THEN hi & 65535
+                        WHEN 2 THEN (lo >> 16) & 65535
+                        ELSE lo & 65535 END AS chunk_val
+  FROM s, (SELECT unnest(range(0, 4)) AS chunk_idx)
+), pairs AS (
+  SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b,
+         CAST(bit_count(xor(l.hi, r.hi)) + bit_count(xor(l.lo, r.lo)) AS INT)
+           AS hamming
+  FROM chunks l JOIN chunks r
+    ON l.chunk_idx = r.chunk_idx AND l.chunk_val = r.chunk_val
+   AND l.doc_id < r.doc_id
+)
+SELECT doc_a, doc_b, hamming FROM pairs WHERE hamming <= {MAX_HAMMING_WIDE}
 """
 
 
@@ -2311,6 +2364,8 @@ QUERIES = [
           "MinHash signatures → banded LSH → verified Jaccard pairs"),
     Query("dedup_simhash", q_dedup_simhash, ORACLE_DEDUP_SIMHASH,
           "32-bit SimHash, chunk blocking, Hamming ≤ 3 pairs"),
+    Query("dedup_simhash_wide", q_dedup_simhash_wide, ORACLE_DEDUP_SIMHASH_WIDE,
+          "64-bit SimHash, 16-bit chunk blocking (corpus-scale twin)"),
     Query("dedup_ngram_jaccard", q_dedup_ngram_jaccard, ORACLE_DEDUP_NGRAM_JACCARD,
           "exact blocked all-pairs shingle Jaccard (LSH ground truth)"),
     Query("dedup_embedding_cosine", q_dedup_embedding, ORACLE_DEDUP_EMBEDDING,

@@ -827,24 +827,42 @@ def q_product_type_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Adapted: no partsupp, so supply cost is proxied as 60 % of
     p_retailprice. part/supplier/nation broadcast; the only fact-fact
-    shuffle is lineitem⋈orders on orderkey (the natural bucket key)."""
-    li = _t(spark, sf_dir, "lineitem")
-    part = _t(spark, sf_dir, "part").filter(F.col("p_name").like("%red%"))
-    supp = _t(spark, sf_dir, "supplier")
-    nation = _t(spark, sf_dir, "nation")
-    orders = _t(spark, sf_dir, "orders")
+    shuffle is lineitem⋈orders on orderkey (the natural bucket key).
+
+    Join ORDER matters at scale (round-7 sf10 finding): the orderkey
+    SMJ must see the NARROW projected lineitem — broadcasting the dims
+    first widened every shuffled row with part/supplier/nation payloads
+    and the same SMJ took 119.9 s at sf10 (60M lineitem) vs 25.0 s with
+    orders joined first (the original form measured 50.1 s in-sweep).
+    Explicit projections keep the sort rows at 6 columns; the dim
+    broadcasts then enrich the already-joined stream map-side."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        "l_partkey",
+        "l_suppkey",
+        "l_extendedprice",
+        "l_discount",
+        "l_quantity",
+    )
+    part = (
+        _t(spark, sf_dir, "part")
+        .filter(F.col("p_name").like("%red%"))
+        .select("p_partkey", "p_retailprice")
+    )
+    supp = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    nation = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", F.year("o_orderdate").alias("o_year")
+    )
     profit = F.col("l_extendedprice") * (1 - F.col("l_discount")) - 0.6 * F.col(
         "p_retailprice"
     ) * F.col("l_quantity")
     return (
-        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
         .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
         .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
-        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
-        .groupBy(
-            F.col("n_name").alias("nation"),
-            F.year("o_orderdate").alias("o_year"),
-        )
+        .groupBy(F.col("n_name").alias("nation"), "o_year")
         .agg(F.round(F.sum(profit), 4).alias("sum_profit"))
     )
 

@@ -348,3 +348,29 @@ def test_two_level_ivf_degenerates_to_exact_argmax_at_one_cell(embeddings):
         for r in ivf_assign_2level(embeddings, 16, 1).collect()
     }
     assert exact == two
+
+
+def test_simhash_wide_catches_near_dups_rejects_unrelated(spark):
+    """The 64-bit twin must behave like a simhash: identical docs at
+    hamming 0, a one-token edit of a 40-token doc within the threshold,
+    unrelated docs rejected. (Pair-set equality with the 32-bit gate is
+    NOT expected — different projections; on the word-soup fixtures the
+    measured overlap is ~55%.) The blocking motivation is the round-7
+    sf10 finding: 8-bit chunks are n²/256 candidate volume — 46.7 s at
+    500k docs — vs 16-bit chunks' n²/16k (17.6 s)."""
+    from pleiades_spark.operators.dedup import simhash_pairs_wide
+
+    base = " ".join(f"tok{i}" for i in range(40))
+    edited = " ".join(f"tok{i}" for i in range(39)) + " zzz"
+    other = " ".join(f"other{i}" for i in range(40))
+    docs = spark.createDataFrame(
+        [(0, base), (1, base), (2, edited), (3, other)],
+        "doc_id long, text string",
+    )
+    got = {
+        (r.doc_a, r.doc_b): r.hamming
+        for r in simhash_pairs_wide(docs, 6).collect()
+    }
+    assert got.get((0, 1)) == 0          # identical → hamming 0
+    assert (0, 2) in got                 # one-token edit → near-dup
+    assert (0, 3) not in got and (1, 3) not in got and (2, 3) not in got
