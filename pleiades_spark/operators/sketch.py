@@ -287,3 +287,121 @@ def kmv_distinct(df: DataFrame, group: str, key: Column, k: int = KMV_K) -> Data
         F.round(est, 4).alias("est_distinct"),
         F.col("n_min"),
     )
+
+
+# --- KMV set operations (union / intersection / Jaccard estimates) --------
+
+KMV_SET_SALT = 32
+
+
+def kmv_group_sketch(
+    df: DataFrame, group: str, key: Column, k: int = KMV_K,
+    salt: int = KMV_SET_SALT,
+) -> DataFrame:
+    """Per-group KMV sketch as ROWS (grp, h): the k smallest DISTINCT
+    h32 values of `key` per group. Unlike kmv_distinct (which reduces
+    straight to the estimate), the sketch rows themselves are returned
+    so downstream set algebra (union/intersection across groups) can
+    operate on them relationally.
+
+    Scale shape: the k-min is computed in TWO salted stages. A plain
+    `row_number() OVER (PARTITION BY grp ORDER BY h)` makes one task
+    sort one group's ENTIRE distinct-hash stream — with few groups
+    (sources, languages) that is a handful of tasks sorting millions of
+    rows each at 100 TB. Stage 1 instead partitions by (grp, h mod S)
+    and keeps k per salt class — S-way parallel, and correct because
+    every member of the global k-min is also within the k-min of its
+    own salt class. Stage 2 re-ranks the ≤ S·k survivors per group —
+    |groups|·S·k rows, driver-trivial at any corpus size.
+    """
+    from pyspark.sql.window import Window as W
+
+    hashed = (
+        df.select(F.col(group).alias("grp"), h32(key).alias("h"))
+        .distinct()
+    )
+    w1 = W.partitionBy("grp", "s").orderBy(F.col("h").asc())
+    part = (
+        hashed.withColumn("s", F.pmod(F.col("h"), F.lit(salt)))
+        .withColumn("rn", F.row_number().over(w1))
+        .filter(F.col("rn") <= k)
+        .drop("rn", "s")
+    )
+    w2 = W.partitionBy("grp").orderBy(F.col("h").asc())
+    return (
+        part.withColumn("rn", F.row_number().over(w2))
+        .filter(F.col("rn") <= k)
+        .drop("rn")
+    )
+
+
+def kmv_pair_set_ops(sk: DataFrame, k: int = KMV_K) -> DataFrame:
+    """Distinct-set algebra over every PAIR of groups from their KMV
+    sketches (Beyer et al., SIGMOD 2007): for groups A and B with
+    k-min sketches K_A and K_B,
+
+        L        = k smallest of K_A ∪ K_B       (the union's own sketch)
+        est_union = (k-1) / h_(k)(L)  (scaled by 2³²; exact |L| if < k)
+        ρ        = |{h ∈ L : h ∈ K_A and h ∈ K_B}| / |L|
+        est_inter = ρ · est_union,   est_jaccard = ρ
+
+    ρ is a hypergeometric sample proportion over the union sketch, so
+    est_inter/est_jaccard inherit KMV's ~1/√k error. This yields actual
+    CARDINALITIES (how many distinct shingles do two crawl feeds
+    share), which the MinHash signature overlap (source_overlap_
+    minhash) cannot — signatures estimate only the ratio.
+
+    Everything here runs on |groups|·k sketch ROWS — after the one big
+    scan inside kmv_group_sketch, the pair matrix is driver-trivial
+    (two broadcast equi-joins; no OR-condition nested-loop join).
+    """
+    from pyspark.sql.window import Window as W
+
+    groups = sk.select(F.col("grp")).distinct()
+    pairs = (
+        groups.alias("x")
+        .join(groups.alias("y"), F.col("x.grp") < F.col("y.grp"))
+        .select(F.col("x.grp").alias("ga"), F.col("y.grp").alias("gb"))
+    )
+    ma = (
+        F.broadcast(pairs)
+        .join(sk, sk["grp"] == F.col("ga"))
+        .select("ga", "gb", "h", F.lit(1).alias("in_a"), F.lit(0).alias("in_b"))
+    )
+    mb = (
+        F.broadcast(pairs)
+        .join(sk, sk["grp"] == F.col("gb"))
+        .select("ga", "gb", "h", F.lit(0).alias("in_a"), F.lit(1).alias("in_b"))
+    )
+    merged = (
+        ma.unionByName(mb)
+        .groupBy("ga", "gb", "h")
+        .agg(F.max("in_a").alias("in_a"), F.max("in_b").alias("in_b"))
+    )
+    w = W.partitionBy("ga", "gb").orderBy(F.col("h").asc())
+    union_sketch = (
+        merged.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= k)
+    )
+    agg = union_sketch.groupBy("ga", "gb").agg(
+        F.count(F.lit(1)).alias("n_l"),
+        F.max("h").alias("h_k"),
+        F.sum(F.col("in_a") * F.col("in_b")).alias("n_both"),
+    )
+    est_union = F.when(
+        F.col("n_l") < k, F.col("n_l").cast("double")
+    ).otherwise((F.lit(float(k - 1)) * F.lit(2.0 ** 32)) / F.col("h_k"))
+    rho = F.col("n_both").cast("double") / F.col("n_l")
+    return agg.select(
+        F.col("ga"),
+        F.col("gb"),
+        est_union.alias("_u"),
+        rho.alias("_rho"),
+    ).select(
+        "ga",
+        "gb",
+        (F.floor(F.col("_u") * 10000 + F.lit(0.5)) / 10000).alias("est_union"),
+        (F.floor(F.col("_rho") * F.col("_u") * 10000 + F.lit(0.5)) / 10000)
+        .alias("est_inter"),
+        (F.floor(F.col("_rho") * 10000 + F.lit(0.5)) / 10000)
+        .alias("est_jaccard"),
+    )

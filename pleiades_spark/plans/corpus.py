@@ -1431,6 +1431,90 @@ FROM sig a JOIN sig b ON a.source < b.source
 """
 
 
+# --- cross-source KMV set operations ---------------------------------------
+
+
+def q_kmv_source_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct-shingle UNION / INTERSECTION / Jaccard estimates for
+    every source pair from per-source KMV sketches
+    (operators/sketch.kmv_group_sketch + kmv_pair_set_ops) — the
+    cardinality twin of source_overlap_minhash: that query ranks pairs
+    by estimated Jaccard; this one answers "how MANY distinct shingles
+    do two crawl feeds share", the number a dedup budget actually
+    needs. One scan builds |sources|·k sketch rows (salted two-stage
+    k-min, no single-task-per-source sort); all pair algebra runs on
+    those rows. md5-h32 hashing, so the oracle replays the estimates —
+    error included — bit-for-bit.
+    """
+    from pleiades_spark.operators.sketch import (
+        kmv_group_sketch,
+        kmv_pair_set_ops,
+    )
+    from pleiades_spark.functions.text import word_shingles
+
+    docs = _t(spark, sf_dir, "documents")
+    shingled = docs.select(
+        "source", F.explode(word_shingles(F.col("text"))).alias("t")
+    )
+    sk = kmv_group_sketch(shingled, "source", F.col("t"))
+    return kmv_pair_set_ops(sk).select(
+        F.col("ga").alias("source_a"),
+        F.col("gb").alias("source_b"),
+        "est_union",
+        "est_inter",
+        "est_jaccard",
+    )
+
+
+ORACLE_KMV_SOURCE_SET_OPS = f"""
+WITH sh AS (
+  SELECT source, {word_shingles_sql("text")} AS sh FROM documents
+), tokh0 AS (
+  SELECT source, {h32_sql("unnest(sh)")} AS h FROM sh
+), tokh AS (
+  SELECT DISTINCT source, h FROM tokh0
+), sk AS (
+  SELECT source, h FROM (
+    SELECT source, h,
+           row_number() OVER (PARTITION BY source ORDER BY h ASC) AS rn
+    FROM tokh)
+  WHERE rn <= 64
+), pairs AS (
+  SELECT a.source AS ga, b.source AS gb
+  FROM (SELECT DISTINCT source FROM sk) a
+  JOIN (SELECT DISTINCT source FROM sk) b ON a.source < b.source
+), m AS (
+  SELECT ga, gb, h, max(in_a) AS in_a, max(in_b) AS in_b FROM (
+    SELECT ga, gb, s.h, 1 AS in_a, 0 AS in_b
+    FROM pairs JOIN sk s ON s.source = pairs.ga
+    UNION ALL
+    SELECT ga, gb, s.h, 0 AS in_a, 1 AS in_b
+    FROM pairs JOIN sk s ON s.source = pairs.gb
+  ) GROUP BY ga, gb, h
+), l AS (
+  SELECT * FROM (
+    SELECT m.*, row_number() OVER (PARTITION BY ga, gb ORDER BY h ASC) AS rn
+    FROM m)
+  WHERE rn <= 64
+), agg AS (
+  SELECT ga, gb, count(*) AS n_l, max(h) AS h_k,
+         sum(in_a * in_b) AS n_both
+  FROM l GROUP BY ga, gb
+), est AS (
+  SELECT ga, gb,
+         CASE WHEN n_l < 64 THEN CAST(n_l AS DOUBLE)
+              ELSE (63.0 * 4294967296.0) / h_k END AS u,
+         CAST(n_both AS DOUBLE) / n_l AS rho
+  FROM agg
+)
+SELECT ga AS source_a, gb AS source_b,
+       floor(u * 10000 + 0.5) / 10000 AS est_union,
+       floor(rho * u * 10000 + 0.5) / 10000 AS est_inter,
+       floor(rho * 10000 + 0.5) / 10000 AS est_jaccard
+FROM est
+"""
+
+
 QUERIES = [
     Query("doc_chunks", q_doc_chunks, ORACLE_DOC_CHUNKS,
           "overlapping token-window chunking (Generate, no shuffle)"),
@@ -1439,6 +1523,10 @@ QUERIES = [
     Query("source_overlap_minhash", q_source_overlap_minhash,
           ORACLE_SOURCE_OVERLAP_MINHASH,
           "per-source MinHash signatures -> cross-source overlap matrix"),
+    Query("kmv_source_set_ops", q_kmv_source_set_ops,
+          ORACLE_KMV_SOURCE_SET_OPS,
+          "per-source KMV sketches -> union/intersection cardinality "
+          "estimates per source pair (salted two-stage k-min)"),
     Query("tfidf_top_terms", q_tfidf_top_terms, ORACLE_TFIDF_TOP_TERMS,
           "smoothed TF-IDF top-k distinctive terms per doc"),
     Query("corpus_sample", q_corpus_sample, ORACLE_CORPUS_SAMPLE,

@@ -129,3 +129,71 @@ def test_kmv_sketch_is_mergeable(spark, sf_dir):
             est = 63.0 * 2.0 ** 32 / merged[-1]
         assert round(est, 4) == whole[g][0]
         assert n_min == whole[g][1]
+
+
+def test_kmv_group_sketch_salted_equals_global_kmin(spark, sf_dir):
+    """The salted two-stage k-min (scale path: no single task sorts a
+    whole group's hash stream) must return EXACTLY the global k
+    smallest distinct hashes per group."""
+    from pyspark.sql import functions as F
+
+    from pleiades_spark import catalog
+    from pleiades_spark.functions.hashing import h32
+    from pleiades_spark.operators.sketch import KMV_K, kmv_group_sketch
+
+    docs = catalog.load(spark, sf_dir, "documents")
+    got = {}
+    for r in kmv_group_sketch(docs, "lang", F.col("text")).collect():
+        got.setdefault(r["grp"], []).append(r["h"])
+    exact = {}
+    for r in (
+        docs.select(F.col("lang").alias("g"), h32(F.col("text")).alias("h"))
+        .distinct()
+        .collect()
+    ):
+        exact.setdefault(r["g"], set()).add(r["h"])
+    assert set(got) == set(exact)
+    for g, hs in got.items():
+        assert sorted(hs) == sorted(exact[g])[: KMV_K]
+
+
+def test_kmv_pair_set_ops_tracks_exact_cardinalities(spark, sf_dir):
+    """Union/intersection ESTIMATES from the pair set-ops must land
+    within KMV's ~1/sqrt(k) error envelope of the exact distinct
+    counts (checked driver-side on the small fixture)."""
+    from pyspark.sql import functions as F
+
+    from pleiades_spark import catalog
+    from pleiades_spark.functions.hashing import h32
+    from pleiades_spark.functions.text import word_shingles
+    from pleiades_spark.operators.sketch import (
+        kmv_group_sketch,
+        kmv_pair_set_ops,
+    )
+
+    docs = catalog.load(spark, sf_dir, "documents")
+    shingled = docs.select(
+        "source", F.explode(word_shingles(F.col("text"))).alias("t")
+    )
+    est = {
+        (r["ga"], r["gb"]): (r["est_union"], r["est_inter"], r["est_jaccard"])
+        for r in kmv_pair_set_ops(kmv_group_sketch(shingled, "source", F.col("t"))).collect()
+    }
+    assert len(est) > 0
+    exact = {}
+    for r in (
+        shingled.select(F.col("source").alias("g"), h32(F.col("t")).alias("h"))
+        .distinct()
+        .collect()
+    ):
+        exact.setdefault(r["g"], set()).add(r["h"])
+    # Spot-check every pair: union within 40% rel, jaccard within 0.25 abs
+    # (k=64 -> sigma ~ 12.5%; generous bounds keep the test deterministic-
+    # robust across fixture vintages).
+    for (ga, gb), (eu, ei, ej) in est.items():
+        u = len(exact[ga] | exact[gb])
+        i = len(exact[ga] & exact[gb])
+        j = i / u if u else 0.0
+        assert abs(eu - u) <= max(0.4 * u, 2.0), (ga, gb, eu, u)
+        assert abs(ej - j) <= 0.25, (ga, gb, ej, j)
+        assert abs(ei - i) <= max(0.4 * u, 2.0), (ga, gb, ei, i)
