@@ -2190,6 +2190,216 @@ LIMIT 200
 """
 
 
+# --- key-skew diagnostics ---------------------------------------------------
+
+
+def _skew_profile(t: DataFrame, key: str, label: str, top_n: int = 10) -> DataFrame:
+    """One-row skew profile of `key` in `t`: the pre-join diagnostic that
+    decides whether a 100 TB shuffle needs salting/AQE-skew handling
+    BEFORE it runs. The per-key counts frame is referenced three times
+    (moment stats, top-N share, hot-key census) in ONE plan, so AQE's
+    ReuseExchange computes the fact groupBy once; everything downstream
+    operates on the n_keys-row reduced grain. Top-N goes through
+    orderBy+limit (TakeOrderedAndProject — no global window sort)."""
+    counts = t.groupBy(F.col(key).alias("k")).agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    stats = counts.agg(
+        F.sum("cnt").alias("n_rows"),
+        F.count(F.lit(1)).alias("n_keys"),
+        F.max("cnt").alias("max_cnt"),
+        F.expr("percentile(cnt, 0.5)").alias("p50"),
+        F.expr("percentile(cnt, 0.99)").alias("p99"),
+    )
+    top = (
+        counts.orderBy(F.col("cnt").desc(), F.col("k").asc())
+        .limit(top_n)
+        .agg(F.sum("cnt").alias("top_cnt"))
+    )
+    avg = F.col("n_rows").cast("double") / F.col("n_keys")
+    hot = (
+        counts.crossJoin(F.broadcast(stats))
+        .filter(F.col("cnt") > F.lit(10.0) * (F.col("n_rows").cast("double") / F.col("n_keys")))
+        .agg(F.count(F.lit(1)).alias("n_hot"))
+    )
+
+    def q4(c):
+        return F.floor(c * 10000 + F.lit(0.5)) / 10000
+
+    return (
+        stats.crossJoin(top)
+        .crossJoin(hot)
+        .select(
+            F.lit(label).alias("key_name"),
+            "n_rows",
+            "n_keys",
+            "max_cnt",
+            q4(avg).alias("avg_cnt"),
+            q4(F.col("p50")).alias("p50_cnt"),
+            q4(F.col("p99")).alias("p99_cnt"),
+            q4(F.col("max_cnt") / avg).alias("skew_ratio"),
+            q4(F.col("top_cnt").cast("double") / F.col("n_rows")).alias("top10_share"),
+            F.col("n_hot").alias("n_hot_10x"),
+        )
+    )
+
+
+def q_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shuffle-key skew report over the join/agg keys the other queries
+    actually shuffle on: per key, row/key counts, count percentiles,
+    max/avg skew ratio, top-10-key share, and the number of keys >10×
+    the mean. This is the observability half of operators/skew.py — the
+    report that tells you WHICH keys need salted_count_sum /
+    salted_equi_join (and what AQE skew thresholds to set) before a
+    100 TB run, instead of discovering the straggler task in the UI.
+    Cost: one map-combined groupBy per audited key (5 here); all
+    derived metrics run on the reduced n_keys grain.
+    """
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    ev = _t(spark, sf_dir, "events")
+    parts = [
+        _skew_profile(li, "l_partkey", "lineitem.l_partkey"),
+        _skew_profile(li, "l_suppkey", "lineitem.l_suppkey"),
+        _skew_profile(orders, "o_custkey", "orders.o_custkey"),
+        _skew_profile(ev, "user_id", "events.user_id"),
+        _skew_profile(ev, "event_type", "events.event_type"),
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def _skew_oracle_cte(table: str, key: str, label: str) -> str:
+    return f"""
+SELECT * FROM (
+  WITH c AS (SELECT {key} AS k, count(*) AS cnt FROM {table} GROUP BY 1),
+  s AS (SELECT CAST(sum(cnt) AS BIGINT) AS n_rows, count(*) AS n_keys,
+               max(cnt) AS max_cnt,
+               quantile_cont(cnt, 0.5) AS p50, quantile_cont(cnt, 0.99) AS p99
+        FROM c),
+  t AS (SELECT CAST(sum(cnt) AS BIGINT) AS top_cnt FROM
+        (SELECT cnt FROM c ORDER BY cnt DESC, k ASC LIMIT 10)),
+  h AS (SELECT count(*) AS n_hot FROM c, s
+        WHERE cnt > 10.0 * (CAST(n_rows AS DOUBLE) / n_keys))
+  SELECT '{label}' AS key_name, n_rows, n_keys, max_cnt,
+         floor(CAST(n_rows AS DOUBLE) / n_keys * 10000 + 0.5) / 10000 AS avg_cnt,
+         floor(p50 * 10000 + 0.5) / 10000 AS p50_cnt,
+         floor(p99 * 10000 + 0.5) / 10000 AS p99_cnt,
+         floor(max_cnt / (CAST(n_rows AS DOUBLE) / n_keys) * 10000 + 0.5) / 10000
+           AS skew_ratio,
+         floor(CAST(top_cnt AS DOUBLE) / n_rows * 10000 + 0.5) / 10000
+           AS top10_share,
+         n_hot AS n_hot_10x
+  FROM s, t, h
+)"""
+
+
+ORACLE_SKEW_REPORT = " UNION ALL ".join(
+    _skew_oracle_cte(t, k, f"{t}.{k}")
+    for t, k in [
+        ("lineitem", "l_partkey"),
+        ("lineitem", "l_suppkey"),
+        ("orders", "o_custkey"),
+        ("events", "user_id"),
+        ("events", "event_type"),
+    ]
+)
+
+
+# --- join-size estimation (hash key sample) ---------------------------------
+
+JOIN_EST_RATE = 16
+
+
+def _join_size_est(
+    a: DataFrame, akey: str, b: DataFrame, bkey: str, label: str,
+    rate: int = JOIN_EST_RATE,
+) -> DataFrame:
+    """Estimate |A ⋈ B on key| from a deterministic 1/rate hash sample
+    of the KEY DOMAIN: |A⋈B| = Σ_k c_A(k)·c_B(k), and sampling keys by
+    h32(k) mod rate = 0 gives an unbiased Horvitz-Thompson estimate
+    rate·Σ_sampled c_A·c_B. Both sides filter BEFORE their groupBy, so
+    the planning pass shuffles ~1/rate of each input — the point: know
+    whether the shuffle output is 10⁹ or 10¹³ rows (and set AQE/salt
+    accordingly) at a sixteenth of the cost of running the join."""
+    from pleiades_spark.functions.hashing import h32
+
+    def counts(df: DataFrame, key: str) -> DataFrame:
+        return (
+            df.select(F.col(key).cast("string").alias("k"))
+            .filter(F.pmod(h32(F.col("k")), F.lit(rate)) == 0)
+            .groupBy("k")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+        )
+
+    ca = counts(a, akey)
+    cb = counts(b, bkey).withColumnRenamed("cnt", "cnt_b")
+    return (
+        ca.join(cb, "k")
+        .agg(
+            F.count(F.lit(1)).alias("n_sampled_keys"),
+            (F.lit(rate) * F.sum(F.col("cnt") * F.col("cnt_b"))).alias("est_rows"),
+        )
+        .select(
+            F.lit(label).alias("join_name"),
+            "n_sampled_keys",
+            F.col("est_rows").cast("bigint").alias("est_rows"),
+        )
+    )
+
+
+def q_join_size_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pre-flight join cardinality estimates for the three join shapes
+    the suite shuffles most: the FK join (lineitem⋈orders), the skewed
+    self-join (lineitem⋈lineitem on partkey — the shape that explodes
+    when a key is hot), and the behavioral self-join (events⋈events on
+    user_id). Companion to skew_report: that query profiles one side's
+    distribution; this one prices the OUTPUT of putting two sides
+    together, from a 1/16 key-domain sample."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    ev = _t(spark, sf_dir, "events")
+    parts = [
+        _join_size_est(li, "l_orderkey", orders, "o_orderkey",
+                       "lineitem*orders@orderkey"),
+        _join_size_est(li, "l_partkey", li, "l_partkey",
+                       "lineitem*lineitem@partkey"),
+        _join_size_est(ev, "user_id", ev, "user_id",
+                       "events*events@user_id"),
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def _join_est_oracle(ta: str, ka: str, tb: str, kb: str, label: str) -> str:
+    def cte(t: str, k: str) -> str:
+        return (
+            f"SELECT k, count(*) AS cnt FROM "
+            f"(SELECT CAST({k} AS VARCHAR) AS k FROM {t}) "
+            f"WHERE {h32_sql('k')} % {JOIN_EST_RATE} = 0 GROUP BY k"
+        )
+
+    return f"""
+SELECT '{label}' AS join_name,
+       CAST(count(*) AS BIGINT) AS n_sampled_keys,
+       CAST({JOIN_EST_RATE} * sum(ca.cnt * cb.cnt) AS BIGINT) AS est_rows
+FROM ({cte(ta, ka)}) ca JOIN ({cte(tb, kb)}) cb USING (k)"""
+
+
+ORACLE_JOIN_SIZE_ESTIMATE = " UNION ALL ".join([
+    _join_est_oracle("lineitem", "l_orderkey", "orders", "o_orderkey",
+                     "lineitem*orders@orderkey"),
+    _join_est_oracle("lineitem", "l_partkey", "lineitem", "l_partkey",
+                     "lineitem*lineitem@partkey"),
+    _join_est_oracle("events", "user_id", "events", "user_id",
+                     "events*events@user_id"),
+])
+
+
 QUERIES = [
     Query("pricing_summary", q_pricing_summary, ORACLE_PRICING_SUMMARY,
           "TPC-H Q1: wide hash agg with pushdown filter"),
@@ -2219,6 +2429,13 @@ QUERIES = [
           "string/date/math scalar breadth"),
     Query("distinct_counts", q_distinct_counts, ORACLE_DISTINCT_COUNTS,
           "exact multi-column count distinct"),
+    Query("skew_report", q_skew_report, ORACLE_SKEW_REPORT,
+          "shuffle-key skew diagnostics: count percentiles, max/avg ratio, "
+          "top-10 share, hot-key census per join/agg key"),
+    Query("join_size_estimate", q_join_size_estimate,
+          ORACLE_JOIN_SIZE_ESTIMATE,
+          "pre-flight join output cardinality from a 1/16 hash sample "
+          "of the key domain (Horvitz-Thompson over sampled keys)"),
     Query("approx_distinct", q_approx_distinct, None,
           "HyperLogLog++ approx distinct (rows-only; sketch differs per engine)"),
     Query("price_percentiles", q_price_percentiles, ORACLE_PRICE_PERCENTILES,
