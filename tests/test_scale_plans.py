@@ -686,3 +686,50 @@ def test_ivf_partitioned_index_probe_prunes_partitions(spark, sf_dir, tmp_path):
     assert "PartitionFilters: [isnotnull(centroid_id" in plan
     expected = assigned.filter(F.col("centroid_id") == 3).count()
     assert probe.count() == expected and expected > 0
+
+
+def test_skew_report_no_global_window_topn_is_take_ordered(spark, sf_dir):
+    """skew_report's top-10 share must compile to TakeOrderedAndProject
+    (per-partition heaps), never an unpartitioned rank window; the 1-row
+    stat attaches are pointer-attach BNLJs, not cartesian products."""
+    from pleiades_spark.plans.relational import q_skew_report
+
+    plan = _plan(q_skew_report(spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan
+    import re
+
+    # no plain Window nodes at all — percentiles are aggregates here
+    assert not re.findall(r"\(\d+\) Window$", plan, re.M)
+
+
+def test_join_size_estimate_samples_before_aggregating(spark, sf_dir):
+    """The 1/16 hash-sample filter must sit BELOW the per-key count
+    aggregation (the cost model of the operator: the planning pass only
+    shuffles sampled keys), and the tiny count-frames must not fall into
+    a cartesian/nested-loop join."""
+    from pleiades_spark.plans.relational import q_join_size_estimate
+
+    import re
+
+    plan = _plan(q_join_size_estimate(spark, sf_dir))
+    # the sample filter is a Filter node directly on the scan output
+    assert re.search(r"\(\d+\) Filter\nInput \[1\]: .*\nCondition : .*pmod", plan)
+    # column pruning: every scan reads exactly its ONE key column
+    for schema in re.findall(r"ReadSchema: struct<([^>]*)>", plan):
+        assert schema.count(":") == 1, schema
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_kmv_set_ops_kmin_is_window_group_limit(spark, sf_dir):
+    """The salted two-stage k-min must compile to WindowGroupLimit
+    (partial top-k per partition) — not a full per-group sort — and the
+    pair algebra must stay equi-join (broadcast hash) except the single
+    tiny pair-formation inequality join."""
+    from pleiades_spark.plans.corpus import q_kmv_source_set_ops
+
+    plan = _plan(q_kmv_source_set_ops(spark, sf_dir))
+    assert "WindowGroupLimit" in plan
+    assert "CartesianProduct" not in plan
+    assert plan.count("BroadcastHashJoin") >= 2

@@ -312,6 +312,28 @@ SHOW = [
      "frame (incremental O(n); the shrinking variant is the CLAUDE.md "
      "O(n²) trap), one user_id shuffle, tiny channel agg. Guard: "
      "test_attribution_single_user_shuffle."),
+    ("kmv_source_set_ops",
+     "KMV set algebra (round 7) — salted two-stage k-min (WindowGroup"
+     "Limit partial top-k per (grp, h mod 32) class, then a re-rank of "
+     "the ≤32·k survivors; no single task ever sorts a whole group's "
+     "hash stream), then pair union/intersection estimates computed "
+     "relationally on |groups|·k sketch rows: two broadcast equi-joins "
+     "+ one tiny inequality pair-formation join, no OR-condition "
+     "nested loop. Guard: test_kmv_set_ops_kmin_is_window_group_limit."),
+    ("skew_report",
+     "Shuffle-key skew diagnostics (round 7) — per key ONE map-side-"
+     "combined groupBy; the counts subtree is referenced three times "
+     "(moments, top-10 share, hot-key census) in one plan so runtime "
+     "ReuseExchange materializes it once; top-10 compiles to "
+     "TakeOrderedAndProject, zero Window nodes; 1-row stat frames "
+     "attach via broadcast pointer joins. Guard: "
+     "test_skew_report_no_global_window_topn_is_take_ordered."),
+    ("join_size_estimate",
+     "Sampled join-size estimate (round 7) — the 1/16 key-domain hash "
+     "sample is a Filter directly on a ONE-column pruned scan "
+     "(planning pass shuffles ~1/16 of each side), per-key counts "
+     "equi-join, single Horvitz-Thompson agg. Guard: "
+     "test_join_size_estimate_samples_before_aggregating."),
 ]
 
 
