@@ -168,6 +168,13 @@ HEADLINE = [
     "streaming_lsh_dedup",
     # round 7: 64-bit simhash twin (16-bit chunk blocking)
     "dedup_simhash_wide",
+    # round 7: shuffle diagnostics (skew profile + sampled join sizing)
+    "skew_report",
+    "join_size_estimate",
+    # round 7: KMV set algebra (cross-source cardinality overlap)
+    "kmv_source_set_ops",
+    # round 7: MMR diversified rerank (post-ANN diversification)
+    "mmr_rerank",
 ]
 
 # Iterative driver-loop queries: many small jobs per query, so per-job

@@ -717,3 +717,121 @@ def jl_project(emb: DataFrame, k: int = JL_K) -> DataFrame:
         F.round(F.element_at("proj", 2), 6).alias("p1_r"),
         F.round(norm16 / norm(F.col("v")), 6).alias("norm_ratio_r"),
     )
+
+
+# --- MMR diversified rerank ------------------------------------------------
+
+MMR_LAMBDA = 0.5  # 1/2 — exact in binary, so both engines compute the
+MMR_CANDIDATES = 12  # same doubles (CLAUDE.md frozen-float-constant rule)
+MMR_K = 5
+
+
+def mmr_rerank(
+    emb: DataFrame,
+    n_queries: int = 5,
+    n_candidates: int = MMR_CANDIDATES,
+    k: int = MMR_K,
+) -> DataFrame:
+    """Maximal Marginal Relevance (Carbonell & Goldstein, SIGIR 1998):
+    greedily pick k results per query maximizing
+    ``λ·rel(d) − (1−λ)·max_{s∈S} sim(d, s)`` — the diversified-retrieval
+    step a RAG / training-data-selection pipeline runs AFTER ANN, so the
+    k context passages aren't five near-copies of the same paragraph.
+
+    Scale shape: candidate generation (the broadcast-queries brute scan
+    here; the IVF path at corpus scale) is the only stage that touches
+    the corpus. Everything after runs on Q·c candidate rows and the
+    Q·c² candidate-pair sims — both localCheckpointed so the (k−1)-step
+    greedy driver loop never re-derives the corpus scan; each step is
+    two joins on those bounded frames. Greedy selection is inherently
+    sequential in k, but k is the per-query RESULT size (5), not a data
+    dimension.
+
+    Determinism: rel and pairwise sims round to 6 before ranking (ties
+    broken by vec_id), λ = 0.75 is exact in binary, and the output
+    score uses the floor-quantize form so the oracle replays every
+    selection and score bit-for-bit.
+    """
+    v = emb.select("vec_id", as_double(F.col("embedding")).alias("v"))
+    queries = v.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    )
+    scored = v.join(
+        F.broadcast(queries), F.col("vec_id") != F.col("query_id")
+    ).withColumn("rel", F.round(cosine(F.col("qv"), F.col("v")), 6))
+    w = W.partitionBy("query_id").orderBy(
+        F.col("rel").desc(), F.col("vec_id").asc()
+    )
+    cand = (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= n_candidates)
+        .select("query_id", "vec_id", "rel", "v")
+        .localCheckpoint(eager=True)
+    )
+    a = cand.select(
+        "query_id", F.col("vec_id").alias("va"), F.col("v").alias("xa")
+    )
+    b = cand.select(
+        "query_id", F.col("vec_id").alias("vb"), F.col("v").alias("xb")
+    )
+    sims = (
+        a.join(b, ["query_id"])
+        .filter(F.col("va") != F.col("vb"))
+        .select(
+            "query_id",
+            "va",
+            "vb",
+            F.round(cosine(F.col("xa"), F.col("xb")), 6).alias("s"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    cand = cand.drop("v")
+    sel = (
+        cand.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "query_id",
+            F.lit(1).alias("sel_rank"),
+            "vec_id",
+            F.col("rel").alias("score"),
+        )
+    )
+    lam = F.lit(MMR_LAMBDA)
+    inv = F.lit(1.0 - MMR_LAMBDA)
+    for i in range(2, k + 1):
+        pen = (
+            sims.join(
+                sel.select("query_id", F.col("vec_id").alias("vb")),
+                ["query_id", "vb"],
+            )
+            .groupBy("query_id", "va")
+            .agg(F.max("s").alias("maxsim"))
+        )
+        rem = cand.join(
+            sel.select("query_id", "vec_id"), ["query_id", "vec_id"], "left_anti"
+        )
+        step = rem.join(
+            pen,
+            (rem["query_id"] == pen["query_id"]) & (rem["vec_id"] == pen["va"]),
+        ).select(
+            rem["query_id"],
+            rem["vec_id"],
+            (lam * F.col("rel") - inv * F.col("maxsim")).alias("mmr"),
+        )
+        wi = W.partitionBy("query_id").orderBy(
+            F.col("mmr").desc(), F.col("vec_id").asc()
+        )
+        pick = (
+            step.withColumn("rn", F.row_number().over(wi))
+            .filter(F.col("rn") == 1)
+            .select(
+                "query_id",
+                F.lit(i).alias("sel_rank"),
+                "vec_id",
+                (F.floor(F.col("mmr") * 1000000 + F.lit(0.5)) / 1000000).alias(
+                    "score"
+                ),
+            )
+        )
+        sel = sel.unionByName(pick)
+    return sel

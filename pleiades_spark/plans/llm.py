@@ -554,6 +554,79 @@ SELECT query_id, query_label, rank, vec_id, label, cos FROM (
 """
 
 
+def q_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MMR diversified top-k per query (operators/similarity.mmr_rerank):
+    greedy λ·relevance − (1−λ)·max-sim-to-selected over the brute top-12
+    candidates — the post-ANN diversification step. Oracle unrolls the
+    k-step greedy selection as chained CTEs; every pick and score
+    replays bit-for-bit (round-6 sims, binary-exact λ=0.5,
+    floor-quantized scores)."""
+    from pleiades_spark.operators.similarity import mmr_rerank
+
+    return mmr_rerank(_t(spark, sf_dir, "embeddings"), KNN_QUERIES)
+
+
+def _mmr_oracle(n_queries: int = KNN_QUERIES, n_cand: int = 12, k: int = 5) -> str:
+    pair_cos = (
+        "round(list_inner_product(a.vv, b.vv) / "
+        "(sqrt(list_inner_product(a.vv, a.vv)) * "
+        "sqrt(list_inner_product(b.vv, b.vv))), 6)"
+    )
+    parts = [f"""
+WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+q AS (SELECT vec_id AS query_id, v AS qv FROM v WHERE vec_id < {n_queries}),
+scored AS (
+  SELECT query_id, vec_id, {_QCOS_SQL} AS rel, v.v AS vv
+  FROM v JOIN q ON vec_id <> query_id
+),
+cand AS (
+  SELECT query_id, vec_id, rel, vv FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id
+              ORDER BY rel DESC, vec_id ASC) AS rn
+    FROM scored) WHERE rn <= {n_cand}
+),
+sims AS (
+  SELECT a.query_id, a.vec_id AS va, b.vec_id AS vb, {pair_cos} AS s
+  FROM cand a JOIN cand b
+    ON a.query_id = b.query_id AND a.vec_id <> b.vec_id
+),
+acc1 AS (
+  SELECT query_id, 1 AS sel_rank, vec_id, rel AS score FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id
+              ORDER BY rel DESC, vec_id ASC) AS rn
+    FROM cand) WHERE rn = 1
+)"""]
+    for i in range(2, k + 1):
+        parts.append(f""",
+pen{i} AS (
+  SELECT s.query_id, s.va, max(s.s) AS maxsim
+  FROM sims s JOIN acc{i - 1} p
+    ON s.query_id = p.query_id AND s.vb = p.vec_id
+  GROUP BY s.query_id, s.va
+),
+sel{i} AS (
+  SELECT query_id, {i} AS sel_rank, vec_id,
+         floor(mmr * 1000000 + 0.5) / 1000000 AS score FROM (
+    SELECT c.query_id, c.vec_id,
+           0.5 * c.rel - 0.5 * p.maxsim AS mmr,
+           row_number() OVER (PARTITION BY c.query_id
+             ORDER BY (0.5 * c.rel - 0.5 * p.maxsim) DESC,
+                      c.vec_id ASC) AS rn
+    FROM cand c
+    JOIN pen{i} p ON p.query_id = c.query_id AND p.va = c.vec_id
+    LEFT JOIN acc{i - 1} x
+      ON x.query_id = c.query_id AND x.vec_id = c.vec_id
+    WHERE x.vec_id IS NULL) WHERE rn = 1
+),
+acc{i} AS (SELECT * FROM acc{i - 1} UNION ALL SELECT * FROM sel{i})""")
+    parts.append(f"""
+SELECT query_id, sel_rank, vec_id, score FROM acc{k}""")
+    return "".join(parts)
+
+
+ORACLE_MMR_RERANK = _mmr_oracle()
+
+
 def q_ivf_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_knn(_t(spark, sf_dir, "embeddings"), KNN_QUERIES, IVF_K, IVF_CENTROIDS)
 
@@ -2407,6 +2480,9 @@ QUERIES = [
           "exact top-k cosine neighbors (broadcast queries × corpus scan)"),
     Query("hard_negatives", q_hard_negatives, ORACLE_HARD_NEGATIVES,
           "hard-negative mining: top-k similar with a different label"),
+    Query("mmr_rerank", q_mmr_rerank, ORACLE_MMR_RERANK,
+          "MMR diversified top-k: greedy relevance-vs-redundancy rerank "
+          "over bounded candidate sets (unrolled-greedy oracle)"),
     Query("centroid_confusion", q_centroid_confusion, ORACLE_CENTROID_CONFUSION,
           "nearest-label-centroid classification confusion matrix (long form)"),
     Query("ivf_knn", q_ivf_knn, ORACLE_IVF_KNN,

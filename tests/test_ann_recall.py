@@ -374,3 +374,46 @@ def test_simhash_wide_catches_near_dups_rejects_unrelated(spark):
     assert got.get((0, 1)) == 0          # identical → hamming 0
     assert (0, 2) in got                 # one-token edit → near-dup
     assert (0, 3) not in got and (1, 3) not in got and (2, 3) not in got
+
+
+def test_mmr_rerank_prefers_diverse_over_redundant(spark):
+    """Constructed case: the query's two most-relevant candidates are
+    near-copies of each other; a slightly less relevant but orthogonal
+    candidate exists. Pure top-2 keeps both near-copies; MMR's second
+    pick must be the diverse one."""
+    from pleiades_spark.operators.similarity import mmr_rerank
+
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0]),          # the query
+        (10, [0.99, 0.12, 0.0, 0.0]),       # most relevant
+        (11, [0.99, 0.121, 0.001, 0.0]),    # its near-copy
+        (12, [0.80, 0.0, 0.59, 0.0]),       # less relevant, diverse
+        (13, [0.10, 0.0, 0.0, 0.99]),       # filler
+    ]
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in rows],
+        "vec_id bigint, embedding array<float>",
+    )
+    sel = {
+        r["sel_rank"]: r["vec_id"]
+        for r in mmr_rerank(emb, n_queries=1, n_candidates=4, k=3).collect()
+    }
+    assert sel[1] == 10            # relevance still wins the first slot
+    assert sel[2] == 12            # diversity beats the near-copy
+    assert sel[3] == 13            # the near-copy is pushed out entirely
+
+
+def test_mmr_rerank_first_pick_matches_knn_top1(spark, embeddings):
+    """On the real fixture the first MMR pick per query must equal the
+    brute top-1 neighbor (lambda only affects later picks)."""
+    from pleiades_spark.operators.similarity import mmr_rerank
+
+    top1 = {
+        r["query_id"]: r["vec_id"]
+        for r in knn_brute(embeddings, 5, 1).collect()
+    }
+    first = {
+        r["query_id"]: r["vec_id"]
+        for r in mmr_rerank(embeddings, 5).filter("sel_rank = 1").collect()
+    }
+    assert first == top1

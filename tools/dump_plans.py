@@ -328,6 +328,13 @@ SHOW = [
      "TakeOrderedAndProject, zero Window nodes; 1-row stat frames "
      "attach via broadcast pointer joins. Guard: "
      "test_skew_report_no_global_window_topn_is_take_ordered."),
+    ("mmr_rerank",
+     "MMR diversified rerank (round 7) — candidate generation "
+     "(broadcast queries × one corpus scan) is the only stage touching "
+     "the corpus; the Q·c candidates and Q·c² pair sims are "
+     "localCheckpointed so the (k−1)-step greedy driver loop joins "
+     "bounded frames, never re-deriving the scan. Guard: "
+     "tests/test_ann_recall.py MMR semantics tests."),
     ("join_size_estimate",
      "Sampled join-size estimate (round 7) — the 1/16 key-domain hash "
      "sample is a Filter directly on a ONE-column pruned scan "
