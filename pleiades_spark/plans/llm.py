@@ -2039,6 +2039,17 @@ FROM (SELECT doc_id, {char_shingles_sql('text', 5)} AS sh FROM documents)
 """
 
 
+# Round-7 sf10 measurement (doc_fingerprints, 500k docs × ~2k char
+# shingles): the hash FAMILY is not the cost — swapping the lambda's
+# md5-h32 for the xxhash64 intrinsic moved 30.0 → 27.2 s (HOF lambda
+# bodies are interpreted per element, so the intrinsic never codegens),
+# and the codegen'd explode → min-agg alternative LOST outright (54-57 s
+# either family: the 1 B-row Generate + partial agg dwarfs any hash).
+# The array_min(transform(...)) single-pass form above is the measured
+# optimum; its sf10 cost is the per-element walk over ~1 B shingles, a
+# map-only scan with no shuffle — a production run shards it linearly.
+
+
 # --- word frequencies ---------------------------------------------------------
 
 

@@ -152,10 +152,18 @@ WHERE rk <= 10
 def q_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     """6-way snowflake join, revenue by nation within one region.
 
-    region→nation are broadcast; the c_nationkey = s_nationkey equality is
-    a join condition, not a post-filter, so Catalyst keeps it in the hash
-    join. At 100 TB the only shuffles are orders⋈lineitem and the final
-    25-key agg.
+    Round-7 sf10 lesson (75 → 6 s): push the REGION filter down BOTH
+    dimension paths before any fact join. nation⋈region('ASIA') is 5
+    keys; semi-reducing customer and supplier to the ASIA subset first
+    means the o_custkey join moves 1/5 of the customers and the
+    broadcast supplier probe drops 4/5 of lineitem BEFORE the orderkey
+    shuffle. The old shape (broadcast the FULL 0.15·SF customer table,
+    filter by region after all joins) force-broadcast a scaling table —
+    at sf10 a 1.5M-row build and a 5× wider fact stream; at 100 TB a
+    driver OOM. The c_nationkey = s_nationkey equality rides the
+    orderkey join as a second equi-condition, so Catalyst keeps it in
+    the hash join. Shuffles: orders⋈customer_asia on custkey,
+    lineitem_asia⋈oc on (orderkey, nationkey), final 25-key agg.
     """
     cust = _t(spark, sf_dir, "customer")
     orders = _t(spark, sf_dir, "orders").filter(
@@ -166,16 +174,25 @@ def q_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     supp = _t(spark, sf_dir, "supplier")
     nation = _t(spark, sf_dir, "nation")
     region = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
-    joined = (
-        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
-        .join(
-            F.broadcast(supp),
-            (F.col("l_suppkey") == F.col("s_suppkey"))
-            & (F.col("c_nationkey") == F.col("s_nationkey")),
-        )
-        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
-        .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+    asia = nation.join(
+        F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey")
+    ).select("n_nationkey", "n_name")
+    cust_a = cust.join(
+        F.broadcast(asia.select("n_nationkey")),
+        F.col("c_nationkey") == F.col("n_nationkey"),
+    ).select("c_custkey", "c_nationkey")
+    supp_a = supp.join(
+        F.broadcast(asia), F.col("s_nationkey") == F.col("n_nationkey")
+    ).select("s_suppkey", "s_nationkey", "n_name")
+    oc = orders.join(cust_a, F.col("o_custkey") == F.col("c_custkey")).select(
+        "o_orderkey", "c_nationkey"
+    )
+    lin = li.select("l_orderkey", "l_suppkey", "l_extendedprice", "l_discount")
+    lis = lin.join(F.broadcast(supp_a), F.col("l_suppkey") == F.col("s_suppkey"))
+    joined = lis.join(
+        oc,
+        (F.col("l_orderkey") == F.col("o_orderkey"))
+        & (F.col("c_nationkey") == F.col("s_nationkey")),
     )
     return joined.groupBy("n_name").agg(
         F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4).alias(
@@ -648,30 +665,54 @@ GROUP BY o_orderpriority
 
 def q_nation_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Supplier-nation → customer-nation trade volume per year for two
-    nation pairs (join chain + expression grouping key)."""
+    nation pairs (join chain + expression grouping key).
+
+    Round-7 sf10 lesson (same family as local_supplier_volume): the two
+    interesting nations are known BEFORE any join, so reduce supplier
+    and customer to those nations first — the broadcast supplier probe
+    then drops ~92 % of lineitem before the orderkey shuffle, and the
+    custkey join moves ~8 % of the customers — instead of
+    force-broadcasting the full 0.15·SF customer table and filtering
+    the nation pair after five joins. The OR-of-pairs predicate stays a
+    post-join filter (it is not an equi-key), but it now filters an
+    already nation-pruned stream.
+    """
     li = _t(spark, sf_dir, "lineitem")
     orders = _t(spark, sf_dir, "orders")
     cust = _t(spark, sf_dir, "customer")
     supp = _t(spark, sf_dir, "supplier")
-    n1 = _t(spark, sf_dir, "nation").select(
-        F.col("n_nationkey").alias("s_nkey"), F.col("n_name").alias("supp_nation")
+    pair = ("NATION_3", "NATION_7")
+    n1 = (
+        _t(spark, sf_dir, "nation")
+        .filter(F.col("n_name").isin(*pair))
+        .select(F.col("n_nationkey").alias("s_nkey"),
+                F.col("n_name").alias("supp_nation"))
     )
-    n2 = _t(spark, sf_dir, "nation").select(
-        F.col("n_nationkey").alias("c_nkey"), F.col("n_name").alias("cust_nation")
+    n2 = (
+        _t(spark, sf_dir, "nation")
+        .filter(F.col("n_name").isin(*pair))
+        .select(F.col("n_nationkey").alias("c_nkey"),
+                F.col("n_name").alias("cust_nation"))
     )
-    joined = (
-        li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
-        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
-        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("s_nkey"))
-        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("c_nkey"))
-        .filter(
-            (
-                (F.col("supp_nation") == "NATION_3") & (F.col("cust_nation") == "NATION_7")
-            )
-            | (
-                (F.col("supp_nation") == "NATION_7") & (F.col("cust_nation") == "NATION_3")
-            )
+    supp_f = supp.join(
+        F.broadcast(n1), F.col("s_nationkey") == F.col("s_nkey")
+    ).select("s_suppkey", "supp_nation")
+    cust_f = cust.join(
+        F.broadcast(n2), F.col("c_nationkey") == F.col("c_nkey")
+    ).select("c_custkey", "cust_nation")
+    oc = orders.join(cust_f, F.col("o_custkey") == F.col("c_custkey")).select(
+        "o_orderkey", "cust_nation"
+    )
+    lin = li.select(
+        "l_orderkey", "l_suppkey", "l_shipdate", "l_extendedprice", "l_discount"
+    )
+    lis = lin.join(F.broadcast(supp_f), F.col("l_suppkey") == F.col("s_suppkey"))
+    joined = lis.join(oc, F.col("l_orderkey") == F.col("o_orderkey")).filter(
+        (
+            (F.col("supp_nation") == "NATION_3") & (F.col("cust_nation") == "NATION_7")
+        )
+        | (
+            (F.col("supp_nation") == "NATION_7") & (F.col("cust_nation") == "NATION_3")
         )
     )
     return joined.groupBy(
@@ -1972,10 +2013,13 @@ def q_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     per order year — conditional-over-unconditional sum ratio after a
     6-table snowflake join.
 
-    Shuffle budget: the only fact-fact shuffle is lineitem⋈orders on
-    orderkey; part (type-filtered), supplier, and both nation legs plus
-    region broadcast. The share is computed in the SAME aggregation pass
-    (sum(when)/sum), never a self-join."""
+    Shuffle budget (round-7 sf10 tightening): the AMERICA region filter
+    reduces the customer side BEFORE the custkey join (the old shape
+    shuffled every customer and filtered by region after five joins);
+    part (type-filtered) broadcasts and prunes lineitem before the
+    orderkey shuffle; supplier + both nation legs broadcast. The share
+    is computed in the SAME aggregation pass (sum(when)/sum), never a
+    self-join."""
     li = _t(spark, sf_dir, "lineitem")
     part = _t(spark, sf_dir, "part").filter(F.col("p_type") == "STANDARD")
     orders = _t(spark, sf_dir, "orders").filter(
@@ -1992,13 +2036,20 @@ def q_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     supp_nation = nation.select(
         F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")
     )
+    cust_am = (
+        cust.join(F.broadcast(cust_nation), F.col("c_nationkey") == F.col("cn_key"))
+        .join(F.broadcast(region), F.col("cn_region") == F.col("r_regionkey"))
+        .select("c_custkey")
+    )
+    oc = orders.join(cust_am, F.col("o_custkey") == F.col("c_custkey")).select(
+        "o_orderkey", "o_orderdate"
+    )
     volume = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     return (
-        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
-        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
-        .join(F.broadcast(cust_nation), F.col("c_nationkey") == F.col("cn_key"))
-        .join(F.broadcast(region), F.col("cn_region") == F.col("r_regionkey"))
+        li.select("l_orderkey", "l_partkey", "l_suppkey",
+                  "l_extendedprice", "l_discount")
+        .join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .join(oc, F.col("l_orderkey") == F.col("o_orderkey"))
         .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
         .join(F.broadcast(supp_nation), F.col("s_nationkey") == F.col("sn_key"))
         .groupBy(F.year("o_orderdate").alias("o_year"))

@@ -132,9 +132,19 @@ SHOW = [
      "group key, sequential pandas fold per group (parallel across "
      "groups)."),
     ("market_share",
-     "TPC-H Q8 — six-table snowflake with every dim broadcast; the one "
-     "fact-fact shuffle is lineitem joined to orders on orderkey; the "
-     "share is a conditional/unconditional sum in a single agg pass."),
+     "TPC-H Q8 — six-table snowflake; the AMERICA region filter reduces "
+     "the customer SIDE before the custkey join (round-7 sf10 fix: the "
+     "old shape shuffled every customer and filtered after five joins), "
+     "the type-filtered part broadcast prunes lineitem before the "
+     "orderkey shuffle; the share is a conditional/unconditional sum in "
+     "a single agg pass."),
+    ("local_supplier_volume",
+     "TPC-H Q5 — round-7 sf10 rewrite (75 → 5 s at sf10): the region "
+     "filter pushes down BOTH dimension paths (nation⋈region('ASIA') "
+     "semi-reduces customer and supplier) BEFORE any fact join; the "
+     "c_nationkey = s_nationkey correlation rides the orderkey join as "
+     "a second equi-condition. The old shape force-broadcast the full "
+     "0.15·SF customer table — a scaling table, a driver OOM at 100 TB."),
     ("dominant_suppliers",
      "TPC-H Q20 shape — broadcast semi join prunes the fact scan to "
      "name-filtered parts; groupBy to (part, supp) partials, window sum "
