@@ -1515,6 +1515,125 @@ FROM est
 """
 
 
+# --- DSIR importance resampling --------------------------------------------
+
+# Hashed-feature bucket count for the DSIR importance estimator. Fixed
+# regardless of corpus size — that bound is the whole point: the bucket
+# n-gram models stay broadcast-sized at 100 TB.
+DSIR_BUCKETS = 1024
+# The "target distribution" slice the selector steers toward. A real
+# deployment passes a curated high-quality corpus; the gate uses the
+# English slice of the fixture so the oracle can replay membership.
+DSIR_TARGET_LANG = "en"
+
+
+def q_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR-style data selection via importance resampling (Xie et al.,
+    NeurIPS 2023, "Data Selection for Language Models via Importance
+    Resampling"): score every raw document by how much more likely its
+    hashed-unigram bag is under a TARGET distribution than under the raw
+    pool, then keep the positively-weighted docs.
+
+    Model: tokens hash into DSIR_BUCKETS buckets (hashing trick); both
+    the target slice (lang = 'en' here; a curated corpus in production)
+    and the raw pool get add-one-smoothed bucket unigram models; a doc's
+    log importance weight is Σ_tok [ln p_target(b(tok)) − ln p_raw(b(tok))],
+    summed with multiplicity (bag semantics, as in the paper).
+
+    Scale shape: token explode → TWO bucket-count aggregations, each
+    shuffling at most DSIR_BUCKETS=1024 rows (map-side combined — the
+    key space is fixed by construction, not by corpus size); the λ
+    lookup table is a ≤1024-row broadcast; per-doc scoring is the
+    codegen'd explode ⋈ broadcast ⋈ groupBy(doc_id) shape (the langid
+    lesson: beats a per-element HOF fold), and the doc_id shuffle moves
+    ~1 partially-aggregated row per doc. Nothing here grows faster than
+    the corpus scan at 100 TB. The paper's Gumbel-noise resampling step
+    is a trivial extra column (h32-seeded) — the gate keeps the
+    deterministic weight so the oracle replays it.
+
+    Float parity: λ_b mirrors ln((c+1)·1.0/(T+B)) op-for-op in the
+    oracle; the per-doc Σλ follows the house round(sum, 4) pattern
+    (source_divergence/psi_drift precedent); `keep` compares the ROUNDED
+    weight on both sides so the boolean can't diverge.
+    """
+    docs = _t(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", "lang", F.explode(tokens(F.col("text"))).alias("tk")
+    ).select("doc_id", "lang", (h32(F.col("tk")) % DSIR_BUCKETS).alias("b"))
+    raw = tok.groupBy("b").agg(F.count(F.lit(1)).alias("c_r"))
+    tgt = (
+        tok.filter(F.col("lang") == DSIR_TARGET_LANG)
+        .groupBy("b")
+        .agg(F.count(F.lit(1)).alias("c_t"))
+    )
+    tot = raw.agg(F.sum("c_r").alias("n_r")).crossJoin(
+        tgt.agg(F.sum("c_t").alias("n_t"))
+    )
+    lam = (
+        raw.join(tgt, "b", "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "b",
+            (
+                F.log(
+                    (F.coalesce(F.col("c_t"), F.lit(0)) + 1)
+                    * 1.0
+                    / (F.col("n_t") + DSIR_BUCKETS)
+                )
+                - F.log(
+                    (F.col("c_r") + 1) * 1.0 / (F.col("n_r") + DSIR_BUCKETS)
+                )
+            ).alias("lam"),
+        )
+    )
+    scored = (
+        tok.join(F.broadcast(lam), "b")
+        .groupBy("doc_id", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_toks"),
+            F.round(F.sum("lam"), 4).alias("logw"),
+        )
+    )
+    return scored.select(
+        "doc_id",
+        "lang",
+        "n_toks",
+        "logw",
+        (F.col("logw") > 0).alias("keep"),
+    )
+
+
+ORACLE_DSIR_IMPORTANCE = f"""
+WITH tok AS (
+  SELECT doc_id, lang,
+         ({h32_sql('tk')}) % {DSIR_BUCKETS} AS b
+  FROM (
+    SELECT doc_id, lang, unnest(string_split(text, ' ')) AS tk
+    FROM documents
+  )
+), raw AS (
+  SELECT b, count(*) AS c_r FROM tok GROUP BY b
+), tgt AS (
+  SELECT b, count(*) AS c_t FROM tok
+  WHERE lang = '{DSIR_TARGET_LANG}' GROUP BY b
+), tot AS (
+  SELECT (SELECT sum(c_r) FROM raw) AS n_r,
+         (SELECT sum(c_t) FROM tgt) AS n_t
+), lam AS (
+  SELECT raw.b,
+         ln((coalesce(c_t, 0) + 1) * 1.0 / (n_t + {DSIR_BUCKETS}))
+         - ln((c_r + 1) * 1.0 / (n_r + {DSIR_BUCKETS})) AS lam
+  FROM raw LEFT JOIN tgt ON raw.b = tgt.b CROSS JOIN tot
+), scored AS (
+  SELECT doc_id, lang, CAST(count(*) AS BIGINT) AS n_toks,
+         round(sum(lam), 4) AS logw
+  FROM tok JOIN lam ON tok.b = lam.b
+  GROUP BY doc_id, lang
+)
+SELECT doc_id, lang, n_toks, logw, (logw > 0) AS keep FROM scored
+"""
+
+
 QUERIES = [
     Query("doc_chunks", q_doc_chunks, ORACLE_DOC_CHUNKS,
           "overlapping token-window chunking (Generate, no shuffle)"),
@@ -1588,4 +1707,6 @@ QUERIES = [
     Query("dataset_fingerprint", q_dataset_fingerprint,
           ORACLE_DATASET_FINGERPRINT,
           "content-addressed dataset version id (order-independent md5)"),
+    Query("dsir_importance", q_dsir_importance, ORACLE_DSIR_IMPORTANCE,
+          "DSIR hashed-ngram importance weights (bounded bucket models)"),
 ]

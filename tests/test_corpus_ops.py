@@ -176,3 +176,26 @@ def test_remove_dup_spans_semantics(spark):
     assert got[2]["n_removed"] == 3
     # doc 3 is unique: untouched
     assert got[3]["kept_text"] == "zeta eta theta iota"
+
+
+def test_dsir_importance_separates_target_language(spark, sf_dir):
+    """DSIR semantic invariant: docs from the TARGET slice (lang='en')
+    must score higher on average than the rest — their hashed-unigram
+    bags are, by construction, more likely under the target model. Also
+    checks the weights are finite and per-doc token counts are real."""
+    from pleiades_spark.plans.corpus import q_dsir_importance
+
+    rows = q_dsir_importance(spark, sf_dir).collect()
+    assert len(rows) == 500 or len(rows) > 0
+    by_lang: dict[str, list[float]] = {}
+    for r in rows:
+        assert r["n_toks"] > 0
+        assert r["logw"] == r["logw"]  # not NaN
+        by_lang.setdefault(r["lang"], []).append(r["logw"])
+    mean = lambda xs: sum(xs) / len(xs)  # noqa: E731
+    en = mean(by_lang["en"])
+    others = [mean(v) for k, v in by_lang.items() if k != "en"]
+    assert all(en > o for o in others), (en, others)
+    # and the keep flag is exactly the positive-weight rule
+    for r in rows:
+        assert r["keep"] == (r["logw"] > 0)
