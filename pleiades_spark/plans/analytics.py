@@ -34,7 +34,8 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
 
 from pleiades_spark import catalog
-from pleiades_spark.functions.hashing import h32_sql
+from pleiades_spark.functions.hashing import h32, h32_sql
+from pleiades_spark.operators.timeseries import QUANTIZE4_SQL, _quantize4
 from pleiades_spark.plans import Query
 from pleiades_spark.session import apply_runtime_confs
 
@@ -1543,7 +1544,142 @@ GROUP BY channel
 """
 
 
+# --- A/B experiment readout (Welch's t) -----------------------------------
+
+# Experiment salt: prefixing the unit id before hashing gives every
+# experiment an independent pseudo-random split from the same user
+# population (the standard hash-based bucketing used by large A/B
+# platforms; re-salting = re-randomizing).
+AB_SALT = "exp1:"
+
+
+def q_ab_welch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A/B experiment readout: deterministic hash-based 50/50 variant
+    assignment per user, then per event_type a Welch's unequal-variance
+    t-test on `value` — sample sizes, arm means, t statistic and
+    Welch–Satterthwaite degrees of freedom.
+
+    The experimentation layer every event pipeline grows: the reference
+    stops at counter rollups (pkg/aggregator/); this adds the readout a
+    product team runs on the same stream.
+
+    Float parity (repo invariant): `value` has 2-decimal fixture values,
+    so all moments are EXACT integer-cent sums (n, Σc, Σc²) — the only
+    float ops are the final divisions/sqrt in identical textual order on
+    both engines, then the floor quantizer. t and df are scale-invariant,
+    so computing them in cents equals computing them in units.
+
+    Integer width: n·Σc² stays < 2⁶³ up to ~10¹⁰ rows/arm at these value
+    magnitudes (same envelope argument as hourly_autocorr's moments); a
+    beyond-that deployment flips the variance line to var_samp in double
+    — the t-test does not need cross-engine bit parity in production.
+
+    Plan: one map-side-combined groupBy(event_type) with conditional
+    aggregation — the two arms pivot inside ONE shuffle of 6 long
+    columns; no join, no second pass. Assignment is a per-row md5 (JVM
+    codegen); at 100 TB this is a single pass + a |types|-row reduce.
+    """
+    ev = _t(spark, sf_dir, "events")
+    arm = h32(F.concat(F.lit(AB_SALT), F.col("user_id").cast("string"))) % 2
+    cents = F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
+    base = ev.select(
+        "event_type", arm.alias("arm"), cents.alias("c"),
+        (cents * cents).alias("c2"),
+    )
+    is_c = F.col("arm") == 0
+    g = base.groupBy("event_type").agg(
+        F.sum(F.when(is_c, F.lit(1)).otherwise(F.lit(0))).alias("n_c"),
+        F.sum(F.when(is_c, F.col("c")).otherwise(F.lit(0))).alias("s_c"),
+        F.sum(F.when(is_c, F.col("c2")).otherwise(F.lit(0))).alias("ss_c"),
+        F.sum(F.when(~is_c, F.lit(1)).otherwise(F.lit(0))).alias("n_t"),
+        F.sum(F.when(~is_c, F.col("c")).otherwise(F.lit(0))).alias("s_t"),
+        F.sum(F.when(~is_c, F.col("c2")).otherwise(F.lit(0))).alias("ss_t"),
+    )
+    n_c, s_c, ss_c = F.col("n_c"), F.col("s_c"), F.col("ss_c")
+    n_t, s_t, ss_t = F.col("n_t"), F.col("s_t"), F.col("ss_t")
+    # Sample variance from exact integer moments: (n·Σc² − (Σc)²)/n/(n−1).
+    # Guarded per arm (ANSI divide-by-zero): a NULL variance propagates
+    # NULL through a/b and the t/df CASEs without tripping the divides.
+    var_c = F.when(n_c > 1, (n_c * ss_c - s_c * s_c) / n_c / (n_c - 1))
+    var_t = F.when(n_t > 1, (n_t * ss_t - s_t * s_t) / n_t / (n_t - 1))
+    g = g.withColumns({"var_c": var_c, "var_t": var_t})
+    a = F.col("var_c") / n_c  # per-arm squared standard error
+    b = F.col("var_t") / n_t
+    g = g.withColumns({"a": a, "b": b})
+    ok = (n_c > 1) & (n_t > 1)
+    t_stat = F.when(
+        ok & (F.col("a") + F.col("b") > 0),
+        _quantize4(
+            (s_c / n_c - s_t / n_t) / F.sqrt(F.col("a") + F.col("b"))
+        ),
+    )
+    df_welch = F.when(
+        ok & (F.col("a") + F.col("b") > 0),
+        _quantize4(
+            (F.col("a") + F.col("b")) * (F.col("a") + F.col("b"))
+            / (F.col("a") * F.col("a") / (n_c - 1)
+               + F.col("b") * F.col("b") / (n_t - 1))
+        ),
+    )
+    return g.select(
+        "event_type",
+        n_c.alias("n_control"),
+        n_t.alias("n_treatment"),
+        F.when(n_c > 0, _quantize4(s_c / n_c / 100)).alias("mean_control"),
+        F.when(n_t > 0, _quantize4(s_t / n_t / 100)).alias("mean_treatment"),
+        t_stat.alias("t_stat"),
+        df_welch.alias("df_welch"),
+    )
+
+
+_AB_ARM_SQL = "({h} % 2)".format(
+    h=h32_sql(f"'{AB_SALT}' || CAST(user_id AS VARCHAR)"))
+
+ORACLE_AB_WELCH = f"""
+WITH base AS (
+  SELECT event_type, {_AB_ARM_SQL} AS arm,
+         CAST(floor(value * 100 + 0.5) AS BIGINT) AS c
+  FROM events
+), g AS (
+  SELECT event_type,
+         CAST(sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_c,
+         CAST(sum(CASE WHEN arm = 0 THEN c ELSE 0 END) AS BIGINT) AS s_c,
+         CAST(sum(CASE WHEN arm = 0 THEN c * c ELSE 0 END) AS BIGINT) AS ss_c,
+         CAST(sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_t,
+         CAST(sum(CASE WHEN arm = 1 THEN c ELSE 0 END) AS BIGINT) AS s_t,
+         CAST(sum(CASE WHEN arm = 1 THEN c * c ELSE 0 END) AS BIGINT) AS ss_t
+  FROM base GROUP BY event_type
+), v AS (
+  SELECT *,
+         (n_c * ss_c - s_c * s_c) / n_c / (n_c - 1) AS var_c,
+         (n_t * ss_t - s_t * s_t) / n_t / (n_t - 1) AS var_t
+  FROM g
+), se AS (
+  SELECT *, var_c / n_c AS a, var_t / n_t AS b FROM v
+)
+SELECT event_type, n_control, n_treatment, mean_control, mean_treatment,
+       t_stat, df_welch
+FROM (
+  SELECT event_type, n_c AS n_control, n_t AS n_treatment,
+         CASE WHEN n_c > 0 THEN {QUANTIZE4_SQL.format(x='s_c / n_c / 100')}
+         END AS mean_control,
+         CASE WHEN n_t > 0 THEN {QUANTIZE4_SQL.format(x='s_t / n_t / 100')}
+         END AS mean_treatment,
+         CASE WHEN n_c > 1 AND n_t > 1 AND a + b > 0 THEN
+           {QUANTIZE4_SQL.format(x='(s_c / n_c - s_t / n_t) / sqrt(a + b)')}
+         END AS t_stat,
+         CASE WHEN n_c > 1 AND n_t > 1 AND a + b > 0 THEN
+           {QUANTIZE4_SQL.format(
+               x='(a + b) * (a + b) / (a * a / (n_c - 1) + b * b / (n_t - 1))')}
+         END AS df_welch
+  FROM se
+)
+"""
+
+
 QUERIES = [
+    Query("ab_welch", q_ab_welch, ORACLE_AB_WELCH,
+          "hash-split A/B readout: Welch's t + Satterthwaite df per type"),
     Query("hybrid_rrf_retrieval", q_hybrid_rrf_retrieval, _oracle_hybrid_rrf(),
           "reciprocal-rank fusion of BM25 relevance + quality prior top-10s"),
     Query("bm25_retrieval", q_bm25_retrieval, ORACLE_BM25_RETRIEVAL,

@@ -258,3 +258,56 @@ def test_analytics_degenerate_single_hour(spark, tmp_path):
     # 125000000 div 1 (the damped term contributes nothing)
     pr = q_pagerank_types(spark, d).collect()
     assert len(pr) == 1 and pr[0]["rank_u"] == 125_000_000
+
+
+def test_ab_welch_matches_independent_computation(spark, tmp_path):
+    """Welch readout vs an independently coded t/df on hand-built data:
+    the test recomputes the hash split in pure Python (md5 prefix) and
+    Welch's statistic with the textbook formula over plain floats."""
+    import hashlib
+    import math
+
+    from pleiades_spark.plans.analytics import AB_SALT, q_ab_welch
+
+    def arm(uid):
+        h = int(hashlib.md5(f"{AB_SALT}{uid}".encode()).hexdigest()[:8], 16)
+        return h % 2
+
+    # 20 users, values uid-dependent so the arms genuinely differ.
+    rows, vals = [], {0: [], 1: []}
+    for uid in range(20):
+        v = round(1.0 + 0.37 * uid, 2)
+        rows.append((uid, 3600 + uid, uid, "click", v))
+        vals[arm(uid)].append(v)
+    assert min(len(vals[0]), len(vals[1])) >= 2  # both arms populated
+    d = _stage_events(spark, tmp_path, rows)
+    got = {r["event_type"]: r for r in q_ab_welch(spark, d).collect()}
+    r = got["click"]
+
+    def welch(c, t):
+        mc, mt = sum(c) / len(c), sum(t) / len(t)
+        vc = sum((x - mc) ** 2 for x in c) / (len(c) - 1)
+        vt = sum((x - mt) ** 2 for x in t) / (len(t) - 1)
+        a, b = vc / len(c), vt / len(t)
+        tt = (mc - mt) / math.sqrt(a + b)
+        df = (a + b) ** 2 / (a * a / (len(c) - 1) + b * b / (len(t) - 1))
+        return tt, df
+
+    tt, df = welch(vals[0], vals[1])
+    assert r["n_control"] == len(vals[0])
+    assert r["n_treatment"] == len(vals[1])
+    assert abs(r["mean_control"] - sum(vals[0]) / len(vals[0])) < 1e-3
+    assert abs(r["t_stat"] - tt) < 1e-3
+    assert abs(r["df_welch"] - df) < 1e-3
+
+
+def test_ab_welch_degenerate_arm_is_null(spark, tmp_path):
+    """A type observed by only ONE user (single arm, n=1) must yield
+    NULL t/df and a mean only for the populated arm."""
+    from pleiades_spark.plans.analytics import q_ab_welch
+
+    d = _stage_events(spark, tmp_path, [(0, 3600, 7, "solo", 5.0)])
+    r = q_ab_welch(spark, d).collect()[0]
+    assert r["t_stat"] is None and r["df_welch"] is None
+    assert (r["n_control"] + r["n_treatment"]) == 1
+    assert (r["mean_control"] is None) != (r["mean_treatment"] is None)

@@ -733,3 +733,18 @@ def test_kmv_set_ops_kmin_is_window_group_limit(spark, sf_dir):
     assert "WindowGroupLimit" in plan
     assert "CartesianProduct" not in plan
     assert plan.count("BroadcastHashJoin") >= 2
+
+
+def test_ab_welch_single_exchange_no_join(spark, sf_dir):
+    """The A/B readout pivots both arms via conditional aggregation in
+    ONE shuffle of six long columns keyed by event_type — no self-join,
+    no second pass, scan pruned to (user_id, event_type, value)."""
+    import re
+
+    from pleiades_spark.plans.analytics import q_ab_welch
+
+    plan = _plan(q_ab_welch(spark, sf_dir))
+    assert len(re.findall(r"\(\d+\) Exchange$", plan, re.M)) == 1
+    assert "Join" not in plan
+    assert "partial_sum" in plan
+    assert "struct<user_id:bigint,event_type:string,value:double>" in plan
