@@ -175,6 +175,10 @@ HEADLINE = [
     "kmv_source_set_ops",
     # round 7: MMR diversified rerank (post-ANN diversification)
     "mmr_rerank",
+    # round 7: experimentation suite (hash-split A/B readouts)
+    "ab_welch",
+    "ab_cuped",
+    "ab_srm",
 ]
 
 # Iterative driver-loop queries: many small jobs per query, so per-job

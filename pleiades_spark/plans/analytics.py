@@ -1677,9 +1677,229 @@ FROM (
 """
 
 
+def q_ab_cuped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUPED variance-reduced experiment readout (Deng et al., WSDM'13):
+    per-user pre-period spend is the covariate, post-period spend the
+    metric, θ = cov(x,y)/var(x) pooled across arms, and the per-arm
+    adjusted mean is mean_y − θ·(mean_x_arm − mean_x_pooled). Reports
+    the variance-reduction rate too (r², the fraction CUPED removes).
+
+    The pre/post cut is the midpoint of the observed time range —
+    computed by a tiny min/max aggregate broadcast onto the fact scan
+    (one extra pass; a production deployment reads the cut from table
+    stats or the experiment config instead). Users without pre (or
+    post) activity keep x=0 (y=0): intent-to-treat, no dropped rows.
+
+    Float parity: per-user x,y are exact integer cents, arm moments are
+    exact BIGINT sums, and var(y−θx) is expanded in CLOSED FORM —
+    var_y − cov²/var_x — so no order-dependent double accumulation ever
+    happens; moment combinations (N·Σxy − Σx·Σy …) are computed in
+    decimal(38,0)/HUGEINT (both exact) because their magnitudes square
+    past int64 at scale, then divided as doubles in identical textual
+    order. θ and r² are scale-invariant, so cents == units for them.
+
+    Plan: two passes over events (cut scalar, then per-user rollup —
+    user_id shuffle), a |users|→2-row arm aggregate, pooled moments via
+    a window over the TWO-row arm frame (bounded, no sort). At 100 TB:
+    one real shuffle (user_id), everything after is 2 rows.
+    """
+    ev = _t(spark, sf_dir, "events")
+    e = F.floor(F.unix_timestamp("ts")).cast("long")
+    cut_row = ev.agg(
+        F.floor((F.min(e) + F.max(e)) / 2).cast("long").alias("cut")
+    )
+    cents = F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
+    base = ev.select(
+        "user_id", e.alias("es"), cents.alias("cents")
+    ).crossJoin(F.broadcast(cut_row))
+    per_user = base.groupBy("user_id").agg(
+        F.sum(F.when(F.col("es") < F.col("cut"), F.col("cents"))
+              .otherwise(F.lit(0))).alias("x"),
+        F.sum(F.when(F.col("es") >= F.col("cut"), F.col("cents"))
+              .otherwise(F.lit(0))).alias("y"),
+    )
+    arm = h32(F.concat(F.lit(AB_SALT), F.col("user_id").cast("string"))) % 2
+    armed = per_user.select(arm.alias("arm"), "x", "y").groupBy("arm").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    pool = W.partitionBy()  # 2-row frame: pooled moments, no sort
+    d38 = lambda c: F.sum(c).over(pool).cast("decimal(38,0)")  # noqa: E731
+    armed = armed.withColumns({
+        "nn": d38("n"), "tx": d38("sx"), "ty": d38("sy"),
+        "txy": d38("sxy"), "txx": d38("sxx"), "tyy": d38("syy"),
+        "pn": F.sum("n").over(pool), "px": F.sum("sx").over(pool),
+    })
+    num = (F.col("nn") * F.col("txy") - F.col("tx") * F.col("ty")).cast("double")
+    dx = (F.col("nn") * F.col("txx") - F.col("tx") * F.col("tx")).cast("double")
+    dy = (F.col("nn") * F.col("tyy") - F.col("ty") * F.col("ty")).cast("double")
+    armed = armed.withColumns({"num": num, "dx": dx, "dy": dy})
+    theta = F.when(F.col("dx") > 0, F.col("num") / F.col("dx"))
+    armed = armed.withColumn("theta", theta)
+    mean_y = F.col("sy") / F.col("n") / 100
+    adj = (
+        F.col("sy") / F.col("n")
+        - F.col("theta") * (F.col("sx") / F.col("n") - F.col("px") / F.col("pn"))
+    ) / 100
+    r2 = F.when(
+        (F.col("dx") > 0) & (F.col("dy") > 0),
+        (F.col("num") / F.col("dx")) * (F.col("num") / F.col("dy")),
+    )
+    return armed.select(
+        F.when(F.col("arm") == 0, F.lit("control"))
+        .otherwise(F.lit("treatment")).alias("arm"),
+        F.col("n").alias("n_users"),
+        _quantize4(F.col("sx") / F.col("n") / 100).alias("mean_pre"),
+        _quantize4(mean_y).alias("mean_metric"),
+        F.when(F.col("theta").isNotNull(), _quantize4(adj))
+        .otherwise(_quantize4(mean_y)).alias("mean_metric_cuped"),
+        _quantize4(F.col("theta")).alias("theta"),
+        _quantize4(r2 * 100).alias("var_reduction_pct"),
+    )
+
+
+ORACLE_AB_CUPED = f"""
+WITH cut_row AS (
+  SELECT CAST(floor((min(floor(epoch(ts))) + max(floor(epoch(ts)))) / 2)
+              AS BIGINT) AS cut
+  FROM events
+), per_user AS (
+  SELECT user_id,
+         CAST(sum(CASE WHEN floor(epoch(ts)) < cut
+                       THEN CAST(floor(value * 100 + 0.5) AS BIGINT)
+                       ELSE 0 END) AS BIGINT) AS x,
+         CAST(sum(CASE WHEN floor(epoch(ts)) >= cut
+                       THEN CAST(floor(value * 100 + 0.5) AS BIGINT)
+                       ELSE 0 END) AS BIGINT) AS y
+  FROM events CROSS JOIN cut_row
+  GROUP BY user_id
+), armed AS (
+  SELECT {_AB_ARM_SQL} AS arm,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+         CAST(sum(x * y) AS BIGINT) AS sxy,
+         CAST(sum(x * x) AS BIGINT) AS sxx,
+         CAST(sum(y * y) AS BIGINT) AS syy
+  FROM per_user GROUP BY arm
+), pooled AS (
+  SELECT *,
+         CAST(sum(n) OVER () AS HUGEINT) AS nn,
+         CAST(sum(sx) OVER () AS HUGEINT) AS tx,
+         CAST(sum(sy) OVER () AS HUGEINT) AS ty,
+         CAST(sum(sxy) OVER () AS HUGEINT) AS txy,
+         CAST(sum(sxx) OVER () AS HUGEINT) AS txx,
+         CAST(sum(syy) OVER () AS HUGEINT) AS tyy,
+         CAST(sum(n) OVER () AS BIGINT) AS pn,
+         CAST(sum(sx) OVER () AS BIGINT) AS px
+  FROM armed
+), d AS (
+  SELECT *,
+         CAST(nn * txy - tx * ty AS DOUBLE) AS num,
+         CAST(nn * txx - tx * tx AS DOUBLE) AS dx,
+         CAST(nn * tyy - ty * ty AS DOUBLE) AS dy,
+         CASE WHEN CAST(nn * txx - tx * tx AS DOUBLE) > 0 THEN
+           CAST(nn * txy - tx * ty AS DOUBLE)
+           / CAST(nn * txx - tx * tx AS DOUBLE)
+         END AS theta
+  FROM pooled
+)
+SELECT CASE WHEN arm = 0 THEN 'control' ELSE 'treatment' END AS arm,
+       n AS n_users,
+       {QUANTIZE4_SQL.format(x='sx / n / 100')} AS mean_pre,
+       {QUANTIZE4_SQL.format(x='sy / n / 100')} AS mean_metric,
+       CASE WHEN theta IS NOT NULL THEN
+         {QUANTIZE4_SQL.format(
+             x='(sy / n - theta * (sx / n - px / pn)) / 100')}
+       ELSE {QUANTIZE4_SQL.format(x='sy / n / 100')}
+       END AS mean_metric_cuped,
+       {QUANTIZE4_SQL.format(x='theta')} AS theta,
+       CASE WHEN dx > 0 AND dy > 0 THEN
+         {QUANTIZE4_SQL.format(x='(num / dx) * (num / dy) * 100')}
+       END AS var_reduction_pct
+FROM d
+"""
+
+
+# |z| beyond ±3.2905 ≈ two-sided p < 0.001, the standard SRM alarm bar
+# (Fabijan et al., KDD'19 diagnoses). Frozen literal shared by both
+# engines; the comparison happens on the already-quantized z.
+SRM_Z_BAR = 3.2905
+
+
+def q_ab_srm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample-ratio-mismatch check: the guardrail run BEFORE reading any
+    A/B result. Distinct users per arm per event_type (and overall via
+    CUBE), the normal approximation to the 50/50 binomial
+    z = (n_c − n_t)/√(n_c + n_t), and the p<0.001 alarm flag. A healthy
+    hash split stays |z| < 3.29; anything else means the assignment or
+    logging is broken and the Welch/CUPED readouts are void.
+
+    Plan: one distinct-user expand (count(DISTINCT CASE) under CUBE —
+    Spark plans the standard two-phase distinct expand, map-side
+    partial first), grouping-set rows bounded by |types|+1. One pass,
+    one shuffle family at 100 TB.
+    """
+    ev = _t(spark, sf_dir, "events")
+    arm = h32(F.concat(F.lit(AB_SALT), F.col("user_id").cast("string"))) % 2
+    base = ev.select("event_type", arm.alias("arm"), "user_id")
+    g = base.cube("event_type").agg(
+        F.countDistinct(
+            F.when(F.col("arm") == 0, F.col("user_id"))
+        ).alias("n_control"),
+        F.countDistinct(
+            F.when(F.col("arm") == 1, F.col("user_id"))
+        ).alias("n_treatment"),
+        F.grouping("event_type").alias("gflag"),
+    )
+    z = _quantize4(
+        (F.col("n_control") - F.col("n_treatment"))
+        / F.sqrt(F.col("n_control") + F.col("n_treatment"))
+    )
+    g = g.withColumn("srm_z", z)
+    return g.select(
+        F.when(F.col("gflag") == 1, F.lit("ALL"))
+        .otherwise(F.col("event_type")).alias("scope"),
+        "n_control",
+        "n_treatment",
+        "srm_z",
+        (F.abs(F.col("srm_z")) > SRM_Z_BAR).alias("srm_flag"),
+    )
+
+
+ORACLE_AB_SRM = f"""
+WITH base AS (
+  SELECT event_type, {_AB_ARM_SQL} AS arm, user_id FROM events
+), g AS (
+  SELECT CASE WHEN GROUPING(event_type) = 1 THEN 'ALL' ELSE event_type END
+           AS scope,
+         CAST(count(DISTINCT CASE WHEN arm = 0 THEN user_id END) AS BIGINT)
+           AS n_control,
+         CAST(count(DISTINCT CASE WHEN arm = 1 THEN user_id END) AS BIGINT)
+           AS n_treatment
+  FROM base GROUP BY CUBE (event_type)
+)
+SELECT scope, n_control, n_treatment,
+       {QUANTIZE4_SQL.format(
+           x='(n_control - n_treatment) / sqrt(n_control + n_treatment)')}
+         AS srm_z,
+       abs({QUANTIZE4_SQL.format(
+           x='(n_control - n_treatment) / sqrt(n_control + n_treatment)')})
+         > {SRM_Z_BAR} AS srm_flag
+FROM g
+"""
+
+
 QUERIES = [
     Query("ab_welch", q_ab_welch, ORACLE_AB_WELCH,
           "hash-split A/B readout: Welch's t + Satterthwaite df per type"),
+    Query("ab_cuped", q_ab_cuped, ORACLE_AB_CUPED,
+          "CUPED variance-reduced readout: pooled theta, closed-form r2"),
+    Query("ab_srm", q_ab_srm, ORACLE_AB_SRM,
+          "sample-ratio-mismatch guardrail: per-type + overall CUBE"),
     Query("hybrid_rrf_retrieval", q_hybrid_rrf_retrieval, _oracle_hybrid_rrf(),
           "reciprocal-rank fusion of BM25 relevance + quality prior top-10s"),
     Query("bm25_retrieval", q_bm25_retrieval, ORACLE_BM25_RETRIEVAL,

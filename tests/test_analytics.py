@@ -311,3 +311,84 @@ def test_ab_welch_degenerate_arm_is_null(spark, tmp_path):
     assert r["t_stat"] is None and r["df_welch"] is None
     assert (r["n_control"] + r["n_treatment"]) == 1
     assert (r["mean_control"] is None) != (r["mean_treatment"] is None)
+
+
+def test_ab_cuped_matches_independent_computation(spark, tmp_path):
+    """CUPED readout vs plain-Python textbook CUPED on hand-built data:
+    pre/post cut at the (min+max)/2 epoch midpoint, theta = cov/var
+    pooled, adjusted mean = mean_y - theta*(mean_x_arm - mean_x_pool)."""
+    import hashlib
+
+    from pleiades_spark.plans.analytics import AB_SALT, q_ab_cuped
+
+    def arm(uid):
+        h = int(hashlib.md5(f"{AB_SALT}{uid}".encode()).hexdigest()[:8], 16)
+        return h % 2
+
+    # 16 users, two events each: one pre (t=1000+uid), one post
+    # (t=9000+uid); epoch midpoint = ((1000)+(9015))//2 land all first
+    # events pre, all second events post. Covariate correlates with the
+    # metric (y = 2x + arm-dependent lift + wiggle).
+    rows, eid = [], 0
+    users = {}
+    for uid in range(16):
+        x = round(2.0 + 0.31 * uid, 2)
+        y = round(2 * x + (1.5 if arm(uid) else 0.0) + 0.07 * (uid % 3), 2)
+        rows.append((eid, 1000 + uid, uid, "click", x)); eid += 1
+        rows.append((eid, 9000 + uid, uid, "click", y)); eid += 1
+        users[uid] = (x, y)
+    d = _stage_events(spark, tmp_path, rows)
+    got = {r["arm"]: r for r in q_ab_cuped(spark, d).collect()}
+
+    xs = [users[u][0] for u in users]
+    ys = [users[u][1] for u in users]
+    n = len(xs)
+    mx, my = sum(xs) / n, sum(ys) / n
+    cov = sum((a - mx) * (b - my) for a, b in zip(xs, ys)) / (n - 1)
+    vx = sum((a - mx) ** 2 for a in xs) / (n - 1)
+    theta = cov / vx
+    for label, a in (("control", 0), ("treatment", 1)):
+        sub = [users[u] for u in users if arm(u) == a]
+        m_x = sum(s[0] for s in sub) / len(sub)
+        m_y = sum(s[1] for s in sub) / len(sub)
+        adj = m_y - theta * (m_x - mx)
+        r = got[label]
+        assert r["n_users"] == len(sub)
+        assert abs(r["mean_pre"] - m_x) < 1e-3
+        assert abs(r["mean_metric"] - m_y) < 1e-3
+        assert abs(r["mean_metric_cuped"] - adj) < 1e-3
+        assert abs(r["theta"] - theta) < 1e-3
+    # y tracks x strongly by construction: CUPED must remove most
+    # variance, and the adjusted arm gap should stay near the true lift
+    assert got["control"]["var_reduction_pct"] > 80.0
+    gap = (got["treatment"]["mean_metric_cuped"]
+           - got["control"]["mean_metric_cuped"])
+    assert abs(gap - 1.5) < 0.25
+
+
+def test_ab_srm_flags_forced_mismatch(spark, tmp_path):
+    """Stage users drawn ONLY from control-hashing ids: the overall z
+    must exceed the p<0.001 bar and raise srm_flag; a balanced staging
+    must not."""
+    import hashlib
+
+    from pleiades_spark.plans.analytics import AB_SALT, q_ab_srm
+
+    def arm(uid):
+        h = int(hashlib.md5(f"{AB_SALT}{uid}".encode()).hexdigest()[:8], 16)
+        return h % 2
+
+    controls = [u for u in range(200) if arm(u) == 0][:12]
+    rows = [(i, 3600 + i, u, "click", 1.0) for i, u in enumerate(controls)]
+    d = _stage_events(spark, tmp_path, rows)
+    r = {x["scope"]: x for x in q_ab_srm(spark, d).collect()}["ALL"]
+    # 12 vs 0: z = 12/sqrt(12) = 3.4641 > 3.2905
+    assert r["n_control"] == 12 and r["n_treatment"] == 0
+    assert r["srm_flag"] is True
+
+    both = ([u for u in range(200) if arm(u) == 0][:6]
+            + [u for u in range(200) if arm(u) == 1][:6])
+    rows = [(i, 3600 + i, u, "click", 1.0) for i, u in enumerate(both)]
+    d2 = _stage_events(spark, tmp_path, rows)
+    r2 = {x["scope"]: x for x in q_ab_srm(spark, d2).collect()}["ALL"]
+    assert r2["srm_flag"] is False and r2["srm_z"] == 0.0

@@ -351,6 +351,26 @@ SHOW = [
      "(planning pass shuffles ~1/16 of each side), per-key counts "
      "equi-join, single Horvitz-Thompson agg. Guard: "
      "test_join_size_estimate_samples_before_aggregating."),
+    ("ab_welch",
+     "A/B Welch readout (round 7) — both arms pivot via conditional "
+     "aggregation inside ONE map-side-combined event_type shuffle of "
+     "six long columns (no self-join, no second pass); the md5 arm "
+     "hash and integer-cent moments run inside the scan's codegen "
+     "span; t/df are pure projections over the |types|-row result. "
+     "Guard: test_ab_welch_single_exchange_no_join."),
+    ("ab_cuped",
+     "CUPED readout (round 7) — a 1-row min/max cut broadcast onto the "
+     "fact scan, ONE real shuffle (per-user pre/post rollup on "
+     "user_id), then a |users|→2-row arm aggregate; pooled moments are "
+     "a window over the TWO-row arm frame (bounded, no sort) and "
+     "var(y−θx) is closed-form from exact moments — no per-user double "
+     "accumulation anywhere."),
+    ("ab_srm",
+     "SRM guardrail (round 7) — count(DISTINCT CASE) under CUBE plans "
+     "as the standard two-phase distinct Expand with map-side "
+     "partials; output bounded by |types|+1 rows; z and the alarm "
+     "flag are projections. The cheap query a pipeline runs before "
+     "trusting either A/B readout."),
 ]
 
 
