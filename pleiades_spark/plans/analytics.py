@@ -1893,6 +1893,116 @@ FROM g
 """
 
 
+def q_ab_mannwhitney(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann–Whitney U rank-sum test per event_type — the nonparametric
+    twin of ab_welch for skewed metrics (revenue-like values where the
+    t-test's normality story is weak): U statistic for the control arm,
+    tie-corrected normal approximation z.
+
+    Exact-integer rank trick: ranks are computed on the VALUE-GROUP
+    grain, not per row. For a tie group with c rows starting at rank r
+    the average rank is r + (c−1)/2, so the DOUBLED average rank
+    2r + c − 1 is an integer — every rank sum, U (×2) and the tie term
+    Σ(t³−t) stay exact BIGINTs; the only float ops are the final σ/z
+    division in identical textual order on both engines.
+
+    Plan: groupBy (event_type, cents) collapses the fact table to the
+    distinct-value grain (map-side combined — value has 2 decimals, so
+    this is a few thousand rows per type no matter the SF), a running
+    cumsum window per event_type over that TINY frame, and a final
+    per-type agg that reuses the window's partitioning (2 exchanges
+    total, the second bounded by |types|·|distinct cents|).
+    """
+    ev = _t(spark, sf_dir, "events")
+    arm = h32(F.concat(F.lit(AB_SALT), F.col("user_id").cast("string"))) % 2
+    cents = F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
+    base = ev.select("event_type", arm.alias("arm"), cents.alias("c"))
+    byval = base.groupBy("event_type", "c").agg(
+        F.sum(F.when(F.col("arm") == 0, F.lit(1)).otherwise(F.lit(0)))
+        .alias("n0"),
+        F.sum(F.when(F.col("arm") == 1, F.lit(1)).otherwise(F.lit(0)))
+        .alias("n1"),
+    ).withColumn("t", F.col("n0") + F.col("n1"))
+    w = (
+        W.partitionBy("event_type").orderBy(F.col("c").asc())
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    # first rank of this tie group = (rows at smaller values) + 1
+    byval = byval.withColumn(
+        "dr", 2 * (F.sum("t").over(w) - F.col("t") + 1) + F.col("t") - 1
+    )
+    g = byval.groupBy("event_type").agg(
+        F.sum("n0").alias("n0"),
+        F.sum("n1").alias("n1"),
+        F.sum(F.col("n0") * F.col("dr")).alias("r0d"),  # 2·rank-sum, exact
+        F.sum(F.col("t") * F.col("t") * F.col("t") - F.col("t")).alias("tie"),
+    )
+    n0, n1 = F.col("n0"), F.col("n1")
+    nn = n0 + n1
+    # 2·U₀ = 2·R₀ − n₀(n₀+1); z numerator 2U₀ − n₀n₁ stays BIGINT-exact.
+    u2 = F.col("r0d") - n0 * (n0 + 1)
+    g = g.withColumns({"u2": u2, "num": u2 - n0 * n1})
+    sigma2 = (
+        n0 * n1
+        * ((nn + 1) - F.col("tie") / (nn * (nn - 1)))
+        / 12
+    )
+    g = g.withColumn(
+        "sigma2", F.when((n0 > 0) & (n1 > 0) & (nn > 1), sigma2)
+    )
+    z = F.when(
+        F.col("sigma2") > 0,
+        _quantize4(F.col("num") / 2 / F.sqrt(F.col("sigma2"))),
+    )
+    return g.select(
+        "event_type",
+        n0.alias("n_control"),
+        n1.alias("n_treatment"),
+        (F.col("u2") / 2).alias("u_control"),
+        z.alias("z_stat"),
+    )
+
+
+ORACLE_AB_MANNWHITNEY = f"""
+WITH base AS (
+  SELECT event_type, {_AB_ARM_SQL} AS arm,
+         CAST(floor(value * 100 + 0.5) AS BIGINT) AS c
+  FROM events
+), byval AS (
+  SELECT event_type, c,
+         CAST(sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n0,
+         CAST(sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1
+  FROM base GROUP BY event_type, c
+), ranked AS (
+  SELECT *, n0 + n1 AS t,
+         2 * (CAST(sum(n0 + n1) OVER (PARTITION BY event_type ORDER BY c ASC
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+              - (n0 + n1) + 1) + (n0 + n1) - 1 AS dr
+  FROM byval
+), g AS (
+  SELECT event_type,
+         CAST(sum(n0) AS BIGINT) AS n0, CAST(sum(n1) AS BIGINT) AS n1,
+         CAST(sum(n0 * dr) AS BIGINT) AS r0d,
+         CAST(sum(t * t * t - t) AS BIGINT) AS tie
+  FROM ranked GROUP BY event_type
+), u AS (
+  SELECT *, r0d - n0 * (n0 + 1) AS u2,
+         r0d - n0 * (n0 + 1) - n0 * n1 AS num,
+         CASE WHEN n0 > 0 AND n1 > 0 AND n0 + n1 > 1 THEN
+           n0 * n1 * ((n0 + n1 + 1)
+                      - tie / ((n0 + n1) * (n0 + n1 - 1))) / 12
+         END AS sigma2
+  FROM g
+)
+SELECT event_type, n0 AS n_control, n1 AS n_treatment,
+       u2 / 2 AS u_control,
+       CASE WHEN sigma2 > 0 THEN
+         {QUANTIZE4_SQL.format(x='num / 2 / sqrt(sigma2)')}
+       END AS z_stat
+FROM u
+"""
+
+
 QUERIES = [
     Query("ab_welch", q_ab_welch, ORACLE_AB_WELCH,
           "hash-split A/B readout: Welch's t + Satterthwaite df per type"),
@@ -1900,6 +2010,8 @@ QUERIES = [
           "CUPED variance-reduced readout: pooled theta, closed-form r2"),
     Query("ab_srm", q_ab_srm, ORACLE_AB_SRM,
           "sample-ratio-mismatch guardrail: per-type + overall CUBE"),
+    Query("ab_mannwhitney", q_ab_mannwhitney, ORACLE_AB_MANNWHITNEY,
+          "Mann-Whitney U rank-sum per type, tie-corrected z, exact ranks"),
     Query("hybrid_rrf_retrieval", q_hybrid_rrf_retrieval, _oracle_hybrid_rrf(),
           "reciprocal-rank fusion of BM25 relevance + quality prior top-10s"),
     Query("bm25_retrieval", q_bm25_retrieval, ORACLE_BM25_RETRIEVAL,

@@ -392,3 +392,62 @@ def test_ab_srm_flags_forced_mismatch(spark, tmp_path):
     d2 = _stage_events(spark, tmp_path, rows)
     r2 = {x["scope"]: x for x in q_ab_srm(spark, d2).collect()}["ALL"]
     assert r2["srm_flag"] is False and r2["srm_z"] == 0.0
+
+
+def test_ab_mannwhitney_matches_independent_computation(spark, tmp_path):
+    """MW readout vs a plain-Python rank-sum with average ranks and the
+    textbook tie-corrected sigma, on data with deliberate ties."""
+    import hashlib
+    import math
+
+    from pleiades_spark.plans.analytics import AB_SALT, q_ab_mannwhitney
+
+    def arm(uid):
+        h = int(hashlib.md5(f"{AB_SALT}{uid}".encode()).hexdigest()[:8], 16)
+        return h % 2
+
+    # 24 users, values cycle over 6 levels -> heavy ties across arms
+    rows, sample = [], {0: [], 1: []}
+    for uid in range(24):
+        v = [1.0, 1.0, 2.5, 2.5, 2.5, 7.0][uid % 6]
+        rows.append((uid, 3600 + uid, uid, "click", v))
+        sample[arm(uid)].append(v)
+    assert min(len(sample[0]), len(sample[1])) >= 2
+    d = _stage_events(spark, tmp_path, rows)
+    r = {x["event_type"]: x for x in q_ab_mannwhitney(spark, d).collect()}
+    got = r["click"]
+
+    allv = sorted(sample[0] + sample[1])
+    n = len(allv)
+    # average rank per value
+    ranks = {}
+    i = 0
+    while i < n:
+        j = i
+        while j < n and allv[j] == allv[i]:
+            j += 1
+        ranks[allv[i]] = (i + 1 + j) / 2  # avg of ranks i+1..j
+        i = j
+    r0 = sum(ranks[v] for v in sample[0])
+    n0, n1 = len(sample[0]), len(sample[1])
+    u0 = r0 - n0 * (n0 + 1) / 2
+    ties = {}
+    for v in allv:
+        ties[v] = ties.get(v, 0) + 1
+    tie_term = sum(t ** 3 - t for t in ties.values())
+    sigma2 = n0 * n1 * ((n + 1) - tie_term / (n * (n - 1))) / 12
+    z = (u0 - n0 * n1 / 2) / math.sqrt(sigma2)
+    assert got["n_control"] == n0 and got["n_treatment"] == n1
+    assert abs(got["u_control"] - u0) < 1e-9
+    assert abs(got["z_stat"] - z) < 1e-3
+
+
+def test_ab_mannwhitney_all_equal_values_null_z(spark, tmp_path):
+    """Every value identical: one tie group, sigma collapses to 0 ->
+    z NULL, U still defined."""
+    from pleiades_spark.plans.analytics import q_ab_mannwhitney
+
+    rows = [(i, 3600 + i, i, "click", 4.0) for i in range(10)]
+    d = _stage_events(spark, tmp_path, rows)
+    got = q_ab_mannwhitney(spark, d).collect()[0]
+    assert got["z_stat"] is None

@@ -748,3 +748,18 @@ def test_ab_welch_single_exchange_no_join(spark, sf_dir):
     assert "Join" not in plan
     assert "partial_sum" in plan
     assert "struct<user_id:bigint,event_type:string,value:double>" in plan
+
+
+def test_ab_mannwhitney_two_exchanges_final_agg_reuses_window(spark, sf_dir):
+    """Rank-sum runs on the distinct-value grain: exchange 1 keys the
+    (event_type, cents) collapse, exchange 2 keys the window; the final
+    per-type agg must REUSE the window's event_type partitioning (no
+    third shuffle), and nothing joins."""
+    import re
+
+    from pleiades_spark.plans.analytics import q_ab_mannwhitney
+
+    plan = _plan(q_ab_mannwhitney(spark, sf_dir))
+    assert len(re.findall(r"\(\d+\) Exchange$", plan, re.M)) == 2
+    assert "Join" not in plan
+    assert "WindowGroupLimit" not in plan  # running sum, not a rank filter

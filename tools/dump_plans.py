@@ -365,6 +365,14 @@ SHOW = [
      "a window over the TWO-row arm frame (bounded, no sort) and "
      "var(y−θx) is closed-form from exact moments — no per-user double "
      "accumulation anywhere."),
+    ("ab_mannwhitney",
+     "Mann–Whitney rank-sum (round 7) — the fact table collapses to "
+     "the distinct-(type, cent) grain in exchange 1 (map-side "
+     "combined; a few thousand rows per type at ANY SF since values "
+     "have 2 decimals), the doubled-average-rank cumsum window and the "
+     "final per-type agg share exchange 2. Ranks never materialize "
+     "per row — tie groups carry (n0, n1, t) counts instead. Guard: "
+     "test_ab_mannwhitney_two_exchanges_final_agg_reuses_window."),
     ("ab_srm",
      "SRM guardrail (round 7) — count(DISTINCT CASE) under CUBE plans "
      "as the standard two-phase distinct Expand with map-side "
