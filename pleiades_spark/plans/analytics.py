@@ -1569,10 +1569,12 @@ def q_ab_welch(spark: SparkSession, sf_dir: str) -> DataFrame:
     both engines, then the floor quantizer. t and df are scale-invariant,
     so computing them in cents equals computing them in units.
 
-    Integer width: n·Σc² stays < 2⁶³ up to ~10¹⁰ rows/arm at these value
-    magnitudes (same envelope argument as hourly_autocorr's moments); a
-    beyond-that deployment flips the variance line to var_samp in double
-    — the t-test does not need cross-engine bit parity in production.
+    Integer width: the per-arm SUMS stay comfortably in int64, but their
+    second-order combinations do not — (Σc)² overflows long already at
+    sf10 (4·10⁹ cents squared; caught by the sf10 bench, round 7) — so
+    n·Σc² − (Σc)² is computed in decimal(38,0) on the Spark side and
+    HUGEINT in DuckDB (both exact), cast to double only for the final
+    division chain.
 
     Plan: one map-side-combined groupBy(event_type) with conditional
     aggregation — the two arms pivot inside ONE shuffle of 6 long
@@ -1600,8 +1602,17 @@ def q_ab_welch(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Sample variance from exact integer moments: (n·Σc² − (Σc)²)/n/(n−1).
     # Guarded per arm (ANSI divide-by-zero): a NULL variance propagates
     # NULL through a/b and the t/df CASEs without tripping the divides.
-    var_c = F.when(n_c > 1, (n_c * ss_c - s_c * s_c) / n_c / (n_c - 1))
-    var_t = F.when(n_t > 1, (n_t * ss_t - s_t * s_t) / n_t / (n_t - 1))
+    # The moment combination runs in decimal(38,0) — (Σc)² overflows
+    # int64 at sf10 already.
+    d = lambda col: col.cast("decimal(38,0)")  # noqa: E731
+    var_c = F.when(
+        n_c > 1,
+        (d(n_c) * d(ss_c) - d(s_c) * d(s_c)).cast("double") / n_c / (n_c - 1),
+    )
+    var_t = F.when(
+        n_t > 1,
+        (d(n_t) * d(ss_t) - d(s_t) * d(s_t)).cast("double") / n_t / (n_t - 1),
+    )
     g = g.withColumns({"var_c": var_c, "var_t": var_t})
     a = F.col("var_c") / n_c  # per-arm squared standard error
     b = F.col("var_t") / n_t
@@ -1651,8 +1662,10 @@ WITH base AS (
   FROM base GROUP BY event_type
 ), v AS (
   SELECT *,
-         (n_c * ss_c - s_c * s_c) / n_c / (n_c - 1) AS var_c,
-         (n_t * ss_t - s_t * s_t) / n_t / (n_t - 1) AS var_t
+         CAST(CAST(n_c AS HUGEINT) * ss_c - CAST(s_c AS HUGEINT) * s_c
+              AS DOUBLE) / n_c / (n_c - 1) AS var_c,
+         CAST(CAST(n_t AS HUGEINT) * ss_t - CAST(s_t AS HUGEINT) * s_t
+              AS DOUBLE) / n_t / (n_t - 1) AS var_t
   FROM g
 ), se AS (
   SELECT *, var_c / n_c AS a, var_t / n_t AS b FROM v
@@ -1903,8 +1916,10 @@ def q_ab_mannwhitney(spark: SparkSession, sf_dir: str) -> DataFrame:
     grain, not per row. For a tie group with c rows starting at rank r
     the average rank is r + (c−1)/2, so the DOUBLED average rank
     2r + c − 1 is an integer — every rank sum, U (×2) and the tie term
-    Σ(t³−t) stay exact BIGINTs; the only float ops are the final σ/z
-    division in identical textual order on both engines.
+    Σ(t³−t) stay exact integers (decimal(38,0)/HUGEINT for the
+    second-order combos, which scale as N² and t³); the only float ops
+    are the final σ/z division in identical textual order on both
+    engines.
 
     Plan: groupBy (event_type, cents) collapses the fact table to the
     distinct-value grain (map-side combined — value has 2 decimals, so
@@ -1931,20 +1946,26 @@ def q_ab_mannwhitney(spark: SparkSession, sf_dir: str) -> DataFrame:
     byval = byval.withColumn(
         "dr", 2 * (F.sum("t").over(w) - F.col("t") + 1) + F.col("t") - 1
     )
+    # Second-order moment combos run in decimal(38,0) / HUGEINT (the
+    # ab_welch sf10 overflow lesson): rank sums scale as N², the tie
+    # term as t³ — both past int64 on a 10⁹-row-per-type corpus.
+    d = lambda col: col.cast("decimal(38,0)")  # noqa: E731
     g = byval.groupBy("event_type").agg(
         F.sum("n0").alias("n0"),
         F.sum("n1").alias("n1"),
-        F.sum(F.col("n0") * F.col("dr")).alias("r0d"),  # 2·rank-sum, exact
-        F.sum(F.col("t") * F.col("t") * F.col("t") - F.col("t")).alias("tie"),
+        F.sum(d(F.col("n0")) * F.col("dr")).alias("r0d"),  # 2·rank-sum
+        F.sum(d(F.col("t")) * F.col("t") * F.col("t") - F.col("t"))
+        .alias("tie"),
     )
     n0, n1 = F.col("n0"), F.col("n1")
     nn = n0 + n1
-    # 2·U₀ = 2·R₀ − n₀(n₀+1); z numerator 2U₀ − n₀n₁ stays BIGINT-exact.
-    u2 = F.col("r0d") - n0 * (n0 + 1)
-    g = g.withColumns({"u2": u2, "num": u2 - n0 * n1})
+    # 2·U₀ = 2·R₀ − n₀(n₀+1); z numerator 2U₀ − n₀n₁ stays exact.
+    u2 = F.col("r0d") - d(n0) * (n0 + 1)
+    g = g.withColumns({"u2": u2, "num": u2 - d(n0) * n1})
     sigma2 = (
-        n0 * n1
-        * ((nn + 1) - F.col("tie") / (nn * (nn - 1)))
+        (d(n0) * n1).cast("double")
+        * ((nn + 1)
+           - F.col("tie").cast("double") / (d(nn) * (nn - 1)).cast("double"))
         / 12
     )
     g = g.withColumn(
@@ -1952,13 +1973,13 @@ def q_ab_mannwhitney(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     z = F.when(
         F.col("sigma2") > 0,
-        _quantize4(F.col("num") / 2 / F.sqrt(F.col("sigma2"))),
+        _quantize4(F.col("num").cast("double") / 2 / F.sqrt(F.col("sigma2"))),
     )
     return g.select(
         "event_type",
         n0.alias("n_control"),
         n1.alias("n_treatment"),
-        (F.col("u2") / 2).alias("u_control"),
+        (F.col("u2").cast("double") / 2).alias("u_control"),
         z.alias("z_stat"),
     )
 
@@ -1982,22 +2003,26 @@ WITH base AS (
 ), g AS (
   SELECT event_type,
          CAST(sum(n0) AS BIGINT) AS n0, CAST(sum(n1) AS BIGINT) AS n1,
-         CAST(sum(n0 * dr) AS BIGINT) AS r0d,
-         CAST(sum(t * t * t - t) AS BIGINT) AS tie
+         sum(CAST(n0 AS HUGEINT) * dr) AS r0d,
+         sum(CAST(t AS HUGEINT) * t * t - t) AS tie
   FROM ranked GROUP BY event_type
 ), u AS (
-  SELECT *, r0d - n0 * (n0 + 1) AS u2,
-         r0d - n0 * (n0 + 1) - n0 * n1 AS num,
+  SELECT *, r0d - CAST(n0 AS HUGEINT) * (n0 + 1) AS u2,
+         r0d - CAST(n0 AS HUGEINT) * (n0 + 1)
+             - CAST(n0 AS HUGEINT) * n1 AS num,
          CASE WHEN n0 > 0 AND n1 > 0 AND n0 + n1 > 1 THEN
-           n0 * n1 * ((n0 + n1 + 1)
-                      - tie / ((n0 + n1) * (n0 + n1 - 1))) / 12
+           CAST(CAST(n0 AS HUGEINT) * n1 AS DOUBLE)
+           * ((n0 + n1 + 1)
+              - CAST(tie AS DOUBLE)
+                / CAST(CAST(n0 + n1 AS HUGEINT) * (n0 + n1 - 1) AS DOUBLE))
+           / 12
          END AS sigma2
   FROM g
 )
 SELECT event_type, n0 AS n_control, n1 AS n_treatment,
-       u2 / 2 AS u_control,
+       CAST(u2 AS DOUBLE) / 2 AS u_control,
        CASE WHEN sigma2 > 0 THEN
-         {QUANTIZE4_SQL.format(x='num / 2 / sqrt(sigma2)')}
+         {QUANTIZE4_SQL.format(x='CAST(num AS DOUBLE) / 2 / sqrt(sigma2)')}
        END AS z_stat
 FROM u
 """
