@@ -179,6 +179,10 @@ HEADLINE = [
     "ab_welch",
     "ab_cuped",
     "ab_srm",
+    "ab_mannwhitney",
+    # round 7: data-quality layer (profile + referential audit)
+    "table_profile",
+    "fk_integrity",
 ]
 
 # Iterative driver-loop queries: many small jobs per query, so per-job

@@ -2451,6 +2451,144 @@ ORACLE_JOIN_SIZE_ESTIMATE = " UNION ALL ".join([
 ])
 
 
+# --- data-quality layer: table profile + referential integrity -------------
+
+# (column, kind) — kind drives which stats apply. ts profiles on its
+# epoch-seconds image so min/max share the numeric column.
+_PROFILE_COLS = (
+    ("event_id", "num"), ("ts", "ts"), ("user_id", "num"),
+    ("event_type", "str"), ("value", "num"), ("props", "str"),
+)
+
+
+def q_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-column data-quality profile of the events table: row count,
+    null count, exact distinct count, numeric min/max — the first query
+    any pipeline runs against a new table drop, and the input to the
+    freshness/drift monitors (psi_drift consumes these grains).
+
+    ONE aggregate row computes everything (Spark plans the multi-
+    distinct via a single Expand pass, map-side partialed), then
+    explodes to a row per column. Exact count(DISTINCT) is the oracle-
+    checkable gate form; at 100 TB swap approx_count_distinct — one
+    pass, no Expand — and keep everything else (documented production
+    twin, same pattern as bloom_semi_prune_prod).
+    """
+    ev = _t(spark, sf_dir, "events")
+
+    def num_img(c: str, kind: str):
+        if kind == "ts":
+            return F.unix_timestamp(c).cast("double")
+        if kind == "num":
+            return F.col(c).cast("double")
+        return F.lit(None).cast("double")
+
+    aggs = [F.count(F.lit(1)).alias("n_rows")]
+    for c, kind in _PROFILE_COLS:
+        aggs += [
+            F.count(c).alias(f"nn_{c}"),
+            F.countDistinct(c).alias(f"nd_{c}"),
+            F.min(num_img(c, kind)).alias(f"mn_{c}"),
+            F.max(num_img(c, kind)).alias(f"mx_{c}"),
+        ]
+    one = ev.agg(*aggs)
+    rows = F.array(*[
+        F.struct(
+            F.lit(c).alias("col_name"),
+            F.col("n_rows").alias("n_rows"),
+            (F.col("n_rows") - F.col(f"nn_{c}")).alias("n_null"),
+            F.col(f"nd_{c}").alias("n_distinct"),
+            F.round(F.col(f"mn_{c}"), 4).alias("min_num"),
+            F.round(F.col(f"mx_{c}"), 4).alias("max_num"),
+        )
+        for c, _ in _PROFILE_COLS
+    ])
+    return one.select(F.inline(rows))
+
+
+def _profile_oracle() -> str:
+    aggs, outs = ["CAST(count(*) AS BIGINT) AS n_rows"], []
+    for c, kind in _PROFILE_COLS:
+        img = {"ts": f"CAST(floor(epoch({c})) AS DOUBLE)",
+               "num": f"CAST({c} AS DOUBLE)",
+               "str": "CAST(NULL AS DOUBLE)"}[kind]
+        aggs += [
+            f"CAST(count({c}) AS BIGINT) AS nn_{c}",
+            f"CAST(count(DISTINCT {c}) AS BIGINT) AS nd_{c}",
+            f"min({img}) AS mn_{c}", f"max({img}) AS mx_{c}",
+        ]
+        outs.append(
+            f"SELECT '{c}' AS col_name, n_rows, n_rows - nn_{c} AS n_null,"
+            f" nd_{c} AS n_distinct, round(mn_{c}, 4) AS min_num,"
+            f" round(mx_{c}, 4) AS max_num FROM one"
+        )
+    return ("WITH one AS (SELECT " + ", ".join(aggs) + " FROM events)\n"
+            + "\nUNION ALL\n".join(outs))
+
+
+ORACLE_TABLE_PROFILE = _profile_oracle()
+
+# (label, child table, child key, parent table, parent key)
+_FK_RELATIONS = (
+    ("lineitem.orderkey->orders", "lineitem", "l_orderkey",
+     "orders", "o_orderkey"),
+    ("orders.custkey->customer", "orders", "o_custkey",
+     "customer", "c_custkey"),
+    ("lineitem.partkey->part", "lineitem", "l_partkey", "part", "p_partkey"),
+    ("lineitem.suppkey->supplier", "lineitem", "l_suppkey",
+     "supplier", "s_suppkey"),
+)
+
+
+def q_fk_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential-integrity audit of the star schema: per foreign-key
+    edge, child row count and orphan count (child keys with no parent),
+    via LEFT ANTI join. The lakehouse has no FK enforcement — this is
+    the scheduled audit that replaces it, and a 0-orphan result is the
+    precondition for the broadcast-dim join strategy every TPC-H-shape
+    query here assumes.
+
+    Scale: each anti join is an equi-join on the key — dims broadcast
+    (AQE decides at runtime; no hint needed since a CORRECT audit must
+    also handle a 10⁹-row parent), the lineitem→orders edge shuffles
+    both facts on orderkey exactly like the Q3/Q9 plans (bucketed
+    tables skip it). Orphan counting is count-only: no payload columns
+    survive the scan, so ReadSchema is the key column alone.
+    """
+    parts = []
+    for label, child, ckey, parent, pkey in _FK_RELATIONS:
+        c = _t(spark, sf_dir, child).select(F.col(ckey).alias("k"))
+        p = _t(spark, sf_dir, parent).select(F.col(pkey).alias("k"))
+        orphans = c.join(p, "k", "left_anti")
+        parts.append(
+            c.agg(F.count(F.lit(1)).alias("n_child")).crossJoin(
+                orphans.agg(F.count(F.lit(1)).alias("n_orphans"))
+            ).select(
+                F.lit(label).alias("relation"), "n_child", "n_orphans",
+                F.floor(F.col("n_orphans") / F.col("n_child") * 10000 + 0.5)
+                .cast("double").alias("orphan_bp"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionAll(p)
+    return out
+
+
+ORACLE_FK_INTEGRITY = "\nUNION ALL\n".join(
+    f"""SELECT '{label}' AS relation,
+       (SELECT CAST(count(*) AS BIGINT) FROM {child}) AS n_child,
+       (SELECT CAST(count(*) AS BIGINT) FROM {child} c
+         LEFT JOIN {parent} p ON c.{ckey} = p.{pkey}
+        WHERE p.{pkey} IS NULL) AS n_orphans,
+       floor((SELECT count(*) FROM {child} c
+               LEFT JOIN {parent} p ON c.{ckey} = p.{pkey}
+              WHERE p.{pkey} IS NULL)
+             / (SELECT count(*) FROM {child}) * 10000 + 0.5) AS orphan_bp"""
+    for label, child, ckey, parent, pkey in _FK_RELATIONS
+)
+
+
 QUERIES = [
     Query("pricing_summary", q_pricing_summary, ORACLE_PRICING_SUMMARY,
           "TPC-H Q1: wide hash agg with pushdown filter"),
@@ -2568,4 +2706,8 @@ QUERIES = [
           "Morton Z-order clustering key (bit interleave, scan-pruning layout)"),
     Query("entity_clusters", q_entity_clusters, ORACLE_ENTITY_CLUSTERS,
           "fuzzy pairs -> connected components -> canonical entity ids"),
+    Query("table_profile", q_table_profile, ORACLE_TABLE_PROFILE,
+          "per-column profile: nulls, exact distinct, numeric min/max"),
+    Query("fk_integrity", q_fk_integrity, ORACLE_FK_INTEGRITY,
+          "referential-integrity audit: orphan counts per FK edge"),
 ]

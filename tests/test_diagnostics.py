@@ -59,3 +59,70 @@ def test_join_size_estimate_tracks_exact_cardinality(spark, sf_dir):
     for name, ex in exact.items():
         assert ex > 0
         assert abs(est[name] - ex) <= 0.6 * ex, (name, est[name], ex)
+
+
+def _write(spark, path, rows, schema):
+    spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(path)
+
+
+def test_table_profile_counts_nulls_and_distincts(spark, tmp_path):
+    """Stage events with known nulls/duplicates: the profile must count
+    them exactly and keep numeric min/max only for numeric columns."""
+    import datetime as dt
+
+    from pleiades_spark.plans.relational import q_table_profile
+
+    d = str(tmp_path / "fx")
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [
+        (0, t0, 5, "click", 1.5, None),
+        (1, t0, 5, None, 2.5, "{}"),
+        (2, t0, None, "view", None, "{}"),
+        (3, t0, 7, "click", 2.5, "{}"),
+    ]
+    _write(spark, f"{d}/events.parquet", rows,
+           "event_id long, ts timestamp_ntz, user_id long,"
+           " event_type string, value double, props string")
+    prof = {r["col_name"]: r for r in q_table_profile(spark, d).collect()}
+    assert set(prof) == {"event_id", "ts", "user_id", "event_type",
+                         "value", "props"}
+    assert all(r["n_rows"] == 4 for r in prof.values())
+    assert prof["user_id"]["n_null"] == 1
+    assert prof["event_type"]["n_null"] == 1
+    assert prof["value"]["n_null"] == 1
+    assert prof["props"]["n_null"] == 1
+    assert prof["ts"]["n_distinct"] == 1
+    assert prof["event_type"]["n_distinct"] == 2  # click, view
+    assert prof["value"]["n_distinct"] == 2  # 1.5, 2.5
+    assert prof["value"]["min_num"] == 1.5 and prof["value"]["max_num"] == 2.5
+    assert prof["user_id"]["min_num"] == 5.0 and prof["user_id"]["max_num"] == 7.0
+    assert prof["event_type"]["min_num"] is None  # strings: no numeric stats
+
+
+def test_fk_integrity_flags_staged_orphans(spark, tmp_path):
+    """A child table with keys missing from its parent must show up with
+    the right orphan count and basis-point rate."""
+    from pleiades_spark.plans.relational import q_fk_integrity
+
+    d = str(tmp_path / "fx")
+    # 3 orders reference customers {1, 2, 99}; customer table has {1, 2}.
+    _write(spark, f"{d}/customer.parquet",
+           [(1, "a"), (2, "b")], "c_custkey long, c_name string")
+    _write(spark, f"{d}/orders.parquet",
+           [(10, 1), (11, 2), (12, 99), (13, 99)],
+           "o_orderkey long, o_custkey long")
+    # minimal other tables so the remaining edges evaluate
+    _write(spark, f"{d}/part.parquet", [(1, "p")],
+           "p_partkey long, p_name string")
+    _write(spark, f"{d}/supplier.parquet", [(1, "s")],
+           "s_suppkey long, s_name string")
+    _write(spark, f"{d}/lineitem.parquet", [(10, 1, 1), (12, 1, 1)],
+           "l_orderkey long, l_partkey long, l_suppkey long")
+    got = {r["relation"]: r for r in q_fk_integrity(spark, d).collect()}
+    oc = got["orders.custkey->customer"]
+    assert (oc["n_child"], oc["n_orphans"]) == (4, 2)
+    assert oc["orphan_bp"] == 5000.0  # 2/4 in basis points
+    lo = got["lineitem.orderkey->orders"]
+    assert (lo["n_child"], lo["n_orphans"]) == (2, 0)

@@ -763,3 +763,34 @@ def test_ab_mannwhitney_two_exchanges_final_agg_reuses_window(spark, sf_dir):
     assert len(re.findall(r"\(\d+\) Exchange$", plan, re.M)) == 2
     assert "Join" not in plan
     assert "WindowGroupLimit" not in plan  # running sum, not a rank filter
+
+
+def test_table_profile_one_pass_expand(spark, sf_dir):
+    """All per-column stats (6 exact distincts included) compile to ONE
+    Expand pass over the table — not a scan per column."""
+    import re
+
+    from pleiades_spark.plans.relational import q_table_profile
+
+    plan = _plan(q_table_profile(spark, sf_dir))
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1
+    assert plan.count("Expand") >= 1
+    assert "Join" not in plan
+
+
+def test_fk_integrity_key_only_scans_anti_joins(spark, sf_dir):
+    """Every FK edge reads ONLY its key column (ReadSchema one bigint)
+    and audits via LEFT ANTI equi-joins — no payload columns move, no
+    cartesian anywhere."""
+    from pleiades_spark.plans.relational import q_fk_integrity
+
+    plan = _plan(q_fk_integrity(spark, sf_dir))
+    import re
+
+    # 4 anti-join nodes in the tree (the 1-row count-attach crossJoins
+    # plan as BroadcastNestedLoopJoin Cross — pointer attaches, not
+    # data joins, per the CLAUDE.md invariant)
+    assert len(re.findall(r"\w+Join LeftAnti .*\(\d+\)", plan)) == 4
+    assert "CartesianProduct" not in plan
+    for key in ("l_orderkey", "o_custkey", "l_partkey", "l_suppkey"):
+        assert f"ReadSchema: struct<{key}:bigint>" in plan

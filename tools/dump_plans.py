@@ -365,6 +365,20 @@ SHOW = [
      "a window over the TWO-row arm frame (bounded, no sort) and "
      "var(y−θx) is closed-form from exact moments — no per-user double "
      "accumulation anywhere."),
+    ("table_profile",
+     "Table profile (round 7) — six exact count(DISTINCT)s, null "
+     "counts and numeric min/max compile to ONE Expand pass over a "
+     "single scan (guard: test_table_profile_one_pass_expand); the "
+     "per-column explosion happens on the 1-row aggregate. At 100 TB "
+     "swap approx_count_distinct: no Expand, one ordinary agg."),
+    ("fk_integrity",
+     "FK audit (round 7) — four LEFT ANTI equi-joins, each reading "
+     "ONLY its key column (ReadSchema: one bigint per scan; count(*) "
+     "sides read struct<>); the 1-row count attaches are "
+     "BroadcastNestedLoopJoin Cross pointer attaches. AQE picks "
+     "broadcast vs shuffle per edge — a 10⁹-row parent must not be "
+     "force-broadcast. Guard: "
+     "test_fk_integrity_key_only_scans_anti_joins."),
     ("ab_mannwhitney",
      "Mann–Whitney rank-sum (round 7) — the fact table collapses to "
      "the distinct-(type, cent) grain in exchange 1 (map-side "
