@@ -180,6 +180,7 @@ HEADLINE = [
     "ab_cuped",
     "ab_srm",
     "ab_mannwhitney",
+    "ab_winsorized",
     # round 7: data-quality layer (profile + referential audit)
     "table_profile",
     "fk_integrity",

@@ -1588,6 +1588,14 @@ def q_ab_welch(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type", arm.alias("arm"), cents.alias("c"),
         (cents * cents).alias("c2"),
     )
+    return _welch_from_base(base)
+
+
+def _welch_from_base(base: DataFrame, extra_aggs=(), extra_cols=()) -> DataFrame:
+    """Shared Welch core: (event_type, arm, c, c²) rows → per-type arm
+    moments in one conditional-agg shuffle → t / Satterthwaite df.
+    ab_winsorized reuses it on the capped metric (extra_aggs/extra_cols
+    pass its cap column through)."""
     is_c = F.col("arm") == 0
     g = base.groupBy("event_type").agg(
         F.sum(F.when(is_c, F.lit(1)).otherwise(F.lit(0))).alias("n_c"),
@@ -1596,6 +1604,7 @@ def q_ab_welch(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(~is_c, F.lit(1)).otherwise(F.lit(0))).alias("n_t"),
         F.sum(F.when(~is_c, F.col("c")).otherwise(F.lit(0))).alias("s_t"),
         F.sum(F.when(~is_c, F.col("c2")).otherwise(F.lit(0))).alias("ss_t"),
+        *extra_aggs,
     )
     n_c, s_c, ss_c = F.col("n_c"), F.col("s_c"), F.col("ss_c")
     n_t, s_t, ss_t = F.col("n_t"), F.col("s_t"), F.col("ss_t")
@@ -1640,17 +1649,21 @@ def q_ab_welch(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(n_t > 0, _quantize4(s_t / n_t / 100)).alias("mean_treatment"),
         t_stat.alias("t_stat"),
         df_welch.alias("df_welch"),
+        *extra_cols,
     )
 
 
 _AB_ARM_SQL = "({h} % 2)".format(
     h=h32_sql(f"'{AB_SALT}' || CAST(user_id AS VARCHAR)"))
 
-ORACLE_AB_WELCH = f"""
-WITH base AS (
-  SELECT event_type, {_AB_ARM_SQL} AS arm,
-         CAST(floor(value * 100 + 0.5) AS BIGINT) AS c
-  FROM events
+def _welch_oracle(pre_ctes: str, base_select: str,
+                  extra_g: str = "", extra_sel: str = "",
+                  extra_out: str = "") -> str:
+    """DuckDB twin of :func:`_welch_from_base` — shared by ab_welch and
+    ab_winsorized so the two oracles cannot drift."""
+    return f"""
+WITH {pre_ctes}base AS (
+  {base_select}
 ), g AS (
   SELECT event_type,
          CAST(sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_c,
@@ -1659,6 +1672,7 @@ WITH base AS (
          CAST(sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_t,
          CAST(sum(CASE WHEN arm = 1 THEN c ELSE 0 END) AS BIGINT) AS s_t,
          CAST(sum(CASE WHEN arm = 1 THEN c * c ELSE 0 END) AS BIGINT) AS ss_t
+         {extra_g}
   FROM base GROUP BY event_type
 ), v AS (
   SELECT *,
@@ -1671,7 +1685,7 @@ WITH base AS (
   SELECT *, var_c / n_c AS a, var_t / n_t AS b FROM v
 )
 SELECT event_type, n_control, n_treatment, mean_control, mean_treatment,
-       t_stat, df_welch
+       t_stat, df_welch{extra_out}
 FROM (
   SELECT event_type, n_c AS n_control, n_t AS n_treatment,
          CASE WHEN n_c > 0 THEN {QUANTIZE4_SQL.format(x='s_c / n_c / 100')}
@@ -1685,9 +1699,93 @@ FROM (
            {QUANTIZE4_SQL.format(
                x='(a + b) * (a + b) / (a * a / (n_c - 1) + b * b / (n_t - 1))')}
          END AS df_welch
+         {extra_sel}
   FROM se
 )
 """
+
+
+_AB_BASE_SQL = f"""SELECT event_type, {_AB_ARM_SQL} AS arm,
+         CAST(floor(value * 100 + 0.5) AS BIGINT) AS c
+  FROM events"""
+
+ORACLE_AB_WELCH = _welch_oracle("", _AB_BASE_SQL)
+
+
+# Winsorization percentile: cap the metric at the POOLED per-type p99
+# (arm-independent, so capping cannot introduce a between-arm bias).
+WINSOR_P = 99
+
+
+def q_ab_winsorized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorized Welch readout — the outlier-robust production variant:
+    the metric is capped at the pooled per-type p99 BEFORE the t-test,
+    the standard guard against a handful of whale users deciding the
+    experiment. Same output as ab_welch plus the applied cap.
+
+    The cap is the EXACT integer percentile pv = min{v : 100·W(v) ≥
+    99·W_tot} from operators/robust.grouped_exact_percentiles (two-phase
+    bucket refinement — no raw-row sort, no constant-cardinality window
+    trap), computed pooled across arms. Pure integer comparisons, so the
+    Spark cap and the oracle's cumulative-rule cap agree exactly; the
+    capped metric stays integer cents, so the whole ab_welch parity
+    story carries over unchanged (shared _welch_from_base core).
+
+    Plan: the value-grain weight table (event_type, cents → w) is the
+    same distinct-value collapse ab_mannwhitney rides (a few thousand
+    rows per type at ANY SF); the cap table is |types| rows broadcast
+    back onto the fact scan; then ONE conditional-agg shuffle as
+    ab_welch. Requires a non-negative metric (cents ≥ 0) — same contract
+    as grouped_exact_percentiles.
+    """
+    from pleiades_spark.operators.robust import grouped_exact_percentiles
+
+    ev = _t(spark, sf_dir, "events")
+    arm = h32(F.concat(F.lit(AB_SALT), F.col("user_id").cast("string"))) % 2
+    cents = F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
+    raw = ev.select("event_type", arm.alias("arm"), cents.alias("c"))
+    per_v = raw.groupBy("event_type", "c").agg(F.count(F.lit(1)).alias("w"))
+    cap = grouped_exact_percentiles(
+        per_v, ["event_type"], "c", "w", [WINSOR_P]
+    ).select("event_type", F.col("pv").alias("cap"))
+    capped = (
+        raw.join(F.broadcast(cap), "event_type")
+        .withColumn("c", F.least(F.col("c"), F.col("cap")))
+        .withColumn("c2", F.col("c") * F.col("c"))
+    )
+    return _welch_from_base(
+        capped,
+        extra_aggs=[F.min("cap").alias("capc")],
+        extra_cols=[_quantize4(F.col("capc") / 100).alias("winsor_cap")],
+    )
+
+
+_WINSOR_PRE_SQL = f"""raw AS (
+  {_AB_BASE_SQL}
+), per_v AS (
+  SELECT event_type, c, CAST(count(*) AS BIGINT) AS w
+  FROM raw GROUP BY event_type, c
+), cum AS (
+  SELECT event_type, c, w,
+         sum(w) OVER (PARTITION BY event_type ORDER BY c ASC
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cw,
+         sum(w) OVER (PARTITION BY event_type) AS tot
+  FROM per_v
+), capt AS (
+  SELECT event_type,
+         CAST(min(CASE WHEN 100 * cw >= {WINSOR_P} * tot THEN c END)
+              AS BIGINT) AS cap
+  FROM cum GROUP BY event_type
+), """
+
+ORACLE_AB_WINSORIZED = _welch_oracle(
+    _WINSOR_PRE_SQL,
+    "SELECT r.event_type, r.arm, least(r.c, p.cap) AS c, p.cap AS cap\n"
+    "  FROM raw r JOIN capt p ON r.event_type = p.event_type",
+    extra_g=", CAST(min(cap) AS BIGINT) AS capc",
+    extra_sel=f", {QUANTIZE4_SQL.format(x='capc / 100')} AS winsor_cap",
+    extra_out=", winsor_cap",
+)
 
 
 def q_ab_cuped(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2037,6 +2135,8 @@ QUERIES = [
           "sample-ratio-mismatch guardrail: per-type + overall CUBE"),
     Query("ab_mannwhitney", q_ab_mannwhitney, ORACLE_AB_MANNWHITNEY,
           "Mann-Whitney U rank-sum per type, tie-corrected z, exact ranks"),
+    Query("ab_winsorized", q_ab_winsorized, ORACLE_AB_WINSORIZED,
+          "p99-winsorized Welch readout (outlier-robust production form)"),
     Query("hybrid_rrf_retrieval", q_hybrid_rrf_retrieval, _oracle_hybrid_rrf(),
           "reciprocal-rank fusion of BM25 relevance + quality prior top-10s"),
     Query("bm25_retrieval", q_bm25_retrieval, ORACLE_BM25_RETRIEVAL,

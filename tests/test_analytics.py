@@ -451,3 +451,42 @@ def test_ab_mannwhitney_all_equal_values_null_z(spark, tmp_path):
     d = _stage_events(spark, tmp_path, rows)
     got = q_ab_mannwhitney(spark, d).collect()[0]
     assert got["z_stat"] is None
+
+
+def test_ab_winsorized_caps_outlier_and_matches_p99_rule(spark, tmp_path):
+    """One whale user in one arm: the winsorized readout must cap it at
+    the pooled p99 (exact integer rule), pull that arm's mean toward the
+    bulk, and leave the other arm untouched."""
+    import hashlib
+
+    from pleiades_spark.plans.analytics import (
+        AB_SALT, q_ab_welch, q_ab_winsorized,
+    )
+
+    def arm(uid):
+        h = int(hashlib.md5(f"{AB_SALT}{uid}".encode()).hexdigest()[:8], 16)
+        return h % 2
+
+    treat = [u for u in range(300) if arm(u) == 1]
+    ctrl = [u for u in range(300) if arm(u) == 0]
+    uids = ctrl[:50] + treat[:50]
+    rows = [(i, 3600 + i, u, "click", 10.0 + (i % 7) * 0.5)
+            for i, u in enumerate(uids)]
+    whale = treat[50]
+    rows.append((len(rows), 9000, whale, "click", 100000.0))
+    d = _stage_events(spark, tmp_path, rows)
+
+    raw = {r["event_type"]: r for r in q_ab_welch(spark, d).collect()}["click"]
+    win = {r["event_type"]: r
+           for r in q_ab_winsorized(spark, d).collect()}["click"]
+    # p99 rule on 101 rows: cap = min{v : 100*W(v) >= 99*101} -> the
+    # 100th smallest value = the largest NON-whale value (13.0)
+    vals = sorted(10.0 + (i % 7) * 0.5 for i in range(100))
+    assert win["winsor_cap"] == vals[-1]
+    assert win["n_treatment"] == raw["n_treatment"] == 51
+    # whale inflated the raw treatment mean; the capped one sits in the bulk
+    assert raw["mean_treatment"] > 1000
+    assert win["mean_treatment"] < 15
+    assert win["mean_control"] == raw["mean_control"]  # no whale in control
+    # and the capped t is finite/sane where the raw one is whale-dominated
+    assert abs(win["t_stat"]) < 30

@@ -387,6 +387,14 @@ SHOW = [
      "final per-type agg share exchange 2. Ranks never materialize "
      "per row — tie groups carry (n0, n1, t) counts instead. Guard: "
      "test_ab_mannwhitney_two_exchanges_final_agg_reuses_window."),
+    ("ab_winsorized",
+     "Winsorized Welch (round 7) — the pooled p99 cap comes from the "
+     "exact two-phase bucket percentile (value-grain weights, bounded "
+     "cumulative window — never a raw-row sort), broadcasts back as a "
+     "|types|-row frame, and the capped metric rides the SAME "
+     "one-shuffle conditional-agg Welch core as ab_welch "
+     "(_welch_from_base). The robust production form: whales cannot "
+     "decide the experiment."),
     ("ab_srm",
      "SRM guardrail (round 7) — count(DISTINCT CASE) under CUBE plans "
      "as the standard two-phase distinct Expand with map-side "
