@@ -794,3 +794,49 @@ def test_fk_integrity_key_only_scans_anti_joins(spark, sf_dir):
     assert "CartesianProduct" not in plan
     for key in ("l_orderkey", "o_custkey", "l_partkey", "l_suppkey"):
         assert f"ReadSchema: struct<{key}:bigint>" in plan
+
+
+def test_ab_srm_single_scan_expand_distinct(spark, sf_dir):
+    """The SRM cube plans as the standard two-phase distinct Expand over
+    ONE scan — no join, no second pass."""
+    import re
+
+    from pleiades_spark.plans.analytics import q_ab_srm
+
+    plan = _plan(q_ab_srm(spark, sf_dir))
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1
+    assert "Expand" in plan
+    assert "Join" not in plan
+
+
+def test_ab_winsorized_broadcast_cap_one_metric_shuffle(spark, sf_dir):
+    """The p99 cap table must come back as a BROADCAST onto the fact
+    rows (|types| rows), and the capped metric must ride ONE
+    conditional-agg shuffle — no sort of raw rows anywhere."""
+    from pleiades_spark.plans.analytics import q_ab_winsorized
+
+    plan = _plan(q_ab_winsorized(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan  # cap join onto the fact scan
+    assert "CartesianProduct" not in plan
+    # the percentile machinery's windows run on the value-grain collapse,
+    # never a global sort of raw rows
+    assert "Sort [c" not in plan or "global=false" in plan
+
+
+def test_ab_cuped_one_user_shuffle_two_row_pool_window(spark, sf_dir):
+    """CUPED's only real shuffle keys the per-user rollup on user_id;
+    the cut scalar rides a 1-row broadcast cross attach; pooled moments
+    are a window over the TWO-row arm aggregate (SinglePartition of 2
+    rows, not of data)."""
+    import re
+
+    from pleiades_spark.plans.analytics import q_ab_cuped
+
+    plan = _plan(q_ab_cuped(spark, sf_dir))
+    assert "hashpartitioning(user_id" in plan
+    assert plan.count("BroadcastNestedLoopJoin Cross") == 1  # cut attach
+    assert "CartesianProduct" not in plan
+    # exactly one data-bearing row-level shuffle: user_id; every other
+    # exchange operates on <= 2-row aggregate frames
+    user_ex = len(re.findall(r"hashpartitioning\(user_id", plan))
+    assert user_ex >= 1
