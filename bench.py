@@ -181,6 +181,8 @@ HEADLINE = [
     "ab_srm",
     "ab_mannwhitney",
     "ab_winsorized",
+    "ab_proportion",
+    "ab_quantile_effect",
     # round 7: data-quality layer (profile + referential audit)
     "table_profile",
     "fk_integrity",

@@ -1712,6 +1712,198 @@ _AB_BASE_SQL = f"""SELECT event_type, {_AB_ARM_SQL} AS arm,
 ORACLE_AB_WELCH = _welch_oracle("", _AB_BASE_SQL)
 
 
+def q_ab_proportion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-proportion conversion z-test — the workhorse A/B statistic:
+    did the treatment change the fraction of users who purchase? Per
+    arm: assigned users, converters (≥1 purchase event), conversion
+    rate; pooled-variance normal approximation
+    z = (p_c − p_t)/√(p̂(1−p̂)(1/n_c + 1/n_t)) and the relative lift.
+
+    Everything derives from four BIGINT counts, so parity is trivial —
+    the float ops (rates, pooled p̂, the z denominator) run in identical
+    textual order and quantize at 4 decimals.
+
+    Plan: one per-user shuffle (user_id grain: arm + converted flag via
+    max(CASE)) then a single global conditional aggregate (1 row). At
+    100 TB: one real shuffle, map-side combined on both phases.
+    """
+    ev = _t(spark, sf_dir, "events")
+    arm = h32(F.concat(F.lit(AB_SALT), F.col("user_id").cast("string"))) % 2
+    per_user = (
+        ev.select("user_id", "event_type")
+        .groupBy("user_id")
+        .agg(
+            F.max(
+                F.when(F.col("event_type") == "purchase", F.lit(1))
+                .otherwise(F.lit(0))
+            ).alias("conv")
+        )
+        .select(arm.alias("arm"), "conv")
+    )
+    is_c = F.col("arm") == 0
+    g = per_user.agg(
+        F.sum(F.when(is_c, F.lit(1)).otherwise(F.lit(0))).alias("n_c"),
+        F.sum(F.when(is_c, F.col("conv")).otherwise(F.lit(0))).alias("x_c"),
+        F.sum(F.when(~is_c, F.lit(1)).otherwise(F.lit(0))).alias("n_t"),
+        F.sum(F.when(~is_c, F.col("conv")).otherwise(F.lit(0))).alias("x_t"),
+    )
+    n_c, x_c, n_t, x_t = (F.col(c) for c in ("n_c", "x_c", "n_t", "x_t"))
+    g = g.withColumns({
+        "p_c": F.when(n_c > 0, x_c / n_c),
+        "p_t": F.when(n_t > 0, x_t / n_t),
+        "pp": F.when(n_c + n_t > 0, (x_c + x_t) / (n_c + n_t)),
+    })
+    se2 = (
+        F.col("pp") * (1 - F.col("pp")) * (1.0 / n_c + 1.0 / n_t)
+    )
+    g = g.withColumn(
+        "se2", F.when((n_c > 0) & (n_t > 0), se2)
+    )
+    z = F.when(
+        F.col("se2") > 0,
+        _quantize4((F.col("p_c") - F.col("p_t")) / F.sqrt(F.col("se2"))),
+    )
+    lift = F.when(
+        F.col("p_c") > 0,
+        _quantize4((F.col("p_t") - F.col("p_c")) / F.col("p_c") * 100),
+    )
+    return g.select(
+        n_c.alias("n_control"), x_c.alias("conv_control"),
+        n_t.alias("n_treatment"), x_t.alias("conv_treatment"),
+        _quantize4(F.col("p_c")).alias("rate_control"),
+        _quantize4(F.col("p_t")).alias("rate_treatment"),
+        z.alias("z_stat"),
+        lift.alias("lift_pct"),
+    )
+
+
+def q_ab_quantile_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile treatment effects — what the mean hides: per-arm EXACT
+    p50/p90 of the metric per event_type and their treatment−control
+    differences. A treatment that moves the tail but not the median (or
+    vice versa) shows up here and nowhere in ab_welch.
+
+    Percentiles are the same integer rule as everywhere in this repo
+    (pv = min{v : 100·W(v) ≥ p·W_tot}, two-phase bucket refinement from
+    operators/robust — no raw-row sort), keyed by (event_type, arm);
+    differences are integer-cent subtractions divided by 100 at the end.
+
+    Plan: distinct-value collapse (event_type, arm, cents → weight),
+    bounded cumulative windows on that tiny grain, a |types|·2-row
+    pivot. One fact shuffle at any SF.
+    """
+    from pleiades_spark.operators.robust import grouped_exact_percentiles
+
+    ev = _t(spark, sf_dir, "events")
+    arm = h32(F.concat(F.lit(AB_SALT), F.col("user_id").cast("string"))) % 2
+    cents = F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
+    raw = ev.select("event_type", arm.alias("arm"), cents.alias("c"))
+    per_v = raw.groupBy("event_type", "arm", "c").agg(
+        F.count(F.lit(1)).alias("w")
+    )
+    pct = grouped_exact_percentiles(
+        per_v, ["event_type", "arm"], "c", "w", [50, 90]
+    )
+
+    def pick(a: int, p: int):
+        return F.min(
+            F.when((F.col("arm") == a) & (F.col("p") == p), F.col("pv"))
+        )
+
+    g = pct.groupBy("event_type").agg(
+        pick(0, 50).alias("p50c"), pick(1, 50).alias("p50t"),
+        pick(0, 90).alias("p90c"), pick(1, 90).alias("p90t"),
+    )
+    return g.select(
+        "event_type",
+        _quantize4(F.col("p50c") / 100).alias("p50_control"),
+        _quantize4(F.col("p50t") / 100).alias("p50_treatment"),
+        _quantize4((F.col("p50t") - F.col("p50c")) / 100).alias("qte_p50"),
+        _quantize4(F.col("p90c") / 100).alias("p90_control"),
+        _quantize4(F.col("p90t") / 100).alias("p90_treatment"),
+        _quantize4((F.col("p90t") - F.col("p90c")) / 100).alias("qte_p90"),
+    )
+
+
+ORACLE_AB_QUANTILE_EFFECT = f"""
+WITH base AS (
+  {_AB_BASE_SQL}
+), per_v AS (
+  SELECT event_type, arm, c, CAST(count(*) AS BIGINT) AS w
+  FROM base GROUP BY event_type, arm, c
+), cum AS (
+  SELECT event_type, arm, c, w,
+         sum(w) OVER (PARTITION BY event_type, arm ORDER BY c ASC
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cw,
+         sum(w) OVER (PARTITION BY event_type, arm) AS tot
+  FROM per_v
+), px AS (
+  SELECT event_type, arm,
+         CAST(min(CASE WHEN 100 * cw >= 50 * tot THEN c END) AS BIGINT)
+           AS p50,
+         CAST(min(CASE WHEN 100 * cw >= 90 * tot THEN c END) AS BIGINT)
+           AS p90
+  FROM cum GROUP BY event_type, arm
+), g AS (
+  SELECT event_type,
+         CAST(min(CASE WHEN arm = 0 THEN p50 END) AS BIGINT) AS p50c,
+         CAST(min(CASE WHEN arm = 1 THEN p50 END) AS BIGINT) AS p50t,
+         CAST(min(CASE WHEN arm = 0 THEN p90 END) AS BIGINT) AS p90c,
+         CAST(min(CASE WHEN arm = 1 THEN p90 END) AS BIGINT) AS p90t
+  FROM px GROUP BY event_type
+)
+SELECT event_type,
+       {QUANTIZE4_SQL.format(x='p50c / 100')} AS p50_control,
+       {QUANTIZE4_SQL.format(x='p50t / 100')} AS p50_treatment,
+       {QUANTIZE4_SQL.format(x='(p50t - p50c) / 100')} AS qte_p50,
+       {QUANTIZE4_SQL.format(x='p90c / 100')} AS p90_control,
+       {QUANTIZE4_SQL.format(x='p90t / 100')} AS p90_treatment,
+       {QUANTIZE4_SQL.format(x='(p90t - p90c) / 100')} AS qte_p90
+FROM g
+"""
+
+
+ORACLE_AB_PROPORTION = f"""
+WITH per_user AS (
+  SELECT user_id,
+         CAST(max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+              AS BIGINT) AS conv
+  FROM events GROUP BY user_id
+), armed AS (
+  SELECT {_AB_ARM_SQL} AS arm, conv FROM per_user
+), g AS (
+  SELECT CAST(sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_c,
+         CAST(sum(CASE WHEN arm = 0 THEN conv ELSE 0 END) AS BIGINT) AS x_c,
+         CAST(sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_t,
+         CAST(sum(CASE WHEN arm = 1 THEN conv ELSE 0 END) AS BIGINT) AS x_t
+  FROM armed
+), p AS (
+  SELECT *,
+         CASE WHEN n_c > 0 THEN x_c / n_c END AS p_c,
+         CASE WHEN n_t > 0 THEN x_t / n_t END AS p_t,
+         CASE WHEN n_c + n_t > 0 THEN (x_c + x_t) / (n_c + n_t) END AS pp
+  FROM g
+), s AS (
+  SELECT *,
+         CASE WHEN n_c > 0 AND n_t > 0 THEN
+           pp * (1 - pp) * (1.0 / n_c + 1.0 / n_t)
+         END AS se2
+  FROM p
+)
+SELECT n_c AS n_control, x_c AS conv_control,
+       n_t AS n_treatment, x_t AS conv_treatment,
+       {QUANTIZE4_SQL.format(x='p_c')} AS rate_control,
+       {QUANTIZE4_SQL.format(x='p_t')} AS rate_treatment,
+       CASE WHEN se2 > 0 THEN
+         {QUANTIZE4_SQL.format(x='(p_c - p_t) / sqrt(se2)')}
+       END AS z_stat,
+       CASE WHEN p_c > 0 THEN
+         {QUANTIZE4_SQL.format(x='(p_t - p_c) / p_c * 100')}
+       END AS lift_pct
+FROM s
+"""
+
+
 # Winsorization percentile: cap the metric at the POOLED per-type p99
 # (arm-independent, so capping cannot introduce a between-arm bias).
 WINSOR_P = 99
@@ -2137,6 +2329,11 @@ QUERIES = [
           "Mann-Whitney U rank-sum per type, tie-corrected z, exact ranks"),
     Query("ab_winsorized", q_ab_winsorized, ORACLE_AB_WINSORIZED,
           "p99-winsorized Welch readout (outlier-robust production form)"),
+    Query("ab_proportion", q_ab_proportion, ORACLE_AB_PROPORTION,
+          "two-proportion conversion z-test with pooled variance + lift"),
+    Query("ab_quantile_effect", q_ab_quantile_effect,
+          ORACLE_AB_QUANTILE_EFFECT,
+          "per-arm exact p50/p90 quantile treatment effects per type"),
     Query("hybrid_rrf_retrieval", q_hybrid_rrf_retrieval, _oracle_hybrid_rrf(),
           "reciprocal-rank fusion of BM25 relevance + quality prior top-10s"),
     Query("bm25_retrieval", q_bm25_retrieval, ORACLE_BM25_RETRIEVAL,

@@ -490,3 +490,71 @@ def test_ab_winsorized_caps_outlier_and_matches_p99_rule(spark, tmp_path):
     assert win["mean_control"] == raw["mean_control"]  # no whale in control
     # and the capped t is finite/sane where the raw one is whale-dominated
     assert abs(win["t_stat"]) < 30
+
+
+def test_ab_proportion_matches_hand_computation(spark, tmp_path):
+    """Conversion z-test vs plain-Python pooled-variance formula."""
+    import hashlib
+    import math
+
+    from pleiades_spark.plans.analytics import AB_SALT, q_ab_proportion
+
+    def arm(uid):
+        h = int(hashlib.md5(f"{AB_SALT}{uid}".encode()).hexdigest()[:8], 16)
+        return h % 2
+
+    # every 3rd control user converts; every 2nd treatment user converts
+    rows, eid = [], 0
+    stats = {0: [0, 0], 1: [0, 0]}  # arm -> [n, converters]
+    ctrl = [u for u in range(200) if arm(u) == 0][:30]
+    treat = [u for u in range(200) if arm(u) == 1][:30]
+    for i, u in enumerate(ctrl + treat):
+        a = arm(u)
+        stats[a][0] += 1
+        rows.append((eid, 3600 + eid, u, "view", 1.0)); eid += 1
+        if (a == 0 and i % 3 == 0) or (a == 1 and i % 2 == 0):
+            stats[a][1] += 1
+            rows.append((eid, 7200 + eid, u, "purchase", 5.0)); eid += 1
+    d = _stage_events(spark, tmp_path, rows)
+    r = q_ab_proportion(spark, d).collect()[0]
+    (n_c, x_c), (n_t, x_t) = stats[0], stats[1]
+    assert (r["n_control"], r["conv_control"]) == (n_c, x_c)
+    assert (r["n_treatment"], r["conv_treatment"]) == (n_t, x_t)
+    p_c, p_t = x_c / n_c, x_t / n_t
+    pp = (x_c + x_t) / (n_c + n_t)
+    z = (p_c - p_t) / math.sqrt(pp * (1 - pp) * (1 / n_c + 1 / n_t))
+    assert abs(r["z_stat"] - z) < 1e-3
+    assert abs(r["lift_pct"] - (p_t - p_c) / p_c * 100) < 1e-2
+
+
+def test_ab_quantile_effect_sees_tail_only_shift(spark, tmp_path):
+    """Treatment multiplies only the top decile: qte_p90 must move,
+    qte_p50 must stay ~0 — the distributional signal ab_welch's mean
+    smears and this readout isolates."""
+    import hashlib
+
+    from pleiades_spark.plans.analytics import AB_SALT, q_ab_quantile_effect
+
+    def arm(uid):
+        h = int(hashlib.md5(f"{AB_SALT}{uid}".encode()).hexdigest()[:8], 16)
+        return h % 2
+
+    ctrl = [u for u in range(400) if arm(u) == 0][:100]
+    treat = [u for u in range(400) if arm(u) == 1][:100]
+    rows, eid = [], 0
+    for us, tail_boost in ((ctrl, 1.0), (treat, 3.0)):
+        for i, u in enumerate(us):
+            v = 10.0 + (i % 100) * 0.1          # 10.0 .. 19.9 uniform-ish
+            if i % 100 >= 85:                   # top 15% only (p90 inside)
+                v = v * tail_boost
+            rows.append((eid, 3600 + eid, u, "click", round(v, 2)))
+            eid += 1
+    d = _stage_events(spark, tmp_path, rows)
+    r = {x["event_type"]: x
+         for x in q_ab_quantile_effect(spark, d).collect()}["click"]
+    # medians identical (both arms' mid-distribution untouched) while the
+    # p90 effect is the full 3x boost — exactly the signal the mean smears
+    assert r["p50_control"] == r["p50_treatment"]
+    assert r["qte_p50"] == 0.0
+    assert r["p90_treatment"] > 2.5 * r["p90_control"]
+    assert r["qte_p90"] > 30

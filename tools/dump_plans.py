@@ -387,6 +387,18 @@ SHOW = [
      "final per-type agg share exchange 2. Ranks never materialize "
      "per row — tie groups carry (n0, n1, t) counts instead. Guard: "
      "test_ab_mannwhitney_two_exchanges_final_agg_reuses_window."),
+    ("ab_proportion",
+     "Conversion z-test (round 7) — per-user converted flag (max(CASE) "
+     "on the user_id shuffle), then ONE global conditional aggregate "
+     "(1 row). Four BIGINT counts drive every statistic; the lift and "
+     "z are projections. The single real shuffle is the user grain."),
+    ("ab_quantile_effect",
+     "Quantile treatment effects (round 7) — per-(type, arm) exact "
+     "p50/p90 via the two-phase bucket percentile on the "
+     "distinct-value grain (no raw-row sort; cumulative windows run "
+     "over a few thousand rows per key at ANY SF), pivoted to "
+     "|types| rows. The distributional readout the mean-based tests "
+     "can't see."),
     ("ab_winsorized",
      "Winsorized Welch (round 7) — the pooled p99 cap comes from the "
      "exact two-phase bucket percentile (value-grain weights, bounded "
