@@ -183,6 +183,7 @@ HEADLINE = [
     "ab_winsorized",
     "ab_proportion",
     "ab_quantile_effect",
+    "streaming_ab_welch",
     # round 7: data-quality layer (profile + referential audit)
     "table_profile",
     "fk_integrity",

@@ -1591,21 +1591,44 @@ def q_ab_welch(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _welch_from_base(base)
 
 
-def _welch_from_base(base: DataFrame, extra_aggs=(), extra_cols=()) -> DataFrame:
-    """Shared Welch core: (event_type, arm, c, c²) rows → per-type arm
-    moments in one conditional-agg shuffle → t / Satterthwaite df.
-    ab_winsorized reuses it on the capped metric (extra_aggs/extra_cols
-    pass its cap column through)."""
+def ab_arm_col() -> "F.Column":
+    """Deterministic 50/50 arm for a row's user_id (0=control)."""
+    return h32(F.concat(F.lit(AB_SALT), F.col("user_id").cast("string"))) % 2
+
+
+def ab_cents_col() -> "F.Column":
+    """Exact integer-cent image of the value column."""
+    return F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
+
+
+def welch_moment_aggs() -> list:
+    """The six per-type arm-moment aggregates over (arm, c, c²) rows —
+    a commutative monoid, so the SAME aggregation runs batch (one
+    shuffle) or streaming (update-mode incremental state)."""
     is_c = F.col("arm") == 0
-    g = base.groupBy("event_type").agg(
+    return [
         F.sum(F.when(is_c, F.lit(1)).otherwise(F.lit(0))).alias("n_c"),
         F.sum(F.when(is_c, F.col("c")).otherwise(F.lit(0))).alias("s_c"),
         F.sum(F.when(is_c, F.col("c2")).otherwise(F.lit(0))).alias("ss_c"),
         F.sum(F.when(~is_c, F.lit(1)).otherwise(F.lit(0))).alias("n_t"),
         F.sum(F.when(~is_c, F.col("c")).otherwise(F.lit(0))).alias("s_t"),
         F.sum(F.when(~is_c, F.col("c2")).otherwise(F.lit(0))).alias("ss_t"),
-        *extra_aggs,
-    )
+    ]
+
+
+def _welch_from_base(base: DataFrame, extra_aggs=(), extra_cols=()) -> DataFrame:
+    """Shared Welch core: (event_type, arm, c, c²) rows → per-type arm
+    moments in one conditional-agg shuffle → t / Satterthwaite df.
+    ab_winsorized reuses it on the capped metric (extra_aggs/extra_cols
+    pass its cap column through); streaming_ab_welch reuses welch_stats
+    on its incrementally-maintained moment state."""
+    g = base.groupBy("event_type").agg(*welch_moment_aggs(), *extra_aggs)
+    return welch_stats(g, extra_cols=extra_cols)
+
+
+def welch_stats(g: DataFrame, extra_cols=()) -> DataFrame:
+    """t / Satterthwaite df from a (event_type, n_c, s_c, ss_c, n_t,
+    s_t, ss_t) moment frame — however those moments were maintained."""
     n_c, s_c, ss_c = F.col("n_c"), F.col("s_c"), F.col("ss_c")
     n_t, s_t, ss_t = F.col("n_t"), F.col("s_t"), F.col("ss_t")
     # Sample variance from exact integer moments: (n·Σc² − (Σc)²)/n/(n−1).

@@ -591,6 +591,67 @@ def _oracle_streaming_lsh_dedup() -> str:
     return ORACLE_DEDUP_MINHASH
 
 
+def q_streaming_ab_welch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The A/B readout as a CONTINUOUS pipeline: the six Welch arm
+    moments (counts, Σcents, Σcents² per arm) are a commutative monoid,
+    so the exact batch aggregation runs as an update-mode streaming
+    aggregate — per-type moment state accumulates across micro-batches
+    and the t/df derive from the FINAL state. This is how an experiment
+    dashboard actually consumes the stream: moments update per batch,
+    statistics are a pure projection of state.
+
+    Gate: events staged as two disjoint micro-batches
+    (maxFilesPerTrigger=1), so the state provably merges across
+    batches; the final emitted update per event_type must equal the
+    batch moments exactly — the oracle IS ab_welch's
+    (plans/analytics._welch_oracle). Statistics reuse the shared
+    welch_stats tail, so batch and streaming cannot drift.
+
+    Scale: update-mode sums keyed by event_type — state is |types| × 6
+    longs per state-store partition; output per batch is |types| rows.
+    No watermark needed (global lifetime aggregate, keys never expire).
+    """
+    from pleiades_spark.plans.analytics import (
+        ab_arm_col,
+        ab_cents_col,
+        welch_moment_aggs,
+        welch_stats,
+    )
+
+    apply_runtime_confs(spark)
+    src = tempfile.mkdtemp(prefix="sab_welch_")
+    _stage_event_files(spark, sf_dir, src, split=True)
+
+    def op(stream: DataFrame) -> DataFrame:
+        c = ab_cents_col()
+        base = stream.select(
+            "event_type",
+            ab_arm_col().alias("arm"),
+            c.alias("c"),
+            (c * c).alias("c2"),
+        )
+        return base.groupBy("event_type").agg(*welch_moment_aggs())
+
+    mem = _run_stateful(spark, src, op, "update", "sab_welch_gate")
+    # update mode re-emits a type's row each batch it changes; the final
+    # state is the row with the largest total n (strictly increasing).
+    w = Window.partitionBy("event_type").orderBy(
+        (F.col("n_c") + F.col("n_t")).desc()
+    )
+    final = (
+        mem.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
+    return welch_stats(final)
+
+
+def _oracle_streaming_ab_welch() -> str:
+    from pleiades_spark.plans.analytics import ORACLE_AB_WELCH
+
+    return ORACLE_AB_WELCH
+
+
 QUERIES = [
     Query("streaming_lsh_dedup", q_streaming_lsh_dedup,
           _oracle_streaming_lsh_dedup(),
@@ -615,4 +676,7 @@ QUERIES = [
           "dropDuplicatesWithinWatermark: double-delivered stream -> each event once"),
     Query("stream_stream_join", q_stream_stream_join, ORACLE_STREAM_STREAM_JOIN,
           "watermarked stream-stream interval self-join (1h follow-on window)"),
+    Query("streaming_ab_welch", q_streaming_ab_welch,
+          _oracle_streaming_ab_welch(),
+          "update-mode incremental Welch moments; final state == batch"),
 ]

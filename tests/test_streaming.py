@@ -402,3 +402,22 @@ def test_streaming_lsh_dedup_finds_cross_batch_pairs(spark, tmp_path):
     }
     assert got == batch
     assert (0, 1) in got and (2, 3) in got
+
+
+def test_streaming_ab_welch_converges_to_batch(spark, sf_dir):
+    """The update-mode moment stream must (a) accumulate state ACROSS
+    micro-batches — some type emits more than one update row — and
+    (b) converge to EXACTLY the batch readout."""
+    from pleiades_spark.plans.analytics import q_ab_welch
+    from pleiades_spark.plans.streaming_batch import q_streaming_ab_welch
+
+    got = {r["event_type"]: r.asDict()
+           for r in q_streaming_ab_welch(spark, sf_dir).collect()}
+    want = {r["event_type"]: r.asDict()
+            for r in q_ab_welch(spark, sf_dir).collect()}
+    assert got == want
+    # the raw update sink holds the per-batch emissions: with two staged
+    # micro-batches every active type should have emitted twice
+    mem = spark.table("sab_welch_gate")
+    per_type = mem.groupBy("event_type").count().collect()
+    assert max(r["count"] for r in per_type) >= 2

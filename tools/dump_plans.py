@@ -387,6 +387,14 @@ SHOW = [
      "final per-type agg share exchange 2. Ranks never materialize "
      "per row — tie groups carry (n0, n1, t) counts instead. Guard: "
      "test_ab_mannwhitney_two_exchanges_final_agg_reuses_window."),
+    ("streaming_ab_welch",
+     "Streaming A/B readout (round 7) — the six Welch moments are a "
+     "commutative monoid, so the batch aggregation runs verbatim as an "
+     "update-mode streaming aggregate: per-type state is 6 longs, "
+     "output per batch is |types| rows, no watermark (lifetime keys "
+     "never expire). t/df reuse the shared welch_stats tail on the "
+     "final state, so batch and streaming cannot drift — the gate "
+     "oracle IS ab_welch's."),
     ("ab_proportion",
      "Conversion z-test (round 7) — per-user converted flag (max(CASE) "
      "on the user_id shuffle), then ONE global conditional aggregate "
