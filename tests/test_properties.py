@@ -280,3 +280,52 @@ def test_bm25_term_score_monotone_in_tf(tf, dl, df):
 
     assert score(tf + 1, dl) > score(tf, dl)
     assert score(tf, dl + 100) < score(tf, dl)
+
+
+# --- Welch core: decimal-widened moment math vs pure Python ----------------
+
+_cents = st.integers(min_value=-10**8, max_value=10**8)
+
+
+@given(
+    c=st.lists(_cents, min_size=2, max_size=12),
+    t=st.lists(_cents, min_size=2, max_size=12),
+)
+@settings(max_examples=12, deadline=None)
+def test_welch_stats_matches_python_at_any_magnitude(spark, c, t):
+    """welch_stats must agree with the textbook formula computed in pure
+    Python — including cent magnitudes (±10⁸ per row) whose squared sums
+    overflow int64, the exact regression the sf10 bench caught. Moments
+    are fed as a literal frame, so hypothesis drives the decimal(38,0)
+    combination path directly."""
+    import math
+
+    from pleiades_spark.plans.analytics import welch_stats
+
+    g = spark.createDataFrame(
+        [(
+            "x",
+            len(c), sum(c), sum(v * v for v in c),
+            len(t), sum(t), sum(v * v for v in t),
+        )],
+        "event_type string, n_c long, s_c long, ss_c long,"
+        " n_t long, s_t long, ss_t long",
+    )
+    r = welch_stats(g).collect()[0]
+
+    def var(xs):
+        m = sum(xs) / len(xs)
+        return sum((x - m) ** 2 for x in xs) / (len(xs) - 1)
+
+    a, b = var(c) / len(c), var(t) / len(t)
+    if a + b <= 0:
+        assert r["t_stat"] is None and r["df_welch"] is None
+        return
+    tt = (sum(c) / len(c) - sum(t) / len(t)) / math.sqrt(a + b)
+    df = (a + b) ** 2 / (a * a / (len(c) - 1) + b * b / (len(t) - 1))
+    # quantized to 4 decimals on huge magnitudes: compare relatively
+    assert abs(r["t_stat"] - tt) <= max(1e-3, abs(tt) * 1e-6)
+    assert abs(r["df_welch"] - df) <= max(1e-3, abs(df) * 1e-6)
+    assert abs(r["mean_control"] - sum(c) / len(c) / 100) <= max(
+        1e-3, abs(sum(c) / len(c) / 100) * 1e-9
+    )
