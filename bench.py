@@ -1,12 +1,15 @@
 """Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR (default
 /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
 
-Prints TWO JSON lines: first a compact summary {"metric": ..., "value":
-total_sec, "unit": "sec", "sf": ..., "n_queries": N} (guaranteed to fit
-a bounded capture window — the round-6 driver snapshot truncated the
-105-entry per-query map and recorded parsed=null), then the full line
+Prints THREE JSON lines: a compact summary {"metric": ..., "value":
+total_sec, "unit": "sec", "sf": ..., "n_queries": N}, then the full line
 {"metric": ..., "value": ..., "unit": "sec", "queries": {name: sec},
-"sf": ...} for humans and tools/scale_report.py.
+"sf": ...} for humans and tools/scale_report.py, then the compact
+summary AGAIN as the final line. The driver keeps the TAIL of stdout
+and parses the last JSON line it sees — round 6's summary-first change
+still left the truncated 105-entry map as the tail, so BENCH_r07.json
+recorded parsed=null. Ending with the short line guarantees the tail is
+always a complete, parseable JSON object.
 
 Each query executes end-to-end via the noop sink (full plan runs, no
 driver-side result transfer skewing the number). A warmup query first
@@ -230,20 +233,18 @@ def main() -> None:
         timings[name] = round(best, 3)
 
     total = round(sum(timings.values()), 3)
-    # Compact summary FIRST on its own line: the driver's capture window
-    # is bounded and must always see a parseable total.
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total_runtime",
-                "value": total,
-                "unit": "sec",
-                "sf": sf,
-                "n_queries": len(timings),
-            }
-        ),
-        flush=True,
+    compact = json.dumps(
+        {
+            "metric": "headline_queries_total_runtime",
+            "value": total,
+            "unit": "sec",
+            "sf": sf,
+            "n_queries": len(timings),
+        }
     )
+    # Compact summary FIRST (bounded head captures) ...
+    print(compact, flush=True)
+    # ... full per-query map for humans and tools/scale_report.py ...
     print(
         json.dumps(
             {
@@ -253,8 +254,13 @@ def main() -> None:
                 "queries": timings,
                 "sf": sf,
             }
-        )
+        ),
+        flush=True,
     )
+    # ... and compact summary LAST: the driver keeps the stdout TAIL and
+    # parses the final line, so the run must END with a short complete
+    # JSON object (BENCH_r07.json parsed=null was the truncated map).
+    print(compact, flush=True)
 
 
 if __name__ == "__main__":

@@ -248,14 +248,26 @@ def simhash(toks: Column) -> Column:
     return _simhash_of(hashed, n)
 
 
-def simhash_pairs(docs: DataFrame, max_hamming: int = 3) -> DataFrame:
+def simhash_pairs(
+    docs: DataFrame, max_hamming: int = 3, allow_quadratic: bool = False
+) -> DataFrame:
     """Pairs with Hamming(simhash_a, simhash_b) ≤ max_hamming.
 
     Blocking: the 32-bit signature splits into 4 byte chunks; by pigeonhole
     any pair within Hamming ≤ 3 shares at least one chunk, so the self-join
     on (chunk_idx, chunk_value) is lossless while bounding the pair space.
+
+    GROUND-TRUTH-ADJACENT, not the scale path: 8-bit chunks mean only 256
+    values per chunk, so bucket size grows as n/256 and candidate volume
+    as n²/256 — a quadratic cliff disguised as blocking (measured 49.8 s /
+    26.4× at sf10's 500k docs, the worst cell of the round-7 sweep).
+    :func:`simhash_pairs_wide` (16-bit chunks, n²/16k) is the production
+    operator; this one is guard-railed like ngram_jaccard_pairs (>100k
+    docs raises unless allow_quadratic=True).
     """
     from pleiades_spark.functions.text import tokens
+
+    _guard_quadratic(docs, "simhash_pairs", allow_quadratic)
 
     sigs = (
         docs.repartition(F.col("doc_id"))  # parallelize hashing (see with_signature)
@@ -304,10 +316,22 @@ def simhash_pairs_wide(docs: DataFrame, max_hamming: int = 6) -> DataFrame:
     quadratic cliff disguised as blocking. Doubling the signature to 64
     bits (two independent salted 32-bit halves, so the md5-h32 oracle
     replays both) makes the chunks 16-bit: 65 536 values per chunk,
-    buckets of ~n/65k, candidate volume n²/16k — 256× less. Pigeonhole
-    is preserved: ``max_hamming`` < 4 chunk corruptions means every
-    qualifying pair still shares at least one intact chunk (recall 1
-    w.r.t. the 64-bit fingerprint).
+    buckets of ~n/65k, candidate volume n²/16k — 256× less.
+
+    RECALL: with 4 chunks, pigeonhole guarantees an intact shared chunk
+    only for Hamming ≤ 3 (max_hamming < n_chunks). For Hamming 4–6 a
+    pair is found iff at least one chunk escaped corruption — which
+    holds unless the ≥4 flipped bits land in ≥1 bit of EVERY chunk, so
+    recall is high but NOT 1 (at Hamming 4, the 16⁴/C(64,4) ≈ 10.3 % of
+    flip patterns that hit all four chunks are missed — uniformly over
+    flip positions; real near-dup bit flips are not adversarial;
+    tests/test_ann_recall.py::test_simhash_wide_pigeonhole_bounds
+    constructs both a guaranteed hit at Hamming 3 and an adversarial
+    all-chunks-corrupted miss at Hamming 4). Guaranteeing recall 1 at
+    Hamming 6 needs ≥7 chunks of ≤9 bits — n²/512-class candidate
+    volume, the same cliff the 16-bit chunks exist to avoid. The oracle
+    replicates the blocking, so both engines miss identically and the
+    hash gate stays exact w.r.t. the OPERATOR's contract.
 
     ``max_hamming`` defaults to 6 — the same 3/32 corruption FRACTION
     as the narrow gate, so both flag comparable similarity levels; the
@@ -331,6 +355,17 @@ def simhash_pairs_wide(docs: DataFrame, max_hamming: int = 6) -> DataFrame:
         .select("doc_id", hi.alias("hi"), lo.alias("lo"))
         .cache()
     )
+    return simhash_wide_pairs_from_sigs(sigs, max_hamming)
+
+
+def simhash_wide_pairs_from_sigs(
+    sigs: DataFrame, max_hamming: int = 6
+) -> DataFrame:
+    """Chunk-blocked pair join over precomputed (doc_id, hi, lo) 64-bit
+    signatures — split out so tests can inject exact bit patterns and
+    verify the pigeonhole bounds documented on simhash_pairs_wide
+    (guaranteed hit at Hamming ≤ 3; possible miss at Hamming ≥ 4 when
+    flips corrupt all four 16-bit chunks)."""
     chunks = sigs.select(
         "doc_id",
         "hi",
@@ -455,8 +490,17 @@ def embedding_near_dup_ivf(
     threshold: float = 0.45,
     n_centroids: int | None = None,
     max_bucket_size: int | None = None,
+    allow_quadratic: bool = False,
 ) -> DataFrame:
-    """Scale path for embedding near-dup: self-join WITHIN IVF buckets.
+    """Single-level IVF embedding near-dup: self-join WITHIN IVF buckets.
+
+    GROUND-TRUTH-ADJACENT since round 8: Θ(n^1.5·d) by design (the
+    adaptive-K balance below), measured 124 s / 21.8× at sf10's 200k
+    vectors. :func:`embedding_near_dup_ivf2` (two-level coarse quantizer,
+    Θ(n^(4/3)·d), 5.0× at sf10) supersedes it as the scale path; this one
+    stays as the audited intermediate whose recall test anchors ivf2.
+    Guard-railed like ngram_jaccard_pairs (>100k vectors raises unless
+    allow_quadratic=True).
 
     Vectors are assigned to their nearest codebook centroid
     (similarity.ivf_assign — deterministic codebook so the DuckDB oracle
@@ -497,11 +541,20 @@ def embedding_near_dup_ivf(
     """
     from pleiades_spark.operators.similarity import ivf_assign
 
-    if n_centroids is None:
+    if n_centroids is None or not allow_quadratic:
         import math
 
+        # one count serves both the guard and the adaptive-K rule
         n = emb.count()
-        n_centroids = 16 if n <= 1024 else max(16, math.isqrt(n))
+        if not allow_quadratic and n > QUADRATIC_GUARD_ROWS:
+            raise ValueError(
+                f"embedding_near_dup_ivf is Θ(n^1.5) and got {n} vectors "
+                f"(> {QUADRATIC_GUARD_ROWS}); use embedding_near_dup_ivf2 "
+                "(the Θ(n^4/3) scale path), or pass allow_quadratic=True "
+                "if you really mean it"
+            )
+        if n_centroids is None:
+            n_centroids = 16 if n <= 1024 else max(16, math.isqrt(n))
     # Per-VECTOR norms once before the self-join (same trick as the SRP
     # verify): cosine() inline re-folds both norms for every PAIR —
     # 3 array folds per candidate; with norms precomputed the per-pair

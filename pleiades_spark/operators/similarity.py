@@ -174,8 +174,10 @@ def ivf_assign_2level(
     front"). This IS that coarse quantizer: the K fine centroids (first
     ``n_centroids`` vectors, deterministic as everywhere) are themselves
     bucketed under K1 = ``n_coarse`` coarse centroids (the first
-    ``n_coarse`` vectors — a subset of the fine codebook, so every
-    coarse cell owns at least itself and no cell is empty). A vector
+    ``n_coarse`` vectors — a subset of the fine codebook, so a coarse
+    cell normally owns at least itself; the duplicate-vector edge case
+    where round-6 cosine ties divert even that is handled by the
+    left-join below). A vector
     then takes ONE argmax over the K1 coarse cells and ONE argmax over
     that cell's fine members: K1 + K/K1 cosines instead of K. With
     K ≈ n^(2/3), K1 ≈ n^(1/3) the whole assignment is Θ(n^(4/3)·d).
@@ -231,10 +233,24 @@ def ivf_assign_2level(
             ).alias("members")
         )
     )
+    # LEFT join + empty-member default: a coarse cell CAN end up with no
+    # fine members when vectors among the first K1 are parallel or
+    # duplicated — cosine(f, g_i) round-ties cosine(f, g_j) exactly and
+    # the lowest-id rule diverts every would-be member (including g_i
+    # itself, whose self-cosine 1.0 ties its twin's). An inner join here
+    # dropped that cell from _gb, breaking the positional invariant
+    # below (_gb[_cell+1].coarse_id == _cell) for every higher id. The
+    # empty cell itself is never SELECTED as _cell (a parallel twin at a
+    # lower id always ties it and wins), so the empty-array fine stage
+    # is unreachable — but every other cell's lookup must stay aligned.
+    empty_members = F.array().cast(
+        "array<struct<cid:bigint,cv:array<double>,cnrm:double>>"
+    )
     cb = (
         coarse.withColumnRenamed("centroid_id", "coarse_id")
         .withColumn("gnrm", norm(F.col("cv")))
-        .join(members, "coarse_id")
+        .join(members, "coarse_id", "left")
+        .withColumn("members", F.coalesce(F.col("members"), empty_members))
         .agg(
             F.array_sort(
                 F.collect_list(
@@ -748,7 +764,7 @@ def mmr_rerank(
     dimension.
 
     Determinism: rel and pairwise sims round to 6 before ranking (ties
-    broken by vec_id), λ = 0.75 is exact in binary, and the output
+    broken by vec_id), λ = MMR_LAMBDA = 0.5 is exact in binary, and the output
     score uses the floor-quantize form so the oracle replays every
     selection and score bit-for-bit.
     """

@@ -77,3 +77,105 @@ def salted_equi_join(
         "_salt", F.explode(F.array(*[F.lit(i) for i in range(n_salts)]))
     )
     return f.join(d, [key, "_salt"], how).drop("_salt")
+
+
+# --- report → knobs wiring (round-8 verdict #7) ----------------------------
+
+SKEW_RATIO_BAR = 4.0  # below this AQE's default splitting copes; salting
+#                       would only add a Generate + a wider shuffle key
+MAX_SALTS = 64
+
+
+def salting_plan(
+    report: DataFrame,
+    n_shuffle_partitions: int = 32,
+    bytes_per_row: int = 128,
+    skew_bar: float = SKEW_RATIO_BAR,
+    max_salts: int = MAX_SALTS,
+) -> DataFrame:
+    """Derive actionable knobs from a q_skew_report frame — the wiring
+    between the observability query (which keys are hot) and the fixes
+    (salted_count_sum / salted_equi_join / AQE skew-join), so a 100 TB
+    run tunes itself from measurements instead of UI archaeology.
+
+    Input: the skew_report schema (key_name, n_rows, n_keys, max_cnt,
+    avg_cnt, p50_cnt, p99_cnt, skew_ratio, …). Output adds per key:
+
+    - needs_salting: skew_ratio > skew_bar. Below the bar the hot key is
+      within a small factor of the mean — AQE's sort-merge splitting (or
+      nothing) is cheaper than salting's dim replication.
+    - n_salts: the factor for salted_count_sum/salted_equi_join — the
+      smallest power of two S with max_cnt/S ≤ p99_cnt (spread the hot
+      key down to the p99 key's per-task load; pow2 keeps pmod salts
+      balanced), clamped to [2, max_salts]; 1 when not needed.
+    - aqe_skewed_partition_factor: AQE flags a partition at
+      factor × median partition size. The hot key alone makes its
+      partition ≈ skew_partition_ratio = max_cnt·P/n_rows × the median —
+      recommend half that (so AQE fires with margin), clamped to [2, 5]
+      (5 = Spark's default; going above would only make AQE blinder).
+    - aqe_skewed_partition_threshold_bytes: AQE also requires an
+      absolute floor; 2 × the estimated median partition bytes
+      (n_rows·bytes_per_row/P), clamped to [16 MiB, 256 MiB (the
+      default)] so tiny test runs don't flap and huge runs keep the
+      stock ceiling.
+
+    All arithmetic runs on the report's reduced grain (rows = audited
+    keys) — attach to the same job, no extra scan. ``bytes_per_row`` is
+    an estimate knob; feed the real avg row size from table stats (or
+    q_table_profile + schema widths) when you have it.
+    """
+    mib = 1024 * 1024
+    # S = next pow2 ≥ max_cnt / max(p99, avg, 1): log2-ceil on doubles,
+    # exact for the pow2 boundaries we care about (counts ≪ 2^53)
+    spread_target = F.greatest(F.col("p99_cnt"), F.col("avg_cnt"), F.lit(1.0))
+    raw_s = F.col("max_cnt") / spread_target
+    pow2_s = F.pow(F.lit(2.0), F.ceil(F.log2(F.greatest(raw_s, F.lit(2.0)))))
+    need = F.col("skew_ratio") > F.lit(skew_bar)
+    part_ratio = (
+        F.col("max_cnt") * F.lit(n_shuffle_partitions) / F.col("n_rows")
+    )
+    median_part_bytes = (
+        F.col("n_rows") * F.lit(bytes_per_row) / F.lit(n_shuffle_partitions)
+    )
+    return report.select(
+        "*",
+        need.alias("needs_salting"),
+        F.when(
+            need, F.least(pow2_s, F.lit(float(max_salts))).cast("int")
+        )
+        .otherwise(F.lit(1))
+        .alias("n_salts"),
+        F.greatest(
+            F.lit(2), F.least(F.lit(5), F.floor(part_ratio / 2).cast("int"))
+        ).alias("aqe_skewed_partition_factor"),
+        F.greatest(
+            F.lit(16 * mib),
+            F.least(F.lit(256 * mib), (2 * median_part_bytes).cast("long")),
+        ).alias("aqe_skewed_partition_threshold_bytes"),
+    )
+
+
+def apply_skew_confs(spark, plan: DataFrame) -> dict[str, str]:
+    """Set session AQE skew-join confs from a salting_plan frame, tuned
+    to the WORST audited key (min factor, min threshold — the most
+    sensitive setting that still only affects genuinely skewed
+    partitions). Driver-side collect is the plan's audited-key grain
+    (≤ a handful of rows — bounded by construction). Returns the confs
+    it set, for logging/tests."""
+    worst = (
+        plan.agg(
+            F.min("aqe_skewed_partition_factor").alias("f"),
+            F.min("aqe_skewed_partition_threshold_bytes").alias("t"),
+        ).collect()[0]
+    )
+    confs = {
+        "spark.sql.adaptive.enabled": "true",
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": str(worst["f"]),
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": str(
+            worst["t"]
+        ),
+    }
+    for k, v in confs.items():
+        spark.conf.set(k, v)
+    return confs

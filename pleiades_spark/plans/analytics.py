@@ -326,17 +326,24 @@ def q_hourly_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("event_type") == F.col("et2"))
         & (F.col("h2") == F.col("h") + F.col("lag_h")),
     ).select("event_type", "lag_h", "x", "y")
+    # Second-order moments decimal(38,0) BEFORE the sum (the ab_welch
+    # overflow class): hourly counts reach ~5e7/type at 100 TB, so Σx²
+    # alone passes int64. Exact either way → identical doubles at the
+    # final sqrt/divide; the oracle's twin sums are native HUGEINT.
+    xd = F.col("x").cast("decimal(38,0)")
     sums = pairs.groupBy("event_type", "lag_h").agg(
         F.count(F.lit(1)).alias("n"),
         F.sum("x").alias("sx"),
         F.sum("y").alias("sy"),
-        F.sum(F.col("x") * F.col("y")).alias("sxy"),
-        F.sum(F.col("x") * F.col("x")).alias("sxx"),
-        F.sum(F.col("y") * F.col("y")).alias("syy"),
+        F.sum(xd * F.col("y")).alias("sxy"),
+        F.sum(xd * F.col("x")).alias("sxx"),
+        F.sum(F.col("y").cast("decimal(38,0)") * F.col("y")).alias("syy"),
     )
-    d1 = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
-    d2 = F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")
-    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    sxd = F.col("sx").cast("decimal(38,0)")
+    syd = F.col("sy").cast("decimal(38,0)")
+    d1 = F.col("n") * F.col("sxx") - sxd * F.col("sx")
+    d2 = F.col("n") * F.col("syy") - syd * F.col("sy")
+    num = F.col("n") * F.col("sxy") - sxd * F.col("sy")
     acf = F.when(
         (d1 > 0) & (d2 > 0),
         F.floor(num / (F.sqrt(d1) * F.sqrt(d2)) * 10000 + F.lit(0.5)) / 10000,
@@ -362,15 +369,17 @@ WITH hourly AS (
 ), sums AS (
   SELECT event_type, lag_h, count(*) AS n,
          CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
-         CAST(sum(x * y) AS BIGINT) AS sxy,
-         CAST(sum(x * x) AS BIGINT) AS sxx,
-         CAST(sum(y * y) AS BIGINT) AS syy
+         sum(CAST(x AS HUGEINT) * y) AS sxy,
+         sum(CAST(x AS HUGEINT) * x) AS sxx,
+         sum(CAST(y AS HUGEINT) * y) AS syy
   FROM pairs GROUP BY event_type, lag_h
 )
 SELECT event_type, CAST(lag_h AS INT) AS lag_h, n AS n_pairs,
-       CASE WHEN (n * sxx - sx * sx) > 0 AND (n * syy - sy * sy) > 0 THEN
-         floor((n * sxy - sx * sy)
-               / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy))
+       CASE WHEN (n * sxx - CAST(sx AS HUGEINT) * sx) > 0
+             AND (n * syy - CAST(sy AS HUGEINT) * sy) > 0 THEN
+         floor((n * sxy - CAST(sx AS HUGEINT) * sy)
+               / (sqrt(n * sxx - CAST(sx AS HUGEINT) * sx)
+                  * sqrt(n * syy - CAST(sy AS HUGEINT) * sy))
                * 10000 + 0.5) / 10000
        END AS acf
 FROM sums
@@ -411,17 +420,21 @@ def q_type_crosscorr(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.broadcast(rhs),
         (F.col("h") == F.col("h2")) & (F.col("event_type") < F.col("t2")),
     ).select(F.col("event_type").alias("t1"), "t2", "x", "y")
+    # decimal(38,0) second-order moments — see q_hourly_autocorr's note
+    xd = F.col("x").cast("decimal(38,0)")
     sums = pairs.groupBy("t1", "t2").agg(
         F.count(F.lit(1)).alias("n"),
         F.sum("x").alias("sx"),
         F.sum("y").alias("sy"),
-        F.sum(F.col("x") * F.col("y")).alias("sxy"),
-        F.sum(F.col("x") * F.col("x")).alias("sxx"),
-        F.sum(F.col("y") * F.col("y")).alias("syy"),
+        F.sum(xd * F.col("y")).alias("sxy"),
+        F.sum(xd * F.col("x")).alias("sxx"),
+        F.sum(F.col("y").cast("decimal(38,0)") * F.col("y")).alias("syy"),
     )
-    d1 = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
-    d2 = F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")
-    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    sxd = F.col("sx").cast("decimal(38,0)")
+    syd = F.col("sy").cast("decimal(38,0)")
+    d1 = F.col("n") * F.col("sxx") - sxd * F.col("sx")
+    d2 = F.col("n") * F.col("syy") - syd * F.col("sy")
+    num = F.col("n") * F.col("sxy") - sxd * F.col("sy")
     corr = F.when(
         (d1 > 0) & (d2 > 0),
         F.floor(num / (F.sqrt(d1) * F.sqrt(d2)) * 10000 + F.lit(0.5)) / 10000,
@@ -443,15 +456,17 @@ WITH hourly AS (
 ), sums AS (
   SELECT t1, t2, count(*) AS n,
          CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
-         CAST(sum(x * y) AS BIGINT) AS sxy,
-         CAST(sum(x * x) AS BIGINT) AS sxx,
-         CAST(sum(y * y) AS BIGINT) AS syy
+         sum(CAST(x AS HUGEINT) * y) AS sxy,
+         sum(CAST(x AS HUGEINT) * x) AS sxx,
+         sum(CAST(y AS HUGEINT) * y) AS syy
   FROM pairs GROUP BY t1, t2
 )
 SELECT t1, t2, n AS n_hours,
-       CASE WHEN (n * sxx - sx * sx) > 0 AND (n * syy - sy * sy) > 0 THEN
-         floor((n * sxy - sx * sy)
-               / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy))
+       CASE WHEN (n * sxx - CAST(sx AS HUGEINT) * sx) > 0
+             AND (n * syy - CAST(sy AS HUGEINT) * sy) > 0 THEN
+         floor((n * sxy - CAST(sx AS HUGEINT) * sy)
+               / (sqrt(n * sxx - CAST(sx AS HUGEINT) * sx)
+                  * sqrt(n * syy - CAST(sy AS HUGEINT) * sy))
                * 10000 + 0.5) / 10000
        END AS corr
 FROM sums
@@ -2045,13 +2060,21 @@ def q_ab_cuped(spark: SparkSession, sf_dir: str) -> DataFrame:
               .otherwise(F.lit(0))).alias("y"),
     )
     arm = h32(F.concat(F.lit(AB_SALT), F.col("user_id").cast("string"))) % 2
+    # Second-order moments widen to decimal(38,0) BEFORE the sum: per-user
+    # cent totals squared then summed over users blow past int64 at large
+    # SF (the round-7 ab_welch ARITHMETIC_OVERFLOW class — widening only
+    # the already-summed arm aggregate is too late). First-order sx/sy
+    # stay long (Σcents fits int64, CLAUDE.md invariant). The oracle's
+    # twin sums are native HUGEINT, uncast.
+    xd = F.col("x").cast("decimal(38,0)")
+    yd = F.col("y").cast("decimal(38,0)")
     armed = per_user.select(arm.alias("arm"), "x", "y").groupBy("arm").agg(
         F.count(F.lit(1)).alias("n"),
         F.sum("x").alias("sx"),
         F.sum("y").alias("sy"),
-        F.sum(F.col("x") * F.col("y")).alias("sxy"),
-        F.sum(F.col("x") * F.col("x")).alias("sxx"),
-        F.sum(F.col("y") * F.col("y")).alias("syy"),
+        F.sum(xd * F.col("y")).alias("sxy"),
+        F.sum(xd * F.col("x")).alias("sxx"),
+        F.sum(yd * F.col("y")).alias("syy"),
     )
     pool = W.partitionBy()  # 2-row frame: pooled moments, no sort
     d38 = lambda c: F.sum(c).over(pool).cast("decimal(38,0)")  # noqa: E731
@@ -2107,9 +2130,9 @@ WITH cut_row AS (
   SELECT {_AB_ARM_SQL} AS arm,
          CAST(count(*) AS BIGINT) AS n,
          CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
-         CAST(sum(x * y) AS BIGINT) AS sxy,
-         CAST(sum(x * x) AS BIGINT) AS sxx,
-         CAST(sum(y * y) AS BIGINT) AS syy
+         sum(CAST(x AS HUGEINT) * y) AS sxy,
+         sum(CAST(x AS HUGEINT) * x) AS sxx,
+         sum(CAST(y AS HUGEINT) * y) AS syy
   FROM per_user GROUP BY arm
 ), pooled AS (
   SELECT *,

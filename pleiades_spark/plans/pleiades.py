@@ -1399,9 +1399,11 @@ def q_hourly_trend_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
     Float parity by construction (the built-in regr_slope would float-sum
     in engine order): hours are origin-shifted per type (x' = hour −
     min hour, ≤ series length), values held as integer centi-units, so
-    Σx, Σy, Σxy, Σx² and both normal-equation determinants are EXACT
-    64-bit integers; the only float ops are the two final divisions,
-    identical on both engines. One (type, hour) aggregation (map-side
+    Σx, Σy, Σxy, Σx² are EXACT 64-bit integers; the normal-equation
+    determinants combine them in decimal(38,0)/HUGEINT (their products
+    square past int64 at large SF — the ab_welch overflow class); the
+    only float ops are the two final divisions, identical on both
+    engines. One (type, hour) aggregation (map-side
     combined), a broadcast per-type min, and a 5-row output."""
     ev = _events(spark, sf_dir)
     hourly = (
@@ -1425,9 +1427,15 @@ def q_hourly_trend_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("x") * F.col("x")).alias("sxx"),
         F.min("h0").alias("h0"),
     )
-    det = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
-    slope_num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
-    icept_num = F.col("sy") * F.col("sxx") - F.col("sx") * F.col("sxy")
+    # The normal-equation COMBOS (sx·sy, sy·sxx …) square past int64 at
+    # large SF even though the sums themselves fit — compute them
+    # decimal(38,0)/HUGEINT (exact both engines, CLAUDE.md invariant),
+    # divide as double at the end in identical textual order.
+    sxd = F.col("sx").cast("decimal(38,0)")
+    syd = F.col("sy").cast("decimal(38,0)")
+    det = F.col("n") * F.col("sxx").cast("decimal(38,0)") - sxd * F.col("sx")
+    slope_num = F.col("n") * F.col("sxy").cast("decimal(38,0)") - sxd * F.col("sy")
+    icept_num = syd * F.col("sxx") - sxd * F.col("sxy")
     q4 = lambda c: F.floor(c * 10000 + F.lit(0.5)) / 10000  # noqa: E731
     return sums.select(
         "event_type",
@@ -1452,9 +1460,11 @@ WITH hourly AS (
   FROM pts GROUP BY event_type
 )
 SELECT event_type, n AS n_hours,
-       floor(((n * sxy - sx * sy) / ((n * sxx - sx * sx) * 100.0))
+       floor(((n * CAST(sxy AS HUGEINT) - CAST(sx AS HUGEINT) * sy)
+              / ((n * CAST(sxx AS HUGEINT) - CAST(sx AS HUGEINT) * sx) * 100.0))
              * 10000 + 0.5) / 10000 AS slope_per_hour,
-       floor(((sy * sxx - sx * sxy) / ((n * sxx - sx * sx) * 100.0))
+       floor(((CAST(sy AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sxy)
+              / ((n * CAST(sxx AS HUGEINT) - CAST(sx AS HUGEINT) * sx) * 100.0))
              * 10000 + 0.5) / 10000 AS intercept_value
 FROM sums
 """

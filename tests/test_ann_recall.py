@@ -180,6 +180,14 @@ def test_quadratic_ground_truth_ops_guard_rail(spark):
     )
     with pytest.raises(ValueError):
         dedup.embedding_near_dup_pairs(vecs)
+    # round-8 demotions: 8-bit-chunk simhash (n²/256 candidate volume,
+    # 26.4× at sf10) and single-level IVF (Θ(n^1.5), 21.8×) joined the
+    # guarded ground-truth tier — their twins simhash_pairs_wide / ivf2
+    # are the scale paths.
+    with pytest.raises(ValueError, match="simhash_pairs"):
+        dedup.simhash_pairs(big)
+    with pytest.raises(ValueError, match="ivf2"):
+        dedup.embedding_near_dup_ivf(vecs)
     # explicit override still works (plan construction only)
     dedup.ngram_jaccard_pairs(big, allow_quadratic=True)
     assert dedup.QUADRATIC_GUARD_ROWS == orig
@@ -374,6 +382,42 @@ def test_simhash_wide_catches_near_dups_rejects_unrelated(spark):
     assert got.get((0, 1)) == 0          # identical → hamming 0
     assert (0, 2) in got                 # one-token edit → near-dup
     assert (0, 3) not in got and (1, 3) not in got and (2, 3) not in got
+
+
+def test_simhash_wide_pigeonhole_bounds(spark):
+    """Quantifies the documented recall bounds of the 16-bit chunk
+    blocking (round-8 ADVICE): with 4 chunks, pigeonhole guarantees a
+    shared intact chunk only for Hamming ≤ 3; at Hamming 4–6 a pair
+    whose flips corrupt ALL four chunks is missed BY DESIGN (on both
+    engines identically — the oracle replicates the blocking).
+
+    Signatures are injected directly via simhash_wide_pairs_from_sigs so
+    the bit patterns are exact:
+      base           hi=0, lo=0
+      h3_one_chunk   3 flips in one chunk  → hamming 3, must be FOUND
+      h4_spread      1 flip per chunk      → hamming 4, MUST be missed
+                     (no chunk intact ⇒ no blocking bucket shared)
+      h4_one_chunk   4 flips in one chunk  → hamming 4, found (3 intact)
+      h6_two_chunks  3+3 flips in 2 chunks → hamming 6, found (2 intact)
+    """
+    from pleiades_spark.operators.dedup import simhash_wide_pairs_from_sigs
+
+    rows = [
+        (0, 0, 0),                                  # base
+        (1, 0b111, 0),                              # h3 in hi-low chunk
+        (2, (1 << 16) | 1, (1 << 16) | 1),          # h4 spread over all 4
+        (3, 0b1111, 0),                             # h4 in one chunk
+        (4, (0b111 << 16) | 0b111, 0),              # h6 in two hi chunks
+    ]
+    sigs = spark.createDataFrame(rows, "doc_id long, hi long, lo long")
+    got = {
+        (r.doc_a, r.doc_b): r.hamming
+        for r in simhash_wide_pairs_from_sigs(sigs, 6).collect()
+    }
+    assert got.get((0, 1)) == 3      # pigeonhole-guaranteed hit
+    assert (0, 2) not in got         # all-chunks-corrupted miss
+    assert got.get((0, 3)) == 4      # errors concentrated → found
+    assert got.get((0, 4)) == 6      # two corrupt, two intact → found
 
 
 def test_mmr_rerank_prefers_diverse_over_redundant(spark):

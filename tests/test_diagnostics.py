@@ -32,6 +32,81 @@ def test_skew_report_matches_exact_distribution(spark, sf_dir):
     assert r["avg_cnt"] > rows["events.user_id"]["avg_cnt"]
 
 
+def test_salting_plan_wires_report_to_knobs(spark):
+    """Round-8 verdict #7: the skew report must FEED the fixes. Staged
+    fixture: one key holding 900 of 1000 rows (skew_ratio ≈ 91) next to
+    a uniform control. The plan must flag only the hot key, derive a
+    salt factor that spreads it to the p99 key's load, clamp the AQE
+    knobs into their sane ranges, and the recommended n_salts must leave
+    salted_equi_join's result identical to the plain join (the whole
+    point: knobs change the schedule, never the answer)."""
+    from pleiades_spark.operators.skew import (
+        apply_skew_confs,
+        salted_equi_join,
+        salting_plan,
+    )
+    from pleiades_spark.plans.relational import _skew_profile
+
+    fact = spark.createDataFrame(
+        [(0, i) for i in range(900)] + [(k, k) for k in range(1, 101)],
+        "k long, payload long",
+    )
+    uniform = spark.createDataFrame(
+        [(k, k) for k in range(100)], "k long, payload long"
+    )
+    report = _skew_profile(fact, "k", "staged.hot").unionByName(
+        _skew_profile(uniform, "k", "staged.uniform")
+    )
+    plan_df = salting_plan(report, n_shuffle_partitions=8)
+    plan = {r["key_name"]: r for r in plan_df.collect()}
+
+    hot = plan["staged.hot"]
+    assert hot["needs_salting"]
+    # max_cnt 900 vs p99≈1 → pow2 spread 1024, clamped to MAX_SALTS
+    assert hot["n_salts"] == 64
+    # hot partition ≈ 900·8/1000 = 7.2× median → recommend ~half, in [2,5]
+    assert hot["aqe_skewed_partition_factor"] == 3
+    assert hot["aqe_skewed_partition_threshold_bytes"] == 16 * 1024 * 1024
+
+    uni = plan["staged.uniform"]
+    assert not uni["needs_salting"]
+    assert uni["n_salts"] == 1
+    assert 2 <= uni["aqe_skewed_partition_factor"] <= 5
+
+    # apply + restore: worst-key (most sensitive) confs land on the session
+    prev = {
+        k: spark.conf.get(k, None)
+        for k in (
+            "spark.sql.adaptive.skewJoin.enabled",
+            "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+        )
+    }
+    try:
+        confs = apply_skew_confs(spark, plan_df)
+        assert confs["spark.sql.adaptive.skewJoin.enabled"] == "true"
+        assert confs["spark.sql.adaptive.skewJoin.skewedPartitionFactor"] == "2"
+        assert spark.conf.get(
+            "spark.sql.adaptive.skewJoin.skewedPartitionFactor"
+        ) == "2"
+    finally:
+        for k, v in prev.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+
+    # wiring: recommended factor keeps the join EXACT
+    dim = spark.createDataFrame(
+        [(k, f"d{k}") for k in range(101)], "k long, dname string"
+    )
+    plain = fact.join(dim, "k").count()
+    salted = salted_equi_join(
+        fact, dim, "k", F.col("payload"), n_salts=int(hot["n_salts"])
+    ).count()
+    assert salted == plain == 1000
+
+
 def test_join_size_estimate_tracks_exact_cardinality(spark, sf_dir):
     from pleiades_spark.plans.relational import q_join_size_estimate
 
