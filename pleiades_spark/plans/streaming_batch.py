@@ -67,6 +67,27 @@ def _stage_event_files(spark: SparkSession, sf_dir: str, out_dir: str, *, split:
         shutil.copyfile(f"{out_dir}/00.parquet", f"{out_dir}/01.parquet")
 
 
+def _stage_day_split(spark: SparkSession, sf_dir: str, src: str) -> None:
+    """Stage fixture events as two files split at the LAST day (all-but-
+    last, then last): batch 2 carries only the newest day, so it can
+    never fall behind the watermark batch 1 establishes — the ordering
+    that makes multi-batch update/append gates watermark-safe however
+    long the fixture's time span is."""
+    events = catalog.load(spark, sf_dir, "events")
+    max_day = events.agg(
+        F.max(F.date_trunc("day", F.col("ts"))).alias("m")
+    ).collect()[0]["m"]
+    early = events.filter(F.date_trunc("day", F.col("ts")) < F.lit(max_day))
+    late = events.filter(F.date_trunc("day", F.col("ts")) >= F.lit(max_day))
+    for i, part in enumerate([early, late]):
+        tmp = f"{src}/_stage{i}"
+        # repartition(1), not coalesce(1) — keep the scan parallel
+        part.repartition(1).write.mode("overwrite").parquet(tmp)
+        pf = next(f for f in os.listdir(tmp) if f.endswith(".parquet"))
+        shutil.copyfile(f"{tmp}/{pf}", f"{src}/{i:02d}.parquet")
+        shutil.rmtree(tmp)
+
+
 @contextmanager
 def _rocksdb_state(spark: SparkSession):
     """Scope the streaming state-store provider choice to one run.
@@ -285,19 +306,7 @@ def q_streaming_counters_append(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     apply_runtime_confs(spark)
     src = tempfile.mkdtemp(prefix="appendctr_")
-    events = catalog.load(spark, sf_dir, "events")
-    max_day = events.agg(
-        F.max(F.date_trunc("day", F.col("ts"))).alias("m")
-    ).collect()[0]["m"]
-    early = events.filter(F.date_trunc("day", F.col("ts")) < F.lit(max_day))
-    late = events.filter(F.date_trunc("day", F.col("ts")) >= F.lit(max_day))
-    for i, part in enumerate([early, late]):
-        tmp = f"{src}/_stage{i}"
-        # repartition(1), not coalesce(1) — keep the scan parallel
-        part.repartition(1).write.mode("overwrite").parquet(tmp)
-        pf = next(f for f in os.listdir(tmp) if f.endswith(".parquet"))
-        shutil.copyfile(f"{tmp}/{pf}", f"{src}/{i:02d}.parquet")
-        shutil.rmtree(tmp)
+    _stage_day_split(spark, sf_dir, src)
 
     stream = (
         spark.readStream.schema(EVENTS_MICROS_SCHEMA)
@@ -344,6 +353,77 @@ FROM (
 ), wm
 WHERE date_trunc('day', ts) + INTERVAL 1 DAY <= w
 GROUP BY day_date, counter
+"""
+
+
+def q_counters_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Standing exactly-once audit (round-8 verdict #8): drive the
+    PRODUCTION counters sink — two staged micro-batches through the
+    idempotent foreachBatch (day, counter) dynamic-partition merge
+    (streaming/pipeline.drain_counters_to_parquet, the S10 path) — then
+    reconcile the materialized table against the batch recompute over
+    the archive (the backfill_counters aggregation) with
+    reconcile_counters. Output is the per-day alarm grain; the oracle
+    hard-codes n_drift = 0, so ANY divergence between the streaming
+    sink and the batch truth (dropped update, non-idempotent replay,
+    partial partition overwrite) fails the hash gate.
+
+    The two-batch staging matters: batch 2 UPDATES day windows batch 1
+    already wrote, so the dynamic-partition overwrite's
+    replace-at-update-grain contract is what's being audited, not a
+    single-shot write."""
+    from pleiades_spark.functions.counters import derive_counters
+    from pleiades_spark.streaming.pipeline import (
+        drain_counters_to_parquet,
+        reconcile_counters,
+    )
+
+    apply_runtime_confs(spark)
+    src = tempfile.mkdtemp(prefix="ctr_reconcile_src_")
+    out = tempfile.mkdtemp(prefix="ctr_reconcile_out_")
+    _stage_day_split(spark, sf_dir, src)
+    stream = (
+        spark.readStream.schema(EVENTS_MICROS_SCHEMA)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    drain_counters_to_parquet(
+        spark, stream, f"{out}/counters", f"{out}/ckpt"
+    )
+    streamed = spark.read.parquet(f"{out}/counters").select(
+        F.col("day").cast("long").alias("day"),
+        F.col("counter").cast("string").alias("counter"),
+        "events",
+        "growth",
+    )
+    events = catalog.load(spark, sf_dir, "events")
+    batch = derive_counters(events).groupBy("day", "counter").agg(
+        F.count(F.lit(1)).alias("events"),
+        F.round(F.sum("lendiff"), 4).alias("growth"),
+    )
+    return reconcile_counters(streamed, batch)
+
+
+ORACLE_COUNTERS_RECONCILE = """
+WITH der AS (
+  SELECT CAST(floor(epoch(ts) / 86400) AS BIGINT) AS day,
+         unnest(list_filter([
+            'pleiades_total',
+            CASE WHEN event_type IS NOT NULL AND event_type <> ''
+                 THEN 'pleiades_type_' || event_type END,
+            CASE WHEN user_id % 2 = 0 THEN 'pleiades_bot' END,
+            CASE WHEN k IS NOT NULL THEN
+              (CASE WHEN value > k THEN 'pleiades_value_inc'
+                    ELSE 'pleiades_value_dec' END) END
+         ], x -> x IS NOT NULL)) AS counter
+  FROM (SELECT *, CAST(props->>'$.k' AS BIGINT) AS k FROM events)
+), agg AS (
+  SELECT day, counter, count(*) AS e FROM der GROUP BY day, counter
+)
+SELECT day, CAST(count(*) AS BIGINT) AS n_counters,
+       CAST(sum(e) AS BIGINT) AS events_total,
+       CAST(0 AS BIGINT) AS n_drift
+FROM agg GROUP BY day
 """
 
 
@@ -661,6 +741,9 @@ QUERIES = [
     Query("streaming_counters_append", q_streaming_counters_append,
           ORACLE_STREAMING_COUNTERS_APPEND,
           "append mode: only watermark-closed windows emit (finalize-once)"),
+    Query("counters_reconcile", q_counters_reconcile,
+          ORACLE_COUNTERS_RECONCILE,
+          "exactly-once audit: streaming counters table vs batch recompute"),
     Query("stateful_running_totals", q_stateful_running_totals,
           ORACLE_STATEFUL_RUNNING_TOTALS,
           "applyInPandasWithState running totals across 2 micro-batches"),

@@ -165,3 +165,39 @@ def test_backfill_targeted_days_leaves_other_days_alone(spark, tmp_path):
         r.counter for r in spark.read.parquet(out).filter(F.col("day") == 19754).collect()
     }
     assert "pleiades_planted" in remaining  # untouched day kept as-is
+
+
+def test_reconcile_counters_flags_staged_drift(spark):
+    """The exactly-once audit must FIRE, not just read zero: stage a
+    counters table with one mutated growth, one missing counter, and one
+    phantom extra row against the batch truth — each lands in its day's
+    n_drift; untouched days reconcile to 0."""
+    from pleiades_spark.streaming.pipeline import reconcile_counters
+
+    schema = "day long, counter string, events long, growth double"
+    batch = spark.createDataFrame(
+        [
+            (100, "pleiades_total", 10, 1.5),
+            (100, "pleiades_bot", 4, 0.0),
+            (101, "pleiades_total", 7, -2.0),
+            (102, "pleiades_total", 3, 0.25),
+        ],
+        schema,
+    )
+    streamed = spark.createDataFrame(
+        [
+            (100, "pleiades_total", 10, 1.5),     # clean
+            (100, "pleiades_bot", 4, 0.5),        # growth drifted
+            (101, "pleiades_total", 7, -2.0),     # clean
+            (101, "pleiades_phantom", 1, 0.0),    # sink-only extra
+            # (102, pleiades_total) missing from the sink entirely
+        ],
+        schema,
+    )
+    got = {
+        r["day"]: (r["n_counters"], r["events_total"], r["n_drift"])
+        for r in reconcile_counters(streamed, batch).collect()
+    }
+    assert got[100] == (2, 14, 1)   # the mutated-growth row drifts
+    assert got[101] == (2, 8, 1)    # phantom counts once, sums its events
+    assert got[102] == (1, 3, 1)    # missing side is drift, not NULL==NULL
