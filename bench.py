@@ -192,6 +192,8 @@ HEADLINE = [
     "fk_integrity",
     # round 8: exactly-once audit (streaming sink vs batch recompute)
     "counters_reconcile",
+    # round 8: exact-recall simhash (1-bit-flip multi-probe, brute oracle)
+    "dedup_simhash_wide_exact",
 ]
 
 # Queries whose min-of-2 is still warmup-contaminated, measured min-of-3:

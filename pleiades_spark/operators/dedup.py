@@ -307,7 +307,9 @@ def simhash_pairs(
     )
 
 
-def simhash_pairs_wide(docs: DataFrame, max_hamming: int = 6) -> DataFrame:
+def simhash_pairs_wide(
+    docs: DataFrame, max_hamming: int = 6, exact_recall: bool = False
+) -> DataFrame:
     """64-bit SimHash near-dup — the corpus-scale twin of simhash_pairs.
 
     The 32-bit signature's 8-bit chunk blocking is the round-7 sf10
@@ -328,10 +330,14 @@ def simhash_pairs_wide(docs: DataFrame, max_hamming: int = 6) -> DataFrame:
     tests/test_ann_recall.py::test_simhash_wide_pigeonhole_bounds
     constructs both a guaranteed hit at Hamming 3 and an adversarial
     all-chunks-corrupted miss at Hamming 4). Guaranteeing recall 1 at
-    Hamming 6 needs ≥7 chunks of ≤9 bits — n²/512-class candidate
-    volume, the same cliff the 16-bit chunks exist to avoid. The oracle
-    replicates the blocking, so both engines miss identically and the
-    hash gate stays exact w.r.t. the OPERATOR's contract.
+    Hamming 6 via plain blocking needs ≥7 chunks of ≤9 bits —
+    n²/512-class candidate volume, the same cliff the 16-bit chunks
+    exist to avoid; ``exact_recall=True`` buys the guarantee the cheap
+    way instead (1-bit-flip multi-probing, 17× candidates — see
+    simhash_wide_pairs_from_sigs; its gate oracle is brute force). The
+    plain-blocking oracle replicates the blocking, so both engines miss
+    identically and the hash gate stays exact w.r.t. the OPERATOR's
+    contract.
 
     ``max_hamming`` defaults to 6 — the same 3/32 corruption FRACTION
     as the narrow gate, so both flag comparable similarity levels; the
@@ -355,17 +361,31 @@ def simhash_pairs_wide(docs: DataFrame, max_hamming: int = 6) -> DataFrame:
         .select("doc_id", hi.alias("hi"), lo.alias("lo"))
         .cache()
     )
-    return simhash_wide_pairs_from_sigs(sigs, max_hamming)
+    return simhash_wide_pairs_from_sigs(sigs, max_hamming, exact_recall)
 
 
 def simhash_wide_pairs_from_sigs(
-    sigs: DataFrame, max_hamming: int = 6
+    sigs: DataFrame, max_hamming: int = 6, exact_recall: bool = False
 ) -> DataFrame:
     """Chunk-blocked pair join over precomputed (doc_id, hi, lo) 64-bit
     signatures — split out so tests can inject exact bit patterns and
     verify the pigeonhole bounds documented on simhash_pairs_wide
     (guaranteed hit at Hamming ≤ 3; possible miss at Hamming ≥ 4 when
-    flips corrupt all four 16-bit chunks)."""
+    flips corrupt all four 16-bit chunks).
+
+    ``exact_recall=True`` turns on 1-bit-flip multi-probing (the Manku
+    et al., WWW'07 probe idea recast as blocking): the PROBE side emits,
+    per chunk, the chunk value plus its 16 one-bit-flip variants (17
+    rows), joined against the other side's exact chunk values. A pair at
+    Hamming ≤ 7 has, by pigeonhole over 4 chunks, some chunk with ≤ 1
+    differing bit — matched by the exact value (0 errors) or the
+    matching flip variant (1 error) — so recall is exactly 1 for every
+    ``max_hamming`` ≤ 7, covering the default 6 the plain blocking only
+    approximates. Cost: 17× the probe rows and ≈17× the candidate
+    volume of the plain blocking (still n²/964-class, far under the
+    8-bit chunks' n²/256) — the knob trades one measured constant for a
+    provable guarantee, and the gate oracle for this path is BRUTE
+    FORCE, which is what proves it."""
     chunks = sigs.select(
         "doc_id",
         "hi",
@@ -379,7 +399,27 @@ def simhash_wide_pairs_from_sigs(
             )
         ).alias("chunk_idx", "chunk_val"),
     )
-    left = chunks.alias("l")
+    if exact_recall:
+        # probe side: value itself + its 16 one-bit flips, as XOR against
+        # a 17-mask literal array (mask 0 = identity). The mask array is
+        # an array ARGUMENT of the HOF — evaluated once per row — and
+        # the lambda body touches only the element + the chunk_val
+        # column (attribute reference, free under the HOF-CSE
+        # invariant). 17 literals is far under the F.lit(list) ~100-
+        # element broadcast bar.
+        masks = F.array(F.lit(0), *[F.lit(1 << b) for b in range(16)])
+        probe = chunks.select(
+            "doc_id",
+            "hi",
+            "lo",
+            "chunk_idx",
+            F.explode(
+                F.transform(masks, lambda m: F.col("chunk_val").bitwiseXOR(m))
+            ).alias("chunk_val"),
+        )
+        left = probe.alias("l")
+    else:
+        left = chunks.alias("l")
     right = chunks.alias("r")
     return (
         left.join(

@@ -348,6 +348,51 @@ SELECT doc_a, doc_b, hamming FROM pairs WHERE hamming <= {MAX_HAMMING_WIDE}
 """
 
 
+def q_dedup_simhash_wide_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-recall 64-bit SimHash: 1-bit-flip multi-probe blocking
+    (operators/dedup.simhash_wide_pairs_from_sigs exact_recall=True) —
+    recall provably 1 for Hamming ≤ 6 with 4×16-bit chunks (pigeonhole:
+    ≤7 flips leave some chunk with ≤1 error, covered by the flip
+    variants). The oracle is BRUTE FORCE over all doc pairs — no
+    blocking replication — so the hash gate PROVES the recall-1 claim on
+    real signatures, unlike dedup_simhash_wide whose oracle mirrors the
+    blocking and its documented Hamming-4-6 misses."""
+    from pleiades_spark.operators.dedup import simhash_pairs_wide
+
+    out = simhash_pairs_wide(
+        _t(spark, sf_dir, "documents"), MAX_HAMMING_WIDE, exact_recall=True
+    )
+    return out.select(
+        "doc_a", "doc_b", F.col("hamming").cast("int").alias("hamming")
+    )
+
+
+# Brute-force pair join (O(n²) in the ORACLE only — DuckDB at gate SF's
+# 500 docs = 125k signature pairs, trivial): deliberately does NOT
+# replicate the probe blocking, which is exactly what makes the gate a
+# recall proof rather than a consistency check.
+ORACLE_DEDUP_SIMHASH_WIDE_EXACT = f"""
+WITH t AS (
+  SELECT doc_id, list_distinct(string_split(text, ' ')) AS toks FROM documents
+), h AS (
+  SELECT doc_id,
+         list_transform(toks, tk -> {h32_sql("concat('wh:', tk)")}) AS hh,
+         list_transform(toks, tk -> {h32_sql("concat('wl:', tk)")}) AS hl
+  FROM t
+), s AS (
+  SELECT doc_id, {_simhash_sql('hh', 'len(hh)')} AS hi,
+         {_simhash_sql('hl', 'len(hl)')} AS lo
+  FROM h
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo)) AS INT)
+         AS hamming
+FROM s a JOIN s b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo))
+      <= {MAX_HAMMING_WIDE}
+"""
+
+
 # --- exact n-gram jaccard (ground truth for the LSH recall) ----------------
 
 
@@ -2450,6 +2495,9 @@ QUERIES = [
           "32-bit SimHash, chunk blocking, Hamming ≤ 3 pairs"),
     Query("dedup_simhash_wide", q_dedup_simhash_wide, ORACLE_DEDUP_SIMHASH_WIDE,
           "64-bit SimHash, 16-bit chunk blocking (corpus-scale twin)"),
+    Query("dedup_simhash_wide_exact", q_dedup_simhash_wide_exact,
+          ORACLE_DEDUP_SIMHASH_WIDE_EXACT,
+          "64-bit SimHash, 1-bit-flip multi-probe: recall 1 vs BRUTE oracle"),
     Query("dedup_ngram_jaccard", q_dedup_ngram_jaccard, ORACLE_DEDUP_NGRAM_JACCARD,
           "exact blocked all-pairs shingle Jaccard (LSH ground truth)"),
     Query("dedup_embedding_cosine", q_dedup_embedding, ORACLE_DEDUP_EMBEDDING,

@@ -419,6 +419,18 @@ def test_simhash_wide_pigeonhole_bounds(spark):
     assert got.get((0, 3)) == 4      # errors concentrated → found
     assert got.get((0, 4)) == 6      # two corrupt, two intact → found
 
+    # exact_recall multi-probing (1-bit-flip variants) must recover the
+    # adversarial spread pair — and every other qualifying pair
+    exact = {
+        (r.doc_a, r.doc_b): r.hamming
+        for r in simhash_wide_pairs_from_sigs(
+            sigs, 6, exact_recall=True
+        ).collect()
+    }
+    assert exact.get((0, 2)) == 4    # the miss, recovered
+    assert set(got) <= set(exact)    # strictly more recall, same precision
+    assert all(v <= 6 for v in exact.values())
+
 
 def test_mmr_rerank_prefers_diverse_over_redundant(spark):
     """Constructed case: the query's two most-relevant candidates are
