@@ -194,6 +194,8 @@ HEADLINE = [
     "counters_reconcile",
     # round 8: exact-recall simhash (1-bit-flip multi-probe, brute oracle)
     "dedup_simhash_wide_exact",
+    # round 8: skew report wired to salting/AQE knobs
+    "salting_plan",
 ]
 
 # Queries whose min-of-2 is still warmup-contaminated, measured min-of-3:

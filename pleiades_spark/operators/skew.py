@@ -125,32 +125,52 @@ def salting_plan(
     q_table_profile + schema widths) when you have it.
     """
     mib = 1024 * 1024
-    # S = next pow2 ≥ max_cnt / max(p99, avg, 1): log2-ceil on doubles,
-    # exact for the pow2 boundaries we care about (counts ≪ 2^53)
+    # S = next pow2 ≥ max_cnt / max(p99, avg, 1). Derived via a
+    # when-chain over the ≤ log2(max_salts) candidate powers rather
+    # than pow(2, ceil(log2(x))): libm log2 differs by ULPs across
+    # engines/platforms exactly at the pow2 boundaries this quantizes
+    # to, which would flip the ceil — plain double comparisons are
+    # IEEE-exact everywhere (and let the DuckDB gate oracle replay the
+    # choice bit-for-bit).
     spread_target = F.greatest(F.col("p99_cnt"), F.col("avg_cnt"), F.lit(1.0))
-    raw_s = F.col("max_cnt") / spread_target
-    pow2_s = F.pow(F.lit(2.0), F.ceil(F.log2(F.greatest(raw_s, F.lit(2.0)))))
+    raw_s = F.col("max_cnt").cast("double") / spread_target
+    pow2_s = F.lit(max_salts)
+    for s_ in [1 << b for b in range(6, 0, -1)]:  # 64, 32, …, 2
+        if s_ > max_salts:
+            continue
+        pow2_s = F.when(raw_s <= F.lit(float(s_)), F.lit(s_)).otherwise(
+            pow2_s
+        )
     need = F.col("skew_ratio") > F.lit(skew_bar)
+    # explicit double casts + floor-before-cast: Spark truncates
+    # double→long, DuckDB rounds — floor on both sides keeps the gate
+    # oracle bit-identical (CLAUDE.md quantize invariant)
     part_ratio = (
-        F.col("max_cnt") * F.lit(n_shuffle_partitions) / F.col("n_rows")
+        F.col("max_cnt").cast("double")
+        * F.lit(float(n_shuffle_partitions))
+        / F.col("n_rows").cast("double")
     )
     median_part_bytes = (
-        F.col("n_rows") * F.lit(bytes_per_row) / F.lit(n_shuffle_partitions)
+        F.col("n_rows").cast("double")
+        * F.lit(float(bytes_per_row))
+        / F.lit(float(n_shuffle_partitions))
     )
     return report.select(
         "*",
         need.alias("needs_salting"),
-        F.when(
-            need, F.least(pow2_s, F.lit(float(max_salts))).cast("int")
-        )
-        .otherwise(F.lit(1))
-        .alias("n_salts"),
+        F.when(need, pow2_s.cast("int")).otherwise(F.lit(1)).alias("n_salts"),
         F.greatest(
-            F.lit(2), F.least(F.lit(5), F.floor(part_ratio / 2).cast("int"))
+            F.lit(2),
+            F.least(
+                F.lit(5), F.floor(part_ratio / F.lit(2.0)).cast("int")
+            ),
         ).alias("aqe_skewed_partition_factor"),
         F.greatest(
-            F.lit(16 * mib),
-            F.least(F.lit(256 * mib), (2 * median_part_bytes).cast("long")),
+            F.lit(16 * mib).cast("long"),
+            F.least(
+                F.lit(256 * mib).cast("long"),
+                F.floor(F.lit(2.0) * median_part_bytes),
+            ),
         ).alias("aqe_skewed_partition_threshold_bytes"),
     )
 

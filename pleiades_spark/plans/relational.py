@@ -2359,6 +2359,50 @@ ORACLE_SKEW_REPORT = " UNION ALL ".join(
 )
 
 
+def q_salting_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The report→knobs wiring as a standing gate (round-8 verdict #7):
+    operators/skew.salting_plan over the five audited shuffle keys —
+    per key: needs_salting, the pow2 salt factor that spreads the hot
+    key to the p99 key's per-task load, and the AQE skew-join
+    factor/threshold recommendations. Pure arithmetic on the report's
+    reduced grain (5 rows), attached to the same job — the oracle
+    replays every knob, so a formula regression (not just a crash)
+    fails the hash. The pow2 choice is a when-chain over candidate
+    powers, not pow/ceil/log2 — libm ULP drift at the pow2 boundaries
+    would flip the ceil across engines (operators/skew.py rationale)."""
+    from pleiades_spark.operators.skew import salting_plan
+
+    return salting_plan(q_skew_report(spark, sf_dir), n_shuffle_partitions=32)
+
+
+ORACLE_SALTING_PLAN = f"""
+WITH rpt AS ({ORACLE_SKEW_REPORT}),
+k AS (
+  SELECT *,
+         CAST(max_cnt AS DOUBLE) / GREATEST(p99_cnt, avg_cnt, 1.0) AS raw_s,
+         skew_ratio > 4.0 AS needs_salting,
+         CAST(max_cnt AS DOUBLE) * 32.0 / CAST(n_rows AS DOUBLE) AS part_ratio,
+         CAST(n_rows AS DOUBLE) * 128.0 / 32.0 AS mpb
+  FROM rpt
+)
+SELECT key_name, n_rows, n_keys, max_cnt, avg_cnt, p50_cnt, p99_cnt,
+       skew_ratio, top10_share, n_hot_10x, needs_salting,
+       CAST(CASE WHEN NOT needs_salting THEN 1
+                 WHEN raw_s <= 2.0 THEN 2
+                 WHEN raw_s <= 4.0 THEN 4
+                 WHEN raw_s <= 8.0 THEN 8
+                 WHEN raw_s <= 16.0 THEN 16
+                 WHEN raw_s <= 32.0 THEN 32
+                 ELSE 64 END AS INT) AS n_salts,
+       CAST(GREATEST(2, LEAST(5, CAST(floor(part_ratio / 2.0) AS INT)))
+            AS INT) AS aqe_skewed_partition_factor,
+       CAST(GREATEST(16777216, LEAST(268435456,
+                     CAST(floor(2.0 * mpb) AS BIGINT)))
+            AS BIGINT) AS aqe_skewed_partition_threshold_bytes
+FROM k
+"""
+
+
 # --- join-size estimation (hash key sample) ---------------------------------
 
 JOIN_EST_RATE = 16
@@ -2621,6 +2665,9 @@ QUERIES = [
     Query("skew_report", q_skew_report, ORACLE_SKEW_REPORT,
           "shuffle-key skew diagnostics: count percentiles, max/avg ratio, "
           "top-10 share, hot-key census per join/agg key"),
+    Query("salting_plan", q_salting_plan, ORACLE_SALTING_PLAN,
+          "skew report wired to the fixes: per-key salt factor + AQE "
+          "skew-join knob recommendations, every formula oracle-replayed"),
     Query("join_size_estimate", q_join_size_estimate,
           ORACLE_JOIN_SIZE_ESTIMATE,
           "pre-flight join output cardinality from a 1/16 hash sample "
