@@ -830,6 +830,15 @@ def mmr_rerank(
             ["rel", "vec_id"], ascending=[False, True]
         )
         ids = [int(x) for x in order["vec_id"]]
+        if len(set(ids)) != len(ids):
+            # PK violation upstream: two candidate rows share a vec_id
+            # (how round 8 caught the scale-fixture stride collision).
+            # Surface it now — a silent dedupe here would hide data
+            # corruption behind a plausible-looking rerank.
+            raise ValueError(
+                f"mmr_rerank: duplicate vec_id among candidates for "
+                f"query {qid} — vec_id must be unique in the corpus"
+            )
         rel = dict(zip(ids, (float(x) for x in order["rel"])))
         sim = {
             (int(a_), int(b_)): float(s_)

@@ -92,6 +92,25 @@ def scale_table(spark: SparkSession, src: str, out: str, table: str, k: int) -> 
     if table in FIXED_DIMS:
         scaled = df
     else:
+        # Fail fast on stride collisions: scaling an ALREADY-SCALED
+        # fixture reuses the same shift space, so copy i of source-copy
+        # j lands on key + (i+j)·stride — multiplicity up to k, NOT k
+        # distinct keys. (Round-8 discovery: sf1→sf10 produced a "sf10"
+        # with only 19 % distinct keys; join fan-outs were ~5× true
+        # sf10. Always scale from the BASE fixture: sf0.1 → k=100.)
+        keyed = [c for c in df.columns if c in STRIDES]
+        if keyed:
+            maxes = df.agg(
+                *[F.max(F.col(c)).alias(c) for c in keyed]
+            ).collect()[0]
+            for c in keyed:
+                if maxes[c] is not None and maxes[c] >= STRIDES[c]:
+                    raise SystemExit(
+                        f"{table}.{c}: max {maxes[c]} >= stride "
+                        f"{STRIDES[c]} — input is already a scaled "
+                        f"fixture; copy shifts would collide. Scale "
+                        f"from the base fixture with a larger k instead."
+                    )
         scaled = _one_copy(df, table, 0)
         for i in range(1, k):
             scaled = scaled.unionAll(_one_copy(df, table, i))
