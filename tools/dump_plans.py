@@ -339,12 +339,33 @@ SHOW = [
      "attach via broadcast pointer joins. Guard: "
      "test_skew_report_no_global_window_topn_is_take_ordered."),
     ("mmr_rerank",
-     "MMR diversified rerank (round 7) — candidate generation "
-     "(broadcast queries × one corpus scan) is the only stage touching "
-     "the corpus; the Q·c candidates and Q·c² pair sims are "
-     "localCheckpointed so the (k−1)-step greedy driver loop joins "
-     "bounded frames, never re-deriving the scan. Guard: "
-     "tests/test_ann_recall.py MMR semantics tests."),
+     "MMR diversified rerank (rewritten round 8) — candidate "
+     "generation (broadcast queries × one corpus scan) is the only "
+     "stage touching the corpus; the greedy selection, sequential in k "
+     "but independent across queries, runs as ONE cogrouped "
+     "applyInPandas over query_id (≤ c + c² rows per group) instead of "
+     "k−1 chained global jobs: parallel in the query axis, flat across "
+     "decades (0.99 s sf0.1 → 2.1 s sf10). Guard: "
+     "tests/test_ann_recall.py MMR semantics tests + gate hash vs the "
+     "unrolled-CTE oracle."),
+    ("salting_plan",
+     "Skew report → knobs wiring (round 8) — pure arithmetic attached "
+     "to the 5-row report grain; the pow2 salt factor is a when-chain "
+     "over candidate powers (NOT pow/ceil/log2 — libm ULP drift at the "
+     "pow2 boundaries would flip the ceil across engines), byte "
+     "thresholds floor-before-cast. Every knob formula is replayed by "
+     "the DuckDB oracle. Guard: test_salting_plan_wires_report_to_knobs "
+     "(staged skew; recommended knobs keep the salted join exact)."),
+    ("dedup_simhash_wide_exact",
+     "Exact-recall 64-bit SimHash (round 8) — the probe side emits "
+     "each 16-bit chunk plus its 16 one-bit-flip variants (XOR against "
+     "a 17-mask literal array argument, evaluated once per row); "
+     "pigeonhole over 4 chunks ⇒ recall exactly 1 at Hamming ≤ 7. The "
+     "gate oracle is BRUTE FORCE (no blocking replication), so the "
+     "hash PROVES the recall claim — plain blocking measured ~72 % "
+     "recall on the same fixture. 17× candidate constant, still "
+     "n²/964-class; 11.5× at sf10, under the plain twin's 12.9×. "
+     "Guard: tests/test_ann_recall.py adversarial-miss recovery."),
     ("join_size_estimate",
      "Sampled join-size estimate (round 7) — the 1/16 key-domain hash "
      "sample is a Filter directly on a ONE-column pruned scan "
@@ -421,6 +442,16 @@ SHOW = [
      "partials; output bounded by |types|+1 rows; z and the alarm "
      "flag are projections. The cheap query a pipeline runs before "
      "trusting either A/B readout."),
+    ("counters_reconcile",
+     "Exactly-once audit (round 8) — drives the production foreachBatch "
+     "dynamic-partition merge across two staged update micro-batches "
+     "(repartitioned BEFORE the counter derivation: a file micro-batch "
+     "is one task), then full-outer-joins the counters table against "
+     "the batch recompute over the archive with a null-safe struct "
+     "compare — a missing side IS drift. The oracle hard-codes "
+     "n_drift = 0, so any exactly-once violation fails the hash. "
+     "Guard: staged-drift test (mutation, phantom, missing rows all "
+     "fire)."),
 ]
 
 
