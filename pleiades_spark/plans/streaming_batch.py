@@ -38,6 +38,16 @@ EVENTS_MICROS_SCHEMA = (
     "value double, props string"
 )
 
+# Staged stateful/join gates never touch props (every consumer dropped
+# it right after the scan) — so the staging writes exclude it: props is
+# the widest column by far (JSON string), and both the one-file-per-
+# micro-batch staging write AND the single-task batch scan are sized by
+# bytes. Counters gates (_stage_day_split) DO parse props and keep it.
+EVENTS_STAGE_SCHEMA = (
+    "event_id long, ts timestamp, user_id long, event_type string, "
+    "value double"
+)
+
 
 def _stage_event_files(spark: SparkSession, sf_dir: str, out_dir: str, *, split: bool) -> None:
     """Write fixture events into ``out_dir`` as two parquet files.
@@ -47,7 +57,7 @@ def _stage_event_files(spark: SparkSession, sf_dir: str, out_dir: str, *, split:
     split=False → the full table twice: batch 2 is 100 % re-delivery, the
                   dedup operator must emit nothing for it.
     """
-    events = catalog.load(spark, sf_dir, "events")
+    events = catalog.load(spark, sf_dir, "events").drop("props")
     halves = (
         [events.filter(F.col("event_id") % 2 == 0), events.filter(F.col("event_id") % 2 == 1)]
         if split
@@ -148,10 +158,9 @@ def _run_stateful(
     cannot express update semantics.
     """
     stream = (
-        spark.readStream.schema(EVENTS_MICROS_SCHEMA)
+        spark.readStream.schema(EVENTS_STAGE_SCHEMA)
         .option("maxFilesPerTrigger", "1")
         .parquet(src_dir)
-        .drop("props")
     )
     with _rocksdb_state(spark):
         writer = op(stream).writeStream.outputMode(output_mode)
@@ -239,10 +248,9 @@ def q_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def _op(stream: DataFrame) -> DataFrame:
         other = (
-            stream.sparkSession.readStream.schema(EVENTS_MICROS_SCHEMA)
+            stream.sparkSession.readStream.schema(EVENTS_STAGE_SCHEMA)
             .option("maxFilesPerTrigger", "1")
             .parquet(src)
-            .drop("props")
         )
         return stream_stream_user_join(stream, other)
 
@@ -450,10 +458,9 @@ def q_streaming_dedup_builtin(spark: SparkSession, sf_dir: str) -> DataFrame:
     src = tempfile.mkdtemp(prefix="builtin_dedup_")
     _stage_event_files(spark, sf_dir, src, split=False)
     stream = (
-        spark.readStream.schema(EVENTS_MICROS_SCHEMA)
+        spark.readStream.schema(EVENTS_STAGE_SCHEMA)
         .option("maxFilesPerTrigger", "1")
         .parquet(src)
-        .drop("props")
     )
     q = (
         dedup_events_stream(stream)
@@ -498,8 +505,11 @@ def q_streaming_dau(spark: SparkSession, sf_dir: str) -> DataFrame:
     max_day = events.agg(
         F.max(F.date_trunc("day", F.col("ts"))).alias("m")
     ).collect()[0]["m"]
-    early = events.filter(F.date_trunc("day", F.col("ts")) < F.lit(max_day))
-    late = events.filter(F.date_trunc("day", F.col("ts")) >= F.lit(max_day))
+    # stage only the two columns the DAU op reads (see EVENTS_STAGE_SCHEMA
+    # rationale — staging write + one-task micro-batch scan are byte-bound)
+    slim = events.select("ts", "user_id")
+    early = slim.filter(F.date_trunc("day", F.col("ts")) < F.lit(max_day))
+    late = slim.filter(F.date_trunc("day", F.col("ts")) >= F.lit(max_day))
     for i, part in enumerate([early, late]):
         tmp = f"{src}/_stage{i}"
         # repartition(1), not coalesce(1) — keep the scan parallel
@@ -509,10 +519,9 @@ def q_streaming_dau(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(tmp)
 
     stream = (
-        spark.readStream.schema(EVENTS_MICROS_SCHEMA)
+        spark.readStream.schema("ts timestamp, user_id long")
         .option("maxFilesPerTrigger", "1")
         .parquet(src)
-        .select("ts", "user_id")
         .withWatermark("ts", "7 days")
         .withColumn("day", F.date_trunc("day", F.col("ts")))
     )
@@ -564,8 +573,11 @@ def q_streaming_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     max_day = events.agg(
         F.max(F.date_trunc("day", F.col("ts"))).alias("m")
     ).collect()[0]["m"]
-    early = events.filter(F.date_trunc("day", F.col("ts")) < F.lit(max_day))
-    late = events.filter(F.date_trunc("day", F.col("ts")) >= F.lit(max_day))
+    # stage only the three columns the session op reads — staging write
+    # and the one-task micro-batch scan are both sized by bytes
+    slim = events.select("ts", "user_id", "value")
+    early = slim.filter(F.date_trunc("day", F.col("ts")) < F.lit(max_day))
+    late = slim.filter(F.date_trunc("day", F.col("ts")) >= F.lit(max_day))
     for i, part in enumerate([early, late]):
         tmp = f"{src}/_stage{i}"
         # repartition(1), not coalesce(1) — keep the scan parallel
@@ -575,10 +587,9 @@ def q_streaming_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(tmp)
 
     stream = (
-        spark.readStream.schema(EVENTS_MICROS_SCHEMA)
+        spark.readStream.schema("ts timestamp, user_id long, value double")
         .option("maxFilesPerTrigger", "1")
         .parquet(src)
-        .select("ts", "user_id", "value")
         .withWatermark("ts", "7 days")
     )
     sess = stream.groupBy(

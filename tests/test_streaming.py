@@ -160,7 +160,7 @@ def test_stream_stream_left_outer_join(spark, sf_dir, tmp_path):
     emit exactly one NULL row; no row gets both verdicts."""
     from pleiades_spark import catalog
     from pleiades_spark.plans.streaming_batch import (
-        EVENTS_MICROS_SCHEMA,
+        EVENTS_STAGE_SCHEMA,
         _stage_event_files,
     )
     from pleiades_spark.streaming.pipeline import stream_stream_user_join
@@ -173,10 +173,9 @@ def test_stream_stream_left_outer_join(spark, sf_dir, tmp_path):
 
     def _stream():
         return (
-            spark.readStream.schema(EVENTS_MICROS_SCHEMA)
+            spark.readStream.schema(EVENTS_STAGE_SCHEMA)
             .option("maxFilesPerTrigger", "1")
             .parquet(src)
-            .drop("props")
         )
 
     wm = "1 hour"
@@ -244,7 +243,7 @@ def test_streaming_session_window_matches_batch(spark, sf_dir, tmp_path):
 
     from pleiades_spark import catalog
     from pleiades_spark.plans.streaming_batch import (
-        EVENTS_MICROS_SCHEMA,
+        EVENTS_STAGE_SCHEMA,
         _stage_event_files,
     )
 
@@ -254,10 +253,9 @@ def test_streaming_session_window_matches_batch(spark, sf_dir, tmp_path):
 
     gap = "30 minutes"
     stream = (
-        spark.readStream.schema(EVENTS_MICROS_SCHEMA)
+        spark.readStream.schema(EVENTS_STAGE_SCHEMA)
         .option("maxFilesPerTrigger", "1")
         .parquet(src)
-        .drop("props")
         .withWatermark("ts", "1 hour")
     )
     agg = (
