@@ -840,3 +840,52 @@ def test_ab_cuped_one_user_shuffle_two_row_pool_window(spark, sf_dir):
     # exchange operates on <= 2-row aggregate frames
     user_ex = len(re.findall(r"hashpartitioning\(user_id", plan))
     assert user_ex >= 1
+
+
+def test_mmr_rerank_cogroup_single_greedy_stage(spark, sf_dir):
+    """Round-8 rewrite claim: the greedy stage is ONE cogrouped
+    applyInPandas over query_id — not a k-step chain of global joins.
+    Plan must contain exactly one FlatMapCoGroupsInPandas and no Union
+    of per-step picks; candidate/sims lineage is severed by
+    localCheckpoint so the corpus scan never re-derives per step."""
+    from pleiades_spark.plans.llm import q_mmr_rerank
+
+    plan = _plan(q_mmr_rerank(spark, sf_dir))
+    # one tree node (formatted explain also lists it once in the detail
+    # section, hence the "(": tree prints "FlatMapCoGroupsInPandas (9)")
+    assert plan.count("FlatMapCoGroupsInPandas (") == 1
+    assert "Union" not in plan          # the old k-step accumulation shape
+    assert "CartesianProduct" not in plan
+
+
+def test_salting_plan_attaches_to_report_grain(spark, sf_dir):
+    """The knob derivation must be pure projection on the 5-row report
+    output — no extra exchange, join, or window beyond what skew_report
+    itself plans (compare node counts against the bare report)."""
+    from pleiades_spark.plans.relational import q_salting_plan, q_skew_report
+
+    base = _plan(q_skew_report(spark, sf_dir))
+    plan = _plan(q_salting_plan(spark, sf_dir))
+    assert plan.count("Exchange") == base.count("Exchange")
+    assert plan.count("Window") == base.count("Window")
+    # and no libm pow/log in the pow2 choice — when-chain only
+    assert "LOG2" not in plan.upper().replace("log2", "LOG2") or "log2" not in plan
+
+
+def test_simhash_wide_exact_probe_is_single_explode_join(spark, sf_dir):
+    """The 1-bit-flip multi-probe must be ONE extra Generate (the 17-mask
+    explode) feeding the SAME equi-join shape as plain blocking — no
+    nested-loop fallback, no per-probe union."""
+    from pleiades_spark.plans.llm import q_dedup_simhash_wide_exact
+
+    plan = _plan(q_dedup_simhash_wide_exact(spark, sf_dir))
+    # any HASH-based equi join on the chunk key qualifies (the small
+    # gate SF broadcasts; at scale the same plan shuffles) — what must
+    # NEVER appear is a nested-loop on the Hamming predicate
+    assert (
+        "BroadcastHashJoin" in plan
+        or "SortMergeJoin" in plan
+        or "ShuffledHashJoin" in plan
+    )
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
