@@ -154,8 +154,12 @@ def _run_stateful(
     for the dedup/join gates means millions of rows of pure driver
     transfer at sf1 (measured: the dominant cost, not the stateful
     work). Update-mode gates (running totals: one row per user per
-    batch) stay on the memory sink — tiny output, and the file sink
-    cannot express update semantics.
+    batch) stay on the memory sink — the file sink cannot express
+    update semantics, and the foreachBatch-append workaround was
+    MEASURED AND REJECTED (round 8, sf10): 40.1 s memory-sink vs
+    79.2 s foreachBatch — here the cost is the applyInPandasWithState
+    work over ~1M user groups, not driver transfer of the 3-column
+    update rows, and foreachBatch adds a per-batch plan + commit.
     """
     stream = (
         spark.readStream.schema(EVENTS_STAGE_SCHEMA)
