@@ -68,3 +68,40 @@ def test_every_registry_query_documented_in_operators_md():
     ops = open("OPERATORS.md").read()
     missing = [n for n in collect_queries() if n not in ops]
     assert not missing, f"undocumented queries: {missing}"
+
+
+def test_gen_scale_fixture_rejects_already_scaled_input(spark, tmp_path):
+    """Round-8 lesson: scaling an already-scaled fixture reuses the key
+    stride space (copy i of source-copy j → key + (i+j)·stride), which
+    produced a "sf10" with only ~19 % distinct keys and ~5× inflated
+    join fan-outs. scale_table must refuse inputs whose keys already
+    exceed the stride instead of silently colliding."""
+    import sys
+
+    import pytest
+
+    sys.path.insert(0, "tools")
+    try:
+        from gen_scale_fixture import STRIDES, scale_table
+    finally:
+        sys.path.pop(0)
+
+    src = tmp_path / "src"
+    out = tmp_path / "out"
+    src.mkdir()
+    # a "customer" table whose c_custkey already carries one shift level
+    base = spark.range(5)
+    already = base.select(
+        (base["id"] + STRIDES["c_custkey"]).alias("c_custkey")
+    )
+    already.write.parquet(str(src / "customer.parquet"))
+    with pytest.raises(SystemExit, match="already a scaled fixture"):
+        scale_table(spark, str(src), str(out), "customer", 10)
+
+    # clean base keys pass and replicate without key collisions
+    clean = base.select((base["id"] + 1).alias("c_custkey"))
+    clean.write.mode("overwrite").parquet(str(src / "customer.parquet"))
+    n = scale_table(spark, str(src), str(out), "customer", 10)
+    assert n == 50
+    got = spark.read.parquet(str(out / "customer.parquet"))
+    assert got.select("c_custkey").distinct().count() == 50
