@@ -196,6 +196,8 @@ HEADLINE = [
     "dedup_simhash_wide_exact",
     # round 8: skew report wired to salting/AQE knobs
     "salting_plan",
+    # round 8: deterministic Lloyd's k-means fit (hash-gated codebook)
+    "kmeans_lloyd",
 ]
 
 # Queries whose min-of-2 is still warmup-contaminated, measured min-of-3:

@@ -876,3 +876,117 @@ def mmr_rerank(
             schema="query_id long, sel_rank int, vec_id long, score double",
         )
     )
+
+
+# --- deterministic Lloyd's k-means (hash-gatable codebook fit) -------------
+
+KMEANS_K = 8
+KMEANS_ITERS = 3
+
+
+def kmeans_fit_deterministic(
+    emb: DataFrame, k: int = KMEANS_K, iters: int = KMEANS_ITERS
+) -> DataFrame:
+    """Lloyd's k-means with every nondeterminism removed, so the FITTED
+    codebook itself hash-matches a DuckDB replay — closing the "a
+    fitted codebook can't be oracle-gated" gap for the deterministic
+    case (MLlib's randomized kmeans|| fit, fit_ivf_codebook, stays
+    recall-tested: its seeds live engine-side by nature).
+
+    Determinism ledger, iteration by iteration:
+    - init: centroids = the first k vectors (same rule as every IVF
+      operator here; /root/reference has no kmeans — this extends the
+      deterministic-codebook family).
+    - assignment: the _assign_nearest map-only argmax fold — cosines
+      rounded to 6 BEFORE comparison, ties to the lowest centroid_id;
+      the oracle replays it as the (cos DESC, cid ASC) row_number.
+    - update: per-dimension MEAN as integer micro-units — each member
+      coordinate quantizes to floor(x·1e6 + 0.5) BIGINT, the per-cell
+      sum is EXACT (order-independent, unlike double summation, which
+      diverges between Spark's partition order and DuckDB's scan
+      order), and the mean re-quantizes to one micro integer via
+      floor(s/n + 0.5) before the single /1e6 division. Every arriving
+      double is therefore bit-identical across engines.
+    - empty cells keep their previous centroid (left join + coalesce,
+      replayed by the oracle).
+
+    Scale shape per iteration: assignment is the zero-shuffle broadcast
+    fold (n·k cosines in the scan); the update is one posexplode →
+    groupBy(cell, pos) with map-side combine onto a k·d-row grain; the
+    centroid rebuild is a k-row collect. The k-row frame
+    localCheckpoints between iterations — bounded, and it severs the
+    iteration-to-iteration lineage (plan depth stays O(1), not
+    O(iters)).
+
+    Output: (centroid_id, pos, val, n_members) — the codebook exploded
+    to hashable scalars plus the final-assignment member census.
+    """
+    v = emb.select("vec_id", as_double(F.col("embedding")).alias("v"))
+    cents = v.filter(F.col("vec_id") < k).select(
+        F.col("vec_id").alias("centroid_id"), F.col("v").alias("cv")
+    )
+    for _ in range(iters):
+        assigned = _assign_nearest(
+            v, cents.select(F.col("centroid_id"), F.col("cv"))
+        )
+        dims = assigned.select(
+            F.col("centroid_id").alias("cell"),
+            F.posexplode("v").alias("pos", "x"),
+        )
+        upd = (
+            dims.groupBy("cell", "pos")
+            .agg(
+                F.sum(
+                    F.floor(F.col("x") * 1000000 + F.lit(0.5)).cast("long")
+                ).alias("s"),
+                F.count(F.lit(1)).alias("n"),
+            )
+            .select(
+                "cell",
+                "pos",
+                (
+                    F.floor(
+                        F.col("s").cast("double") / F.col("n") + F.lit(0.5)
+                    )
+                    / F.lit(1000000.0)
+                ).alias("val"),
+            )
+        )
+        newc = (
+            upd.groupBy("cell")
+            .agg(
+                F.array_sort(
+                    F.collect_list(F.struct("pos", "val"))
+                ).alias("pv")
+            )
+            .select(
+                F.col("cell").alias("centroid_id"),
+                F.transform(F.col("pv"), lambda s: s["val"]).alias("cv_new"),
+            )
+        )
+        cents = (
+            cents.join(newc, "centroid_id", "left")
+            .select(
+                "centroid_id",
+                F.coalesce(F.col("cv_new"), F.col("cv")).alias("cv"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    final = _assign_nearest(v, cents)
+    census = final.groupBy(F.col("centroid_id").alias("cid")).agg(
+        F.count(F.lit(1)).alias("n_members")
+    )
+    return (
+        cents.select(
+            "centroid_id", F.posexplode("cv").alias("pos", "val")
+        )
+        .join(census, F.col("centroid_id") == F.col("cid"), "left")
+        .select(
+            "centroid_id",
+            "pos",
+            "val",
+            F.coalesce(F.col("n_members"), F.lit(0).cast("long")).alias(
+                "n_members"
+            ),
+        )
+    )

@@ -708,6 +708,93 @@ SELECT query_id, rank, vec_id, cos FROM (
 """
 
 
+# --- deterministic Lloyd's k-means (hash-gated codebook FIT) ---------------
+
+
+def q_kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic Lloyd's k-means fit, gate-checked END TO END
+    (operators/similarity.kmeans_fit_deterministic): first-k init,
+    round-6 argmax-cosine assignment, integer-micro-unit exact centroid
+    means, empty cells hold their previous centroid. The oracle unrolls
+    all three iterations as chained CTEs and replays every centroid
+    coordinate and the final member census bit-for-bit — demonstrating
+    that a FITTED codebook is hash-gatable whenever the fit itself is
+    deterministic (the randomized MLlib kmeans|| path, fit_ivf_codebook,
+    stays recall-audited: its seeds are engine-internal by nature)."""
+    from pleiades_spark.operators.similarity import kmeans_fit_deterministic
+
+    out = kmeans_fit_deterministic(_t(spark, sf_dir, "embeddings"))
+    return out.select(
+        "centroid_id", F.col("pos").cast("int").alias("pos"), "val",
+        "n_members",
+    )
+
+
+def _kmeans_oracle(k: int = 8, iters: int = 3) -> str:
+    assign = """
+a{i} AS (
+  SELECT vec_id, centroid_id FROM (
+    SELECT v.vec_id, c.centroid_id,
+           row_number() OVER (PARTITION BY v.vec_id
+             ORDER BY {ccos} DESC, c.centroid_id ASC) AS rk
+    FROM v CROSS JOIN (SELECT cid AS centroid_id, cv FROM c{p}) c
+  ) WHERE rk = 1
+)"""
+    # mean as exact integer micro-units: sum(BIGINT) is order-independent
+    # (double summation is not); floor(s/n + 0.5) re-quantizes to one
+    # micro integer before the single /1e6 — identical textual op order
+    # to the Spark side (operators/similarity.kmeans_fit_deterministic)
+    update = """
+u{i} AS (
+  SELECT a.centroid_id AS cid, d.pos,
+         floor(CAST(sum(CAST(floor(d.x * 1000000 + 0.5) AS BIGINT)) AS DOUBLE)
+               / count(*) + 0.5) / 1000000.0 AS val
+  FROM a{i} a JOIN d ON d.vec_id = a.vec_id
+  GROUP BY a.centroid_id, d.pos
+),
+c{i} AS (
+  SELECT p.cid, coalesce(l.cv, p.cv) AS cv
+  FROM c{p} p LEFT JOIN (
+    SELECT cid, list(val ORDER BY pos) AS cv FROM u{i} GROUP BY cid
+  ) l USING (cid)
+)"""
+    ccos = (
+        "round(list_inner_product(v.v, c.cv) / "
+        "(sqrt(list_inner_product(v.v, v.v)) * "
+        "sqrt(list_inner_product(c.cv, c.cv))), 6)"
+    )
+    parts = [f"""
+WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+d AS (SELECT vec_id, CAST(unnest(range(0, len(v))) AS INT) AS pos,
+             unnest(v) AS x FROM v),
+c0 AS (SELECT vec_id AS cid, v AS cv FROM v WHERE vec_id < {k})"""]
+    for i in range(1, iters + 1):
+        parts.append("," + assign.format(i=i, p=i - 1, ccos=ccos))
+        parts.append("," + update.format(i=i, p=i - 1))
+    parts.append(f""",
+afinal AS (
+  SELECT vec_id, centroid_id FROM (
+    SELECT v.vec_id, c.centroid_id,
+           row_number() OVER (PARTITION BY v.vec_id
+             ORDER BY {ccos} DESC, c.centroid_id ASC) AS rk
+    FROM v CROSS JOIN (SELECT cid AS centroid_id, cv FROM c{iters}) c
+  ) WHERE rk = 1
+),
+census AS (SELECT centroid_id, count(*) AS n_members FROM afinal GROUP BY 1),
+exploded AS (
+  SELECT cid, CAST(unnest(range(0, len(cv))) AS INT) AS pos,
+         unnest(cv) AS val
+  FROM c{iters}
+)
+SELECT e.cid AS centroid_id, e.pos, e.val,
+       coalesce(n.n_members, 0) AS n_members
+FROM exploded e LEFT JOIN census n ON n.centroid_id = e.cid""")
+    return "".join(parts)
+
+
+ORACLE_KMEANS_LLOYD = _kmeans_oracle()
+
+
 # --- IVFADC: coarse quantizer + PQ-coded ADC scan -------------------------
 
 
@@ -2546,6 +2633,9 @@ QUERIES = [
           "nearest-label-centroid classification confusion matrix (long form)"),
     Query("ivf_knn", q_ivf_knn, ORACLE_IVF_KNN,
           "IVF-bucketed approximate top-k (nprobe=1)"),
+    Query("kmeans_lloyd", q_kmeans_lloyd, ORACLE_KMEANS_LLOYD,
+          "deterministic Lloyd's k-means FIT: codebook + census, every "
+          "iteration replayed (integer-exact centroid means)"),
     Query("text_quality_scores", q_text_quality, ORACLE_TEXT_QUALITY,
           "per-doc quality: TTR, stopword/digit ratios, composite score"),
     Query("gopher_repetition", q_gopher_repetition, ORACLE_GOPHER_REPETITION,

@@ -473,3 +473,55 @@ def test_mmr_rerank_first_pick_matches_knn_top1(spark, embeddings):
         for r in mmr_rerank(embeddings, 5).filter("sel_rank = 1").collect()
     }
     assert first == top1
+
+
+def test_kmeans_lloyd_deterministic_semantics(spark):
+    """Independent checks (not oracle replay) on a constructed fixture:
+    two tight clusters → centroids land on the quantized cluster means
+    and the census matches cluster sizes; a duplicated seed leaves its
+    cell empty (round-6 cosine ties break to the lower id) and the
+    empty cell must RETAIN its init centroid."""
+    import math
+
+    from pleiades_spark.operators.similarity import kmeans_fit_deterministic
+
+    # cluster A around (1, 0), cluster B around (0, 1); seeds = rows 0, 1
+    rows = [
+        (0, [1.0, 0.01]),
+        (1, [0.02, 1.0]),
+        (2, [1.0, 0.03]),
+        (3, [1.0, 0.05]),
+        (4, [0.04, 1.0]),
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = {
+        (r.centroid_id, r.pos): (r.val, r.n_members)
+        for r in kmeans_fit_deterministic(emb, k=2, iters=2).collect()
+    }
+    assert len(got) == 4  # 2 centroids × 2 dims
+
+    def micro_mean(vals):
+        s = sum(math.floor(x * 1000000 + 0.5) for x in vals)
+        return math.floor(s / len(vals) + 0.5) / 1000000
+
+    # assignment by cosine puts {0,2,3} with seed 0 and {1,4} with seed 1
+    assert got[(0, 0)][0] == micro_mean([1.0, 1.0, 1.0])
+    assert got[(0, 1)][0] == micro_mean([0.01, 0.03, 0.05])
+    assert got[(1, 0)][0] == micro_mean([0.02, 0.04])
+    assert got[(1, 1)][0] == micro_mean([1.0, 1.0])
+    assert got[(0, 0)][1] == 3 and got[(1, 0)][1] == 2
+
+    # duplicated seed: cell 2 ties every would-be member to cell 1 →
+    # empty; it must keep its INIT vector (row 2 = [1.0, 0.03]) — and
+    # k-means still converges for the live cells
+    dup = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [0.0, 1.0]), (2, [0.0, 1.0]), (3, [0.0, 1.0])],
+        "vec_id long, embedding array<double>",
+    )
+    got2 = {
+        (r.centroid_id, r.pos): (r.val, r.n_members)
+        for r in kmeans_fit_deterministic(dup, k=3, iters=2).collect()
+    }
+    assert got2[(2, 0)][0] == 0.0 and got2[(2, 1)][0] == 1.0  # retained init
+    assert got2[(2, 0)][1] == 0  # empty census
+    assert got2[(1, 0)][1] == 3  # rows 1,2,3 all tie → lowest id wins

@@ -442,6 +442,16 @@ SHOW = [
      "partials; output bounded by |types|+1 rows; z and the alarm "
      "flag are projections. The cheap query a pipeline runs before "
      "trusting either A/B readout."),
+    ("kmeans_lloyd",
+     "Deterministic Lloyd's k-means fit (round 8) — per iteration: the "
+     "zero-shuffle broadcast argmax fold assigns (n·k cosines in the "
+     "scan), the update is ONE posexplode → groupBy(cell, pos) with "
+     "map-side combine onto the k·d grain (centroid means as exact "
+     "integer micro-unit sums — double summation is order-dependent "
+     "across engines), and the k-row codebook localCheckpoints so plan "
+     "depth stays O(1) in iterations. Oracle unrolls all three "
+     "iterations. Guard: constructed-cluster + empty-cell-retention "
+     "test."),
     ("counters_reconcile",
      "Exactly-once audit (round 8) — drives the production foreachBatch "
      "dynamic-partition merge across two staged update micro-batches "
