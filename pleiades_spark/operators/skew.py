@@ -132,12 +132,23 @@ def salting_plan(
     # to, which would flip the ceil — plain double comparisons are
     # IEEE-exact everywhere (and let the DuckDB gate oracle replay the
     # choice bit-for-bit).
+    if max_salts < 2 or (max_salts & (max_salts - 1)) != 0:
+        raise ValueError(
+            f"max_salts must be a power of two >= 2, got {max_salts}: the "
+            "when-chain clamp emits max_salts itself when raw_s exceeds "
+            "every candidate, and a non-pow2 salt count breaks pmod balance"
+        )
+    # candidates derived FROM max_salts (doubling), so the clamp value is
+    # always the last chain candidate — never an uncovered fallback
+    candidates = []
+    s_ = 2
+    while s_ <= max_salts:
+        candidates.append(s_)
+        s_ *= 2
     spread_target = F.greatest(F.col("p99_cnt"), F.col("avg_cnt"), F.lit(1.0))
     raw_s = F.col("max_cnt").cast("double") / spread_target
     pow2_s = F.lit(max_salts)
-    for s_ in [1 << b for b in range(6, 0, -1)]:  # 64, 32, …, 2
-        if s_ > max_salts:
-            continue
+    for s_ in reversed(candidates):
         pow2_s = F.when(raw_s <= F.lit(float(s_)), F.lit(s_)).otherwise(
             pow2_s
         )

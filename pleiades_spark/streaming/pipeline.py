@@ -575,8 +575,18 @@ def reconcile_counters(streamed: DataFrame, batch: DataFrame) -> DataFrame:
     missing piece): FULL OUTER join on (day, counter), a row drifts when
     either side is missing or (events, growth) disagree, and the output
     is the per-day summary an alert fires on — n_drift must be 0
-    everywhere. Null-safe struct comparison, so a missing side is drift,
-    never a silently-passing NULL ≠ NULL.
+    everywhere. A missing side is drift, never a silently-passing
+    NULL ≠ NULL.
+
+    Events compare EXACTLY (null-safe); growth compares within a
+    half-quantum tolerance (5e-5 — both sides are round(,4) values).
+    The streaming side sums lendiff in state-arrival order while the
+    batch side sums in shuffle order, so the pre-round doubles can
+    differ by ULPs; at an exact .xxxx5 boundary that flips the 4th
+    decimal and a bit-equality compare would report false drift
+    (the _quantize4 divergence class, CLAUDE.md). A REAL drift is at
+    least one whole lendiff unit ≥ the 1e-4 quantum, so the tolerance
+    loses no detection power.
 
     Both inputs carry (day, counter, events, growth). Cost at 100 TB:
     one co-partitioned (day, counter) shuffle over two already-reduced
@@ -584,18 +594,22 @@ def reconcile_counters(streamed: DataFrame, batch: DataFrame) -> DataFrame:
     """
     s = streamed.select(
         "day", "counter",
-        F.struct(F.col("events"), F.col("growth")).alias("sv"),
+        F.col("events").alias("e_s"), F.col("growth").alias("g_s"),
     )
     b = batch.select(
         "day", "counter",
-        F.struct(F.col("events"), F.col("growth")).alias("bv"),
-        F.col("events").alias("e_b"),
+        F.col("events").alias("e_b"), F.col("growth").alias("g_b"),
     )
     j = s.join(b, ["day", "counter"], "full")
-    drift = ~F.col("sv").eqNullSafe(F.col("bv"))
+    growth_drift = (
+        F.when(F.col("g_s").isNull() & F.col("g_b").isNull(), F.lit(False))
+        .when(F.col("g_s").isNull() | F.col("g_b").isNull(), F.lit(True))
+        .otherwise(F.abs(F.col("g_s") - F.col("g_b")) > F.lit(5e-5))
+    )
+    drift = ~F.col("e_s").eqNullSafe(F.col("e_b")) | growth_drift
     return j.groupBy("day").agg(
         F.count(F.lit(1)).alias("n_counters"),
-        F.sum(F.coalesce(F.col("e_b"), F.col("sv.events")))
+        F.sum(F.coalesce(F.col("e_b"), F.col("e_s")))
         .cast("bigint")
         .alias("events_total"),
         F.sum(drift.cast("int")).cast("bigint").alias("n_drift"),

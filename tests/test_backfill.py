@@ -201,3 +201,29 @@ def test_reconcile_counters_flags_staged_drift(spark):
     assert got[100] == (2, 14, 1)   # the mutated-growth row drifts
     assert got[101] == (2, 8, 1)    # phantom counts once, sums its events
     assert got[102] == (1, 3, 1)    # missing side is drift, not NULL==NULL
+
+
+def test_reconcile_counters_tolerates_ulp_growth_difference(spark):
+    """Order-dependent summation ULPs must NOT read as drift: the two
+    sides sum lendiff in different orders (state-arrival vs shuffle), so
+    pre-round doubles can differ in the last bits and round(,4) can flip
+    the 4th decimal at an exact .xxxx5 boundary. Events still compare
+    exactly — an events mismatch with equal growth IS drift."""
+    from pleiades_spark.streaming.pipeline import reconcile_counters
+
+    schema = "day long, counter string, events long, growth double"
+    # 0.00005 below/above an exact representable: |Δ| = 1e-9 ≪ 5e-5 quantum
+    batch = spark.createDataFrame(
+        [(100, "pleiades_total", 10, 1.23450000), (101, "pleiades_total", 3, 2.0)],
+        schema,
+    )
+    streamed = spark.createDataFrame(
+        [(100, "pleiades_total", 10, 1.23450000 + 1e-9), (101, "pleiades_total", 4, 2.0)],
+        schema,
+    )
+    got = {
+        r["day"]: r["n_drift"]
+        for r in reconcile_counters(streamed, batch).collect()
+    }
+    assert got[100] == 0   # ULP growth difference is not drift
+    assert got[101] == 1   # exact events mismatch still fires

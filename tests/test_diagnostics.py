@@ -201,3 +201,27 @@ def test_fk_integrity_flags_staged_orphans(spark, tmp_path):
     assert oc["orphan_bp"] == 5000.0  # 2/4 in basis points
     lo = got["lineitem.orderkey->orders"]
     assert (lo["n_child"], lo["n_orphans"]) == (2, 0)
+
+
+def test_salting_plan_rejects_non_pow2_max_salts(spark):
+    """A non-power-of-two max_salts would fall through the when-chain to
+    a raw literal, breaking the pmod-balance contract — fail fast, and
+    accept any pow2 (candidates derive from max_salts by doubling, so
+    values above the old hard-coded 64 work too)."""
+    import pytest
+
+    from pleiades_spark.operators.skew import salting_plan
+    from pleiades_spark.plans.relational import _skew_profile
+
+    fact = spark.createDataFrame(
+        [(0, i) for i in range(900)] + [(k, k) for k in range(1, 101)],
+        "k long, payload long",
+    )
+    report = _skew_profile(fact, "k", "staged.hot")
+    for bad in (0, 1, 3, 100, 127):
+        with pytest.raises(ValueError, match="power of two"):
+            salting_plan(report, max_salts=bad)
+    # pow2 above the old 64 cap: raw spread ≈ 900/9.9 ≈ 91 → 128, which
+    # the old chain clamped to 64 — now reachable
+    row = salting_plan(report, n_shuffle_partitions=8, max_salts=1024).collect()[0]
+    assert row["n_salts"] == 128

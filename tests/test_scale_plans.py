@@ -869,7 +869,8 @@ def test_salting_plan_attaches_to_report_grain(spark, sf_dir):
     assert plan.count("Exchange") == base.count("Exchange")
     assert plan.count("Window") == base.count("Window")
     # and no libm pow/log in the pow2 choice — when-chain only
-    assert "LOG2" not in plan.upper().replace("log2", "LOG2") or "log2" not in plan
+    assert "log2" not in plan.lower()
+    assert "power(" not in plan.lower()
 
 
 def test_simhash_wide_exact_probe_is_single_explode_join(spark, sf_dir):
