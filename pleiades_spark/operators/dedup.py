@@ -441,6 +441,132 @@ def simhash_wide_pairs_from_sigs(
     )
 
 
+def simhash128_signature(docs: DataFrame) -> DataFrame:
+    """(doc_id, h0, h1, h2, h3) — a 128-bit SimHash as four independent
+    salted 32-bit halves (salts 'w0:'..'w3:' over md5-h32, so the DuckDB
+    oracle replays every half bit-for-bit)."""
+    from pleiades_spark.functions.text import tokens
+
+    dtoks = F.array_distinct(tokens(F.col("text")))
+    n = F.size(dtoks)
+
+    # real closure, NOT `lambda t, i=i:` — PySpark counts lambda default
+    # args as HOF params, turning the salt into the array-index column
+    # (the CLAUDE.md HOF-params invariant, re-learned here the hard way)
+    def _salted_hash(i: int):
+        salt = F.lit(f"w{i}:")
+        return lambda t: h32(F.concat(salt, t))
+
+    halves = [
+        _simhash_of(F.transform(dtoks, _salted_hash(i)), n).alias(f"h{i}")
+        for i in range(4)
+    ]
+    return docs.repartition(F.col("doc_id")).select("doc_id", *halves)
+
+
+def simhash_pairs_wide128(
+    docs: DataFrame, max_hamming: int = 6, exact_recall: bool = False
+) -> DataFrame:
+    """128-bit SimHash near-dup with 32-bit chunk blocking — the round-9
+    bucket-count knob (round-8 verdict #1) that retires the 16-bit-chunk
+    candidate cliff.
+
+    WHY 128 BITS: simhash_pairs_wide's 64-bit signature blocks on 4×16-bit
+    chunks — 65 536 buckets per chunk index, so bucket occupancy grows as
+    n/65k and candidate volume as n²/16k: measured 10.2×/11.2× at sf10's
+    500k docs, the next >20× cells one decade out. Blocking on 32-bit
+    chunks gives 2³² buckets per index — occupancy stays ~1 until corpus
+    size approaches 4 B docs, so candidate volume is driven by TRUE
+    near-dup collisions, not birthday crowding. A 32-bit intact chunk
+    with provable recall needs 4 chunks × 32 bits = a 128-bit signature
+    (four independently salted 32-bit halves; Hamming distance = Σ
+    bit_count over the four XORs, all signed-32-safe).
+
+    RECALL (same pigeonhole algebra as the 64-bit twin, one level up):
+    plain blocking guarantees an intact shared chunk for Hamming ≤ 3;
+    ``exact_recall=True`` multi-probes each chunk with its 32 one-bit
+    flips (33 probe rows per chunk), guaranteeing some chunk with ≤ 1
+    differing bit for every Hamming ≤ 7 — recall provably 1 at the
+    default threshold 6. Probe cost is 33× rows vs the 64-bit probe's
+    17×, but each bucket is ~singleton, so candidates ≈ true near-dups
+    × 132, independent of n — the constant the guarantee costs.
+
+    THRESHOLD SEMANTICS: ``max_hamming`` stays 6, now out of 128 bits
+    (~95% bit agreement) instead of 64 (~91%) — a stricter similarity
+    bar. The fingerprints are different projections; pair sets are not
+    expected to match the 64-bit twin's (tests quantify overlap), and
+    the gate oracle replays THIS operator's contract exactly.
+    """
+    # cache: the signature projection (4 md5 transforms + 4 majority
+    # folds per doc) feeds BOTH sides of the self-join — uncached it
+    # runs twice (the 64-bit twin caches for the same reason)
+    sigs = simhash128_signature(docs).cache()
+    return simhash_wide128_pairs_from_sigs(sigs, max_hamming, exact_recall)
+
+
+def simhash_wide128_pairs_from_sigs(
+    sigs: DataFrame, max_hamming: int = 6, exact_recall: bool = False
+) -> DataFrame:
+    """Chunk-blocked pair join over precomputed (doc_id, h0..h3) 128-bit
+    signatures — split out so tests inject exact bit patterns (guaranteed
+    hit at Hamming ≤ 3 plain / ≤ 7 multi-probe; adversarial
+    all-chunks-corrupted miss at Hamming 4 plain). Each 32-bit half IS a
+    chunk — no sub-word slicing, the blocking key is the half itself.
+
+    ``exact_recall=True``: probe side emits the chunk value + its 32
+    one-bit-flip variants via XOR against a 33-mask literal array (mask
+    0 = identity; array ARGUMENT of the HOF ⇒ evaluated once per row,
+    lambda touches only element + column — the HOF-CSE invariant). The
+    gate oracle for this path is BRUTE FORCE, which is what PROVES the
+    recall-1 claim on real signatures."""
+    chunks = sigs.select(
+        "doc_id",
+        "h0",
+        "h1",
+        "h2",
+        "h3",
+        F.posexplode(
+            F.array(F.col("h0"), F.col("h1"), F.col("h2"), F.col("h3"))
+        ).alias("chunk_idx", "chunk_val"),
+    )
+    if exact_recall:
+        masks = F.array(F.lit(0), *[F.lit(1 << b) for b in range(32)])
+        probe = chunks.select(
+            "doc_id",
+            "h0",
+            "h1",
+            "h2",
+            "h3",
+            "chunk_idx",
+            F.explode(
+                F.transform(masks, lambda m: F.col("chunk_val").bitwiseXOR(m))
+            ).alias("chunk_val"),
+        )
+        left = probe.alias("l")
+    else:
+        left = chunks.alias("l")
+    right = chunks.alias("r")
+    hamming = sum(
+        F.bit_count(F.col(f"l.h{i}").bitwiseXOR(F.col(f"r.h{i}")))
+        for i in range(4)
+    )
+    return (
+        left.join(
+            right,
+            (F.col("l.chunk_idx") == F.col("r.chunk_idx"))
+            & (F.col("l.chunk_val") == F.col("r.chunk_val"))
+            & (F.col("l.doc_id") < F.col("r.doc_id")),
+        )
+        .select(
+            F.col("l.doc_id").alias("doc_a"),
+            F.col("r.doc_id").alias("doc_b"),
+            hamming.alias("hamming"),
+        )
+        .distinct()
+        .filter(F.col("hamming") <= max_hamming)
+    )
+
+
 # --- exact n-gram jaccard (ground truth) ---------------------------------
 
 

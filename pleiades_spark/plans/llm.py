@@ -302,44 +302,60 @@ SELECT doc_a, doc_b, hamming FROM pairs WHERE hamming <= {MAX_HAMMING}
 """
 
 
-MAX_HAMMING_WIDE = 6  # same 3/32 corruption fraction at 64 bits
+MAX_HAMMING_WIDE = 6  # now out of 128 bits (~95% agreement) — within the
+#                       1-bit-multi-probe provable-recall bound of 7
+
+
+# the 128-bit signature: four independently salted 32-bit SimHash halves
+def _simhash128_sig_sql() -> str:
+    hashed = ",\n".join(
+        "         list_transform(toks, tk -> "
+        + h32_sql(f"concat('w{i}:', tk)")
+        + f") AS a{i}"
+        for i in range(4)
+    )
+    halves = ",\n         ".join(
+        _simhash_sql(f"a{i}", f"len(a{i})") + f" AS h{i}" for i in range(4)
+    )
+    return (
+        "WITH t AS (\n"
+        "  SELECT doc_id, list_distinct(string_split(text, ' ')) AS toks"
+        " FROM documents\n), h AS (\n  SELECT doc_id,\n"
+        f"{hashed}\n  FROM t\n), s AS (\n  SELECT doc_id, {halves}\n  FROM h\n)"
+    )
+
+
+_SIMHASH128_SIG_SQL = _simhash128_sig_sql()
+
+_HAMMING128_SQL = " + ".join(
+    f"bit_count(xor(l.h{i}, r.h{i}))" for i in range(4)
+)
 
 
 def q_dedup_simhash_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """64-bit SimHash with 16-bit chunk blocking — the corpus-scale
-    twin of dedup_simhash (whose 8-bit chunks are a quadratic cliff at
-    500k docs: operators/dedup.simhash_pairs_wide)."""
-    from pleiades_spark.operators.dedup import simhash_pairs_wide
+    """128-bit SimHash with 32-bit chunk blocking (round-9 knob) — the
+    corpus-scale twin of dedup_simhash. The 64-bit/16-bit-chunk form
+    (operators/dedup.simhash_pairs_wide, the round-8 gate) has n²/16k
+    candidate volume — 10.2× at sf10, the next decade's >20× cell; the
+    32-bit chunks keep buckets ~singleton until ~4B docs, so candidates
+    track true near-dups, not birthday collisions."""
+    from pleiades_spark.operators.dedup import simhash_pairs_wide128
 
-    out = simhash_pairs_wide(_t(spark, sf_dir, "documents"), MAX_HAMMING_WIDE)
+    out = simhash_pairs_wide128(_t(spark, sf_dir, "documents"), MAX_HAMMING_WIDE)
     return out.select(
         "doc_a", "doc_b", F.col("hamming").cast("int").alias("hamming")
     )
 
 
 ORACLE_DEDUP_SIMHASH_WIDE = f"""
-WITH t AS (
-  SELECT doc_id, list_distinct(string_split(text, ' ')) AS toks FROM documents
-), h AS (
-  SELECT doc_id,
-         list_transform(toks, tk -> {h32_sql("concat('wh:', tk)")}) AS hh,
-         list_transform(toks, tk -> {h32_sql("concat('wl:', tk)")}) AS hl
-  FROM t
-), s AS (
-  SELECT doc_id, {_simhash_sql('hh', 'len(hh)')} AS hi,
-         {_simhash_sql('hl', 'len(hl)')} AS lo
-  FROM h
-), chunks AS (
-  SELECT doc_id, hi, lo, chunk_idx,
-         CASE chunk_idx WHEN 0 THEN (hi >> 16) & 65535
-                        WHEN 1 THEN hi & 65535
-                        WHEN 2 THEN (lo >> 16) & 65535
-                        ELSE lo & 65535 END AS chunk_val
+{_SIMHASH128_SIG_SQL}, chunks AS (
+  SELECT doc_id, h0, h1, h2, h3, chunk_idx,
+         CASE chunk_idx WHEN 0 THEN h0 WHEN 1 THEN h1
+                        WHEN 2 THEN h2 ELSE h3 END AS chunk_val
   FROM s, (SELECT unnest(range(0, 4)) AS chunk_idx)
 ), pairs AS (
   SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b,
-         CAST(bit_count(xor(l.hi, r.hi)) + bit_count(xor(l.lo, r.lo)) AS INT)
-           AS hamming
+         CAST({_HAMMING128_SQL} AS INT) AS hamming
   FROM chunks l JOIN chunks r
     ON l.chunk_idx = r.chunk_idx AND l.chunk_val = r.chunk_val
    AND l.doc_id < r.doc_id
@@ -349,17 +365,17 @@ SELECT doc_a, doc_b, hamming FROM pairs WHERE hamming <= {MAX_HAMMING_WIDE}
 
 
 def q_dedup_simhash_wide_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact-recall 64-bit SimHash: 1-bit-flip multi-probe blocking
-    (operators/dedup.simhash_wide_pairs_from_sigs exact_recall=True) —
-    recall provably 1 for Hamming ≤ 6 with 4×16-bit chunks (pigeonhole:
-    ≤7 flips leave some chunk with ≤1 error, covered by the flip
-    variants). The oracle is BRUTE FORCE over all doc pairs — no
-    blocking replication — so the hash gate PROVES the recall-1 claim on
-    real signatures, unlike dedup_simhash_wide whose oracle mirrors the
-    blocking and its documented Hamming-4-6 misses."""
-    from pleiades_spark.operators.dedup import simhash_pairs_wide
+    """Exact-recall 128-bit SimHash: 1-bit-flip multi-probe blocking
+    (operators/dedup.simhash_wide128_pairs_from_sigs exact_recall=True)
+    — recall provably 1 for Hamming ≤ 6 with 4×32-bit chunks
+    (pigeonhole: ≤7 flips leave some chunk with ≤1 error, covered by the
+    33 probe variants). The oracle is BRUTE FORCE over all doc pairs —
+    no blocking replication — so the hash gate PROVES the recall-1 claim
+    on real signatures, unlike dedup_simhash_wide whose oracle mirrors
+    the blocking and its documented Hamming-4-6 misses."""
+    from pleiades_spark.operators.dedup import simhash_pairs_wide128
 
-    out = simhash_pairs_wide(
+    out = simhash_pairs_wide128(
         _t(spark, sf_dir, "documents"), MAX_HAMMING_WIDE, exact_recall=True
     )
     return out.select(
@@ -372,23 +388,12 @@ def q_dedup_simhash_wide_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 # replicate the probe blocking, which is exactly what makes the gate a
 # recall proof rather than a consistency check.
 ORACLE_DEDUP_SIMHASH_WIDE_EXACT = f"""
-WITH t AS (
-  SELECT doc_id, list_distinct(string_split(text, ' ')) AS toks FROM documents
-), h AS (
-  SELECT doc_id,
-         list_transform(toks, tk -> {h32_sql("concat('wh:', tk)")}) AS hh,
-         list_transform(toks, tk -> {h32_sql("concat('wl:', tk)")}) AS hl
-  FROM t
-), s AS (
-  SELECT doc_id, {_simhash_sql('hh', 'len(hh)')} AS hi,
-         {_simhash_sql('hl', 'len(hl)')} AS lo
-  FROM h
-)
+{_SIMHASH128_SIG_SQL}
 SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-       CAST(bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo)) AS INT)
+       CAST({_HAMMING128_SQL.replace('l.', 'a.').replace('r.', 'b.')} AS INT)
          AS hamming
 FROM s a JOIN s b ON a.doc_id < b.doc_id
-WHERE bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo))
+WHERE {_HAMMING128_SQL.replace('l.', 'a.').replace('r.', 'b.')}
       <= {MAX_HAMMING_WIDE}
 """
 

@@ -525,3 +525,78 @@ def test_kmeans_lloyd_deterministic_semantics(spark):
     assert got2[(2, 0)][0] == 0.0 and got2[(2, 1)][0] == 1.0  # retained init
     assert got2[(2, 0)][1] == 0  # empty census
     assert got2[(1, 0)][1] == 3  # rows 1,2,3 all tie → lowest id wins
+
+
+def test_simhash128_catches_near_dups_rejects_unrelated(spark):
+    """Round-9 knob behavior: identical docs at hamming 0; a one-token
+    edit of a 400-token doc sits at hamming 6 = exactly the default
+    threshold (6/128 ≈ 95% agreement is STRICTER than the 64-bit twin's
+    6/64 — a 1-in-40-token edit lands at ~9 and is no longer a near-dup
+    under this contract); unrelated docs rejected. exact_recall because
+    a ~6-bit perturbation usually touches all four 32-bit halves, which
+    plain blocking only catches when a half survives intact."""
+    from pleiades_spark.operators.dedup import simhash_pairs_wide128
+
+    base = " ".join(f"tok{i}" for i in range(400))
+    edited = " ".join(f"tok{i}" for i in range(399)) + " zzz"
+    other = " ".join(f"other{i}" for i in range(400))
+    docs = spark.createDataFrame(
+        [(0, base), (1, base), (2, edited), (3, other)],
+        "doc_id long, text string",
+    )
+    got = {
+        (r.doc_a, r.doc_b): r.hamming
+        for r in simhash_pairs_wide128(docs, 6, exact_recall=True).collect()
+    }
+    assert got.get((0, 1)) == 0          # identical → hamming 0
+    assert got.get((0, 2)) == 6          # one-token edit → threshold hit
+    assert (0, 3) not in got and (1, 3) not in got and (2, 3) not in got
+
+
+def test_simhash128_pigeonhole_bounds(spark):
+    """The 64-bit pigeonhole algebra one level up: 4×32-bit chunks
+    guarantee a shared intact chunk only for Hamming ≤ 3; a Hamming-4
+    pair whose flips corrupt ALL four halves is missed by plain blocking
+    BY DESIGN (the gate oracle replicates the blocking); the 33-mask
+    1-bit-flip multi-probe recovers every pair at Hamming ≤ 7 — some
+    chunk must hold ≤ 1 of ≤ 7 flips."""
+    from pleiades_spark.operators.dedup import simhash_wide128_pairs_from_sigs
+
+    rows = [
+        (0, 0, 0, 0, 0),                  # base
+        (1, 0b111, 0, 0, 0),              # hamming 3 in one chunk → FOUND
+        (2, 1, 1, 1, 1),                  # hamming 4 spread → plain MISS
+        (3, 0b1111, 0, 0, 0),             # hamming 4 concentrated → found
+        (4, 0b111, 0b111, 0, 0),          # hamming 6, two chunks → found
+        (5, 0b11, 0b11, 0b11, 1),         # hamming 7 spread, one chunk
+    ]                                     #   with 1 flip → exact@7 finds
+    sigs = spark.createDataFrame(
+        rows, "doc_id long, h0 long, h1 long, h2 long, h3 long"
+    )
+    got = {
+        (r.doc_a, r.doc_b): r.hamming
+        for r in simhash_wide128_pairs_from_sigs(sigs, 6).collect()
+    }
+    assert got.get((0, 1)) == 3      # pigeonhole-guaranteed hit
+    assert (0, 2) not in got         # all-chunks-corrupted miss
+    assert got.get((0, 3)) == 4      # errors concentrated → found
+    assert got.get((0, 4)) == 6      # two corrupt, two intact → found
+
+    exact = {
+        (r.doc_a, r.doc_b): r.hamming
+        for r in simhash_wide128_pairs_from_sigs(
+            sigs, 6, exact_recall=True
+        ).collect()
+    }
+    assert exact.get((0, 2)) == 4    # the adversarial miss, recovered
+    assert set(got) <= set(exact)    # strictly more recall, same precision
+    assert all(v <= 6 for v in exact.values())
+
+    # the provable bound extends to Hamming 7 (max for 1-bit probes)
+    exact7 = {
+        (r.doc_a, r.doc_b): r.hamming
+        for r in simhash_wide128_pairs_from_sigs(
+            sigs, 7, exact_recall=True
+        ).collect()
+    }
+    assert exact7.get((0, 5)) == 7
