@@ -198,6 +198,9 @@ HEADLINE = [
     "salting_plan",
     # round 8: deterministic Lloyd's k-means fit (hash-gated codebook)
     "kmeans_lloyd",
+    # round 9: production fuzzy-match grain (grouped name pairs + counts;
+    # the row-expanded fuzzy_name_pairs is quadratic-guarded now)
+    "fuzzy_name_groups",
 ]
 
 # Queries whose min-of-2 is still warmup-contaminated, measured min-of-3:

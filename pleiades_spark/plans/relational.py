@@ -1870,10 +1870,21 @@ def q_fuzzy_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
        broadcast is output-bound, and the output — all qualifying row
        pairs — is the irreducible floor of the exact semantics.
 
-    Both engines implement plain Levenshtein, so distances hash-match."""
+    Both engines implement plain Levenshtein, so distances hash-match.
+
+    DEMOTED round 9 (verdict #2): this row-expanded pair grain is
+    output-bound enumeration — 2.30 B rows at sf10 on the fixture's
+    64-name vocabulary, the worst sweep cell — and no 100 TB user asks
+    for it; the production gate is q_fuzzy_name_groups (same semantics
+    reduced to the (brand, name_a, name_b) grain with a pair COUNT).
+    Ground-truth tier now: quadratic-guarded on the input row count
+    (raises above 100k rows like ngram_jaccard), bench-excluded by name
+    at sf1/sf10."""
+    from pleiades_spark.operators.dedup import _guard_quadratic
     from pleiades_spark.operators.editdist import edit_distance_pairs
 
     part = _t(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_name")
+    _guard_quadratic(part, "fuzzy_name_pairs (row-expanded grain)", False)
     vocab = part.select("p_name").distinct().withColumn("g", F.lit(1))
     vp = edit_distance_pairs(vocab, "p_name", "p_name", "g", FUZZY_MAX_DIST)
     # direct both ways + identical-name self pairs: row-pair order is by
@@ -1912,6 +1923,97 @@ SELECT a.p_brand AS brand, a.p_partkey AS part_a, b.p_partkey AS part_b,
 FROM part a JOIN part b
   ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey
  AND levenshtein(a.p_name, b.p_name) <= {FUZZY_MAX_DIST}
+"""
+
+
+def q_fuzzy_name_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PRODUCTION fuzzy-match grain (round-9 verdict #2): qualifying
+    row-pair volume per (brand, name_a, name_b) instead of the pairs
+    themselves. Everything a dedup/MDM decision needs — which name
+    variants collide, how close, how many records are involved — at a
+    |brands| × |vocab-pairs| output size that is INDEPENDENT of row
+    count; q_fuzzy_name_pairs (the 2.3 B-row enumeration at sf10) is the
+    quadratic-guarded ground truth this replaces in the sweeps.
+
+    Scale shape: one groupBy reduces rows to (brand, name) groups with
+    counts; Levenshtein runs once per DISTINCT name pair through the
+    PassJoin segment-signature equi-join (operators/editdist.py, never
+    all-pairs); the vocab-pair map broadcasts onto the reduced group
+    grain. No stage touches row volume after the first aggregation.
+
+    Grain contract: unordered name pairs canonicalized name_a < name_b
+    (PassJoin's id order IS name order here — ids are the names);
+    same-name groups contribute (name, name, 0, C(cnt,2)) — the
+    self-pair count — computed with integer `div` on both engines (the
+    product is even; no double round-trip)."""
+    from pleiades_spark.operators.editdist import edit_distance_pairs
+
+    part = _t(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_name")
+    groups = (
+        part.groupBy("p_brand", "p_name")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .cache()
+    )
+    vocab = groups.select("p_name").distinct().withColumn("g", F.lit(1))
+    vp = edit_distance_pairs(vocab, "p_name", "p_name", "g", FUZZY_MAX_DIST)
+    ga = groups.select(
+        F.col("p_brand").alias("brand"),
+        F.col("p_name").alias("name_a"),
+        F.col("cnt").alias("cnt_a"),
+    )
+    gb = groups.select(
+        F.col("p_brand").alias("b_brand"),
+        F.col("p_name").alias("b_name"),
+        F.col("cnt").alias("cnt_b"),
+    )
+    cross = (
+        ga.join(
+            F.broadcast(
+                vp.select(
+                    F.col("text_a").alias("name_a"),
+                    F.col("text_b").alias("name_b"),
+                    "dist",
+                )
+            ),
+            "name_a",
+        )
+        .join(
+            gb,
+            (F.col("brand") == F.col("b_brand"))
+            & (F.col("name_b") == F.col("b_name")),
+        )
+        .select(
+            "brand",
+            "name_a",
+            "name_b",
+            F.col("dist").cast("int").alias("dist"),
+            (F.col("cnt_a") * F.col("cnt_b")).cast("bigint").alias("n_pairs"),
+        )
+    )
+    same = groups.filter(F.col("cnt") >= 2).select(
+        F.col("p_brand").alias("brand"),
+        F.col("p_name").alias("name_a"),
+        F.col("p_name").alias("name_b"),
+        F.lit(0).alias("dist"),
+        F.shiftright((F.col("cnt") * (F.col("cnt") - F.lit(1))).cast("bigint"), 1)
+        .alias("n_pairs"),
+    )
+    return cross.unionAll(same)
+
+
+ORACLE_FUZZY_NAME_GROUPS = f"""
+WITH g AS (
+  SELECT p_brand, p_name, count(*) AS cnt FROM part GROUP BY p_brand, p_name
+)
+SELECT a.p_brand AS brand, a.p_name AS name_a, b.p_name AS name_b,
+       CAST(levenshtein(a.p_name, b.p_name) AS INT) AS dist,
+       CAST(a.cnt * b.cnt AS BIGINT) AS n_pairs
+FROM g a JOIN g b ON a.p_brand = b.p_brand AND a.p_name < b.p_name
+WHERE levenshtein(a.p_name, b.p_name) <= {FUZZY_MAX_DIST}
+UNION ALL
+SELECT p_brand AS brand, p_name AS name_a, p_name AS name_b,
+       0 AS dist, CAST((cnt * (cnt - 1)) // 2 AS BIGINT) AS n_pairs
+FROM g WHERE cnt >= 2
 """
 
 
@@ -2747,6 +2849,8 @@ QUERIES = [
     Query("salted_supplier_join", q_salted_supplier_join,
           ORACLE_SALTED_SUPPLIER_JOIN,
           "skew-spread salted equi-join, plain-join oracle (invariance proof)"),
+    Query("fuzzy_name_groups", q_fuzzy_name_groups, ORACLE_FUZZY_NAME_GROUPS,
+          "fuzzy match at the grouped grain: name-pair + row-pair count"),
     Query("fuzzy_name_pairs", q_fuzzy_name_pairs, ORACLE_FUZZY_NAME_PAIRS,
           "brand-blocked Levenshtein fuzzy join (entity resolution)"),
     Query("zorder_rank", q_zorder_rank, ORACLE_ZORDER_RANK,
