@@ -49,6 +49,42 @@ EVENTS_STAGE_SCHEMA = (
 )
 
 
+_STAGE_CACHE: dict = {}
+
+
+def _staged_src(sf_dir: str, key: str, stage_fn) -> str:
+    """One staged streaming-source dir per (fixture dir, staging recipe)
+    per PROCESS (round-9 verdict #5): staged files are a pure function
+    of the fixture, so the staged gates — and bench reps of the same
+    gate — share a single staging job instead of re-writing
+    near-identical day/parity splits each time (~250 s of the 1218 s
+    round-8 sf10 sweep was staging+replay). Checkpoints and sink
+    outputs stay per-run: a file source with a fresh checkpoint
+    re-reads the shared files from scratch, so gate semantics are
+    bit-identical; only the measurement overhead changes."""
+    k = (os.path.abspath(sf_dir), key)
+    d = _STAGE_CACHE.get(k)
+    if d is None or not os.path.isdir(d):
+        d = tempfile.mkdtemp(prefix=f"stage_{key}_")
+        stage_fn(d)
+        _STAGE_CACHE[k] = d
+    return d
+
+
+def _stage_parts(parts, src: str) -> None:
+    """Write each frame as exactly one parquet FILE (``NN.parquet``) in
+    ``src`` — one file = one micro-batch under maxFilesPerTrigger=1.
+    repartition(1), NOT coalesce(1): coalesce collapses the whole
+    scan+filter into one task; repartition keeps them parallel and only
+    the final write is single-task (3.3 s → 1.75 s per staging at sf1)."""
+    for i, part in enumerate(parts):
+        tmp = f"{src}/_stage{i}"
+        part.repartition(1).write.mode("overwrite").parquet(tmp)
+        pf = next(f for f in os.listdir(tmp) if f.endswith(".parquet"))
+        shutil.copyfile(f"{tmp}/{pf}", f"{src}/{i:02d}.parquet")
+        shutil.rmtree(tmp)
+
+
 def _stage_event_files(spark: SparkSession, sf_dir: str, out_dir: str, *, split: bool) -> None:
     """Write fixture events into ``out_dir`` as two parquet files.
 
@@ -63,16 +99,7 @@ def _stage_event_files(spark: SparkSession, sf_dir: str, out_dir: str, *, split:
         if split
         else [events]  # re-delivery: write ONCE, copy the file per batch
     )
-    for i, half in enumerate(halves):
-        tmp = f"{out_dir}/_stage{i}"
-        # repartition(1), NOT coalesce(1): coalesce collapses the WHOLE
-        # scan+filter into one task; repartition keeps them parallel and
-        # only the final write is single-task (needed: exactly one file
-        # per micro-batch). Measured 3.3 s → 1.75 s per staging at sf1.
-        half.repartition(1).write.mode("overwrite").parquet(tmp)
-        part = next(f for f in os.listdir(tmp) if f.endswith(".parquet"))
-        shutil.copyfile(f"{tmp}/{part}", f"{out_dir}/{i:02d}.parquet")
-        shutil.rmtree(tmp)
+    _stage_parts(halves, out_dir)
     if not split:
         shutil.copyfile(f"{out_dir}/00.parquet", f"{out_dir}/01.parquet")
 
@@ -89,13 +116,7 @@ def _stage_day_split(spark: SparkSession, sf_dir: str, src: str) -> None:
     ).collect()[0]["m"]
     early = events.filter(F.date_trunc("day", F.col("ts")) < F.lit(max_day))
     late = events.filter(F.date_trunc("day", F.col("ts")) >= F.lit(max_day))
-    for i, part in enumerate([early, late]):
-        tmp = f"{src}/_stage{i}"
-        # repartition(1), not coalesce(1) — keep the scan parallel
-        part.repartition(1).write.mode("overwrite").parquet(tmp)
-        pf = next(f for f in os.listdir(tmp) if f.endswith(".parquet"))
-        shutil.copyfile(f"{tmp}/{pf}", f"{src}/{i:02d}.parquet")
-        shutil.rmtree(tmp)
+    _stage_parts([early, late], src)
 
 
 @contextmanager
@@ -193,8 +214,8 @@ def q_stateful_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     driven across two micro-batches; the LAST update per user must equal
     the batch aggregate (streaming/stateful.py running_user_totals)."""
     apply_runtime_confs(spark)
-    src = tempfile.mkdtemp(prefix="stateful_totals_")
-    _stage_event_files(spark, sf_dir, src, split=True)
+    src = _staged_src(sf_dir, "ev_split",
+                      lambda d: _stage_event_files(spark, sf_dir, d, split=True))
     mem = _run_stateful(
         spark, src, running_user_totals, "update", "stateful_totals_gate"
     )
@@ -220,8 +241,8 @@ def q_stateful_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     as a second micro-batch must contribute zero output rows
     (streaming/stateful.py streaming_dedup)."""
     apply_runtime_confs(spark)
-    src = tempfile.mkdtemp(prefix="stateful_dedup_")
-    _stage_event_files(spark, sf_dir, src, split=False)
+    src = _staged_src(sf_dir, "ev_redeliver",
+                      lambda d: _stage_event_files(spark, sf_dir, d, split=False))
     mem = _run_stateful(
         spark, src, streaming_dedup, "append", "stateful_dedup_gate",
         sink="parquet",  # ~3M output rows at sf1 — keep them off the driver
@@ -247,8 +268,8 @@ def q_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     paired with the same user's events in the following hour. Both sides
     are real streams; state is bounded by watermark + time range."""
     apply_runtime_confs(spark)
-    src = tempfile.mkdtemp(prefix="ssjoin_")
-    _stage_event_files(spark, sf_dir, src, split=True)
+    src = _staged_src(sf_dir, "ev_split",
+                      lambda d: _stage_event_files(spark, sf_dir, d, split=True))
 
     def _op(stream: DataFrame) -> DataFrame:
         other = (
@@ -317,8 +338,8 @@ def q_streaming_counters_append(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pleiades_spark.streaming.pipeline import counters_stream
 
     apply_runtime_confs(spark)
-    src = tempfile.mkdtemp(prefix="appendctr_")
-    _stage_day_split(spark, sf_dir, src)
+    src = _staged_src(sf_dir, "day_full",
+                      lambda d: _stage_day_split(spark, sf_dir, d))
 
     # repartition BEFORE the counter derivation: a staged file-source
     # micro-batch is ONE file = ONE task (CLAUDE.md invariant), so the
@@ -398,9 +419,9 @@ def q_counters_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     apply_runtime_confs(spark)
-    src = tempfile.mkdtemp(prefix="ctr_reconcile_src_")
+    src = _staged_src(sf_dir, "day_full",
+                      lambda d: _stage_day_split(spark, sf_dir, d))
     out = tempfile.mkdtemp(prefix="ctr_reconcile_out_")
-    _stage_day_split(spark, sf_dir, src)
     # repartition before the parse/explode — single-file micro-batch
     # would otherwise run it single-threaded (54.3 → 27.4 s at sf10;
     # see q_streaming_counters_append's note)
@@ -459,8 +480,8 @@ def q_streaming_dedup_builtin(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pleiades_spark.streaming.pipeline import dedup_events_stream
 
     apply_runtime_confs(spark)
-    src = tempfile.mkdtemp(prefix="builtin_dedup_")
-    _stage_event_files(spark, sf_dir, src, split=False)
+    src = _staged_src(sf_dir, "ev_redeliver",
+                      lambda d: _stage_event_files(spark, sf_dir, d, split=False))
     stream = (
         spark.readStream.schema(EVENTS_STAGE_SCHEMA)
         .option("maxFilesPerTrigger", "1")
@@ -504,23 +525,21 @@ def q_streaming_dau(spark: SparkSession, sf_dir: str) -> DataFrame:
     advances); the oracle computes the same closed-window distinct
     count."""
     apply_runtime_confs(spark)
-    src = tempfile.mkdtemp(prefix="dau_")
-    events = catalog.load(spark, sf_dir, "events")
-    max_day = events.agg(
-        F.max(F.date_trunc("day", F.col("ts"))).alias("m")
-    ).collect()[0]["m"]
-    # stage only the two columns the DAU op reads (see EVENTS_STAGE_SCHEMA
-    # rationale — staging write + one-task micro-batch scan are byte-bound)
-    slim = events.select("ts", "user_id")
-    early = slim.filter(F.date_trunc("day", F.col("ts")) < F.lit(max_day))
-    late = slim.filter(F.date_trunc("day", F.col("ts")) >= F.lit(max_day))
-    for i, part in enumerate([early, late]):
-        tmp = f"{src}/_stage{i}"
-        # repartition(1), not coalesce(1) — keep the scan parallel
-        part.repartition(1).write.mode("overwrite").parquet(tmp)
-        pf = next(f for f in os.listdir(tmp) if f.endswith(".parquet"))
-        shutil.copyfile(f"{tmp}/{pf}", f"{src}/{i:02d}.parquet")
-        shutil.rmtree(tmp)
+
+    def _stage_dau(d: str) -> None:
+        events = catalog.load(spark, sf_dir, "events")
+        max_day = events.agg(
+            F.max(F.date_trunc("day", F.col("ts"))).alias("m")
+        ).collect()[0]["m"]
+        # stage only the two columns the DAU op reads (see
+        # EVENTS_STAGE_SCHEMA rationale — staging write + one-task
+        # micro-batch scan are byte-bound)
+        slim = events.select("ts", "user_id")
+        early = slim.filter(F.date_trunc("day", F.col("ts")) < F.lit(max_day))
+        late = slim.filter(F.date_trunc("day", F.col("ts")) >= F.lit(max_day))
+        _stage_parts([early, late], d)
+
+    src = _staged_src(sf_dir, "day_ts_user", _stage_dau)
 
     stream = (
         spark.readStream.schema("ts timestamp, user_id long")
@@ -572,23 +591,20 @@ def q_streaming_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     sessions emit, and the oracle replays exactly those via the batch
     gaps-and-islands numbering + the same end <= max(ts) - 7d cutoff."""
     apply_runtime_confs(spark)
-    src = tempfile.mkdtemp(prefix="sess_")
-    events = catalog.load(spark, sf_dir, "events")
-    max_day = events.agg(
-        F.max(F.date_trunc("day", F.col("ts"))).alias("m")
-    ).collect()[0]["m"]
-    # stage only the three columns the session op reads — staging write
-    # and the one-task micro-batch scan are both sized by bytes
-    slim = events.select("ts", "user_id", "value")
-    early = slim.filter(F.date_trunc("day", F.col("ts")) < F.lit(max_day))
-    late = slim.filter(F.date_trunc("day", F.col("ts")) >= F.lit(max_day))
-    for i, part in enumerate([early, late]):
-        tmp = f"{src}/_stage{i}"
-        # repartition(1), not coalesce(1) — keep the scan parallel
-        part.repartition(1).write.mode("overwrite").parquet(tmp)
-        pf = next(f for f in os.listdir(tmp) if f.endswith(".parquet"))
-        shutil.copyfile(f"{tmp}/{pf}", f"{src}/{i:02d}.parquet")
-        shutil.rmtree(tmp)
+
+    def _stage_sess(d: str) -> None:
+        events = catalog.load(spark, sf_dir, "events")
+        max_day = events.agg(
+            F.max(F.date_trunc("day", F.col("ts"))).alias("m")
+        ).collect()[0]["m"]
+        # stage only the three columns the session op reads — staging
+        # write and the one-task micro-batch scan are both sized by bytes
+        slim = events.select("ts", "user_id", "value")
+        early = slim.filter(F.date_trunc("day", F.col("ts")) < F.lit(max_day))
+        late = slim.filter(F.date_trunc("day", F.col("ts")) >= F.lit(max_day))
+        _stage_parts([early, late], d)
+
+    src = _staged_src(sf_dir, "day_ts_user_value", _stage_sess)
 
     stream = (
         spark.readStream.schema("ts timestamp, user_id long, value double")
@@ -661,16 +677,16 @@ def q_streaming_lsh_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pleiades_spark.streaming.pipeline import lsh_dedup_stream
 
     apply_runtime_confs(spark)
-    src = tempfile.mkdtemp(prefix="lsh_dedup_stream_")
     docs = catalog.load(spark, sf_dir, "documents")
-    for i, half in enumerate(
-        [docs.filter(F.col("doc_id") % 2 == 0), docs.filter(F.col("doc_id") % 2 == 1)]
-    ):
-        tmp = f"{src}/_stage{i}"
-        half.repartition(1).write.mode("overwrite").parquet(tmp)
-        part = next(f for f in os.listdir(tmp) if f.endswith(".parquet"))
-        shutil.copyfile(f"{tmp}/{part}", f"{src}/{i:02d}.parquet")
-        shutil.rmtree(tmp)
+    src = _staged_src(
+        sf_dir,
+        "docs_split",
+        lambda d: _stage_parts(
+            [docs.filter(F.col("doc_id") % 2 == 0),
+             docs.filter(F.col("doc_id") % 2 == 1)],
+            d,
+        ),
+    )
     stream = (
         spark.readStream.schema(docs.schema)
         .option("maxFilesPerTrigger", "1")
@@ -725,8 +741,8 @@ def q_streaming_ab_welch(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     apply_runtime_confs(spark)
-    src = tempfile.mkdtemp(prefix="sab_welch_")
-    _stage_event_files(spark, sf_dir, src, split=True)
+    src = _staged_src(sf_dir, "ev_split",
+                      lambda d: _stage_event_files(spark, sf_dir, d, split=True))
 
     def op(stream: DataFrame) -> DataFrame:
         c = ab_cents_col()
