@@ -87,6 +87,59 @@ def _one_copy(df: DataFrame, table: str, i: int) -> DataFrame:
     return df
 
 
+def _all_copies_wide(df: DataFrame, table: str, k: int) -> DataFrame:
+    """Vectorized equivalent of the unionAll-of-_one_copy loop for LARGE
+    k (the sf100 probe's k=1000 would otherwise build a 1000-branch
+    union plan): one explode(sequence) per source row, shifts computed
+    from the _copy column. Produces the same values as the loop —
+    keys shift FIRST (so the embedding perturbation sees the shifted
+    vec_id, exactly like _one_copy's column order), copy 0 stays
+    bit-identical via the when() guards; _copy multiplications run in
+    bigint (999 × 10⁸ overflows int under ANSI)."""
+    out = df.select(
+        "*",
+        F.explode(F.sequence(F.lit(0), F.lit(k - 1))).alias("_copy"),
+    )
+    cpy = F.col("_copy").cast("bigint")
+    for col in df.columns:
+        if col in STRIDES:
+            out = out.withColumn(
+                col, F.col(col) + cpy * F.lit(STRIDES[col]).cast("bigint")
+            )
+    if table == "documents":
+        out = out.withColumn(
+            "text",
+            F.when(F.col("_copy") == 0, F.col("text")).otherwise(
+                F.regexp_replace(
+                    F.col("text"),
+                    F.lit(r"(\S+)"),
+                    F.concat(F.lit("$1zw"), F.col("_copy").cast("string")),
+                )
+            ),
+        ).withColumn("n_chars", F.length("text").cast("long"))
+    if table == "embeddings":
+        perturbed = F.transform(
+            F.col("embedding"),
+            lambda x, j: x
+            + (
+                F.pmod(
+                    F.col("vec_id") * 131 + j * 31 + F.col("_copy") * 17,
+                    F.lit(97),
+                )
+                / 97.0
+                - 0.5
+            )
+            * 0.05,
+        ).cast("array<float>")
+        out = out.withColumn(
+            "embedding",
+            F.when(F.col("_copy") == 0, F.col("embedding")).otherwise(
+                perturbed
+            ),
+        )
+    return out.drop("_copy")
+
+
 def scale_table(spark: SparkSession, src: str, out: str, table: str, k: int) -> int:
     df = spark.read.parquet(os.path.join(src, f"{table}.parquet"))
     if table in FIXED_DIMS:
@@ -111,9 +164,12 @@ def scale_table(spark: SparkSession, src: str, out: str, table: str, k: int) -> 
                         f"fixture; copy shifts would collide. Scale "
                         f"from the base fixture with a larger k instead."
                     )
-        scaled = _one_copy(df, table, 0)
-        for i in range(1, k):
-            scaled = scaled.unionAll(_one_copy(df, table, i))
+        if k > 100:
+            scaled = _all_copies_wide(df, table, k)
+        else:
+            scaled = _one_copy(df, table, 0)
+            for i in range(1, k):
+                scaled = scaled.unionAll(_one_copy(df, table, i))
     dest = os.path.join(out, f"{table}.parquet")
     # repartition: multi-file output like a real warehouse table (and the
     # downstream scans parallelize without relying on parquet row groups)
@@ -126,12 +182,20 @@ def main() -> None:
     src = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
     out = sys.argv[2] if len(sys.argv) > 2 else "testdata_sf1"
     k = int(sys.argv[3]) if len(sys.argv) > 3 else 10
+    # optional 4th arg: comma-separated table subset (dims always copied)
+    # — the sf100 probe only needs events/documents/embeddings; skipping
+    # lineitem/orders keeps the fourth-decade fixture ~3 GB, not 18 GB
+    subset = set(sys.argv[4].split(",")) if len(sys.argv) > 4 else None
+    if subset is not None and (unknown := subset - set(SCALED)):
+        raise SystemExit(f"unknown table(s) in subset: {sorted(unknown)}")
 
     from pleiades_spark.session import get_spark
 
     spark = get_spark("gen_scale_fixture")
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     for table in FIXED_DIMS + SCALED:
+        if subset is not None and table in SCALED and table not in subset:
+            continue
         n = scale_table(spark, src, out, table, k)
         print(f"{table}: {n} rows")
 
