@@ -201,6 +201,8 @@ HEADLINE = [
     # round 9: production fuzzy-match grain (grouped name pairs + counts;
     # the row-expanded fuzzy_name_pairs is quadratic-guarded now)
     "fuzzy_name_groups",
+    # round 9: blocking-index occupancy audit (pre-join candidate alarm)
+    "blocking_audit",
 ]
 
 # Queries whose min-of-2 is still warmup-contaminated, measured min-of-3:

@@ -383,6 +383,64 @@ def q_dedup_simhash_wide_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_blocking_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucket-occupancy audit of the SimHash blocking index — the
+    skew_report analog for dedup blocking (round-9 addition; the alarm
+    the 16-bit-chunk candidate cliff needed BEFORE it showed up as a
+    10× bench cell). Per chunk index: bucket count, colliding-bucket
+    count, max occupancy, and the EXACT candidate-pair volume the
+    blocking self-join will generate (Σ C(bucket,2)) — one aggregation
+    over the signature projection, no join. A production run gates the
+    pair join on candidate_pairs staying within budget; when buckets
+    crowd (n approaching bucket-space size), this is the number that
+    blows up first, quadratically.
+
+    avg_bucket is floor-quantized to 4 decimals (CLAUDE.md .xxxx5
+    invariant); candidate_pairs uses shiftright for the /2 (integer op
+    on both engines, no double round-trip)."""
+    from pleiades_spark.operators.dedup import simhash128_signature
+
+    sigs = simhash128_signature(_t(spark, sf_dir, "documents"))
+    chunks = sigs.select(
+        F.posexplode(
+            F.array(F.col("h0"), F.col("h1"), F.col("h2"), F.col("h3"))
+        ).alias("chunk_idx", "chunk_val")
+    )
+    buckets = chunks.groupBy("chunk_idx", "chunk_val").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    return buckets.groupBy("chunk_idx").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_buckets"),
+        F.sum((F.col("cnt") >= 2).cast("int")).cast("bigint").alias("n_colliding"),
+        F.max("cnt").cast("bigint").alias("max_bucket"),
+        (F.floor(F.avg("cnt") * 10000 + F.lit(0.5)) / 10000).alias("avg_bucket"),
+        F.sum(
+            F.shiftright(F.col("cnt") * (F.col("cnt") - F.lit(1)), 1)
+        ).cast("bigint").alias("candidate_pairs"),
+    )
+
+
+ORACLE_BLOCKING_AUDIT = f"""
+{_SIMHASH128_SIG_SQL}, chunks AS (
+  SELECT chunk_idx,
+         CASE chunk_idx WHEN 0 THEN h0 WHEN 1 THEN h1
+                        WHEN 2 THEN h2 ELSE h3 END AS chunk_val
+  FROM s, (SELECT unnest(range(0, 4)) AS chunk_idx)
+), buckets AS (
+  SELECT chunk_idx, chunk_val, count(*) AS cnt
+  FROM chunks GROUP BY chunk_idx, chunk_val
+)
+SELECT chunk_idx,
+       CAST(count(*) AS BIGINT) AS n_buckets,
+       CAST(sum(CASE WHEN cnt >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_colliding,
+       CAST(max(cnt) AS BIGINT) AS max_bucket,
+       floor(avg(cnt) * 10000 + 0.5) / 10000 AS avg_bucket,
+       CAST(sum((cnt * (cnt - 1)) // 2) AS BIGINT) AS candidate_pairs
+FROM buckets GROUP BY chunk_idx
+"""
+
+
 # Brute-force pair join (O(n²) in the ORACLE only — DuckDB at gate SF's
 # 500 docs = 125k signature pairs, trivial): deliberately does NOT
 # replicate the probe blocking, which is exactly what makes the gate a
@@ -2585,6 +2643,8 @@ QUERIES = [
           "MinHash signatures → banded LSH → verified Jaccard pairs"),
     Query("dedup_simhash", q_dedup_simhash, ORACLE_DEDUP_SIMHASH,
           "32-bit SimHash, chunk blocking, Hamming ≤ 3 pairs"),
+    Query("blocking_audit", q_blocking_audit, ORACLE_BLOCKING_AUDIT,
+          "bucket-occupancy + exact candidate-volume audit of the blocking index"),
     Query("dedup_simhash_wide", q_dedup_simhash_wide, ORACLE_DEDUP_SIMHASH_WIDE,
           "64-bit SimHash, 16-bit chunk blocking (corpus-scale twin)"),
     Query("dedup_simhash_wide_exact", q_dedup_simhash_wide_exact,

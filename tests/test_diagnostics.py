@@ -225,3 +225,40 @@ def test_salting_plan_rejects_non_pow2_max_salts(spark):
     # the old chain clamped to 64 — now reachable
     row = salting_plan(report, n_shuffle_partitions=8, max_salts=1024).collect()[0]
     assert row["n_salts"] == 128
+
+
+def test_blocking_audit_counts_staged_collisions(spark):
+    """The audit must price a staged blocking collapse exactly: 4 docs
+    with identical text land in ONE bucket per chunk (C(4,2)=6 candidate
+    pairs, max_bucket 4); 3 unrelated docs stay singletons. Computed off
+    injected signatures via the same groupBy shape the gate uses."""
+    from pyspark.sql import functions as F
+
+    from pleiades_spark.operators.dedup import simhash128_signature
+
+    same = "alpha beta gamma delta " * 10
+    docs = spark.createDataFrame(
+        [(i, same) for i in range(4)]
+        + [(10 + j, f"unrelated{j} " + " ".join(f"w{j}x{t}" for t in range(30)))
+           for j in range(3)],
+        "doc_id long, text string",
+    )
+    sigs = simhash128_signature(docs)
+    chunks = sigs.select(
+        F.posexplode(
+            F.array(F.col("h0"), F.col("h1"), F.col("h2"), F.col("h3"))
+        ).alias("chunk_idx", "chunk_val")
+    )
+    audit = (
+        chunks.groupBy("chunk_idx", "chunk_val")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .groupBy("chunk_idx")
+        .agg(
+            F.max("cnt").alias("max_bucket"),
+            F.sum(F.shiftright(F.col("cnt") * (F.col("cnt") - F.lit(1)), 1))
+            .alias("candidate_pairs"),
+        )
+    )
+    for r in audit.collect():
+        assert r["max_bucket"] == 4          # the 4 identical docs
+        assert r["candidate_pairs"] == 6     # C(4,2); singletons add 0
