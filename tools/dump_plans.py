@@ -203,12 +203,14 @@ SHOW = [
      "Z-order key — 32 shift/mask terms in one codegen projection; "
      "global top-200 compiles to TakeOrderedAndProject (per-partition "
      "heaps, no full sort)."),
-    ("fuzzy_name_pairs",
-     "Fuzzy join (round-5 rewrite) — Levenshtein runs on DISTINCT names "
-     "only via the PassJoin segment equi-join; rows re-expand through a "
-     "BroadcastHashJoin of the vocab-pair map + one hash join on "
-     "(brand, name). No nested-loop anywhere; everything after the "
-     "broadcast is output-bound."),
+    ("fuzzy_name_groups",
+     "Fuzzy match, production grain (round 9) — Levenshtein runs on "
+     "DISTINCT names only via the PassJoin segment equi-join; the "
+     "vocab-pair map broadcasts onto the (brand, name, cnt) GROUP "
+     "grain, so output size is |brands|x|vocab-pairs|, independent of "
+     "row count (1.2x at sf10). The row-expanded fuzzy_name_pairs "
+     "(2.3 B output rows at sf10) is a quadratic-guarded ground truth "
+     "now - same plan, output-bound re-expansion."),
     ("entity_clusters",
      "Entity resolution (round-5 rewrite) — connected components over "
      "the (brand, name) GROUP graph (node id = min partkey per group, "
@@ -357,15 +359,24 @@ SHOW = [
      "the DuckDB oracle. Guard: test_salting_plan_wires_report_to_knobs "
      "(staged skew; recommended knobs keep the salted join exact)."),
     ("dedup_simhash_wide_exact",
-     "Exact-recall 64-bit SimHash (round 8) — the probe side emits "
-     "each 16-bit chunk plus its 16 one-bit-flip variants (XOR against "
-     "a 17-mask literal array argument, evaluated once per row); "
-     "pigeonhole over 4 chunks ⇒ recall exactly 1 at Hamming ≤ 7. The "
-     "gate oracle is BRUTE FORCE (no blocking replication), so the "
-     "hash PROVES the recall claim — plain blocking measured ~72 % "
-     "recall on the same fixture. 17× candidate constant, still "
-     "n²/964-class; 11.5× at sf10, under the plain twin's 12.9×. "
-     "Guard: tests/test_ann_recall.py adversarial-miss recovery."),
+     "Exact-recall 128-bit SimHash (round-9 knob) — four salted 32-bit "
+     "halves, each half the blocking key; the probe side emits each "
+     "chunk plus its 32 one-bit-flip variants (XOR against a 33-mask "
+     "literal array argument, evaluated once per row); pigeonhole over "
+     "4 chunks ⇒ recall exactly 1 at Hamming ≤ 7. The gate oracle is "
+     "BRUTE FORCE (no blocking replication), so the hash PROVES the "
+     "recall claim. 32-bit chunks keep buckets ~singleton to ~4 B "
+     "docs: candidates track true near-dups, not birthday crowding — "
+     "3.4x at sf10 (the 64-bit/16-bit predecessor was 11.2x). Guard: "
+     "tests/test_ann_recall.py 128-bit pigeonhole + adversarial-miss "
+     "recovery."),
+    ("blocking_audit",
+     "Blocking-index occupancy audit (round 9) — one aggregation over "
+     "the signature projection: per-chunk bucket count, colliding "
+     "buckets, max occupancy, and EXACT candidate-pair volume "
+     "(sum C(bucket,2), integer shiftright halving). The pre-join "
+     "alarm for blocking collapse - skew_report for dedup. Guard: "
+     "staged-collision test (4 identical docs price as C(4,2)=6)."),
     ("join_size_estimate",
      "Sampled join-size estimate (round 7) — the 1/16 key-domain hash "
      "sample is a Filter directly on a ONE-column pruned scan "
@@ -457,8 +468,10 @@ SHOW = [
      "dynamic-partition merge across two staged update micro-batches "
      "(repartitioned BEFORE the counter derivation: a file micro-batch "
      "is one task), then full-outer-joins the counters table against "
-     "the batch recompute over the archive with a null-safe struct "
-     "compare — a missing side IS drift. The oracle hard-codes "
+     "the batch recompute over the archive — a missing side IS drift; "
+     "events compare exactly, growth within a half-quantum tolerance "
+     "(round-9 advice: order-dependent summation ULPs must not read "
+     "as drift). The oracle hard-codes "
      "n_drift = 0, so any exactly-once violation fails the hash. "
      "Guard: staged-drift test (mutation, phantom, missing rows all "
      "fire)."),
