@@ -476,30 +476,23 @@ def q_streaming_dedup_builtin(spark: SparkSession, sf_dir: str) -> DataFrame:
     delivered TWICE (two micro-batches) through
     dropDuplicatesWithinWatermark — the output must be each event
     exactly once (streaming/pipeline.dedup_events_stream; the custom
-    applyInPandasWithState twin is stateful_stream_dedup)."""
+    applyInPandasWithState twin is stateful_stream_dedup).
+
+    Round-9 sf100 fix: the output is EVERY event (100 M rows at sf100),
+    so the memory sink's driver materialization is the thing that OOMs
+    — exactly the _run_stateful parquet-sink rationale; routing through
+    it keeps the rows executor-side AND puts the gate under the
+    PLEIADES_STATE_STORE knob like its stateful twins."""
     from pleiades_spark.streaming.pipeline import dedup_events_stream
 
     apply_runtime_confs(spark)
     src = _staged_src(sf_dir, "ev_redeliver",
                       lambda d: _stage_event_files(spark, sf_dir, d, split=False))
-    stream = (
-        spark.readStream.schema(EVENTS_STAGE_SCHEMA)
-        .option("maxFilesPerTrigger", "1")
-        .parquet(src)
+    out = _run_stateful(
+        spark, src, dedup_events_stream, "append", "builtin_dedup_gate",
+        sink="parquet",
     )
-    q = (
-        dedup_events_stream(stream)
-        .writeStream.outputMode("append")
-        .format("memory")
-        .queryName("builtin_dedup_gate")
-        .start()
-    )
-    try:
-        q.processAllAvailable()
-    finally:
-        q.stop()
-        q.awaitTermination()
-    return spark.table("builtin_dedup_gate").select(
+    return out.select(
         "event_id",
         F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts_s"),
         "user_id",
@@ -619,11 +612,17 @@ def q_streaming_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_events"),
         F.round(F.sum("value"), 4).alias("session_value"),
     )
+    # parquet sink, NOT memory (round-9 sf100 fix): session count scales
+    # with events (~0.7/event), so the memory sink's driver
+    # materialization is tens of millions of rows at sf100 — the same
+    # OOM class _run_stateful's parquet-sink rationale documents
+    out_dir = tempfile.mkdtemp(prefix="sessions_gate_out_")
     with _rocksdb_state(spark):
         q = (
             sess.writeStream.outputMode("append")
-            .format("memory")
-            .queryName("sessions_gate")
+            .format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", f"{out_dir}/_checkpoint")
             .start()
         )
         try:
@@ -631,7 +630,7 @@ def q_streaming_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
         finally:
             q.stop()
             q.awaitTermination()
-    return spark.table("sessions_gate").select(
+    return spark.read.parquet(out_dir).select(
         "user_id",
         F.date_format("sw.start", "yyyy-MM-dd HH:mm:ss").alias("session_start"),
         F.date_format("sw.end", "yyyy-MM-dd HH:mm:ss").alias("session_end"),
