@@ -241,11 +241,39 @@ def _simhash_of(hashed: Column, n: Column) -> Column:
 
 
 def simhash(toks: Column) -> Column:
-    """32-bit SimHash over the distinct token set."""
+    """32-bit SimHash over the distinct token set.
+
+    NOTE (HOF-CSE invariant): ``dtoks``/``n`` here are inline
+    EXPRESSIONS — fine only because this helper is applied to a staged
+    column (see _with_dtoks callers) or tiny inputs; the production
+    signature paths (simhash_pairs_wide / simhash128_signature)
+    materialize dtoks and n as real columns first so tokenization runs
+    once per row, not once per transform argument."""
     dtoks = F.array_distinct(toks)
     hashed = F.transform(dtoks, h32)
     n = F.size(dtoks)  # NOT size(hashed): that would re-run the md5 transform
     return _simhash_of(hashed, n)
+
+
+def _with_dtoks(docs: DataFrame) -> DataFrame:
+    """(doc_id, dtoks, n): distinct-token array + its size as REAL
+    COLUMNS. The signature builders reference these as attributes —
+    per the no-CSE-across-HOF-arguments invariant, an inline
+    array_distinct(tokens(text)) fed to four transform() arguments
+    re-tokenizes per argument, and an inline size(...) referenced from
+    a lambda BODY re-derives the whole chain per element (ADVICE r9).
+    Two separate selects: dtoks is multi-referenced and non-cheap in
+    each, so CollapseProject leaves both projections intact."""
+    from pleiades_spark.functions.text import tokens
+
+    return (
+        docs.repartition(F.col("doc_id"))  # parallelize hashing (see with_signature)
+        .select(
+            "doc_id",
+            F.array_distinct(tokens(F.col("text"))).alias("dtoks"),
+        )
+        .select("doc_id", "dtoks", F.size("dtoks").alias("n"))
+    )
 
 
 def simhash_pairs(
@@ -265,15 +293,13 @@ def simhash_pairs(
     operator; this one is guard-railed like ngram_jaccard_pairs (>100k
     docs raises unless allow_quadratic=True).
     """
-    from pleiades_spark.functions.text import tokens
-
     _guard_quadratic(docs, "simhash_pairs", allow_quadratic)
 
-    sigs = (
-        docs.repartition(F.col("doc_id"))  # parallelize hashing (see with_signature)
-        .select("doc_id", simhash(tokens(F.col("text"))).alias("sig"))
-        .cache()
-    )
+    staged = _with_dtoks(docs)
+    sigs = staged.select(
+        "doc_id",
+        _simhash_of(F.transform(F.col("dtoks"), h32), F.col("n")).alias("sig"),
+    ).cache()
     chunks = sigs.select(
         "doc_id",
         "sig",
@@ -346,21 +372,16 @@ def simhash_pairs_wide(
     Hamming distance is bit_count over each half, summed — all signed
     32-bit-safe arithmetic on both engines.
     """
-    from pleiades_spark.functions.text import tokens
-
-    dtoks = F.array_distinct(tokens(F.col("text")))
-    n = F.size(dtoks)
+    staged = _with_dtoks(docs)  # dtoks/n as attributes, tokenize ONCE
     hi = _simhash_of(
-        F.transform(dtoks, lambda t: h32(F.concat(F.lit("wh:"), t))), n
+        F.transform(F.col("dtoks"), lambda t: h32(F.concat(F.lit("wh:"), t))),
+        F.col("n"),
     )
     lo = _simhash_of(
-        F.transform(dtoks, lambda t: h32(F.concat(F.lit("wl:"), t))), n
+        F.transform(F.col("dtoks"), lambda t: h32(F.concat(F.lit("wl:"), t))),
+        F.col("n"),
     )
-    sigs = (
-        docs.repartition(F.col("doc_id"))
-        .select("doc_id", hi.alias("hi"), lo.alias("lo"))
-        .cache()
-    )
+    sigs = staged.select("doc_id", hi.alias("hi"), lo.alias("lo")).cache()
     return simhash_wide_pairs_from_sigs(sigs, max_hamming, exact_recall)
 
 
@@ -444,11 +465,10 @@ def simhash_wide_pairs_from_sigs(
 def simhash128_signature(docs: DataFrame) -> DataFrame:
     """(doc_id, h0, h1, h2, h3) — a 128-bit SimHash as four independent
     salted 32-bit halves (salts 'w0:'..'w3:' over md5-h32, so the DuckDB
-    oracle replays every half bit-for-bit)."""
-    from pleiades_spark.functions.text import tokens
-
-    dtoks = F.array_distinct(tokens(F.col("text")))
-    n = F.size(dtoks)
+    oracle replays every half bit-for-bit). Tokenization is staged as a
+    real column (_with_dtoks): inlined, the four transform() arguments
+    would each re-tokenize and the majority threshold would re-derive
+    size(array_distinct(tokens(text))) per fold ELEMENT (ADVICE r9)."""
 
     # real closure, NOT `lambda t, i=i:` — PySpark counts lambda default
     # args as HOF params, turning the salt into the array-index column
@@ -457,11 +477,14 @@ def simhash128_signature(docs: DataFrame) -> DataFrame:
         salt = F.lit(f"w{i}:")
         return lambda t: h32(F.concat(salt, t))
 
+    staged = _with_dtoks(docs)
     halves = [
-        _simhash_of(F.transform(dtoks, _salted_hash(i)), n).alias(f"h{i}")
+        _simhash_of(
+            F.transform(F.col("dtoks"), _salted_hash(i)), F.col("n")
+        ).alias(f"h{i}")
         for i in range(4)
     ]
-    return docs.repartition(F.col("doc_id")).select("doc_id", *halves)
+    return staged.select("doc_id", *halves)
 
 
 def simhash_pairs_wide128(

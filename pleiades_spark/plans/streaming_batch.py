@@ -49,25 +49,37 @@ EVENTS_STAGE_SCHEMA = (
 )
 
 
-_STAGE_CACHE: dict = {}
-
-
 def _staged_src(sf_dir: str, key: str, stage_fn) -> str:
-    """One staged streaming-source dir per (fixture dir, staging recipe)
-    per PROCESS (round-9 verdict #5): staged files are a pure function
-    of the fixture, so the staged gates — and bench reps of the same
-    gate — share a single staging job instead of re-writing
-    near-identical day/parity splits each time (~250 s of the 1218 s
-    round-8 sf10 sweep was staging+replay). Checkpoints and sink
-    outputs stay per-run: a file source with a fresh checkpoint
-    re-reads the shared files from scratch, so gate semantics are
-    bit-identical; only the measurement overhead changes."""
-    k = (os.path.abspath(sf_dir), key)
-    d = _STAGE_CACHE.get(k)
-    if d is None or not os.path.isdir(d):
-        d = tempfile.mkdtemp(prefix=f"stage_{key}_")
+    """One staged streaming-source dir per (fixture identity, staging
+    recipe) — shared ACROSS processes (round-10, ADVICE r9): staged
+    files are a pure function of the fixture, so the dir lives at a
+    deterministic path keyed by (abs fixture path, fixture mtime,
+    recipe). Re-runs — same process or not — reuse it instead of
+    accumulating fresh mkdtemp dirs (the 65 GB /tmp failure mode
+    CLAUDE.md records); a regenerated fixture changes the mtime and
+    gets a fresh dir. A ``_STAGED_OK`` marker written after stage_fn
+    guards against reusing a dir a killed run left half-written.
+    Checkpoints and sink outputs stay per-run: a file source with a
+    fresh checkpoint re-reads the shared files from scratch, so gate
+    semantics are bit-identical; only the measurement overhead
+    changes."""
+    import hashlib
+
+    src = os.path.abspath(sf_dir)
+    try:
+        mtime = int(os.stat(src).st_mtime)
+    except OSError:
+        mtime = 0
+    tag = hashlib.md5(f"{src}|{mtime}|{key}".encode()).hexdigest()[:12]
+    d = os.path.join(tempfile.gettempdir(), f"pleiades_stage_{key}_{tag}")
+    marker = os.path.join(d, "_STAGED_OK")
+    if not os.path.isfile(marker):
+        if os.path.isdir(d):
+            shutil.rmtree(d, ignore_errors=True)
+        os.makedirs(d, exist_ok=True)
         stage_fn(d)
-        _STAGE_CACHE[k] = d
+        with open(marker, "w") as fh:
+            fh.write("ok\n")
     return d
 
 

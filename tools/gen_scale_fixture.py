@@ -116,7 +116,15 @@ def _all_copies_wide(df: DataFrame, table: str, k: int) -> DataFrame:
                     F.concat(F.lit("$1zw"), F.col("_copy").cast("string")),
                 )
             ),
-        ).withColumn("n_chars", F.length("text").cast("long"))
+            # guard n_chars like text: copy 0 must stay bit-identical even
+            # if the source fixture's n_chars ever disagrees with
+            # length(text) (ADVICE r9)
+        ).withColumn(
+            "n_chars",
+            F.when(F.col("_copy") == 0, F.col("n_chars")).otherwise(
+                F.length("text").cast("long")
+            ),
+        )
     if table == "embeddings":
         perturbed = F.transform(
             F.col("embedding"),
