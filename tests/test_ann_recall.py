@@ -600,3 +600,69 @@ def test_simhash128_pigeonhole_bounds(spark):
         ).collect()
     }
     assert exact7.get((0, 5)) == 7
+
+
+def test_srp_first_shared_band_emits_each_pair_once(spark):
+    """Round-10 rewrite: the SRP candidate join emits a colliding pair
+    from its FIRST shared band only, replacing the post-join distinct
+    (the shuffle that DNF'd the sf100 probe on a high-duplication
+    corpus). Exact copies of one vector collide in EVERY band — the
+    worst case for the old 4×-duplicated candidate stream — so the
+    output must contain exactly C(n_copies, 2) rows for the copy
+    group, with no duplicate (vec_a, vec_b) rows anywhere."""
+    from pleiades_spark.operators.dedup import embedding_near_dup_srp
+
+    base = [0.9, -0.4, 0.2] + [0.05 * ((i % 7) - 3) for i in range(61)]
+    rows = [(i, base) for i in range(6)] + [
+        (10 + i, [((i * 31 + j * 17) % 19 - 9) / 9.0 for j in range(64)])
+        for i in range(20)
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = embedding_near_dup_srp(emb, 0.45).collect()
+    pairs = [(r.vec_a, r.vec_b) for r in out]
+    assert len(pairs) == len(set(pairs)), "duplicate pair rows emitted"
+    copy_pairs = {(a, b) for a, b in pairs if a < 6 and b < 6}
+    assert copy_pairs == {(a, b) for a in range(6) for b in range(6) if a < b}
+
+
+def test_blocked_bucket_pairs_invariant_to_block_size(spark):
+    """Round-10 block-split salting (verdict r9 #3): the in-bucket pair
+    join decomposed over (block, block) tasks must return the exact
+    same pair set for ANY block size — including 1 (every row its own
+    block) and one larger than every bucket (degenerates to the plain
+    join). Exercised on a skewed layout: one 9-row bucket, one 3-row
+    bucket, two singletons."""
+    from pleiades_spark.functions.vectors import as_double, norm
+    from pleiades_spark.operators.dedup import _blocked_bucket_pairs
+    from pyspark.sql import functions as F
+
+    rows = []
+    vid = 0
+    for cid, n in ((0, 9), (1, 3), (2, 1), (3, 1)):
+        for _ in range(n):
+            rows.append((vid, [float((vid * 7 + j) % 5) for j in range(4)], cid))
+            vid += 1
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, centroid_id long"
+    )
+    assigned = emb.select(
+        "vec_id",
+        as_double(F.col("embedding")).alias("v"),
+        "centroid_id",
+    ).withColumn("nrm", norm(F.col("v")))
+
+    def pair_set(bs):
+        joined = _blocked_bucket_pairs(assigned, bs)
+        return {
+            (r[0], r[1])
+            for r in joined.select(
+                F.col("a.vec_id"), F.col("b.vec_id")
+            ).collect()
+        }
+
+    expected = pair_set(10**6)  # plain-join degenerate case
+    # sanity: C(9,2) + C(3,2) = 39 pairs, every pair ordered
+    assert len(expected) == 39
+    assert all(a < b for a, b in expected)
+    for bs in (1, 2, 4):
+        assert pair_set(bs) == expected, f"block_size={bs} diverged"
