@@ -1378,6 +1378,7 @@ def containment_lsh_pairs(
     t_num: int = 4,
     t_den: int = 5,
     k: int = CONTAINMENT_SAMPLE_K,
+    max_probe_df: int | None = None,
     candidate_observation=None,
 ) -> DataFrame:
     """APPROXIMATE directional containment join — the 100 TB scale path
@@ -1412,9 +1413,23 @@ def containment_lsh_pairs(
     removes estimator false-positives, and the oracle replicates it.
 
     Every ingredient is deterministic md5-h32 + integer arithmetic, so
-    the DuckDB oracle reproduces the output bit-for-bit (brute form —
-    valid because the pigeonhole probe selection is lossless w.r.t. the
-    estimator's own threshold).
+    the DuckDB oracle reproduces the output bit-for-bit. With
+    ``max_probe_df=None`` the pigeonhole probe selection is lossless
+    w.r.t. the estimator's own threshold, so a brute oracle suffices;
+    with a cap the oracle must replay the probe selection itself
+    (ORACLE_DEDUP_CONTAINMENT_LSH does).
+
+    ``max_probe_df`` is the hot-hash guard (round-10, verdict r9 #1) —
+    the containment twin of minhash_lsh_pairs' max_bucket_size: a probe
+    hash whose document frequency is df joins df index rows, so on a
+    FIXED-vocabulary corpus (real text — Zipfian, df ∝ corpus size)
+    candidate volume grows superlinearly even though probes per doc are
+    bounded. Probes with df > cap are dropped AFTER rarity selection,
+    so a document loses candidates only when even its m RAREST sample
+    hashes are corpus-hot (boilerplate) — the same recall trade, and the
+    same alarm path (candidate_observation), as the minhash cap. Capped
+    candidate volume is ≤ n·m·cap — linear in the corpus by
+    construction.
 
     ``candidate_observation``: see :func:`_observe_candidates`.
 
@@ -1461,16 +1476,21 @@ def containment_lsh_pairs(
         .join(df_tbl, "h")
         .groupBy("doc_id", "n", "k_eff")
         .agg(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("df", "h"))),
-                lambda x: x["h"],
-            ).alias("rare")
+            F.array_sort(F.collect_list(F.struct("df", "h"))).alias("rare")
         )
         .select(
             "doc_id", "n",
-            F.explode(F.slice(F.col("rare"), 1, m)).alias("h"),
+            F.explode(F.slice(F.col("rare"), 1, m)).alias("p"),
+        )
+        .select(
+            "doc_id", "n", F.col("p.h").alias("h"), F.col("p.df").alias("df")
         )
     )
+    if max_probe_df is not None:
+        # drop hot probes AFTER rarity selection: the slice already took
+        # the m rarest, so the filter bites only when those are hot too
+        probes = probes.filter(F.col("df") <= max_probe_df)
+    probes = probes.drop("df")
     index = tok.select(
         F.col("doc_id").alias("doc_b"), F.col("h").alias("hb")
     ).join(

@@ -1489,21 +1489,28 @@ WHERE round(len(list_intersect(a.sh, b.sh)) * 1.0 / len(a.sh), 6) >= 0.8
 """
 
 
+_CLSH_K = 32
+_CLSH_MAX_PROBE_DF = 256  # hot-hash cap (round 10): candidates ≤ n·m·cap
+
+
 def q_dedup_containment_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate directional containment at t=0.8 via bottom-k MinHash
     sampling (operators/dedup.containment_lsh_pairs) — the 100 TB scale
     path whose candidate volume rides rarity-ordered k-bounded probes
-    instead of the exact join's per-length prefixes. Deterministic
-    md5-h32 end-to-end, so the oracle replays the ESTIMATOR itself
-    bit-for-bit (brute form: the pigeonhole probe selection is lossless
-    w.r.t. the estimator threshold, and the t·|A| ≤ |B| length filter is
-    replicated)."""
+    instead of the exact join's per-length prefixes, now df-capped at
+    {cap} (verdict r9 #1: on a fixed-vocabulary corpus probe-hash df
+    grows with the corpus, so uncapped candidate volume is superlinear;
+    the cap bounds it at n·m·cap). Deterministic md5-h32 end-to-end;
+    because the cap makes probe selection LOSSY for corpus-hot hashes,
+    the oracle replays the probe selection itself — rarity order
+    (df ASC, h ASC), the m-slice, and the df filter — bit-for-bit
+    rather than the old brute form."""
     from pleiades_spark.operators.dedup import containment_lsh_pairs
 
-    return containment_lsh_pairs(_t(spark, sf_dir, "documents"))
+    return containment_lsh_pairs(
+        _t(spark, sf_dir, "documents"), max_probe_df=_CLSH_MAX_PROBE_DF
+    )
 
-
-_CLSH_K = 32
 
 ORACLE_DEDUP_CONTAINMENT_LSH = f"""
 WITH sh AS (
@@ -1516,12 +1523,32 @@ WITH sh AS (
   SELECT doc_id, hs, hs[1:{_CLSH_K}] AS samp, len(hs) AS n,
          least({_CLSH_K}, len(hs)) AS k_eff
   FROM hs
+), tok AS (
+  SELECT doc_id, unnest(hs) AS h FROM hs
+), df AS (
+  SELECT h, count(*) AS df FROM tok GROUP BY h
+), sprobe AS (
+  SELECT doc_id, n, k_eff, unnest(samp) AS h FROM samp
+), ranked AS (
+  SELECT s.doc_id, s.n, s.h, d.df,
+         row_number() OVER (PARTITION BY s.doc_id ORDER BY d.df, s.h) AS r,
+         s.k_eff - ((4 * s.k_eff + 4) // 5) + 1 AS m
+  FROM sprobe s JOIN df d ON s.h = d.h
+), pr AS (
+  SELECT doc_id, n, h FROM ranked
+  WHERE r <= m AND df <= {_CLSH_MAX_PROBE_DF}
+), cand AS (
+  SELECT DISTINCT p.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM pr p
+  JOIN tok b ON p.h = b.h AND p.doc_id != b.doc_id
+  JOIN samp sb ON sb.doc_id = b.doc_id AND 4 * p.n <= 5 * sb.n
 )
-SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+SELECT c.doc_a, c.doc_b,
        round(len(list_intersect(a.samp, b.hs)) * 1.0 / a.k_eff, 6)
          AS containment_est
-FROM samp a JOIN samp b
-  ON a.doc_id != b.doc_id AND 4 * a.n <= 5 * b.n
+FROM cand c
+JOIN samp a ON a.doc_id = c.doc_a
+JOIN samp b ON b.doc_id = c.doc_b
 WHERE 5 * len(list_intersect(a.samp, b.hs)) >= 4 * a.k_eff
 """
 

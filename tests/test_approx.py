@@ -117,3 +117,34 @@ def test_prefix_containment_quadratic_guard(spark, sf_dir):
         assert D.prefix_containment_pairs(docs, allow_quadratic=True) is not None
     finally:
         D.QUADRATIC_GUARD_ROWS = orig
+
+
+def test_containment_probe_df_cap_drops_hot_keeps_rare(spark):
+    """Round-10 hot-hash guard (verdict r9 #1): with max_probe_df set,
+    a document whose m rarest sample hashes are ALL corpus-hot
+    (boilerplate shared by > cap docs) loses its candidates, while
+    pairs found through rarer probes are untouched — and the uncapped
+    run still finds both."""
+    from pleiades_spark.operators.dedup import containment_lsh_pairs
+
+    boiler = " ".join(f"tpl{i} tpl{i} common" for i in range(30))
+    rare_a = " ".join(f"raretok{i} x{i} y{i}" for i in range(30))
+    rows = [(i, boiler, len(boiler)) for i in range(12)]  # hot templates
+    rows += [(100, rare_a, len(rare_a)), (101, rare_a + " tail0 tail1 tail2", 1)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, n_chars long")
+
+    uncapped = {
+        (r.doc_a, r.doc_b)
+        for r in containment_lsh_pairs(docs, max_probe_df=None).collect()
+    }
+    capped = {
+        (r.doc_a, r.doc_b)
+        for r in containment_lsh_pairs(docs, max_probe_df=8).collect()
+    }
+    # uncapped finds boilerplate-pair candidates AND the rare pair
+    assert (100, 101) in uncapped
+    assert any(a < 12 and b < 12 for a, b in uncapped)
+    # the cap (8 < 12 boilerplate docs) removes every boilerplate-probe
+    # candidate but keeps the rare-probe pair
+    assert (100, 101) in capped
+    assert not any(a < 12 and b < 12 for a, b in capped)
