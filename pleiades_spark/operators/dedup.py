@@ -541,52 +541,128 @@ def simhash_wide128_pairs_from_sigs(
     0 = identity; array ARGUMENT of the HOF ⇒ evaluated once per row,
     lambda touches only element + column — the HOF-CSE invariant). The
     gate oracle for this path is BRUTE FORCE, which is what PROVES the
-    recall-1 claim on real signatures."""
-    chunks = sigs.select(
-        "doc_id",
-        "h0",
-        "h1",
-        "h2",
-        "h3",
-        F.posexplode(
-            F.array(F.col("h0"), F.col("h1"), F.col("h2"), F.col("h3"))
-        ).alias("chunk_idx", "chunk_val"),
-    )
-    if exact_recall:
-        masks = F.array(F.lit(0), *[F.lit(1 << b) for b in range(32)])
-        probe = chunks.select(
+    recall-1 claim on real signatures.
+
+    Round-10 probe-stream prune (verdict r9 #5): the 33× probe stream —
+    660 M rows at sf100's 5 M docs — was the equi-join's shuffle cost
+    even though buckets are ~singleton and candidates tiny. Two
+    output-invariant cuts:
+
+      1. SLIM ROWS: neither join side carries h0..h3 any more; the
+         Hamming distance is computed by re-joining the (tiny,
+         ~true-dups×132) distinct candidate pair set back to ``sigs``.
+      2. BITMAP SEMI-PRUNE: a 2²⁸-bit one-hash Bloom bitmap of the
+         build side's (chunk_idx, chunk_val) keys — built as a ≤4.2M-row
+         (word_idx, word) table of 64-bit words, broadcast — filters
+         probe rows BEFORE the exchange. A flipped probe value exists on
+         the build side w.p. ≈ n_chunks/2³² ≈ 0.5 % at 5 M docs, so
+         ~97 % of flip probes (and none of the identity probes, whose
+         own build row sets their bit) are dropped at the scan;
+         single-hash false positives (~7 % of the stream) just fail the
+         join. No false negatives — same xxhash64 both sides — so the
+         pair set is bit-identical and the BRUTE oracle is untouched.
+         (Spark's internal bloom_filter_agg is not SQL-exposed in this
+         build; the word table is the same machinery with an explicit
+         broadcast.)"""
+    chunk_arr = F.array(F.col("h0"), F.col("h1"), F.col("h2"), F.col("h3"))
+    if not exact_recall:
+        chunks = sigs.select(
             "doc_id",
             "h0",
             "h1",
             "h2",
             "h3",
+            F.posexplode(chunk_arr).alias("chunk_idx", "chunk_val"),
+        )
+        left = chunks.alias("l")
+        right = chunks.alias("r")
+        hamming = sum(
+            F.bit_count(F.col(f"l.h{i}").bitwiseXOR(F.col(f"r.h{i}")))
+            for i in range(4)
+        )
+        return (
+            left.join(
+                right,
+                (F.col("l.chunk_idx") == F.col("r.chunk_idx"))
+                & (F.col("l.chunk_val") == F.col("r.chunk_val"))
+                & (F.col("l.doc_id") < F.col("r.doc_id")),
+            )
+            .select(
+                F.col("l.doc_id").alias("doc_a"),
+                F.col("r.doc_id").alias("doc_b"),
+                hamming.alias("hamming"),
+            )
+            .distinct()
+            .filter(F.col("hamming") <= max_hamming)
+        )
+
+    bloom_bits = 1 << 28
+    chunks = sigs.select(
+        "doc_id", F.posexplode(chunk_arr).alias("chunk_idx", "chunk_val")
+    )
+
+    def _slot(key: Column) -> Column:
+        # xxhash64 is fine here: the prune is output-invariant (same
+        # hash both sides ⇒ no false negatives), so the md5-oracle rule
+        # for gate-visible hashes does not apply
+        return F.pmod(F.xxhash64(key), F.lit(bloom_bits))
+
+    bkey = F.col("chunk_idx").cast("long") * F.lit(2**32) + F.col("chunk_val")
+    words = (
+        chunks.select(_slot(bkey).alias("s"))
+        .select(
+            F.expr("int(s div 64)").alias("word_idx"),
+            F.expr("cast(s % 64 as int)").alias("bit"),
+        )
+        .groupBy("word_idx")
+        .agg(F.expr("bit_or(shiftleft(1L, bit))").alias("w"))
+    )
+    masks = F.array(F.lit(0), *[F.lit(1 << b) for b in range(32)])
+    probe = (
+        chunks.select(
+            "doc_id",
             "chunk_idx",
             F.explode(
                 F.transform(masks, lambda m: F.col("chunk_val").bitwiseXOR(m))
             ).alias("chunk_val"),
         )
-        left = probe.alias("l")
-    else:
-        left = chunks.alias("l")
-    right = chunks.alias("r")
-    hamming = sum(
-        F.bit_count(F.col(f"l.h{i}").bitwiseXOR(F.col(f"r.h{i}")))
-        for i in range(4)
+        .withColumn("s", _slot(bkey))
+        .withColumn("word_idx", F.expr("int(s div 64)"))
+        .join(F.broadcast(words), "word_idx")
+        .filter(F.expr("(shiftright(w, cast(s % 64 as int)) & 1) = 1"))
+        .select("doc_id", "chunk_idx", "chunk_val")
     )
-    return (
-        left.join(
-            right,
+    cand = (
+        probe.alias("l")
+        .join(
+            chunks.alias("r"),
             (F.col("l.chunk_idx") == F.col("r.chunk_idx"))
             & (F.col("l.chunk_val") == F.col("r.chunk_val"))
             & (F.col("l.doc_id") < F.col("r.doc_id")),
         )
         .select(
-            F.col("l.doc_id").alias("doc_a"),
-            F.col("r.doc_id").alias("doc_b"),
-            hamming.alias("hamming"),
+            F.col("l.doc_id").alias("doc_a"), F.col("r.doc_id").alias("doc_b")
         )
         .distinct()
+    )
+    sa = sigs.select(
+        F.col("doc_id").alias("doc_a"),
+        *[F.col(f"h{i}").alias(f"a{i}") for i in range(4)],
+    )
+    sb = sigs.select(
+        F.col("doc_id").alias("doc_b"),
+        *[F.col(f"h{i}").alias(f"b{i}") for i in range(4)],
+    )
+    hamming = sum(
+        F.bit_count(F.col(f"a{i}").bitwiseXOR(F.col(f"b{i}")))
+        for i in range(4)
+    )
+    return (
+        cand.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn("hamming", hamming)
         .filter(F.col("hamming") <= max_hamming)
+        .select("doc_a", "doc_b", "hamming")
     )
 
 
