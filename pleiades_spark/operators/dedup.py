@@ -487,6 +487,32 @@ def simhash128_signature(docs: DataFrame) -> DataFrame:
     return staged.select("doc_id", *halves)
 
 
+def simhash128_signature_prod(docs: DataFrame) -> DataFrame:
+    """Production twin of :func:`simhash128_signature`: same 128-bit
+    majority-vote construction, but each salted half hashes with
+    h32_prod (xxhash64 — JVM intrinsic, whole-stage codegen) instead of
+    the md5-derived h32 the oracle gates replay. Same signature QUALITY
+    (both are uniform 32-bit families); what changes is per-token
+    hashing cost — md5 hex-parses through strings, xxhash64 does not —
+    which at 5 M docs × ~300 tokens × 4 halves dominated the round-9
+    blocking_audit sf100 cell (201 s). Bench-only: DuckDB has no
+    xxhash64, so the audit over this signature is a rows-only gate."""
+    from pleiades_spark.functions.hashing import h32_prod
+
+    def _salted_hash(i: int):
+        salt = F.lit(f"w{i}:")
+        return lambda t: h32_prod(F.concat(salt, t))
+
+    staged = _with_dtoks(docs)
+    halves = [
+        _simhash_of(
+            F.transform(F.col("dtoks"), _salted_hash(i)), F.col("n")
+        ).alias(f"h{i}")
+        for i in range(4)
+    ]
+    return staged.select("doc_id", *halves)
+
+
 def simhash_pairs_wide128(
     docs: DataFrame, max_hamming: int = 6, exact_recall: bool = False
 ) -> DataFrame:

@@ -400,7 +400,12 @@ def q_blocking_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     on both engines, no double round-trip)."""
     from pleiades_spark.operators.dedup import simhash128_signature
 
-    sigs = simhash128_signature(_t(spark, sf_dir, "documents"))
+    return _blocking_audit_frame(
+        simhash128_signature(_t(spark, sf_dir, "documents"))
+    )
+
+
+def _blocking_audit_frame(sigs: DataFrame) -> DataFrame:
     chunks = sigs.select(
         F.posexplode(
             F.array(F.col("h0"), F.col("h1"), F.col("h2"), F.col("h3"))
@@ -418,6 +423,22 @@ def q_blocking_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.shiftright(F.col("cnt") * (F.col("cnt") - F.lit(1)), 1)
         ).cast("bigint").alias("candidate_pairs"),
     )
+
+
+def q_blocking_audit_prod(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The audit PRODUCTION would run (round-10, verdict r9 #7): same
+    bucket-occupancy aggregation as blocking_audit, but over the
+    xxhash64-based signature (dedup.simhash128_signature_prod) instead
+    of the md5-derived oracle-replayable one — the md5 projection was
+    201 s of the round-9 sf100 audit cell, a price only the GATE needs
+    to pay. Rows-only gate: DuckDB cannot replay xxhash64, and the
+    audit's values are hash-family-dependent by construction; the
+    hash-gated blocking_audit pins the aggregation logic itself."""
+    from pleiades_spark.operators.dedup import simhash128_signature_prod
+
+    return _blocking_audit_frame(
+        simhash128_signature_prod(_t(spark, sf_dir, "documents"))
+    ).orderBy("chunk_idx")
 
 
 ORACLE_BLOCKING_AUDIT = f"""
@@ -2672,6 +2693,8 @@ QUERIES = [
           "32-bit SimHash, chunk blocking, Hamming ≤ 3 pairs"),
     Query("blocking_audit", q_blocking_audit, ORACLE_BLOCKING_AUDIT,
           "bucket-occupancy + exact candidate-volume audit of the blocking index"),
+    Query("blocking_audit_prod", q_blocking_audit_prod, None,
+          "the same audit over the xxhash64 production signature (bench twin)"),
     Query("dedup_simhash_wide", q_dedup_simhash_wide, ORACLE_DEDUP_SIMHASH_WIDE,
           "64-bit SimHash, 16-bit chunk blocking (corpus-scale twin)"),
     Query("dedup_simhash_wide_exact", q_dedup_simhash_wide_exact,
