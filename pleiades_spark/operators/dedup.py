@@ -1056,6 +1056,173 @@ def embedding_near_dup_pairs(
 # --- embedding near-dup: signed-random-projection LSH (cosine LSH) ---------
 
 
+def _srp_banded(
+    emb: DataFrame, rows_bits: int | None
+) -> tuple[DataFrame, DataFrame]:
+    """Shared SRP banding stage: returns ``(v, banded)`` where ``v`` is
+    the (vec_id, v double[]) frame and ``banded`` the exploded band rows
+    (vec_id, bands, band_idx, band_val).
+
+    ``rows_bits=None`` derives bits-per-band from a corpus count with
+    the r=SRP_ROWS frozen-oracle region widened to n ≤ 1024 (the
+    documented gate-fixture range), then the B=32 target-bucket rule —
+    see embedding_near_dup_srp's docstring for the measured rationale.
+
+    The plane matrix arrives as a broadcast one-row array column
+    (attach_matrix): per-component F.lit nodes were thousands of
+    expression nodes (analysis + codegen dwarfed the scan), and even
+    the single nested-array literal burned ~1 s of driver-side py4j
+    conversion per call and re-shipped in every task binary. The fold
+    inside the lambda is the same left-to-right dot the oracle replays;
+    only the delivery of the constants changes, not a single double.
+
+    Each exploded row carries the FULL band array (SRP_BANDS ints —
+    bytes, next to the vectors) so consumers can reason about all of a
+    vector's bands at once: the pair join emits each colliding pair
+    from its first shared band only (no post-join distinct — the
+    shuffle that spilled ~70 GB and DNF'd the sf100 probe on the
+    high-duplication copy corpus)."""
+    if rows_bits is None:
+        # r=4 through n=1024 (oracle-replay region with regen margin);
+        # then B=32 target bucket size: 2000 → r=6, 1M → r=15, ...
+        n = emb.count()
+        rows_bits = SRP_ROWS if n <= 1024 else max(
+            SRP_ROWS, (n // 32).bit_length()
+        )
+    planes = SRP_PLANES if rows_bits == SRP_ROWS else srp_planes(SRP_BANDS * rows_bits)
+    v = emb.select("vec_id", as_double(F.col("embedding")).alias("v"))
+    from pleiades_spark.functions.vectors import attach_matrix
+
+    bits = attach_matrix(v, planes).select(
+        "vec_id",
+        "v",
+        F.transform(
+            F.col("_planes"), lambda p: (dot(F.col("v"), p) >= 0).cast("int")
+        ).alias("bits"),
+    )
+    band_arr = F.array(
+        *[
+            sum(
+                (
+                    F.col("bits")[b * rows_bits + r] * (2 ** (rows_bits - 1 - r))
+                    for r in range(rows_bits)
+                ),
+                start=F.lit(0),
+            )
+            for b in range(SRP_BANDS)
+        ]
+    )
+    banded = bits.select(
+        "vec_id",
+        band_arr.alias("bands"),
+        F.posexplode(band_arr).alias("band_idx", "band_val"),
+    )
+    return v, banded
+
+
+def embedding_dedup_reps(
+    emb: DataFrame,
+    threshold: float = 0.45,
+    rows_bits: int | None = None,
+    target_bucket: int = 4,
+) -> DataFrame:
+    """Linear-output embedding dedup: (vec_id, rep_id) via SRP bucket-rep
+    star edges + connected components — the contract a 100 TB pipeline
+    actually runs (round 10).
+
+    WHY NOT PAIRS: pair enumeration's output is Θ(Σ multiplicity²) — a
+    group of m near-identical vectors is C(m,2) rows. The sf100 probe's
+    embedding table (1000 copies per base vector at cosine ≈ 0.993, a
+    realistic shape for template/boilerplate embeddings) lower-bounds
+    ANY pair-emitting operator at ~10⁹ output rows; no blocking fix can
+    beat its own output. Production dedup needs one decision per vector
+    — keep or fold into a representative — which is this operator's
+    (vec_id, rep_id) contract, linear in n by construction.
+
+    Plan (every stage linear in n·SRP_BANDS):
+      1. SRP banding (_srp_banded — same planes/rows rule and frozen
+         n ≤ 1024 oracle region as the pair path);
+      2. per band bucket, candidate rep = min vec_id in the bucket;
+         star edges (member → bucket-min), distinct over bands;
+      3. each edge verified by exact cosine ≥ threshold — n·bands
+         cosines, vs the pair path's per-candidate-PAIR verify;
+      4. large-star/small-star connected components over verified edges
+         (graph.connected_components_star — the diameter-independent
+         CC); singletons keep themselves (rep_id = vec_id).
+
+    Cluster semantics: two vectors share a rep iff they connect through
+    verified member→bucket-min edges — LSH star-edge clustering.
+    Relative to pairs+CC, an edge is missed when a member's cosine to
+    its bucket's MIN fails the threshold even though some other
+    in-bucket pair passes — so edge quality rides bucket PURITY, not
+    pair-collision probability. Hence ``target_bucket=4`` (vs the pair
+    path's B=32): finer buckets make the bucket-min a same-group member
+    with high probability, and each of the SRP_BANDS bands gives an
+    independent rep draw that transitive closure merges. The recall
+    target is DUPLICATE-GROUP capture (copies share band patterns at
+    any width); scattered borderline pairs (θ near the threshold) are
+    the pair path's job — tests/test_ann_recall.py audits both claims:
+    copy-group recovery on a high-multiplicity corpus, and
+    component-granularity precision (every edge cosine-verified, so a
+    cluster can never span two true pair-graph components).
+
+    The gate fixture (n ≤ 1024) stays in the frozen r=SRP_ROWS oracle
+    region like every SRP operator; there the audit pins CORRECTNESS
+    (bit-identical closure vs the recursive-CTE oracle), not recall.
+    """
+    if rows_bits is None:
+        n = emb.count()
+        rows_bits = SRP_ROWS if n <= 1024 else max(
+            SRP_ROWS, (n // target_bucket).bit_length()
+        )
+    v, banded = _srp_banded(emb, rows_bits)
+    wb = W.partitionBy("band_idx", "band_val")
+    edges = (
+        banded.withColumn("rep", F.min("vec_id").over(wb))
+        .filter(F.col("vec_id") != F.col("rep"))
+        .select("vec_id", "rep")
+        .distinct()
+    )
+    vn = v.withColumn("nrm", norm(F.col("v")))
+    va = vn.select(
+        F.col("vec_id"), F.col("v").alias("v_a"), F.col("nrm").alias("n_a")
+    )
+    vb = vn.select(
+        F.col("vec_id").alias("rep"), F.col("v").alias("v_b"),
+        F.col("nrm").alias("n_b"),
+    )
+    verified = (
+        edges.join(va, "vec_id")
+        .join(vb, "rep")
+        .withColumn(
+            "cos",
+            F.round(
+                dot(F.col("v_a"), F.col("v_b")) / (F.col("n_a") * F.col("n_b")),
+                6,
+            ),
+        )
+        .filter(F.col("cos") >= threshold)
+        .select("vec_id", "rep")
+    )
+    from pleiades_spark.operators.graph import connected_components_star
+
+    cc = connected_components_star(verified, src="vec_id", dst="rep")
+    return (
+        v.select("vec_id")
+        .join(
+            cc.withColumnRenamed("doc_id", "vec_id").withColumnRenamed(
+                "cluster", "rep_id"
+            ),
+            "vec_id",
+            "left",
+        )
+        .select(
+            "vec_id",
+            F.coalesce(F.col("rep_id"), F.col("vec_id")).alias("rep_id"),
+        )
+    )
+
+
 def embedding_near_dup_srp(
     emb: DataFrame, threshold: float = 0.45, rows_bits: int | None = None
 ) -> DataFrame:
@@ -1098,59 +1265,7 @@ def embedding_near_dup_srp(
     measured 28.9s quadratic blowup at sf1's 20k vectors vs ~5s scaled.
     Passing an explicit value skips the count job.
     """
-    if rows_bits is None:
-        # r=4 through n=1024 (oracle-replay region with regen margin);
-        # then B=32 target bucket size: 2000 → r=6, 1M → r=15, ...
-        n = emb.count()
-        rows_bits = SRP_ROWS if n <= 1024 else max(
-            SRP_ROWS, (n // 32).bit_length()
-        )
-    planes = SRP_PLANES if rows_bits == SRP_ROWS else srp_planes(SRP_BANDS * rows_bits)
-    v = emb.select("vec_id", as_double(F.col("embedding")).alias("v"))
-    # The plane matrix arrives as a broadcast one-row array column
-    # (attach_matrix): per-component F.lit nodes were thousands of
-    # expression nodes (analysis + codegen dwarfed the scan), and even
-    # the single nested-array literal burned ~1 s of driver-side py4j
-    # conversion per call and re-shipped in every task binary. The fold
-    # inside the lambda is the same left-to-right dot the oracle replays;
-    # only the delivery of the constants changes, not a single double.
-    from pleiades_spark.functions.vectors import attach_matrix
-
-    bits = attach_matrix(v, planes).select(
-        "vec_id",
-        "v",
-        F.transform(
-            F.col("_planes"), lambda p: (dot(F.col("v"), p) >= 0).cast("int")
-        ).alias("bits"),
-    )
-    band_arr = F.array(
-        *[
-            sum(
-                (
-                    F.col("bits")[b * rows_bits + r] * (2 ** (rows_bits - 1 - r))
-                    for r in range(rows_bits)
-                ),
-                start=F.lit(0),
-            )
-            for b in range(SRP_BANDS)
-        ]
-    )
-    # Carry the full band array on each exploded row (SRP_BANDS ints —
-    # bytes, next to the vectors) so the join can emit each colliding
-    # pair from its FIRST shared band only: for every earlier band j <
-    # band_idx the two values must differ. This replaces the post-join
-    # `.distinct()` — a pair colliding in all 4 bands used to enter the
-    # distinct 4×, and on a high-duplication corpus (the scale fixture's
-    # 0.993-cosine embedding copies) that distinct was the shuffle that
-    # spilled ~70 GB and DNF'd the sf100 probe. Output-invariant: the
-    # surviving row set is exactly one row per colliding pair, so the
-    # verified result (and the DuckDB oracle, which keeps its DISTINCT)
-    # is bit-identical.
-    banded = bits.select(
-        "vec_id",
-        band_arr.alias("bands"),
-        F.posexplode(band_arr).alias("band_idx", "band_val"),
-    )
+    v, banded = _srp_banded(emb, rows_bits)
     left = banded.alias("l")
     right = banded.alias("r")
     first_shared = [

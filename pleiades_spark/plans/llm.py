@@ -1219,6 +1219,64 @@ SELECT vec_a, vec_b, cos FROM (
 """
 
 
+def q_dedup_embedding_reps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear-output embedding dedup (round 10): (vec_id, rep_id) via SRP
+    bucket-rep star edges, exact-cosine edge verification, and
+    large-star/small-star connected components
+    (operators/dedup.embedding_dedup_reps). The production contract for
+    high-multiplicity corpora, where any pair-emitting operator's OUTPUT
+    is Θ(Σ multiplicity²) — the sf100 probe's 1000-copy embedding groups
+    lower-bound pair enumeration at ~10⁹ rows while this stays at n. The
+    oracle replays banding, bucket-min rep selection, the cosine
+    verification, and the transitive closure (recursive CTE)."""
+    from pleiades_spark.operators.dedup import embedding_dedup_reps
+
+    return embedding_dedup_reps(
+        _t(spark, sf_dir, "embeddings"), COSINE_DUP_THRESHOLD
+    )
+
+
+ORACLE_DEDUP_EMBEDDING_REPS = f"""
+WITH RECURSIVE v AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+),
+bits AS (SELECT vec_id, {_SRP_BITS_SQL} AS bits FROM v),
+bands AS (
+  SELECT vec_id, band_idx, {_SRP_BAND_VAL_SQL} AS band_val
+  FROM bits, (SELECT unnest(range(0, {SRP_BANDS})) AS band_idx)
+),
+reps AS (
+  SELECT band_idx, band_val, min(vec_id) AS rep
+  FROM bands GROUP BY band_idx, band_val
+),
+e0 AS (
+  SELECT DISTINCT b.vec_id, r.rep
+  FROM bands b JOIN reps r
+    ON b.band_idx = r.band_idx AND b.band_val = r.band_val
+  WHERE b.vec_id != r.rep
+),
+ver AS (
+  SELECT vec_id, rep FROM (
+    SELECT e0.vec_id, e0.rep, {_COS_SQL} AS cos
+    FROM e0 JOIN v a ON a.vec_id = e0.vec_id
+            JOIN v b ON b.vec_id = e0.rep
+  ) WHERE cos >= {COSINE_DUP_THRESHOLD}
+),
+edges AS (
+  SELECT vec_id AS u, rep AS w FROM ver
+  UNION SELECT rep, vec_id FROM ver
+),
+reach(node, r) AS (
+  SELECT u, u FROM edges
+  UNION
+  SELECT e.w, reach.r FROM reach JOIN edges e ON e.u = reach.node
+),
+cl AS (SELECT node, min(r) AS cluster FROM reach GROUP BY node)
+SELECT vv.vec_id, CAST(coalesce(cl.cluster, vv.vec_id) AS BIGINT) AS rep_id
+FROM v vv LEFT JOIN cl ON cl.node = vv.vec_id
+"""
+
+
 # =========================== text analysis ================================
 
 
@@ -2711,6 +2769,9 @@ QUERIES = [
           "two-level IVF near-dup (coarse quantizer, Θ(n^(4/3)·d))"),
     Query("dedup_embedding_srp", q_dedup_embedding_srp, ORACLE_DEDUP_EMBEDDING_SRP,
           "cosine-LSH (signed random projections) near-dup, banded bucket join"),
+    Query("dedup_embedding_reps", q_dedup_embedding_reps,
+          ORACLE_DEDUP_EMBEDDING_REPS,
+          "linear-output embedding dedup: SRP star edges + CC → (vec, rep)"),
     Query("dedup_jaccard_prefix", q_dedup_jaccard_prefix,
           ORACLE_DEDUP_JACCARD_PREFIX,
           "exact Jaccard join via prefix filtering (recall-1 scale path)"),

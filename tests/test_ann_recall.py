@@ -666,3 +666,96 @@ def test_blocked_bucket_pairs_invariant_to_block_size(spark):
     assert all(a < b for a, b in expected)
     for bs in (1, 2, 4):
         assert pair_set(bs) == expected, f"block_size={bs} diverged"
+
+
+def test_embedding_dedup_reps_precision_vs_brute_pair_graph(embeddings):
+    """The linear-output cluster contract (round 10), precision side:
+    every edge is cosine-verified, so each rep cluster must be a SUBSET
+    of a true pair-graph component — co-clustering two vectors that are
+    not connected in the brute near-dup graph is impossible by
+    construction. (Recall on the fixture's scattered borderline pairs
+    is NOT the contract — see the copy-group test below; at gate SF the
+    frozen r=4 banding makes bucket-mins near-random, and the operator's
+    docstring documents that trade.)"""
+    from pleiades_spark.operators.dedup import (
+        embedding_dedup_reps,
+        embedding_near_dup_pairs,
+    )
+    from pleiades_spark.operators.graph import connected_components_star
+
+    gt_pairs = _pair_set(
+        embedding_near_dup_pairs(embeddings, 0.45).select("vec_a", "vec_b")
+    )
+    assert gt_pairs, "vacuous"
+    true_cc = {
+        r.doc_id: r.cluster
+        for r in connected_components_star(
+            embeddings.sparkSession.createDataFrame(
+                [(a, b) for a, b in gt_pairs], "doc_a long, doc_b long"
+            )
+        ).collect()
+    }
+    reps = {
+        r.vec_id: r.rep_id
+        for r in embedding_dedup_reps(embeddings, 0.45).collect()
+    }
+    assert len(reps) == embeddings.count()  # one decision per vector
+    by_rep: dict = {}
+    for vid, rep in reps.items():
+        by_rep.setdefault(rep, []).append(vid)
+    for members in by_rep.values():
+        comps = {true_cc.get(m, m) for m in members}
+        assert len(comps) == 1, f"cluster spans true components: {members}"
+
+
+def test_embedding_dedup_reps_recovers_copy_groups(spark):
+    """The cluster contract's recall claim: DUPLICATE-GROUP capture on a
+    high-multiplicity corpus (the sf100 shape — copy groups at cosine
+    ≈ 1 — where pair enumeration's output is quadratic). 12 groups × 60
+    exact copies + 1280 scattered random vectors (> 1024, so the
+    adaptive fine-bucket rule is exercised): pairwise recall within
+    copy groups must be ≥ 0.9, precision exact (clusters never mix
+    groups or absorb randoms at threshold 0.9)."""
+    from pleiades_spark.operators.dedup import embedding_dedup_reps
+
+    dim, rows = 64, []
+    for g in range(12):
+        base = [(((g * 37 + j * 13) % 23) - 11) / 11.0 for j in range(dim)]
+        for c in range(60):
+            rows.append((g * 100 + c, base))
+    for i in range(1280):
+        rows.append(
+            (
+                10_000 + i,
+                [
+                    (((i * 2654435761 + j * 40503 + i * i * 97) % 8191) - 4095)
+                    / 4095.0
+                    for j in range(dim)
+                ],
+            )
+        )
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    reps = {
+        r.vec_id: r.rep_id
+        for r in embedding_dedup_reps(emb, 0.9).collect()
+    }
+    assert len(reps) == len(rows)
+    hit = total = 0
+    for g in range(12):
+        ids = [g * 100 + c for c in range(60)]
+        for i, a in enumerate(ids):
+            for b in ids[i + 1:]:
+                total += 1
+                hit += reps[a] == reps[b]
+    assert hit / total >= 0.9, f"copy-group recall = {hit / total:.3f}"
+    # precision: no cluster mixes two copy GROUPS, or a group with any
+    # random vector (random-random merges are allowed only in principle
+    # — edges are cosine-verified — and don't touch the group claim)
+    by_rep: dict = {}
+    for vid, rep in reps.items():
+        by_rep.setdefault(rep, []).append(vid)
+    for members in by_rep.values():
+        groups = {m // 100 for m in members if m < 10_000}
+        assert len(groups) <= 1, f"cluster mixes groups: {sorted(groups)}"
+        if groups:
+            assert all(m < 10_000 for m in members), "group absorbed randoms"
