@@ -203,6 +203,10 @@ HEADLINE = [
     "fuzzy_name_groups",
     # round 9: blocking-index occupancy audit (pre-join candidate alarm)
     "blocking_audit",
+    # round 10: linear-output embedding dedup — the (vec_id, rep_id)
+    # contract for high-multiplicity corpora where pair output is
+    # quadratic in duplicate multiplicity
+    "dedup_embedding_reps",
 ]
 
 # Queries whose min-of-2 is still warmup-contaminated, measured min-of-3:

@@ -1353,6 +1353,21 @@ def prefix_jaccard_pairs(
     fixture's word-soup reuses 3-word shingles heavily (see
     dup_span_stats), so its candidate set is denser than a real corpus
     would produce.
+
+    HASHED-TOKEN DOMAIN (round 10, verdict r9 #4): the whole join —
+    df, rarity order, prefix equi-join, verification — runs over
+    md5-h32 shingle hashes shifted into signed 32-bit ints, not shingle
+    strings. The sf100 probe measured candidate volume perfectly LINEAR
+    (72.7k → 727k for 10× docs) yet the run DNF'd on disk: the verify
+    stage was shipping ~6 KB string arrays per candidate through the
+    doc_b shuffle (~500 GB at the extrapolated 73 M candidates). Int
+    tokens cut prefix-join rows ~12× and verify arrays ~6× in bytes.
+    The operator is still EXACT — recall 1 and bit-replayable — w.r.t.
+    Jaccard over HASHED shingle sets; that differs from string-shingle
+    Jaccard only when h32 collides inside a compared pair (≈ 600²/2³³
+    ≈ 4e-5 per pair), and the DuckDB oracle hashes identically, so the
+    gate stays exact. The same trade containment_lsh_pairs already
+    made for its hash sets.
     """
     # Spread the shingle explode across the cluster up front: a small-SF
     # corpus arrives as one input split, which would leave the explode +
@@ -1364,17 +1379,26 @@ def prefix_jaccard_pairs(
     sc = docs.sparkSession.sparkContext
     if docs.rdd.getNumPartitions() < sc.defaultParallelism:
         docs = docs.repartition(sc.defaultParallelism, F.col("doc_id"))
+    # distinct hashed shingles, shifted to signed int (h - 2^31 is a
+    # lossless bijection of [0, 2^32) onto the int range — 4-byte rows
+    # both in the prefix shuffle and the verify arrays)
     sh_tbl = docs.select(
-        "doc_id", word_shingles(F.col("text")).alias("sh")
+        "doc_id",
+        F.array_distinct(
+            F.transform(
+                word_shingles(F.col("text")),
+                lambda s: (h32(s) - F.lit(2**31)).cast("int"),
+            )
+        ).alias("hs"),
     )
-    tok = sh_tbl.select("doc_id", F.explode("sh").alias("t"))
+    tok = sh_tbl.select("doc_id", F.explode("hs").alias("t"))
     df_tbl = tok.groupBy("t").agg(F.count(F.lit(1)).alias("df"))
-    # Rarity order WITHOUT a global rank: sort each document's shingle
-    # array by the (df, token) struct — array_sort on structs compares
-    # fields left-to-right, giving exactly the (df ASC, token ASC)
-    # total order the prefix-filtering proof needs — then project back
-    # to plain token strings. Set intersections over token arrays ARE
-    # shingle-set intersections (no bijection argument needed).
+    # Rarity order WITHOUT a global rank: sort each document's hashed
+    # shingle array by the (df, token) struct — array_sort on structs
+    # compares fields left-to-right, giving exactly the (df ASC, token
+    # ASC) total order the prefix-filtering proof needs — then project
+    # back to plain int tokens. Set intersections over hashed-token
+    # arrays ARE hashed-shingle-set intersections.
     ordered = (
         tok.join(df_tbl, "t")
         .groupBy("doc_id")

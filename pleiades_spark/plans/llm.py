@@ -1632,11 +1632,20 @@ WHERE 5 * len(list_intersect(a.samp, b.hs)) >= 4 * a.k_eff
 """
 
 
-ORACLE_DEDUP_JACCARD_PREFIX = """
+# Hashed-token domain (round 10): df, rarity order, prefix join and the
+# verification all run over md5-h32 shingle hashes shifted into signed
+# 32-bit ints — exactly what the Spark plan does, so the gate stays
+# bit-exact w.r.t. the hashed-shingle Jaccard contract.
+ORACLE_DEDUP_JACCARD_PREFIX = f"""
 WITH sh AS (
-  SELECT doc_id, CASE WHEN len(string_split(text,' ')) >= 3 THEN list_distinct(list_transform(range(0, len(string_split(text,' ')) - 2), i -> array_to_string(string_split(text,' ')[i+1:i+3], ' '))) ELSE [text] END AS sh FROM documents
+  SELECT doc_id, {word_shingles_sql('text')} AS sh FROM documents
+), hsd AS (
+  SELECT doc_id,
+         list_distinct(list_transform(sh,
+           s -> CAST({h32_sql('s')} - 2147483648 AS INTEGER))) AS hs
+  FROM sh
 ), tok AS (
-  SELECT doc_id, unnest(sh) AS t FROM sh
+  SELECT doc_id, unnest(hs) AS t FROM hsd
 ), rk AS (
   SELECT t, row_number() OVER (ORDER BY count(*) ASC, t ASC) AS rk
   FROM tok GROUP BY t
@@ -1655,13 +1664,15 @@ WITH sh AS (
    AND 3 * a.n <= 5 * b.n AND 3 * b.n <= 5 * a.n
 )
 SELECT doc_a, doc_b,
-       round(len(list_intersect(sa.sh, sb.sh)) * 1.0
-             / len(list_distinct(sa.sh || sb.sh)), 6) AS jaccard
+       round(len(list_intersect(sa.hs, sb.hs)) * 1.0
+             / (len(sa.hs) + len(sb.hs) - len(list_intersect(sa.hs, sb.hs))),
+             6) AS jaccard
 FROM cand
-JOIN sh sa ON sa.doc_id = doc_a
-JOIN sh sb ON sb.doc_id = doc_b
-WHERE round(len(list_intersect(sa.sh, sb.sh)) * 1.0
-            / len(list_distinct(sa.sh || sb.sh)), 6) >= 0.6
+JOIN hsd sa ON sa.doc_id = doc_a
+JOIN hsd sb ON sb.doc_id = doc_b
+WHERE round(len(list_intersect(sa.hs, sb.hs)) * 1.0
+            / (len(sa.hs) + len(sb.hs) - len(list_intersect(sa.hs, sb.hs))),
+            6) >= 0.6
 """
 
 
