@@ -553,8 +553,14 @@ def simhash_pairs_wide128(
     return simhash_wide128_pairs_from_sigs(sigs, max_hamming, exact_recall)
 
 
+PROBE_PRUNE_MIN_DOCS = 1_000_000
+
+
 def simhash_wide128_pairs_from_sigs(
-    sigs: DataFrame, max_hamming: int = 6, exact_recall: bool = False
+    sigs: DataFrame,
+    max_hamming: int = 6,
+    exact_recall: bool = False,
+    probe_prune: bool | None = None,
 ) -> DataFrame:
     """Chunk-blocked pair join over precomputed (doc_id, h0..h3) 128-bit
     signatures — split out so tests inject exact bit patterns (guaranteed
@@ -589,7 +595,18 @@ def simhash_wide128_pairs_from_sigs(
          pair set is bit-identical and the BRUTE oracle is untouched.
          (Spark's internal bloom_filter_agg is not SQL-exposed in this
          build; the word table is the same machinery with an explicit
-         broadcast.)"""
+         broadcast.)
+
+    ``probe_prune`` gates those cuts BY CORPUS SIZE (None = auto at
+    PROBE_PRUNE_MIN_DOCS): at sf10's 500 k docs the whole probe shuffle
+    is ~1–4 GB and the bitmap build + broadcast + candidate re-join
+    cost MORE than they save (measured +126 % — the always-on round-10
+    first cut); at 5 M docs the un-pruned shuffle is ~40 GB and the
+    prune wins. Both plans emit the identical pair set, so the choice
+    is a pure optimizer decision with no oracle impact; the count that
+    drives it materializes the signature cache the join needs anyway."""
+    if probe_prune is None and exact_recall:
+        probe_prune = sigs.count() >= PROBE_PRUNE_MIN_DOCS
     chunk_arr = F.array(F.col("h0"), F.col("h1"), F.col("h2"), F.col("h3"))
     if not exact_recall:
         chunks = sigs.select(
@@ -609,6 +626,51 @@ def simhash_wide128_pairs_from_sigs(
         return (
             left.join(
                 right,
+                (F.col("l.chunk_idx") == F.col("r.chunk_idx"))
+                & (F.col("l.chunk_val") == F.col("r.chunk_val"))
+                & (F.col("l.doc_id") < F.col("r.doc_id")),
+            )
+            .select(
+                F.col("l.doc_id").alias("doc_a"),
+                F.col("r.doc_id").alias("doc_b"),
+                hamming.alias("hamming"),
+            )
+            .distinct()
+            .filter(F.col("hamming") <= max_hamming)
+        )
+
+    masks33 = F.array(F.lit(0), *[F.lit(1 << b) for b in range(32)])
+    if not probe_prune:
+        # small-corpus exact path (the round-9 shape): both sides carry
+        # the halves, Hamming is inline, one distinct — cheapest while
+        # the probe shuffle is small
+        chunks = sigs.select(
+            "doc_id",
+            "h0",
+            "h1",
+            "h2",
+            "h3",
+            F.posexplode(chunk_arr).alias("chunk_idx", "chunk_val"),
+        )
+        probe = chunks.select(
+            "doc_id",
+            "h0",
+            "h1",
+            "h2",
+            "h3",
+            "chunk_idx",
+            F.explode(
+                F.transform(masks33, lambda m: F.col("chunk_val").bitwiseXOR(m))
+            ).alias("chunk_val"),
+        )
+        hamming = sum(
+            F.bit_count(F.col(f"l.h{i}").bitwiseXOR(F.col(f"r.h{i}")))
+            for i in range(4)
+        )
+        return (
+            probe.alias("l")
+            .join(
+                chunks.alias("r"),
                 (F.col("l.chunk_idx") == F.col("r.chunk_idx"))
                 & (F.col("l.chunk_val") == F.col("r.chunk_val"))
                 & (F.col("l.doc_id") < F.col("r.doc_id")),
@@ -643,13 +705,12 @@ def simhash_wide128_pairs_from_sigs(
         .groupBy("word_idx")
         .agg(F.expr("bit_or(shiftleft(1L, bit))").alias("w"))
     )
-    masks = F.array(F.lit(0), *[F.lit(1 << b) for b in range(32)])
     probe = (
         chunks.select(
             "doc_id",
             "chunk_idx",
             F.explode(
-                F.transform(masks, lambda m: F.col("chunk_val").bitwiseXOR(m))
+                F.transform(masks33, lambda m: F.col("chunk_val").bitwiseXOR(m))
             ).alias("chunk_val"),
         )
         .withColumn("s", _slot(bkey))

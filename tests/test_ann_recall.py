@@ -759,3 +759,39 @@ def test_embedding_dedup_reps_recovers_copy_groups(spark):
         assert len(groups) <= 1, f"cluster mixes groups: {sorted(groups)}"
         if groups:
             assert all(m < 10_000 for m in members), "group absorbed randoms"
+
+
+def test_simhash128_prune_path_output_invariant(spark):
+    """The size-gated probe prune (round 10) must be a pure optimizer
+    choice: forcing probe_prune on/off over the same signatures yields
+    the identical pair set — including the crafted Hamming-7 boundary
+    patterns of the pigeonhole test."""
+    from pleiades_spark.operators.dedup import simhash_wide128_pairs_from_sigs
+
+    def flip(sig, bits):
+        for b in bits:
+            sig ^= 1 << b
+        return sig
+
+    base = 0xDEADBEEF
+    rows = [
+        (0, base, base, base, base),
+        (1, flip(base, [1, 2, 3]), base, base, base),        # H3
+        (2, flip(base, [0]), flip(base, [5]), flip(base, [9]), flip(base, [13])),  # H4, all chunks hit
+        (3, flip(base, [0, 1]), flip(base, [2, 3]), flip(base, [4]), flip(base, [6, 7])),  # H7
+        (9, 0x12345678, 0x0F0F0F0F, 0x13572468, 0x2468ACE0),  # unrelated
+    ]
+    sigs = spark.createDataFrame(
+        rows, "doc_id long, h0 long, h1 long, h2 long, h3 long"
+    )
+    out = {}
+    for pp in (False, True):
+        out[pp] = {
+            (r.doc_a, r.doc_b, r.hamming)
+            for r in simhash_wide128_pairs_from_sigs(
+                sigs, 7, exact_recall=True, probe_prune=pp
+            ).collect()
+        }
+    assert out[True] == out[False]
+    assert (0, 1, 3) in out[True] and (0, 2, 4) in out[True]
+    assert (0, 3, 7) in out[True]
