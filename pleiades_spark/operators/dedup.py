@@ -1175,6 +1175,8 @@ def _srp_banded(
     )
     banded = bits.select(
         "vec_id",
+        "v",
+        norm(F.col("v")).alias("nrm"),
         band_arr.alias("bands"),
         F.posexplode(band_arr).alias("band_idx", "band_val"),
     )
@@ -1344,32 +1346,29 @@ def embedding_near_dup_srp(
     )
     for term in first_shared:
         cond = cond & term
-    cand = left.join(right, cond).select(
-        F.col("l.vec_id").alias("vec_a"), F.col("r.vec_id").alias("vec_b")
-    )
-    # Verify with per-VECTOR norms computed once (norm(a) is the same
-    # double whether computed per row or per pair — cosine() inline would
-    # re-fold both norms for every candidate, tripling the verify cost).
-    vn = v.withColumn("nrm", norm(F.col("v")))
-    va = vn.select(
-        F.col("vec_id").alias("vec_a"), F.col("v").alias("v_a"),
-        F.col("nrm").alias("n_a"),
-    )
-    vb = vn.select(
-        F.col("vec_id").alias("vec_b"), F.col("v").alias("v_b"),
-        F.col("nrm").alias("n_b"),
-    )
+    # VERIFY INSIDE THE BAND JOIN (round 10): with first-shared-band
+    # emission there is no post-join distinct, so nothing forces the
+    # candidate pairs through another shuffle — the vectors (and their
+    # per-row norms, computed once in _srp_banded) ride the LINEAR
+    # n×bands banded shuffle, and the cosine streams out of the
+    # sort-merge match with only (vec_a, vec_b, cos) ever emitted. The
+    # old shape (re-joining v by vec_a then vec_b) shuffled candidate
+    # rows CARRYING a 64-double vector by vec_b — Θ(pairs × dim) bytes,
+    # ~500 GB at sf100's ~1e9-pair output-bound corpus, the half of the
+    # DNF the first-band fix alone didn't cover. Same doubles: dot is
+    # the same left-to-right fold, norms are per-vector either way.
     return (
-        cand.join(va, "vec_a")
-        .join(vb, "vec_b")
-        .withColumn(
-            "cos",
+        left.join(right, cond)
+        .select(
+            F.col("l.vec_id").alias("vec_a"),
+            F.col("r.vec_id").alias("vec_b"),
             F.round(
-                dot(F.col("v_a"), F.col("v_b")) / (F.col("n_a") * F.col("n_b")), 6
-            ),
+                dot(F.col("l.v"), F.col("r.v"))
+                / (F.col("l.nrm") * F.col("r.nrm")),
+                6,
+            ).alias("cos"),
         )
         .filter(F.col("cos") >= threshold)
-        .select("vec_a", "vec_b", "cos")
     )
 
 
