@@ -1680,6 +1680,7 @@ def containment_lsh_pairs(
     t_den: int = 5,
     k: int = CONTAINMENT_SAMPLE_K,
     max_probe_df: int | None = None,
+    min_probe_hits: int = 2,
     candidate_observation=None,
 ) -> DataFrame:
     """APPROXIMATE directional containment join — the 100 TB scale path
@@ -1719,6 +1720,20 @@ def containment_lsh_pairs(
     w.r.t. the estimator's own threshold, so a brute oracle suffices;
     with a cap the oracle must replay the probe selection itself
     (ORACLE_DEDUP_CONTAINMENT_LSH does).
+
+    ``min_probe_hits`` (c, round 10) is a LOSSLESS candidate cut — the
+    generalized pigeonhole: a qualifying pair misses at most
+    m − 1 = k_eff − ⌈t·k_eff⌉ sample elements, so among the p =
+    min(m + c − 1, k_eff) RAREST sample hashes it must hit B at least
+    c_eff = max(1, p − (m − 1)) times. Emitting c − 1 extra probe rows
+    per doc (~14 % at c=2, k=32) and grouping the probe join by
+    (doc_a, doc_b) with a HAVING count ≥ c_eff drops every candidate
+    that matched only once by chance — the bulk, on corpora whose
+    shingle df is O(corpus/vocab) — BEFORE the verify joins ship the
+    k-element samples. Recall w.r.t. the estimator is exactly 1; the
+    oracle replays the same count threshold. (The sf100 probe measured
+    the verify-input shuffle, not probe volume, as this operator's
+    wall: ~212 M candidates × the 260 B sample payload.)
 
     ``max_probe_df`` is the hot-hash guard (round-10, verdict r9 #1) —
     the containment twin of minhash_lsh_pairs' max_bucket_size: a probe
@@ -1772,6 +1787,10 @@ def containment_lsh_pairs(
         - F.expr(f"({t_num} * k_eff + {t_den} - 1) div {t_den}")
         + F.lit(1)
     ).cast("int")
+    c = max(1, min_probe_hits)
+    # p rarest probes; a qualifying pair must hit >= c_eff of them
+    p_cnt = F.least(m + F.lit(c - 1), F.col("k_eff")).cast("int")
+    c_eff = F.greatest(F.lit(1), p_cnt - (m - F.lit(1))).cast("int")
     probes = (
         hs_tbl.select("doc_id", "n", "k_eff", F.explode("samp").alias("h"))
         .join(df_tbl, "h")
@@ -1780,16 +1799,17 @@ def containment_lsh_pairs(
             F.array_sort(F.collect_list(F.struct("df", "h"))).alias("rare")
         )
         .select(
-            "doc_id", "n",
-            F.explode(F.slice(F.col("rare"), 1, m)).alias("p"),
+            "doc_id", "n", c_eff.alias("c_eff"),
+            F.explode(F.slice(F.col("rare"), 1, p_cnt)).alias("p"),
         )
         .select(
-            "doc_id", "n", F.col("p.h").alias("h"), F.col("p.df").alias("df")
+            "doc_id", "n", "c_eff",
+            F.col("p.h").alias("h"), F.col("p.df").alias("df"),
         )
     )
     if max_probe_df is not None:
         # drop hot probes AFTER rarity selection: the slice already took
-        # the m rarest, so the filter bites only when those are hot too
+        # the p rarest, so the filter bites only when those are hot too
         probes = probes.filter(F.col("df") <= max_probe_df)
     probes = probes.drop("df")
     index = tok.select(
@@ -1806,9 +1826,17 @@ def containment_lsh_pairs(
             & (F.col("pa.doc_id") != F.col("doc_b"))
             & (F.lit(t_num) * F.col("pa.n") <= F.lit(t_den) * F.col("nb")),
         )
-        .select(F.col("pa.doc_id").alias("doc_a"), "doc_b")
+        .select(F.col("pa.doc_id").alias("doc_a"), "doc_b", "c_eff")
     )
-    cand = _observe_candidates(cand, candidate_observation).distinct()
+    # multi-hit requirement replaces the plain distinct: one groupBy
+    # over SLIM (doc_a, doc_b) rows, before any sample payload is joined
+    cand = (
+        _observe_candidates(cand, candidate_observation)
+        .groupBy("doc_a", "doc_b", "c_eff")
+        .agg(F.count(F.lit(1)).alias("probe_hits"))
+        .filter(F.col("probe_hits") >= F.col("c_eff"))
+        .select("doc_a", "doc_b")
+    )
     a_side = hs_tbl.select(
         F.col("doc_id").alias("doc_a"), F.col("samp").alias("samp_a"),
         F.col("k_eff").alias("ka"),

@@ -1609,18 +1609,26 @@ WITH sh AS (
 ), sprobe AS (
   SELECT doc_id, n, k_eff, unnest(samp) AS h FROM samp
 ), ranked AS (
-  SELECT s.doc_id, s.n, s.h, d.df,
+  SELECT s.doc_id, s.n, s.h, d.df, s.k_eff,
          row_number() OVER (PARTITION BY s.doc_id ORDER BY d.df, s.h) AS r,
          s.k_eff - ((4 * s.k_eff + 4) // 5) + 1 AS m
   FROM sprobe s JOIN df d ON s.h = d.h
 ), pr AS (
-  SELECT doc_id, n, h FROM ranked
-  WHERE r <= m AND df <= {_CLSH_MAX_PROBE_DF}
+  -- p = min(m+1, k_eff) rarest probes; a qualifying pair must hit
+  -- c_eff = max(1, p - (m-1)) of them (generalized pigeonhole, c=2)
+  SELECT doc_id, n, h,
+         greatest(1, least(m + 1, k_eff) - (m - 1)) AS c_eff
+  FROM ranked
+  WHERE r <= least(m + 1, k_eff) AND df <= {_CLSH_MAX_PROBE_DF}
 ), cand AS (
-  SELECT DISTINCT p.doc_id AS doc_a, b.doc_id AS doc_b
-  FROM pr p
-  JOIN tok b ON p.h = b.h AND p.doc_id != b.doc_id
-  JOIN samp sb ON sb.doc_id = b.doc_id AND 4 * p.n <= 5 * sb.n
+  SELECT doc_a, doc_b FROM (
+    SELECT p.doc_id AS doc_a, b.doc_id AS doc_b,
+           count(*) AS hits, max(p.c_eff) AS c_eff
+    FROM pr p
+    JOIN tok b ON p.h = b.h AND p.doc_id != b.doc_id
+    JOIN samp sb ON sb.doc_id = b.doc_id AND 4 * p.n <= 5 * sb.n
+    GROUP BY p.doc_id, b.doc_id
+  ) WHERE hits >= c_eff
 )
 SELECT c.doc_a, c.doc_b,
        round(len(list_intersect(a.samp, b.hs)) * 1.0 / a.k_eff, 6)

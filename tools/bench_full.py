@@ -68,6 +68,20 @@ def main() -> None:
             print(f"BENCH {name}: {timings[name]}s", file=sys.stderr, flush=True)
         except Exception as exc:  # keep going; report at the end
             failures[name] = str(exc).split("\n")[0][:200]
+        finally:
+            # Release the finished query's state OUTSIDE the timed
+            # region (round 10): operator-internal .cache() frames and
+            # shuffle files otherwise accumulate across the whole run —
+            # the sf100 probe measured 45 GB of stale blockmgr spill by
+            # the third query, enough to disk-DNF later heavy queries as
+            # a harness artifact rather than an operator property.
+            # clearCache drops persisted frames; the explicit JVM GC
+            # lets ContextCleaner reap the now-unreferenced shuffles.
+            try:
+                spark.catalog.clearCache()
+                spark.sparkContext._jvm.System.gc()
+            except Exception:
+                pass
             print(f"FAIL {name}: {failures[name]}", file=sys.stderr, flush=True)
 
     result = {
