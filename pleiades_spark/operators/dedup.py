@@ -50,7 +50,23 @@ from pleiades_spark.functions.hashing import (
     srp_planes,
 )
 from pleiades_spark.functions.text import word_shingles
-from pleiades_spark.functions.vectors import as_double, cosine, dot, norm
+from pleiades_spark.functions.vectors import (
+    as_double,
+    cosine,
+    dot,
+    dot_fixed,
+    infer_dim,
+    norm,
+)
+
+
+def _pair_dot(dim: int | None):
+    """dot for PAIR-verify hot paths: the codegen'd fixed-width unroll
+    when the embedding width is statically known (bit-identical doubles
+    — see vectors.dot_fixed), the interpreted fold otherwise."""
+    if dim:
+        return lambda a, b: dot_fixed(a, b, dim)
+    return dot
 
 
 # --- exact ---------------------------------------------------------------
@@ -926,6 +942,7 @@ def embedding_near_dup_ivf(
         )
     a = assigned.alias("a")
     b = assigned.alias("b")
+    pdot = _pair_dot(infer_dim(emb, "embedding"))
     return (
         a.join(
             b,
@@ -935,7 +952,7 @@ def embedding_near_dup_ivf(
         .withColumn(
             "cos",
             F.round(
-                dot(F.col("a.v"), F.col("b.v"))
+                pdot(F.col("a.v"), F.col("b.v"))
                 / (F.col("a.nrm") * F.col("b.nrm")),
                 6,
             ),
@@ -1062,6 +1079,10 @@ def embedding_near_dup_ivf2(
             .filter(F.col("bucket_size") <= max_bucket_size)
             .drop("bucket_size")
         )
+    # fixed-width unrolled dot: the in-bucket verify is ~10⁹ interpreted
+    # fold evaluations at sf100 (the dominant cost after block-split
+    # fixed the skew) — codegen'd element_at chains, identical doubles
+    pdot = _pair_dot(infer_dim(emb, "embedding"))
     pairs = (
         _blocked_bucket_pairs(
             assigned.select("vec_id", "v", "centroid_id", "nrm"), block_size
@@ -1069,7 +1090,7 @@ def embedding_near_dup_ivf2(
         .withColumn(
             "cos",
             F.round(
-                dot(F.col("a.v"), F.col("b.v"))
+                pdot(F.col("a.v"), F.col("b.v"))
                 / (F.col("a.nrm") * F.col("b.nrm")),
                 6,
             ),
@@ -1254,13 +1275,14 @@ def embedding_dedup_reps(
         F.col("vec_id").alias("rep"), F.col("v").alias("v_b"),
         F.col("nrm").alias("n_b"),
     )
+    pdot = _pair_dot(infer_dim(v))
     verified = (
         edges.join(va, "vec_id")
         .join(vb, "rep")
         .withColumn(
             "cos",
             F.round(
-                dot(F.col("v_a"), F.col("v_b")) / (F.col("n_a") * F.col("n_b")),
+                pdot(F.col("v_a"), F.col("v_b")) / (F.col("n_a") * F.col("n_b")),
                 6,
             ),
         )
@@ -1355,15 +1377,18 @@ def embedding_near_dup_srp(
     # old shape (re-joining v by vec_a then vec_b) shuffled candidate
     # rows CARRYING a 64-double vector by vec_b — Θ(pairs × dim) bytes,
     # ~500 GB at sf100's ~1e9-pair output-bound corpus, the half of the
-    # DNF the first-band fix alone didn't cover. Same doubles: dot is
-    # the same left-to-right fold, norms are per-vector either way.
+    # DNF the first-band fix alone didn't cover. Same doubles: the
+    # fixed-width unrolled dot (codegen'd — the per-pair verify is the
+    # compute wall at 10⁹ pairs) associates exactly like the fold, and
+    # norms are per-vector either way.
+    pdot = _pair_dot(infer_dim(v))
     return (
         left.join(right, cond)
         .select(
             F.col("l.vec_id").alias("vec_a"),
             F.col("r.vec_id").alias("vec_b"),
             F.round(
-                dot(F.col("l.v"), F.col("r.v"))
+                pdot(F.col("l.v"), F.col("r.v"))
                 / (F.col("l.nrm") * F.col("r.nrm")),
                 6,
             ).alias("cos"),
