@@ -68,6 +68,7 @@ def main() -> None:
             print(f"BENCH {name}: {timings[name]}s", file=sys.stderr, flush=True)
         except Exception as exc:  # keep going; report at the end
             failures[name] = str(exc).split("\n")[0][:200]
+            print(f"FAIL {name}: {failures[name]}", file=sys.stderr, flush=True)
         finally:
             # Release the finished query's state OUTSIDE the timed
             # region (round 10): operator-internal .cache() frames and
@@ -82,7 +83,6 @@ def main() -> None:
                 spark.sparkContext._jvm.System.gc()
             except Exception:
                 pass
-            print(f"FAIL {name}: {failures[name]}", file=sys.stderr, flush=True)
 
     result = {
         "queries": timings,
