@@ -30,35 +30,16 @@ def norm(a: Column) -> Column:
     return F.sqrt(dot(a, a))
 
 
-def dot_fixed(a: Column, b: Column, dim: int) -> Column:
-    """Σ aᵢ·bᵢ unrolled to a codegen'd fixed-width expression.
-
-    Bit-identical to :func:`dot` — the sum associates left-to-right
-    ((0.0 + a₁b₁) + a₂b₂) + … exactly like the fold, so every double
-    (and the DuckDB list_inner_product twin) is unchanged — but with NO
-    higher-order function: HOF lambdas are interpreted per element
-    (CLAUDE.md invariant), which left 10⁹-pair verify joins
-    compute-bound at ~2·dim interpreted lambda steps per pair at sf100.
-    element_at chains stay inside whole-stage codegen. Requires every
-    row's arrays to hold exactly ``dim`` elements — ANSI element_at
-    raises past the end, a deliberate fail-fast on ragged embeddings
-    (the fixed-dim contract every embedding operator already assumes).
-    """
-    out: Column = F.lit(0.0)
-    for i in range(dim):
-        out = out + F.element_at(a, i + 1) * F.element_at(b, i + 1)
-    return out
-
-
-def norm_fixed(a: Column, dim: int) -> Column:
-    return F.sqrt(dot_fixed(a, a, dim))
-
-
-def infer_dim(df, col: str = "v") -> int | None:
-    """Static embedding width from the first row (one 1-row job); None
-    on an empty frame — callers fall back to the interpreted fold."""
-    rows = df.select(F.size(F.col(col)).alias("d")).limit(1).collect()
-    return int(rows[0]["d"]) if rows else None
+# MEASURED DEAD END (round 10): a fixed-width unrolled dot —
+# Σ element_at(a,i)·element_at(b,i) as a flat expression, hoping to
+# trade the interpreted HOF fold for whole-stage codegen — ran 15×
+# SLOWER than the fold (74.9 s vs 4.6 s over 2M×64-dim rows): 128
+# independent element_at trees each re-touch the array with null/
+# bounds handling, while the fold materializes the zip_with product
+# array once and loops tightly. The fold above IS the fast exact-order
+# dot; at 10⁹-pair verify scale its cost is the floor of the bit-exact
+# oracle contract (a BLAS/applyInPandas verify would be ~100× faster
+# but sums in a different float order).
 
 
 def cosine(a: Column, b: Column) -> Column:

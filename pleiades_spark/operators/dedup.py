@@ -50,23 +50,18 @@ from pleiades_spark.functions.hashing import (
     srp_planes,
 )
 from pleiades_spark.functions.text import word_shingles
-from pleiades_spark.functions.vectors import (
-    as_double,
-    cosine,
-    dot,
-    dot_fixed,
-    infer_dim,
-    norm,
-)
+from pleiades_spark.functions.vectors import as_double, cosine, dot, norm
 
-
-def _pair_dot(dim: int | None):
-    """dot for PAIR-verify hot paths: the codegen'd fixed-width unroll
-    when the embedding width is statically known (bit-identical doubles
-    — see vectors.dot_fixed), the interpreted fold otherwise."""
-    if dim:
-        return lambda a, b: dot_fixed(a, b, dim)
-    return dot
+# MEASURED DEAD END (round 10): unrolling the pair-verify dot to a
+# fixed-width element_at chain — hoping to trade the interpreted HOF
+# fold for whole-stage codegen — ran 15× SLOWER (4.6 s vs 74.9 s on
+# 2M×64-dim rows): 128 independent element_at trees each re-touch the
+# array with null/bounds checks, while the fold materializes the
+# zip_with product array once and loops. The interpreted fold IS the
+# fast exact-order dot; the remaining per-pair verify cost at 10⁹-pair
+# scale is the floor of the exact-fold contract, not an expression
+# problem. (A BLAS/applyInPandas verify would be ~100× faster but sums
+# in a different float order — it would break the bit-exact oracle.)
 
 
 # --- exact ---------------------------------------------------------------
@@ -942,7 +937,6 @@ def embedding_near_dup_ivf(
         )
     a = assigned.alias("a")
     b = assigned.alias("b")
-    pdot = _pair_dot(infer_dim(emb, "embedding"))
     return (
         a.join(
             b,
@@ -952,7 +946,7 @@ def embedding_near_dup_ivf(
         .withColumn(
             "cos",
             F.round(
-                pdot(F.col("a.v"), F.col("b.v"))
+                dot(F.col("a.v"), F.col("b.v"))
                 / (F.col("a.nrm") * F.col("b.nrm")),
                 6,
             ),
@@ -1079,10 +1073,6 @@ def embedding_near_dup_ivf2(
             .filter(F.col("bucket_size") <= max_bucket_size)
             .drop("bucket_size")
         )
-    # fixed-width unrolled dot: the in-bucket verify is ~10⁹ interpreted
-    # fold evaluations at sf100 (the dominant cost after block-split
-    # fixed the skew) — codegen'd element_at chains, identical doubles
-    pdot = _pair_dot(infer_dim(emb, "embedding"))
     pairs = (
         _blocked_bucket_pairs(
             assigned.select("vec_id", "v", "centroid_id", "nrm"), block_size
@@ -1090,7 +1080,7 @@ def embedding_near_dup_ivf2(
         .withColumn(
             "cos",
             F.round(
-                pdot(F.col("a.v"), F.col("b.v"))
+                dot(F.col("a.v"), F.col("b.v"))
                 / (F.col("a.nrm") * F.col("b.nrm")),
                 6,
             ),
@@ -1275,14 +1265,13 @@ def embedding_dedup_reps(
         F.col("vec_id").alias("rep"), F.col("v").alias("v_b"),
         F.col("nrm").alias("n_b"),
     )
-    pdot = _pair_dot(infer_dim(v))
     verified = (
         edges.join(va, "vec_id")
         .join(vb, "rep")
         .withColumn(
             "cos",
             F.round(
-                pdot(F.col("v_a"), F.col("v_b")) / (F.col("n_a") * F.col("n_b")),
+                dot(F.col("v_a"), F.col("v_b")) / (F.col("n_a") * F.col("n_b")),
                 6,
             ),
         )
@@ -1377,18 +1366,15 @@ def embedding_near_dup_srp(
     # old shape (re-joining v by vec_a then vec_b) shuffled candidate
     # rows CARRYING a 64-double vector by vec_b — Θ(pairs × dim) bytes,
     # ~500 GB at sf100's ~1e9-pair output-bound corpus, the half of the
-    # DNF the first-band fix alone didn't cover. Same doubles: the
-    # fixed-width unrolled dot (codegen'd — the per-pair verify is the
-    # compute wall at 10⁹ pairs) associates exactly like the fold, and
-    # norms are per-vector either way.
-    pdot = _pair_dot(infer_dim(v))
+    # DNF the first-band fix alone didn't cover. Same doubles: the same
+    # left-to-right fold, and norms are per-vector either way.
     return (
         left.join(right, cond)
         .select(
             F.col("l.vec_id").alias("vec_a"),
             F.col("r.vec_id").alias("vec_b"),
             F.round(
-                pdot(F.col("l.v"), F.col("r.v"))
+                dot(F.col("l.v"), F.col("r.v"))
                 / (F.col("l.nrm") * F.col("r.nrm")),
                 6,
             ).alias("cos"),
