@@ -59,8 +59,9 @@ def main() -> None:
             continue
         q = registry[name]
         best = float("inf")
+        reps = max(1, int(os.environ.get("PLEIADES_BENCH_REPS", "2")))
         try:
-            for _ in range(2):
+            for _ in range(reps):
                 t0 = time.time()
                 q.fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
                 best = min(best, time.time() - t0)
