@@ -564,14 +564,11 @@ def simhash_pairs_wide128(
     return simhash_wide128_pairs_from_sigs(sigs, max_hamming, exact_recall)
 
 
-PROBE_PRUNE_MIN_DOCS = 1_000_000
-
-
 def simhash_wide128_pairs_from_sigs(
     sigs: DataFrame,
     max_hamming: int = 6,
     exact_recall: bool = False,
-    probe_prune: bool | None = None,
+    probe_prune: bool = False,
 ) -> DataFrame:
     """Chunk-blocked pair join over precomputed (doc_id, h0..h3) 128-bit
     signatures — split out so tests inject exact bit patterns (guaranteed
@@ -586,38 +583,23 @@ def simhash_wide128_pairs_from_sigs(
     gate oracle for this path is BRUTE FORCE, which is what PROVES the
     recall-1 claim on real signatures.
 
-    Round-10 probe-stream prune (verdict r9 #5): the 33× probe stream —
-    660 M rows at sf100's 5 M docs — was the equi-join's shuffle cost
-    even though buckets are ~singleton and candidates tiny. Two
-    output-invariant cuts:
-
-      1. SLIM ROWS: neither join side carries h0..h3 any more; the
-         Hamming distance is computed by re-joining the (tiny,
-         ~true-dups×132) distinct candidate pair set back to ``sigs``.
-      2. BITMAP SEMI-PRUNE: a 2²⁸-bit one-hash Bloom bitmap of the
-         build side's (chunk_idx, chunk_val) keys — built as a ≤4.2M-row
-         (word_idx, word) table of 64-bit words, broadcast — filters
-         probe rows BEFORE the exchange. A flipped probe value exists on
-         the build side w.p. ≈ n_chunks/2³² ≈ 0.5 % at 5 M docs, so
-         ~97 % of flip probes (and none of the identity probes, whose
-         own build row sets their bit) are dropped at the scan;
-         single-hash false positives (~7 % of the stream) just fail the
-         join. No false negatives — same xxhash64 both sides — so the
-         pair set is bit-identical and the BRUTE oracle is untouched.
-         (Spark's internal bloom_filter_agg is not SQL-exposed in this
-         build; the word table is the same machinery with an explicit
-         broadcast.)
-
-    ``probe_prune`` gates those cuts BY CORPUS SIZE (None = auto at
-    PROBE_PRUNE_MIN_DOCS): at sf10's 500 k docs the whole probe shuffle
-    is ~1–4 GB and the bitmap build + broadcast + candidate re-join
-    cost MORE than they save (measured +126 % — the always-on round-10
-    first cut); at 5 M docs the un-pruned shuffle is ~40 GB and the
-    prune wins. Both plans emit the identical pair set, so the choice
-    is a pure optimizer decision with no oracle impact; the count that
-    drives it materializes the signature cache the join needs anyway."""
-    if probe_prune is None and exact_recall:
-        probe_prune = sigs.count() >= PROBE_PRUNE_MIN_DOCS
+    ``probe_prune`` is a MEASURED DEAD END, kept (default OFF) as the
+    recorded experiment for the round-9 verdict's #5 knob ("bloom/
+    semi-prune the probe stream"): an output-invariant bitmap semi-prune
+    — a 2²⁸-bit one-hash Bloom of the build side's (chunk_idx,
+    chunk_val) keys as a broadcast ≤4.2M-row word table, filtering the
+    33× probe stream before the exchange, plus slim join rows with the
+    Hamming re-joined from ``sigs`` over the tiny candidate set. On
+    paper it cuts the 660 M-row/40 GB sf100 probe shuffle ~10×; in
+    measurement it LOST at both decades — +126 % at sf10 (500 k docs:
+    the bitmap build/broadcast and candidate re-join cost more than the
+    1–4 GB shuffle they replace) and 4.4× at sf100 (584 s vs the plain
+    path's 134 s: the ~100 MB broadcast hash relation plus 32-way sort
+    pressure thrashed TaskMemoryManager into 1 GB page-allocation
+    retries). On a real cluster the un-pruned shuffle distributes
+    anyway, so there is no regime where the single-box prune wins. The
+    invariance test (crafted Hamming-boundary patterns) proves both
+    plans emit the identical pair set."""
     chunk_arr = F.array(F.col("h0"), F.col("h1"), F.col("h2"), F.col("h3"))
     if not exact_recall:
         chunks = sigs.select(
