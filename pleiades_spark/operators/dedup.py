@@ -85,6 +85,21 @@ def exact_dedup_groups(docs: DataFrame) -> DataFrame:
 # --- minhash + LSH -------------------------------------------------------
 
 
+def minhash_sig_from_hashes(hashed: Column) -> Column:
+    """MinHash signature fold over a PRECOMPUTED h32 array: array of
+    NUM_PERM minima over the permuted hashes. Split out so callers that
+    also need the hash array for other purposes (doc_dedup_reps' int32
+    verify sets) can stage it as a real column and hash exactly once —
+    the no-CSE-across-HOF-arguments invariant."""
+    start = F.array_repeat(F.lit(MINHASH_P + 1).cast("long"), NUM_PERM)
+
+    def _step(acc: Column, h: Column) -> Column:
+        perms = F.array(*[perm_hash(h, a, b) for a, b in MINHASH_PERMS])
+        return F.zip_with(acc, perms, lambda x, y: F.least(x, y))
+
+    return F.aggregate(hashed, start, _step)
+
+
 def minhash_signature(shingles: Column) -> Column:
     """Array of NUM_PERM minima over the shingle set's permuted hashes.
 
@@ -95,14 +110,7 @@ def minhash_signature(shingles: Column) -> Column:
     re-evaluates the md5 array once per permutation — Catalyst does not CSE
     across higher-order-function arguments.)
     """
-    hashed = F.transform(shingles, h32)
-    start = F.array_repeat(F.lit(MINHASH_P + 1).cast("long"), NUM_PERM)
-
-    def _step(acc: Column, h: Column) -> Column:
-        perms = F.array(*[perm_hash(h, a, b) for a, b in MINHASH_PERMS])
-        return F.zip_with(acc, perms, lambda x, y: F.least(x, y))
-
-    return F.aggregate(hashed, start, _step)
+    return minhash_sig_from_hashes(F.transform(shingles, h32))
 
 
 def with_signature(docs: DataFrame, keep: tuple[str, ...] = ()) -> DataFrame:
@@ -216,6 +224,110 @@ def minhash_lsh_pairs(
         .select("doc_a", "doc_b", "jaccard")
     )
     return verified
+
+
+def doc_dedup_reps(docs: DataFrame, threshold: float = 0.6) -> DataFrame:
+    """Linear-output DOCUMENT dedup: (doc_id, rep_id) via MinHash band
+    bucket-min star edges + connected components — the text-side twin of
+    :func:`embedding_dedup_reps` (round 11, closing the round-10
+    asymmetry: ANY pair contract is Θ(Σ multiplicity²), and template /
+    boilerplate text corpora have exactly the multiplicity shape that
+    lower-bounds pair enumeration at ~10⁹ rows at sf100 — yet text dedup
+    previously ended at pair emission + CC).
+
+    Plan (every stage linear in n·LSH_BANDS):
+      1. one corpus scan stages the h32 shingle-hash array as a REAL
+         column (minhash_sig_from_hashes — hashing runs once, not once
+         per HOF argument), yielding both the MinHash signature and the
+         distinct int32 verify set (h − 2³¹: the lossless 4-byte
+         bijection prefix_jaccard_pairs introduced — the verify arrays
+         are the bytes that ride the edge join, and 6 KB string arrays
+         at ~10⁸ edges were the sf100 DNF mechanism there);
+      2. per (band_idx, band_key) bucket, candidate rep = min doc_id —
+         a groupBy (map-side partial min, no single-task window sort
+         even on a 10⁶-doc boilerplate bucket) joined back on the band
+         key; star edges (member → bucket-min), distinct over bands —
+         at most LSH_BANDS edges per doc, NEVER B² per bucket, so hot
+         buckets cost bucket-size, not bucket-size²;
+      3. each edge verified by exact hashed-shingle Jaccard ≥ t —
+         |∩| / (n_a + n_b − |∩|) over the int32 sets. Jaccard over h32
+         sets differs from string-shingle Jaccard only on an in-pair
+         h32 collision (≈600²/2³³ ≈ 4e-5 per pair) and the DuckDB
+         oracle hashes identically, so the gate stays exact — the
+         prefix_jaccard_pairs precedent;
+      4. large-star/small-star CC over verified edges; singletons keep
+         themselves (rep_id = doc_id).
+
+    Cluster semantics: two docs share a rep iff they connect through
+    verified member→bucket-min edges. Relative to pairs+CC, an edge is
+    missed when a member's Jaccard to its bucket's MIN fails t even
+    though some other in-bucket pair passes — so recall rides bucket
+    PURITY. The recall target is DUPLICATE-GROUP capture (copies share
+    band keys in every band, so each of the LSH_BANDS bands gives an
+    independent rep draw that transitive closure merges);
+    tests/test_ann_recall.py audits copy-group recovery on a
+    high-multiplicity corpus and component-granularity precision (every
+    edge Jaccard-verified ⇒ a cluster can never span two true
+    pair-graph components).
+    """
+    staged = (
+        docs.repartition(F.col("doc_id"))
+        .select("doc_id", word_shingles(F.col("text")).alias("sh"))
+        .select("doc_id", F.transform("sh", h32).alias("hs"))
+        .select(
+            "doc_id",
+            minhash_sig_from_hashes(F.col("hs")).alias("sig"),
+            F.array_distinct(
+                F.transform("hs", lambda h: (h - F.lit(2**31)).cast("int"))
+            ).alias("hset"),
+        )
+        .cache()
+    )
+    bands = staged.select(
+        "doc_id", F.posexplode(band_keys(F.col("sig"))).alias("band_idx", "band_key")
+    )
+    reps = bands.groupBy("band_idx", "band_key").agg(F.min("doc_id").alias("rep"))
+    edges = (
+        bands.join(reps, ["band_idx", "band_key"])
+        .filter(F.col("doc_id") != F.col("rep"))
+        .select("doc_id", "rep")
+        .distinct()
+    )
+    hn = staged.select("doc_id", "hset", F.size("hset").alias("n"))
+    ha = hn.select(
+        F.col("doc_id"), F.col("hset").alias("ha"), F.col("n").alias("na")
+    )
+    hb = hn.select(
+        F.col("doc_id").alias("rep"), F.col("hset").alias("hb"),
+        F.col("n").alias("nb"),
+    )
+    inter = F.size(F.array_intersect("ha", "hb"))
+    verified = (
+        edges.join(ha, "doc_id")
+        .join(hb, "rep")
+        .withColumn("inter", inter)
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("inter")
+                / (F.col("na") + F.col("nb") - F.col("inter")),
+                6,
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_id", "rep")
+    )
+    from pleiades_spark.operators.graph import connected_components_star
+
+    cc = connected_components_star(verified, src="doc_id", dst="rep")
+    return (
+        staged.select("doc_id")
+        .join(cc.withColumnRenamed("cluster", "rep_id"), "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("rep_id"), F.col("doc_id")).alias("rep_id"),
+        )
+    )
 
 
 # --- simhash -------------------------------------------------------------

@@ -117,6 +117,69 @@ SELECT doc_a, doc_b, jaccard FROM verified WHERE jaccard >= {JACCARD_THRESHOLD}
 """
 
 
+# --- linear-output document dedup (reps grain) ------------------------------
+
+
+def q_doc_dedup_reps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear-output DOCUMENT dedup (round 11): (doc_id, rep_id) via
+    MinHash band bucket-min star edges, exact hashed-shingle Jaccard
+    edge verification, and large-star/small-star connected components
+    (operators/dedup.doc_dedup_reps) — the text-side twin of
+    dedup_embedding_reps. The production contract for template-heavy
+    corpora, where any pair-emitting operator's OUTPUT is
+    Θ(Σ multiplicity²); this stays at n·LSH_BANDS by construction. The
+    oracle replays banding, bucket-min rep selection, the int32
+    hashed-set Jaccard verification, and the transitive closure
+    (recursive CTE)."""
+    from pleiades_spark.operators.dedup import doc_dedup_reps
+
+    return doc_dedup_reps(_t(spark, sf_dir, "documents"), JACCARD_THRESHOLD)
+
+
+ORACLE_DOC_DEDUP_REPS = f"""
+WITH RECURSIVE sh AS (
+  SELECT doc_id, {word_shingles_sql('text')} AS sh FROM documents
+), hashed AS (
+  SELECT doc_id, list_transform(sh, s -> {h32_sql('s')}) AS hs FROM sh
+), sig AS (
+  SELECT doc_id, {_SIG_SQL} AS sig,
+         list_distinct(list_transform(hs, h -> CAST(h - 2147483648 AS INTEGER)))
+           AS hset
+  FROM hashed
+), bands AS (
+  SELECT doc_id, band_idx,
+         array_to_string(sig[band_idx*{LSH_ROWS}+1 : band_idx*{LSH_ROWS}+{LSH_ROWS}], '-') AS band_key
+  FROM sig, {_BANDS_RANGE_SQL}
+), reps AS (
+  SELECT band_idx, band_key, min(doc_id) AS rep
+  FROM bands GROUP BY band_idx, band_key
+), e0 AS (
+  SELECT DISTINCT b.doc_id, r.rep
+  FROM bands b JOIN reps r
+    ON b.band_idx = r.band_idx AND b.band_key = r.band_key
+  WHERE b.doc_id != r.rep
+), ver AS (
+  SELECT doc_id, rep FROM (
+    SELECT e0.doc_id, e0.rep,
+           round(len(list_intersect(a.hset, b.hset)) * 1.0
+                 / (len(a.hset) + len(b.hset)
+                    - len(list_intersect(a.hset, b.hset))), 6) AS jaccard
+    FROM e0 JOIN sig a ON a.doc_id = e0.doc_id
+            JOIN sig b ON b.doc_id = e0.rep
+  ) WHERE jaccard >= {JACCARD_THRESHOLD}
+), edges AS (
+  SELECT doc_id AS u, rep AS w FROM ver
+  UNION SELECT rep, doc_id FROM ver
+), reach(node, r) AS (
+  SELECT u, u FROM edges
+  UNION
+  SELECT e.w, reach.r FROM reach JOIN edges e ON e.u = reach.node
+), cl AS (SELECT node, min(r) AS cluster FROM reach GROUP BY node)
+SELECT d.doc_id, CAST(coalesce(cl.cluster, d.doc_id) AS BIGINT) AS rep_id
+FROM documents d LEFT JOIN cl ON cl.node = d.doc_id
+"""
+
+
 # --- incremental near-dedup (nightly-increment economics) -------------------
 
 INCR_PCT = 20  # this run's "new" slice of the corpus
@@ -583,6 +646,13 @@ def q_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = minhash_lsh_pairs(_t(spark, sf_dir, "documents"), JACCARD_THRESHOLD)
     cc = connected_components(pairs.select("doc_a", "doc_b"))
     quality = q_text_quality(spark, sf_dir).select("doc_id", "quality")
+    return _keep_best(cc, quality)
+
+
+def _keep_best(cc: DataFrame, quality: DataFrame) -> DataFrame:
+    """Per-cluster argmax over a (doc_id, cluster) grain — shared by the
+    pair-CC and reps-grain keep-best plans. quality DESC, doc_id ASC
+    tiebreak for determinism."""
     joined = cc.join(quality, "doc_id")
     w = W.partitionBy("cluster").orderBy(
         F.col("quality").desc(), F.col("doc_id").asc()
@@ -599,6 +669,22 @@ def q_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_members",
         )
     )
+
+
+def q_dedup_keep_best_reps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keep-best over the LINEAR reps grain (round 11): doc_dedup_reps'
+    (doc_id, rep_id) already carries one decision per document —
+    singletons included — so this emits the full deduplicated KEEP-LIST
+    (one kept doc per cluster, n_clusters rows), not just the clusters
+    that happened to surface as pairs. At 100 TB this is the corpus
+    build's actual deliverable, and the upstream stays linear where the
+    pair-grain twin pays Θ(Σ mult²) before it even reaches the argmax."""
+    from pleiades_spark.operators.dedup import doc_dedup_reps
+
+    reps = doc_dedup_reps(_t(spark, sf_dir, "documents"), JACCARD_THRESHOLD)
+    cc = reps.select("doc_id", F.col("rep_id").alias("cluster"))
+    quality = q_text_quality(spark, sf_dir).select("doc_id", "quality")
+    return _keep_best(cc, quality)
 
 
 # --- embedding cosine near-dup --------------------------------------------
@@ -2753,6 +2839,25 @@ WHERE r.rk = 1
 """
 
 
+ORACLE_DEDUP_KEEP_BEST_REPS = f"""
+WITH cc AS (
+  SELECT doc_id, rep_id AS cluster FROM ({ORACLE_DOC_DEDUP_REPS}) rr
+),
+q AS (SELECT doc_id, quality FROM ({ORACLE_TEXT_QUALITY}) tq),
+j AS (SELECT cc.doc_id, cc.cluster, q.quality FROM cc JOIN q USING (doc_id)),
+sizes AS (
+  SELECT cluster, CAST(count(*) AS BIGINT) AS n_members FROM cc GROUP BY cluster
+)
+SELECT r.cluster, r.doc_id AS kept_doc_id, r.quality AS kept_quality, s.n_members
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY cluster
+            ORDER BY quality DESC, doc_id ASC) AS rk
+  FROM j
+) r JOIN sizes s USING (cluster)
+WHERE r.rk = 1
+"""
+
+
 QUERIES = [
     Query("dedup_exact", q_dedup_exact, ORACLE_DEDUP_EXACT,
           "exact dedup via text-hash groupBy, deterministic representative"),
@@ -2791,6 +2896,8 @@ QUERIES = [
     Query("dedup_embedding_reps", q_dedup_embedding_reps,
           ORACLE_DEDUP_EMBEDDING_REPS,
           "linear-output embedding dedup: SRP star edges + CC → (vec, rep)"),
+    Query("doc_dedup_reps", q_doc_dedup_reps, ORACLE_DOC_DEDUP_REPS,
+          "linear-output document dedup: MinHash star edges + CC → (doc, rep)"),
     Query("dedup_jaccard_prefix", q_dedup_jaccard_prefix,
           ORACLE_DEDUP_JACCARD_PREFIX,
           "exact Jaccard join via prefix filtering (recall-1 scale path)"),
@@ -2815,6 +2922,9 @@ QUERIES = [
           "iterative connected components over near-dup pairs (recursive CTE oracle)"),
     Query("dedup_clusters_star", q_dedup_clusters_star, ORACLE_DEDUP_CLUSTERS,
           "large-star/small-star connected components (diameter-independent rounds)"),
+    Query("dedup_keep_best_reps", q_dedup_keep_best_reps,
+          ORACLE_DEDUP_KEEP_BEST_REPS,
+          "keep-best over the linear reps grain: full deduplicated keep-list"),
     Query("dedup_keep_best", q_dedup_keep_best, ORACLE_DEDUP_KEEP_BEST,
           "near-dup clusters keep the argmax-quality member (RefinedWeb rule)"),
     Query("knn_cosine_brute", q_knn_brute, ORACLE_KNN_BRUTE,

@@ -761,6 +761,80 @@ def test_embedding_dedup_reps_recovers_copy_groups(spark):
             assert all(m < 10_000 for m in members), "group absorbed randoms"
 
 
+def test_doc_dedup_reps_precision_vs_exact_pair_graph(documents):
+    """The text-side linear cluster contract (round 11), precision side:
+    every star edge is Jaccard-verified at the same threshold, so each
+    rep cluster must be a SUBSET of a true pair-graph component of the
+    exact n-gram Jaccard ground truth — co-clustering two docs that are
+    not connected in the brute near-dup graph is impossible by
+    construction (modulo an in-pair h32 collision, ≈4e-5 per pair and
+    absent at this corpus size)."""
+    from pleiades_spark.operators.dedup import doc_dedup_reps
+    from pleiades_spark.operators.graph import connected_components_star
+
+    gt_pairs = _pair_set(
+        ngram_jaccard_pairs(documents, 0.6).select("doc_a", "doc_b")
+    )
+    assert gt_pairs, "vacuous"
+    true_cc = {
+        r.doc_id: r.cluster
+        for r in connected_components_star(
+            documents.sparkSession.createDataFrame(
+                [(a, b) for a, b in gt_pairs], "doc_a long, doc_b long"
+            )
+        ).collect()
+    }
+    reps = {
+        r.doc_id: r.rep_id for r in doc_dedup_reps(documents, 0.6).collect()
+    }
+    assert len(reps) == documents.count()  # one decision per document
+    by_rep: dict = {}
+    for did, rep in reps.items():
+        by_rep.setdefault(rep, []).append(did)
+    for members in by_rep.values():
+        comps = {true_cc.get(m, m) for m in members}
+        assert len(comps) == 1, f"cluster spans true components: {members}"
+
+
+def test_doc_dedup_reps_recovers_copy_groups(spark):
+    """The text cluster contract's recall claim: DUPLICATE-GROUP capture
+    on a high-multiplicity corpus (the sf100 shape — template groups
+    whose members differ by one trailing word, J ≈ 0.96 pairwise — where
+    pair enumeration's output is quadratic). 8 groups × 25 near-copies +
+    150 unique word-soup docs: pairwise recall within copy groups ≥ 0.9,
+    precision exact (clusters never mix groups or absorb randoms)."""
+    from pleiades_spark.operators.dedup import doc_dedup_reps
+
+    rows = []
+    for g in range(8):
+        base = " ".join(f"w{g}x{i}" for i in range(80))
+        for c in range(25):
+            text = f"{base} tail{g}x{c}"
+            rows.append((g * 100 + c, text, len(text)))
+    for i in range(150):
+        text = " ".join(f"r{i}y{j}" for j in range(60))
+        rows.append((10_000 + i, text, len(text)))
+    docs = spark.createDataFrame(rows, "doc_id long, text string, n_chars long")
+    reps = {r.doc_id: r.rep_id for r in doc_dedup_reps(docs, 0.6).collect()}
+    assert len(reps) == len(rows)
+    hit = total = 0
+    for g in range(8):
+        ids = [g * 100 + c for c in range(25)]
+        for i, a in enumerate(ids):
+            for b in ids[i + 1:]:
+                total += 1
+                hit += reps[a] == reps[b]
+    assert hit / total >= 0.9, f"copy-group recall = {hit / total:.3f}"
+    by_rep: dict = {}
+    for did, rep in reps.items():
+        by_rep.setdefault(rep, []).append(did)
+    for members in by_rep.values():
+        groups = {m // 100 for m in members if m < 10_000}
+        assert len(groups) <= 1, f"cluster mixes groups: {sorted(groups)}"
+        if groups:
+            assert all(m < 10_000 for m in members), "group absorbed randoms"
+
+
 def test_simhash128_prune_path_output_invariant(spark):
     """The size-gated probe prune (round 10) must be a pure optimizer
     choice: forcing probe_prune on/off over the same signatures yields
