@@ -1845,12 +1845,15 @@ def containment_lsh_pairs(
     hash whose document frequency is df joins df index rows, so on a
     FIXED-vocabulary corpus (real text — Zipfian, df ∝ corpus size)
     candidate volume grows superlinearly even though probes per doc are
-    bounded. Probes with df > cap are dropped AFTER rarity selection,
-    so a document loses candidates only when even its m RAREST sample
-    hashes are corpus-hot (boilerplate) — the same recall trade, and the
-    same alarm path (candidate_observation), as the minhash cap. Capped
-    candidate volume is ≤ n·m·cap — linear in the corpus by
-    construction.
+    bounded. Probes with df > cap are dropped after rarity selection
+    and ``c_eff`` is recomputed from the SURVIVING probe count
+    (round 11, ADVICE r10 — the pre-cap c_eff could exceed what the
+    survivors could supply and silently zeroed such docs' candidates),
+    so with a cap a document loses a qualifying candidate only when
+    every probe it shares with that candidate is corpus-hot
+    (boilerplate) — the same recall trade, and the same alarm path
+    (candidate_observation), as the minhash cap. Capped candidate
+    volume is ≤ n·p·cap — linear in the corpus by construction.
 
     ``candidate_observation``: see :func:`_observe_candidates`.
 
@@ -1893,9 +1896,22 @@ def containment_lsh_pairs(
         + F.lit(1)
     ).cast("int")
     c = max(1, min_probe_hits)
-    # p rarest probes; a qualifying pair must hit >= c_eff of them
+    # p rarest probes; a qualifying pair must hit >= c_eff of them.
+    # The df cap drops hot probes INSIDE the sliced array, and c_eff is
+    # computed from the SURVIVING count (ADVICE r10): the pigeonhole
+    # bound holds for any chosen subset — a qualifying pair misses at
+    # most m−1 sample elements, so among surv survivors it hits
+    # ≥ surv − (m−1) — whereas the round-10 form kept c_eff at the
+    # pre-cap p and could demand more hits than the survivors could
+    # ever supply (a doc with SOME hot rarest probes lost all
+    # candidates even when a surviving rare probe hit). Residual loss
+    # with a cap is now exactly: docs whose matching probes are ALL
+    # corpus-hot (when surv − (m−1) ≤ 0 the clamp to 1 still requires
+    # one surviving hit) — boilerplate, the documented trade.
     p_cnt = F.least(m + F.lit(c - 1), F.col("k_eff")).cast("int")
-    c_eff = F.greatest(F.lit(1), p_cnt - (m - F.lit(1))).cast("int")
+    sel = F.slice(F.col("rare"), 1, p_cnt)
+    if max_probe_df is not None:
+        sel = F.filter(sel, lambda x: x["df"] <= F.lit(max_probe_df))
     probes = (
         hs_tbl.select("doc_id", "n", "k_eff", F.explode("samp").alias("h"))
         .join(df_tbl, "h")
@@ -1903,20 +1919,15 @@ def containment_lsh_pairs(
         .agg(
             F.array_sort(F.collect_list(F.struct("df", "h"))).alias("rare")
         )
+        .withColumn("sel", sel)
         .select(
-            "doc_id", "n", c_eff.alias("c_eff"),
-            F.explode(F.slice(F.col("rare"), 1, p_cnt)).alias("p"),
+            "doc_id", "n",
+            F.greatest(F.lit(1), F.size("sel") - (m - F.lit(1)))
+            .cast("int").alias("c_eff"),
+            F.explode("sel").alias("p"),
         )
-        .select(
-            "doc_id", "n", "c_eff",
-            F.col("p.h").alias("h"), F.col("p.df").alias("df"),
-        )
+        .select("doc_id", "n", "c_eff", F.col("p.h").alias("h"))
     )
-    if max_probe_df is not None:
-        # drop hot probes AFTER rarity selection: the slice already took
-        # the p rarest, so the filter bites only when those are hot too
-        probes = probes.filter(F.col("df") <= max_probe_df)
-    probes = probes.drop("df")
     index = tok.select(
         F.col("doc_id").alias("doc_b"), F.col("h").alias("hb")
     ).join(

@@ -1699,13 +1699,18 @@ WITH sh AS (
          row_number() OVER (PARTITION BY s.doc_id ORDER BY d.df, s.h) AS r,
          s.k_eff - ((4 * s.k_eff + 4) // 5) + 1 AS m
   FROM sprobe s JOIN df d ON s.h = d.h
-), pr AS (
-  -- p = min(m+1, k_eff) rarest probes; a qualifying pair must hit
-  -- c_eff = max(1, p - (m-1)) of them (generalized pigeonhole, c=2)
-  SELECT doc_id, n, h,
-         greatest(1, least(m + 1, k_eff) - (m - 1)) AS c_eff
+), pr0 AS (
+  -- p = min(m+1, k_eff) rarest probes, hot ones (df > cap) dropped
+  SELECT doc_id, n, h, m
   FROM ranked
   WHERE r <= least(m + 1, k_eff) AND df <= {_CLSH_MAX_PROBE_DF}
+), pr AS (
+  -- c_eff from the SURVIVING probe count (round 11, ADVICE r10): a
+  -- qualifying pair misses at most m-1 sample elements, so among the
+  -- surv survivors it must hit >= max(1, surv - (m-1))
+  SELECT doc_id, n, h,
+         greatest(1, count(*) OVER (PARTITION BY doc_id) - (m - 1)) AS c_eff
+  FROM pr0
 ), cand AS (
   SELECT doc_a, doc_b FROM (
     SELECT p.doc_id AS doc_a, b.doc_id AS doc_b,

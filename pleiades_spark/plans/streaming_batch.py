@@ -49,16 +49,46 @@ EVENTS_STAGE_SCHEMA = (
 )
 
 
+def _fixture_identity(src: str) -> str:
+    """Content identity of a fixture dir: every file's (relpath, size,
+    mtime) under it, recursively. The round-10 scheme keyed on the
+    TOP-LEVEL dir mtime, which does not change when a table
+    subdirectory's files are rewritten in place — a regenerated fixture
+    could silently reuse stale staged streaming files (ADVICE r10).
+    os.walk over a fixture is a few hundred stat calls — noise next to
+    one Spark job."""
+    parts = []
+    for root, dirs, files in os.walk(src):
+        dirs.sort()
+        for f in sorted(files):
+            p = os.path.join(root, f)
+            try:
+                st = os.stat(p)
+                parts.append(
+                    f"{os.path.relpath(p, src)}|{st.st_size}|{int(st.st_mtime)}"
+                )
+            except OSError:
+                continue
+    return "\n".join(parts)
+
+
 def _staged_src(sf_dir: str, key: str, stage_fn) -> str:
     """One staged streaming-source dir per (fixture identity, staging
     recipe) — shared ACROSS processes (round-10, ADVICE r9): staged
     files are a pure function of the fixture, so the dir lives at a
-    deterministic path keyed by (abs fixture path, fixture mtime,
-    recipe). Re-runs — same process or not — reuse it instead of
-    accumulating fresh mkdtemp dirs (the 65 GB /tmp failure mode
-    CLAUDE.md records); a regenerated fixture changes the mtime and
-    gets a fresh dir. A ``_STAGED_OK`` marker written after stage_fn
-    guards against reusing a dir a killed run left half-written.
+    deterministic path keyed by (abs fixture path, per-file
+    sizes+mtimes, recipe). Re-runs — same process or not — reuse it
+    instead of accumulating fresh mkdtemp dirs (the 65 GB /tmp failure
+    mode CLAUDE.md records); a regenerated fixture changes the file
+    stats and gets a fresh dir.
+
+    Publication is ATOMIC (ADVICE r10): each run stages into its own
+    ``<dir>.tmp<pid>`` and os.rename()s it into place — the final path
+    either doesn't exist or is complete, so no reader can observe a
+    half-written dir and no run ever rmtree()s a dir another process is
+    reading. A lost rename race just discards the loser's tmp dir. The
+    ``_STAGED_OK`` marker (written before the rename) survives as a
+    belt-and-suspenders check and rejects legacy-scheme leftovers.
     Checkpoints and sink outputs stay per-run: a file source with a
     fresh checkpoint re-reads the shared files from scratch, so gate
     semantics are bit-identical; only the measurement overhead
@@ -66,20 +96,30 @@ def _staged_src(sf_dir: str, key: str, stage_fn) -> str:
     import hashlib
 
     src = os.path.abspath(sf_dir)
-    try:
-        mtime = int(os.stat(src).st_mtime)
-    except OSError:
-        mtime = 0
-    tag = hashlib.md5(f"{src}|{mtime}|{key}".encode()).hexdigest()[:12]
+    tag = hashlib.md5(
+        f"{src}|{_fixture_identity(src)}|{key}".encode()
+    ).hexdigest()[:12]
     d = os.path.join(tempfile.gettempdir(), f"pleiades_stage_{key}_{tag}")
     marker = os.path.join(d, "_STAGED_OK")
-    if not os.path.isfile(marker):
-        if os.path.isdir(d):
-            shutil.rmtree(d, ignore_errors=True)
-        os.makedirs(d, exist_ok=True)
-        stage_fn(d)
-        with open(marker, "w") as fh:
-            fh.write("ok\n")
+    if os.path.isfile(marker):
+        return d
+    tmp = f"{d}.tmp{os.getpid()}"
+    shutil.rmtree(tmp, ignore_errors=True)
+    os.makedirs(tmp)
+    stage_fn(tmp)
+    with open(os.path.join(tmp, "_STAGED_OK"), "w") as fh:
+        fh.write("ok\n")
+    try:
+        os.rename(tmp, d)
+    except OSError:
+        # Another process published first (or a legacy marker-less dir
+        # squats on the path). Prefer the published copy when complete;
+        # otherwise fall back to this run's private tmp dir — never
+        # delete a dir a concurrent reader may hold open.
+        if os.path.isfile(marker):
+            shutil.rmtree(tmp, ignore_errors=True)
+        else:
+            return tmp
     return d
 
 

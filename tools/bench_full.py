@@ -5,11 +5,28 @@ must cover all queries, not just the headline set).
     python tools/bench_full.py /root/testdata/sf0.1  bench_full_sf01.json
     python tools/bench_full.py testdata_sf1          bench_full_sf1.json
 
-Writes {"queries": {name: sec}, "total": sec, "sf_dir": ...} to the
-output path (and one JSON line to stdout). Streaming-sink queries run
-exactly as the oracle gate runs them (the query fn executes the stream
-and returns the batch result frame); everything executes end-to-end via
-the noop sink so no driver-side transfer skews the numbers.
+Writes {"queries": {name: sec}, "rows": {name: n}, "sec_median":
+{name: sec}, "total": sec, "sf_dir": ...} to the output path (and one
+JSON line to stdout). Streaming-sink queries run exactly as the oracle
+gate runs them (the query fn executes the stream and returns the batch
+result frame); everything executes end-to-end via the noop sink so no
+driver-side transfer skews the numbers.
+
+Per-query OUTPUT ROW COUNTS (round 11, verdict r10 #3): the first rep
+of every query carries a CollectMetrics observation (count over the
+final frame — the noop sink already touches every row, so this is one
+extra long per task), recorded under "rows". Pair-emitting dedup cells
+are Θ(Σ multiplicity²) in their own OUTPUT; a ratio table that ignores
+output volume misreads output-bound cells as plan regressions — judge
+them rows-normalized (the round-10 lesson, now mechanical).
+
+Variance protocol (verdict r10 #6): "queries" stays min-of-reps (the
+scale_report contract); "sec_median" carries the per-query median so a
+>25 % box-jitter swing (measured: blocking_audit 84/95/116 s across
+three sf100 runs) is distinguishable from a real regression.
+PLEIADES_BENCH_WARMUP=1 adds one untimed warm-up rep per query before
+the timed reps (JVM/codegen/page-cache settle) — use with
+PLEIADES_BENCH_REPS>=2 for any cell a verdict number will cite.
 """
 
 from __future__ import annotations
@@ -20,6 +37,9 @@ import sys
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import Observation  # noqa: E402
+from pyspark.sql import functions as F  # noqa: E402
 
 from pleiades_spark.plans import collect_queries  # noqa: E402
 from pleiades_spark.session import get_spark  # noqa: E402
@@ -53,20 +73,40 @@ def main() -> None:
     ).save()
 
     timings: dict[str, float] = {}
+    medians: dict[str, float] = {}
+    rowcounts: dict[str, int] = {}
     failures: dict[str, str] = {}
+    warmup = os.environ.get("PLEIADES_BENCH_WARMUP", "0") == "1"
     for name in sorted(registry):
         if (only and name not in only) or name in skip:
             continue
         q = registry[name]
-        best = float("inf")
         reps = max(1, int(os.environ.get("PLEIADES_BENCH_REPS", "2")))
+        times: list[float] = []
         try:
-            for _ in range(reps):
-                t0 = time.time()
+            if warmup:
                 q.fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-                best = min(best, time.time() - t0)
-            timings[name] = round(best, 3)
-            print(f"BENCH {name}: {timings[name]}s", file=sys.stderr, flush=True)
+            for i in range(reps):
+                # q.fn stays INSIDE the timed region: streaming-gate
+                # queries execute their micro-batch drains in fn itself,
+                # and the batch result frame is only the audit tail.
+                obs = Observation() if i == 0 else None
+                t0 = time.time()
+                df = q.fn(spark, sf_dir)
+                if obs is not None:
+                    df = df.observe(obs, F.count(F.lit(1)).alias("rows"))
+                df.write.format("noop").mode("overwrite").save()
+                times.append(time.time() - t0)
+                if obs is not None:
+                    rowcounts[name] = int(obs.get["rows"])
+            times.sort()
+            timings[name] = round(times[0], 3)
+            medians[name] = round(times[len(times) // 2], 3)
+            print(
+                f"BENCH {name}: {timings[name]}s"
+                f" (med {medians[name]}s, {rowcounts[name]} rows)",
+                file=sys.stderr, flush=True,
+            )
         except Exception as exc:  # keep going; report at the end
             failures[name] = str(exc).split("\n")[0][:200]
             print(f"FAIL {name}: {failures[name]}", file=sys.stderr, flush=True)
@@ -87,6 +127,8 @@ def main() -> None:
 
     result = {
         "queries": timings,
+        "sec_median": medians,
+        "rows": rowcounts,
         "total": round(sum(timings.values()), 3),
         "n": len(timings),
         "failures": failures,

@@ -21,15 +21,24 @@ def main() -> None:
         big = json.load(fh)
 
     qs, qb = small["queries"], big["queries"]
+    rs, rb = small.get("rows", {}), big.get("rows", {})
     common = sorted(set(qs) & set(qb))
     rows = [(name, qs[name], qb[name], qb[name] / max(qs[name], 1e-9)) for name in common]
     rows.sort(key=lambda r: -r[3])
 
-    print("| query | sf0.1 (s) | sf1 (s) | ratio |")
-    print("|---|---|---|---|")
+    # Output-volume ratio (round 11): pair-emitting cells are
+    # Θ(Σ mult²) in their OWN output — a time ratio near the rows ratio
+    # is output-bound, not a plan regression (the round-10 lesson made
+    # mechanical). "—" when either run predates row recording.
+    print("| query | sf0.1 (s) | sf1 (s) | ratio | rows× |")
+    print("|---|---|---|---|---|")
     for name, a, b, r in rows:
         flag = " ⚠" if r > 20 else ""
-        print(f"| {name} | {a:.3f} | {b:.3f} | {r:.1f}×{flag} |")
+        if name in rs and name in rb:
+            rr = f"{rb[name] / max(rs[name], 1):.1f}×"
+        else:
+            rr = "—"
+        print(f"| {name} | {a:.3f} | {b:.3f} | {r:.1f}×{flag} | {rr} |")
 
     ts, tb = sum(qs[n] for n in common), sum(qb[n] for n in common)
     print()
