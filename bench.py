@@ -207,6 +207,10 @@ HEADLINE = [
     # contract for high-multiplicity corpora where pair output is
     # quadratic in duplicate multiplicity
     "dedup_embedding_reps",
+    # round 11: text-side linear-output dedup (doc reps grain) + the
+    # keep-best corpus keep-list over it
+    "doc_dedup_reps",
+    "dedup_keep_best_reps",
 ]
 
 # Queries whose min-of-2 is still warmup-contaminated, measured min-of-3:

@@ -67,13 +67,25 @@ def word_shingles_sql(t: str, n: int = 3) -> str:
 
 
 def char_shingles(text: Column, n: int = 5) -> Column:
-    """Distinct character n-grams (fingerprinting / langid unit)."""
-    return F.array_distinct(
-        F.transform(
-            F.sequence(F.lit(1), F.greatest(F.length(text) - n + 1, F.lit(1))),
-            lambda i: F.substring(text, i, n),
-        )
-    )
+    """Distinct character n-grams (fingerprinting / langid unit).
+
+    ONE codegen'd regex pass (round 11): ``(?s)(?=(.{n}))`` captures the
+    n chars at every position — java.util.regex advances one CODE POINT
+    on an empty match, so this is exactly the old per-position substring
+    walk. The previous form — ``transform(sequence, i -> substring(text,
+    i, n))`` — was O(len²) per document (dynamic-position substring
+    re-counts codepoints from the start, the CLAUDE.md substr invariant)
+    PLUS an interpreted lambda per position; measured 4.5× slower than
+    the regex at sf1 (2.17 s vs 0.48 s over 500k docs, identical output
+    on every doc). Short docs (< n chars) fall back to the whole text;
+    null stays null — both matching the old expression and the SQL twin.
+    """
+    return F.when(
+        F.length(text) >= n,
+        F.array_distinct(
+            F.regexp_extract_all(text, F.lit(f"(?s)(?=(.{{{n}}}))"), 1)
+        ),
+    ).when(text.isNotNull(), F.array(text))
 
 
 def char_shingles_sql(t: str, n: int = 5) -> str:
