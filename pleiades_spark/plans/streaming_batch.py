@@ -31,7 +31,10 @@ from pleiades_spark.streaming.pipeline import (
     run_counters_to_memory,
     stream_stream_user_join,
 )
-from pleiades_spark.streaming.stateful import running_user_totals, streaming_dedup
+from pleiades_spark.streaming.stateful import (
+    running_user_totals_sharded,
+    streaming_dedup_sharded,
+)
 
 EVENTS_MICROS_SCHEMA = (
     "event_id long, ts timestamp, user_id long, event_type string, "
@@ -264,12 +267,18 @@ def _run_stateful(
 def q_stateful_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-user all-time running (count, sum) via explicit GroupState,
     driven across two micro-batches; the LAST update per user must equal
-    the batch aggregate (streaming/stateful.py running_user_totals)."""
+    the batch aggregate. Since round 11 the gate runs the SHARDED-state
+    operator (streaming/stateful.py running_user_totals_sharded): same
+    per-user rows and values, per-bucket dispatch — at sf100's 1.5M
+    users the per-GROUP applyInPandasWithState overhead was the cell's
+    wall (measured 291.3 s per-user vs 35.8 s sharded, staging hot,
+    identical 3M output rows)."""
     apply_runtime_confs(spark)
     src = _staged_src(sf_dir, "ev_split",
                       lambda d: _stage_event_files(spark, sf_dir, d, split=True))
     mem = _run_stateful(
-        spark, src, running_user_totals, "update", "stateful_totals_gate"
+        spark, src, running_user_totals_sharded, "update",
+        "stateful_totals_gate",
     )
     # update mode emits one row per (user, batch-with-activity); the final
     # state is the row with the largest n_events (strictly increasing).
@@ -290,13 +299,16 @@ FROM events GROUP BY user_id
 
 def q_stateful_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cross-batch exactly-once repair: the full events table re-delivered
-    as a second micro-batch must contribute zero output rows
-    (streaming/stateful.py streaming_dedup)."""
+    as a second micro-batch must contribute zero output rows. Runs the
+    SHARDED-state operator since round 11 (streaming/stateful.py
+    streaming_dedup_sharded — same rows; 388.5 → 204.8 s at sf100,
+    staging hot; the residual is the 200M-row Arrow round-trip plus the
+    parquet sink, not group dispatch)."""
     apply_runtime_confs(spark)
     src = _staged_src(sf_dir, "ev_redeliver",
                       lambda d: _stage_event_files(spark, sf_dir, d, split=False))
     mem = _run_stateful(
-        spark, src, streaming_dedup, "append", "stateful_dedup_gate",
+        spark, src, streaming_dedup_sharded, "append", "stateful_dedup_gate",
         sink="parquet",  # ~3M output rows at sf1 — keep them off the driver
     )
     return mem.select(

@@ -146,3 +146,75 @@ def test_streaming_dedup_across_batches(spark, tmp_path):
         q.awaitTermination()
     rows = spark.sql("SELECT event_id FROM deduped").collect()
     assert sorted(r.event_id for r in rows) == [1, 2]
+
+
+def test_sharded_state_variants_match_per_key_grain(spark, tmp_path):
+    """State sharding (round 11) must be invisible in the output: the
+    bucket-keyed running totals / dedup emit exactly the per-user
+    variants' rows — same users, same all-time totals per batch, same
+    surviving events — across multi-batch state. n_shards=2 forces
+    several users to SHARE a bucket, exercising the in-bucket per-user
+    bookkeeping."""
+    from pleiades_spark.streaming.stateful import (
+        running_user_totals_sharded,
+        streaming_dedup_sharded,
+    )
+
+    base = str(tmp_path / "in")
+    _write_event_files(
+        spark,
+        base,
+        [
+            [
+                (1, TS, 7, "click", 10.25),
+                (2, TS, 8, "view", 5.5),
+                (3, TS, 9, "click", 1.0),
+                (3, TS, 9, "click", 1.0),  # in-batch dup
+            ],
+            [
+                (3, TS, 9, "click", 1.0),  # cross-batch dup
+                (4, TS, 7, "view", 2.75),
+                (5, TS, 11, "click", 4.0),
+            ],
+        ],
+    )
+
+    def drain(df, mode, name):
+        q = (
+            df.writeStream.outputMode(mode)
+            .format("memory")
+            .queryName(name)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+            q.awaitTermination()
+        return spark.table(name)
+
+    tot_user = drain(
+        running_user_totals(_stream(spark, base + "/b*")), "update", "rt_user"
+    ).collect()
+    tot_shard = drain(
+        running_user_totals_sharded(_stream(spark, base + "/b*"), n_shards=2),
+        "update",
+        "rt_shard",
+    ).collect()
+    key = lambda rows: sorted(  # noqa: E731
+        (r.user_id, r.n_events, r.total_value) for r in rows
+    )
+    assert key(tot_user) == key(tot_shard)
+
+    ded_user = drain(
+        streaming_dedup(_stream(spark, base + "/b*")), "append", "dd_user"
+    ).collect()
+    ded_shard = drain(
+        streaming_dedup_sharded(_stream(spark, base + "/b*"), n_shards=2),
+        "append",
+        "dd_shard",
+    ).collect()
+    dkey = lambda rows: sorted(  # noqa: E731
+        (r.event_id, r.user_id, r.event_type, r.value) for r in rows
+    )
+    assert dkey(ded_user) == dkey(ded_shard)
