@@ -226,6 +226,63 @@ def minhash_lsh_pairs(
     return verified
 
 
+def _staged_minhash(docs: DataFrame, keep: tuple[str, ...] = ()) -> DataFrame:
+    """(doc_id, *keep, sig, hset): the h32 shingle-hash array staged as a
+    real column feeds BOTH the MinHash signature fold and the distinct
+    int32 verify set (h − 2³¹ — the lossless 4-byte bijection
+    prefix_jaccard_pairs introduced; the verify arrays are the bytes
+    that ride the edge joins). hs is multi-referenced and non-cheap, so
+    CollapseProject leaves the staging projection intact (the
+    _with_dtoks precedent)."""
+    return (
+        docs.repartition(F.col("doc_id"))
+        .select("doc_id", *keep, word_shingles(F.col("text")).alias("sh"))
+        .select("doc_id", *keep, F.transform("sh", h32).alias("hs"))
+        .select(
+            "doc_id",
+            *keep,
+            minhash_sig_from_hashes(F.col("hs")).alias("sig"),
+            F.array_distinct(
+                F.transform("hs", lambda h: (h - F.lit(2**31)).cast("int"))
+            ).alias("hset"),
+        )
+    )
+
+
+def _verify_hashed_edges(
+    edges: DataFrame, staged: DataFrame, threshold: float
+) -> DataFrame:
+    """Exact hashed-shingle Jaccard verification of (doc_id, rep) star
+    edges against the staged (doc_id, hset) sets: |∩| / (n_a + n_b −
+    |∩|) ≥ threshold, rounded to 6 — shared by the full and incremental
+    reps builders so both phases verify identically (and identically to
+    the oracle)."""
+    hn = staged.select("doc_id", "hset", F.size("hset").alias("n"))
+    ha = hn.select(
+        F.col("doc_id"), F.col("hset").alias("ha"), F.col("n").alias("na")
+    )
+    hb = hn.select(
+        F.col("doc_id").alias("rep"), F.col("hset").alias("hb"),
+        F.col("n").alias("nb"),
+    )
+    inter = F.size(F.array_intersect("ha", "hb"))
+    return (
+        edges.join(ha, "doc_id")
+        .join(hb, "rep")
+        .withColumn("inter", inter)
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("inter")
+                / (F.col("na") + F.col("nb") - F.col("inter")),
+                6,
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_id", "rep")
+    )
+
+
 def doc_dedup_reps(docs: DataFrame, threshold: float = 0.6) -> DataFrame:
     """Linear-output DOCUMENT dedup: (doc_id, rep_id) via MinHash band
     bucket-min star edges + connected components — the text-side twin of
@@ -270,19 +327,7 @@ def doc_dedup_reps(docs: DataFrame, threshold: float = 0.6) -> DataFrame:
     edge Jaccard-verified ⇒ a cluster can never span two true
     pair-graph components).
     """
-    staged = (
-        docs.repartition(F.col("doc_id"))
-        .select("doc_id", word_shingles(F.col("text")).alias("sh"))
-        .select("doc_id", F.transform("sh", h32).alias("hs"))
-        .select(
-            "doc_id",
-            minhash_sig_from_hashes(F.col("hs")).alias("sig"),
-            F.array_distinct(
-                F.transform("hs", lambda h: (h - F.lit(2**31)).cast("int"))
-            ).alias("hset"),
-        )
-        .cache()
-    )
+    staged = _staged_minhash(docs).cache()
     bands = staged.select(
         "doc_id", F.posexplode(band_keys(F.col("sig"))).alias("band_idx", "band_key")
     )
@@ -293,29 +338,84 @@ def doc_dedup_reps(docs: DataFrame, threshold: float = 0.6) -> DataFrame:
         .select("doc_id", "rep")
         .distinct()
     )
-    hn = staged.select("doc_id", "hset", F.size("hset").alias("n"))
-    ha = hn.select(
-        F.col("doc_id"), F.col("hset").alias("ha"), F.col("n").alias("na")
-    )
-    hb = hn.select(
-        F.col("doc_id").alias("rep"), F.col("hset").alias("hb"),
-        F.col("n").alias("nb"),
-    )
-    inter = F.size(F.array_intersect("ha", "hb"))
-    verified = (
-        edges.join(ha, "doc_id")
-        .join(hb, "rep")
-        .withColumn("inter", inter)
-        .withColumn(
-            "jaccard",
-            F.round(
-                F.col("inter")
-                / (F.col("na") + F.col("nb") - F.col("inter")),
-                6,
-            ),
+    verified = _verify_hashed_edges(edges, staged, threshold)
+    from pleiades_spark.operators.graph import connected_components_star
+
+    cc = connected_components_star(verified, src="doc_id", dst="rep")
+    return (
+        staged.select("doc_id")
+        .join(cc.withColumnRenamed("cluster", "rep_id"), "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("rep_id"), F.col("doc_id")).alias("rep_id"),
         )
-        .filter(F.col("jaccard") >= threshold)
-        .select("doc_id", "rep")
+    )
+
+
+def doc_dedup_reps_incremental(
+    docs: DataFrame, new_col: str, threshold: float = 0.6
+) -> DataFrame:
+    """Nightly-increment maintenance of the linear reps contract: tonight's
+    work is O(increment), not a full-corpus recompute — the reps twin of
+    minhash_lsh_pairs' ``new_col`` mode (round 11).
+
+    Two phases, both replayed by the oracle:
+      OLD (last night's run, recomputed here deterministically — in
+      production it is the persisted band index + edge set): star edges
+      and bucket-mins over the NOT-new slice only, verified;
+      NEW (tonight): only band buckets CONTAINING a new doc participate.
+      The bucket's candidate rep is the min over old ∪ new members
+      (= min(stored old bucket-rep, new members) — the old bucket-min IS
+      the min of the old members, so the index needs only the rep, not
+      the members). Edges: every new member, plus the old bucket-rep
+      when a new doc undercuts it (the bridge that lets tonight's doc
+      merge two existing clusters), each to the bucket's full min.
+      Per-bucket work is O(new members + 1) — old×old pairs never
+      regenerate.
+
+    Both phases verify edges with the same hashed-shingle Jaccard and
+    the final assignment is one connected-components pass over the UNION
+    of verified edges. The result is the incremental-protocol contract,
+    not necessarily bit-equal to a full doc_dedup_reps recompute (bucket
+    mins seen by last night's run differ from full-corpus mins) — the
+    recall test pins that copy groups SPLIT across the old/new slices
+    still cluster; the oracle pins every step bit-for-bit.
+    """
+    staged = _staged_minhash(docs, keep=(new_col,)).cache()
+    bands = staged.select(
+        "doc_id",
+        F.col(new_col).alias("_new"),
+        F.posexplode(band_keys(F.col("sig"))).alias("band_idx", "band_key"),
+    )
+    bkeys = ["band_idx", "band_key"]
+    old_reps = (
+        bands.filter(~F.col("_new"))
+        .groupBy(*bkeys)
+        .agg(F.min("doc_id").alias("orep"))
+    )
+    old_edges = (
+        bands.filter(~F.col("_new"))
+        .join(old_reps, bkeys)
+        .filter(F.col("doc_id") != F.col("orep"))
+        .select("doc_id", F.col("orep").alias("rep"))
+        .distinct()
+    )
+    full_reps = bands.groupBy(*bkeys).agg(
+        F.min("doc_id").alias("frep"),
+        F.max(F.col("_new").cast("int")).alias("has_new"),
+    )
+    new_edges = (
+        bands.join(full_reps.filter(F.col("has_new") == 1), bkeys)
+        .join(old_reps, bkeys, "left")
+        .filter(
+            (F.col("doc_id") != F.col("frep"))
+            & (F.col("_new") | (F.col("doc_id") == F.col("orep")))
+        )
+        .select("doc_id", F.col("frep").alias("rep"))
+        .distinct()
+    )
+    verified = _verify_hashed_edges(
+        old_edges.unionAll(new_edges).distinct(), staged, threshold
     )
     from pleiades_spark.operators.graph import connected_components_star
 

@@ -180,9 +180,94 @@ FROM documents d LEFT JOIN cl ON cl.node = d.doc_id
 """
 
 
-# --- incremental near-dedup (nightly-increment economics) -------------------
-
 INCR_PCT = 20  # this run's "new" slice of the corpus
+
+
+def q_doc_dedup_reps_incr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental maintenance of the linear reps contract (round 11):
+    last night's reps (star edges over the old slice) + tonight's
+    O(increment) bucket work (only buckets containing a new doc; edges
+    from new members and undercut old bucket-reps to the bucket's full
+    min) → one CC pass over the union of verified edges
+    (operators/dedup.doc_dedup_reps_incremental). Same deterministic
+    20 % hash slice as dedup_incremental stands in for tonight's crawl.
+    The oracle replays both phases and the closure bit-for-bit."""
+    from pleiades_spark.functions.hashing import h32
+    from pleiades_spark.operators.dedup import doc_dedup_reps_incremental
+
+    docs = _t(spark, sf_dir, "documents").withColumn(
+        "is_new",
+        h32(F.concat(F.lit("incr:"), F.col("doc_id").cast("string"))) % 100
+        < INCR_PCT,
+    )
+    return doc_dedup_reps_incremental(docs, "is_new", JACCARD_THRESHOLD)
+
+
+ORACLE_DOC_DEDUP_REPS_INCR = f"""
+WITH RECURSIVE sh AS (
+  SELECT doc_id,
+         {h32_sql("concat('incr:', CAST(doc_id AS VARCHAR))")} % 100
+           < {INCR_PCT} AS is_new,
+         {word_shingles_sql('text')} AS sh
+  FROM documents
+), hashed AS (
+  SELECT doc_id, is_new, list_transform(sh, s -> {h32_sql('s')}) AS hs FROM sh
+), sig AS (
+  SELECT doc_id, is_new, {_SIG_SQL} AS sig,
+         list_distinct(list_transform(hs, h -> CAST(h - 2147483648 AS INTEGER)))
+           AS hset
+  FROM hashed
+), bands AS (
+  SELECT doc_id, is_new, band_idx,
+         array_to_string(sig[band_idx*{LSH_ROWS}+1 : band_idx*{LSH_ROWS}+{LSH_ROWS}], '-') AS band_key
+  FROM sig, {_BANDS_RANGE_SQL}
+), oreps AS (
+  SELECT band_idx, band_key, min(doc_id) AS orep
+  FROM bands WHERE NOT is_new GROUP BY band_idx, band_key
+), oe AS (
+  SELECT DISTINCT b.doc_id, o.orep AS rep
+  FROM bands b JOIN oreps o
+    ON b.band_idx = o.band_idx AND b.band_key = o.band_key
+  WHERE NOT b.is_new AND b.doc_id != o.orep
+), freps AS (
+  SELECT band_idx, band_key, min(doc_id) AS frep,
+         max(CASE WHEN is_new THEN 1 ELSE 0 END) AS has_new
+  FROM bands GROUP BY band_idx, band_key
+), ne AS (
+  SELECT DISTINCT b.doc_id, f.frep AS rep
+  FROM bands b
+  JOIN freps f
+    ON b.band_idx = f.band_idx AND b.band_key = f.band_key AND f.has_new = 1
+  LEFT JOIN oreps o
+    ON b.band_idx = o.band_idx AND b.band_key = o.band_key
+  WHERE b.doc_id != f.frep AND (b.is_new OR b.doc_id = o.orep)
+), e0 AS (
+  SELECT doc_id, rep FROM oe UNION SELECT doc_id, rep FROM ne
+), ver AS (
+  SELECT doc_id, rep FROM (
+    SELECT e0.doc_id, e0.rep,
+           round(len(list_intersect(a.hset, b.hset)) * 1.0
+                 / (len(a.hset) + len(b.hset)
+                    - len(list_intersect(a.hset, b.hset))), 6) AS jaccard
+    FROM e0 JOIN sig a ON a.doc_id = e0.doc_id
+            JOIN sig b ON b.doc_id = e0.rep
+  ) WHERE jaccard >= {JACCARD_THRESHOLD}
+), edges AS (
+  SELECT doc_id AS u, rep AS w FROM ver
+  UNION SELECT rep, doc_id FROM ver
+), reach(node, r) AS (
+  SELECT u, u FROM edges
+  UNION
+  SELECT e.w, reach.r FROM reach JOIN edges e ON e.u = reach.node
+), cl AS (SELECT node, min(r) AS cluster FROM reach GROUP BY node)
+SELECT d.doc_id, CAST(coalesce(cl.cluster, d.doc_id) AS BIGINT) AS rep_id
+FROM documents d LEFT JOIN cl ON cl.node = d.doc_id
+"""
+
+
+# --- incremental near-dedup (nightly-increment economics) -------------------
+# (INCR_PCT defined above q_doc_dedup_reps_incr — shared by both
+# incremental gates)
 
 
 def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2903,6 +2988,9 @@ QUERIES = [
           "linear-output embedding dedup: SRP star edges + CC → (vec, rep)"),
     Query("doc_dedup_reps", q_doc_dedup_reps, ORACLE_DOC_DEDUP_REPS,
           "linear-output document dedup: MinHash star edges + CC → (doc, rep)"),
+    Query("doc_dedup_reps_incr", q_doc_dedup_reps_incr,
+          ORACLE_DOC_DEDUP_REPS_INCR,
+          "incremental reps maintenance: O(increment) bucket work + one CC"),
     Query("dedup_jaccard_prefix", q_dedup_jaccard_prefix,
           ORACLE_DEDUP_JACCARD_PREFIX,
           "exact Jaccard join via prefix filtering (recall-1 scale path)"),

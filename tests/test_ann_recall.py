@@ -835,6 +835,53 @@ def test_doc_dedup_reps_recovers_copy_groups(spark):
             assert all(m < 10_000 for m in members), "group absorbed randoms"
 
 
+def test_doc_dedup_reps_incremental_clusters_across_slices(spark):
+    """Incremental reps maintenance (round 11): copy groups SPLIT across
+    the old/new slices must still cluster — including the undercut case
+    where a NEW doc has the smallest id in a bucket, so the old
+    bucket-rep must bridge to it (even ids are new, so every group's
+    global min id is new while the old phase clustered around the odd
+    min). Precision stays exact: clusters never mix groups or absorb
+    the unique word-soup docs."""
+    from pyspark.sql import functions as F
+
+    from pleiades_spark.operators.dedup import doc_dedup_reps_incremental
+
+    rows = []
+    for g in range(6):
+        base = " ".join(f"g{g}w{i}" for i in range(80))
+        for c in range(20):
+            text = f"{base} t{g}x{c}"
+            rows.append((g * 100 + c, text, len(text)))
+    for i in range(120):
+        text = " ".join(f"u{i}v{j}" for j in range(60))
+        rows.append((10_000 + i, text, len(text)))
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, n_chars long"
+    ).withColumn("is_new", F.col("doc_id") % 2 == 0)
+    reps = {
+        r.doc_id: r.rep_id
+        for r in doc_dedup_reps_incremental(docs, "is_new", 0.6).collect()
+    }
+    assert len(reps) == len(rows)
+    hit = total = 0
+    for g in range(6):
+        ids = [g * 100 + c for c in range(20)]
+        for i, a in enumerate(ids):
+            for b in ids[i + 1:]:
+                total += 1
+                hit += reps[a] == reps[b]
+    assert hit / total >= 0.9, f"cross-slice recall = {hit / total:.3f}"
+    by_rep: dict = {}
+    for did, rep in reps.items():
+        by_rep.setdefault(rep, []).append(did)
+    for members in by_rep.values():
+        groups = {m // 100 for m in members if m < 10_000}
+        assert len(groups) <= 1, f"cluster mixes groups: {sorted(groups)}"
+        if groups:
+            assert all(m < 10_000 for m in members), "group absorbed randoms"
+
+
 def test_simhash128_prune_path_output_invariant(spark):
     """The size-gated probe prune (round 10) must be a pure optimizer
     choice: forcing probe_prune on/off over the same signatures yields
