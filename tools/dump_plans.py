@@ -475,6 +475,15 @@ SHOW = [
      "n_drift = 0, so any exactly-once violation fails the hash. "
      "Guard: staged-drift test (mutation, phantom, missing rows all "
      "fire)."),
+    ("doc_dedup_reps",
+     "Linear-output document dedup (round 11) — one staged projection "
+     "hashes shingles once (h32 array feeds both the MinHash fold and "
+     "the int32 verify sets), band bucket-mins via groupBy (map-side "
+     "partial min, no single-task window even on a boilerplate "
+     "bucket), ≤ LSH_BANDS star edges per doc, hashed-set Jaccard "
+     "verify joins carrying 4-byte arrays, large/small-star CC. Every "
+     "stage linear in n·bands; output exactly n rows. Guard: copy-group "
+     "recall + component-precision tests (test_ann_recall.py)."),
 ]
 
 
