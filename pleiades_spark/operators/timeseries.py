@@ -123,23 +123,40 @@ def ewma_user_value(events: DataFrame, alpha: float = EWMA_ALPHA) -> DataFrame:
     so the doubles match bit-for-bit across engines. ``pandas.ewm``
     computes the same recurrence faster but through a different fp
     factorization — the production swap once cross-engine parity isn't
-    being proven. Keys process sequentially, users in parallel.
+    being proven.
+
+    SHARDED dispatch (round 11): grouping by user_id paid the ~1 ms
+    per-group applyInPandas tax once per USER (the stateful-operator
+    lesson, CLAUDE.md); instead the group key is pmod(user_id, 1024)
+    and the shard's frame is sorted by (user_id, ts, event_id) with the
+    recurrence resetting on user change — per-user iteration order and
+    op order are IDENTICAL (verified by the unchanged oracle hash), but
+    the dispatch count drops from n_users to 1024 (and the row loop
+    iterates numpy arrays, not pandas Series). Measured 17.6 → 2.1 s
+    at sf10 (min-of-2, hash gate green).
     """
     import math
 
+    from pyspark.sql import functions as F
+
     def _ewma(pdf):
-        pdf = pdf.sort_values(["ts", "event_id"]).reset_index(drop=True)
-        out, y = [], None
-        for x in pdf["value"]:
+        pdf = pdf.sort_values(["user_id", "ts", "event_id"]).reset_index(
+            drop=True
+        )
+        out, y, last_u = [], 0.0, None
+        one_m_a = 1.0 - alpha
+        for u, x in zip(pdf["user_id"].to_numpy(), pdf["value"].to_numpy()):
             x = float(x)
-            y = x if y is None else (1.0 - alpha) * y + alpha * x
+            y = x if u != last_u else one_m_a * y + alpha * x
+            last_u = u
             out.append(math.floor(y * 10000 + 0.5) / 10000)
         pdf["ewma"] = out
         return pdf[["user_id", "event_id", "ewma"]]
 
     return (
         events.select("user_id", "event_id", "ts", "value")
-        .groupBy("user_id")
+        .withColumn("_shard", F.pmod(F.col("user_id"), F.lit(1024)))
+        .groupBy("_shard")
         .applyInPandas(_ewma, EWMA_SCHEMA)
     )
 
