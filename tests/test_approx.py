@@ -148,3 +148,36 @@ def test_containment_probe_df_cap_drops_hot_keeps_rare(spark):
     # candidate but keeps the rare-probe pair
     assert (100, 101) in capped
     assert not any(a < 12 and b < 12 for a, b in capped)
+
+
+def test_containment_cap_c_eff_recomputed_from_survivors(spark):
+    """ADVICE r10 regression pin: when the df cap drops SOME of a doc's
+    rarest probes, c_eff must be recomputed from the SURVIVING count.
+    Construction: doc 100 = 20-word template (hot: shared by 32 docs,
+    df ≫ cap) + 'ua ub uc'; doc 101 shares the template and ONLY the
+    'tmpl19 ua'-boundary shingle of the unique tail. 100's p = 6 rarest
+    sample probes = its 3 unique-tail shingles + 3 hot ones; the cap
+    drops the hot 3, and exactly ONE survivor hits 101. The round-10
+    logic kept c_eff at the pre-cap value max(1, p − (m−1)) = 2 > 1 hit
+    and silently dropped the pair; the fix (c_eff = max(1, surv −
+    (m−1)) = 1) keeps it, and the verify stage confirms true
+    containment ≈ 0.83 ≥ 0.8. Capped output stays a subset of the
+    uncapped one."""
+    from pleiades_spark.operators.dedup import containment_lsh_pairs
+
+    template = " ".join(f"tmpl{i}" for i in range(20))
+    rows = [(i, f"{template} filler{i}a filler{i}b", 0) for i in range(30)]
+    rows.append((100, template + " ua ub uc", 0))
+    rows.append((101, template + " ua vb vc", 0))
+    docs = spark.createDataFrame(rows, "doc_id long, text string, n_chars long")
+    uncapped = {
+        (r.doc_a, r.doc_b)
+        for r in containment_lsh_pairs(docs, max_probe_df=None).collect()
+    }
+    capped = {
+        (r.doc_a, r.doc_b)
+        for r in containment_lsh_pairs(docs, max_probe_df=8).collect()
+    }
+    assert (100, 101) in uncapped
+    assert (100, 101) in capped, "partially-hot probes zeroed the doc's candidates"
+    assert capped <= uncapped
