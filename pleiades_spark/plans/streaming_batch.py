@@ -16,6 +16,7 @@ the oracle is the plain batch SQL the stateful run must converge to.
 
 from __future__ import annotations
 
+import atexit
 import os
 import shutil
 import tempfile
@@ -67,8 +68,11 @@ def _fixture_identity(src: str) -> str:
             p = os.path.join(root, f)
             try:
                 st = os.stat(p)
+                # mtime_ns, not int(mtime): a fixture regenerated within
+                # the same second with identical sizes must not hash to
+                # the same tag (ADVICE r11)
                 parts.append(
-                    f"{os.path.relpath(p, src)}|{st.st_size}|{int(st.st_mtime)}"
+                    f"{os.path.relpath(p, src)}|{st.st_size}|{st.st_mtime_ns}"
                 )
             except OSError:
                 continue
@@ -98,6 +102,7 @@ def _staged_src(sf_dir: str, key: str, stage_fn) -> str:
     changes."""
     import hashlib
 
+    _sweep_stale_tmp_dirs()
     src = os.path.abspath(sf_dir)
     tag = hashlib.md5(
         f"{src}|{_fixture_identity(src)}|{key}".encode()
@@ -109,6 +114,10 @@ def _staged_src(sf_dir: str, key: str, stage_fn) -> str:
     tmp = f"{d}.tmp{os.getpid()}"
     shutil.rmtree(tmp, ignore_errors=True)
     os.makedirs(tmp)
+    # a killed mid-stage run must not leak its tmp dir (ADVICE r11 —
+    # the same /tmp-growth failure mode this code exists to prevent);
+    # cleanup is idempotent and a successful rename makes it a no-op
+    atexit.register(shutil.rmtree, tmp, ignore_errors=True)
     stage_fn(tmp)
     with open(os.path.join(tmp, "_STAGED_OK"), "w") as fh:
         fh.write("ok\n")
@@ -118,12 +127,31 @@ def _staged_src(sf_dir: str, key: str, stage_fn) -> str:
         # Another process published first (or a legacy marker-less dir
         # squats on the path). Prefer the published copy when complete;
         # otherwise fall back to this run's private tmp dir — never
-        # delete a dir a concurrent reader may hold open.
+        # delete a dir a concurrent reader may hold open (the atexit
+        # hook reclaims it when THIS process, its only reader, exits).
         if os.path.isfile(marker):
             shutil.rmtree(tmp, ignore_errors=True)
         else:
             return tmp
     return d
+
+
+def _sweep_stale_tmp_dirs(max_age_s: float = 86400.0) -> None:
+    """Reap ``pleiades_stage_*.tmp*`` siblings older than a day — the
+    residue of runs killed before their atexit hook (SIGKILL, OOM).
+    Age gate: a live concurrent stager's tmp dir is minutes old; a
+    day-old one has no reader left."""
+    import glob
+    import time
+
+    pat = os.path.join(tempfile.gettempdir(), "pleiades_stage_*.tmp*")
+    now = time.time()
+    for p in glob.glob(pat):
+        try:
+            if now - os.stat(p).st_mtime > max_age_s:
+                shutil.rmtree(p, ignore_errors=True)
+        except OSError:
+            continue
 
 
 def _stage_parts(parts, src: str) -> None:

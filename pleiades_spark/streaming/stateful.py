@@ -90,7 +90,14 @@ def _running_totals_sharded(
     uids, ns, tots = state.get if state.exists else ((), (), ())
     st: dict = {u: (n, t) for u, n, t in zip(uids, ns, tots)}
     parts = list(pdfs)
+    if not parts:  # unreachable under NoTimeout; fragile if a timeout
+        return     # is ever added (ADVICE r11)
     batch = pd.concat(parts) if len(parts) > 1 else parts[0]
+    # float-order caveat: groupby.sum over the bucket's whole batch
+    # associates per-user additions differently than the per-key grain's
+    # per-chunk accumulation — a total landing exactly on a round-4
+    # boundary could flip vs running_user_totals (CLAUDE.md note;
+    # fixture sums are stable, gates green)
     # per-user (count, sum) over the bucket's batch in one C-path pass;
     # sort=False keeps first-appearance order (emission order is
     # irrelevant — the gate takes the per-user max(n_events) row)

@@ -101,7 +101,16 @@ def main() -> None:
                     rowcounts[name] = int(obs.get["rows"])
             times.sort()
             timings[name] = round(times[0], 3)
-            medians[name] = round(times[len(times) // 2], 3)
+            # true median: average the middle two for even rep counts
+            # (ADVICE r11: times[len//2] at REPS=2 is the MAX, not a
+            # median, and verdicts cite this number)
+            mid = len(times) // 2
+            med = (
+                times[mid]
+                if len(times) % 2
+                else (times[mid - 1] + times[mid]) / 2
+            )
+            medians[name] = round(med, 3)
             print(
                 f"BENCH {name}: {timings[name]}s"
                 f" (med {medians[name]}s, {rowcounts[name]} rows)",
