@@ -419,8 +419,9 @@ def build_training_corpus(
     docs: DataFrame, out_dir: str, n_shards: int = 4
 ) -> dict[str, int]:
     """The whole raw-crawl → training-shards flow as one job: quality
-    gate → exact dedup → MinHash-LSH near-dedup (cluster, keep canonical)
-    → PII scrub → stable split → JSONL shards per split.
+    gate → exact dedup → linear-output reps near-dedup (doc_dedup_reps,
+    keep the best-quality member per cluster) → PII scrub → stable split
+    → JSONL shards per split.
 
     Composes the already-gate-checked operators; this function only
     sequences them and writes. Returns per-stage survivor counts (the
@@ -429,8 +430,7 @@ def build_training_corpus(
     end-to-end, and the JSONL write parallelism is n_shards per split.
     """
     from pleiades_spark.functions.text import stopword_count, tokens
-    from pleiades_spark.operators.dedup import minhash_lsh_pairs
-    from pleiades_spark.operators.graph import connected_components
+    from pleiades_spark.operators.dedup import doc_dedup_reps
     from pleiades_spark.sources.jsonl import write_jsonl
 
     stats = {"input": docs.count()}
@@ -454,11 +454,27 @@ def build_training_corpus(
     kept = kept.join(reps.select("doc_id"), "doc_id", "left_semi")
     stats["after_exact_dedup"] = kept.count()
 
-    # 3. near-dedup: LSH pairs → components → keep each cluster's min id
-    pairs = minhash_lsh_pairs(kept)
-    clusters = connected_components(pairs.select("doc_a", "doc_b"))
-    losers = clusters.filter(F.col("doc_id") != F.col("cluster")).select("doc_id")
-    kept = kept.join(losers, "doc_id", "left_anti")
+    # 3. near-dedup on the LINEAR reps contract (round 12): doc_dedup_reps
+    # — band bucket-MIN star edges, Jaccard-verified, star CC — emits one
+    # (doc_id, rep_id) decision per document with every stage linear in
+    # n·bands. The pair grain this replaced (minhash_lsh_pairs →
+    # iterative connected_components → keep min id) is Θ(Σ multiplicity²)
+    # in its own output plus diameter-dependent CC: on a template-heavy
+    # 100 TB crawl — exactly the multiplicity shape BENCH_SF100.md's
+    # headline discovery documents — pair enumeration alone is ~10⁹ rows
+    # at sf100, while the reps grain stays n. The kept representative is
+    # the QUALITY argmax per cluster (q desc, doc_id asc tiebreak), not
+    # min id: real corpus builds keep the best copy, and the quality
+    # score is already in hand from stage 1.
+    reps = doc_dedup_reps(kept)
+    w = W.partitionBy("rep_id").orderBy(F.col("q").desc(), F.col("doc_id").asc())
+    keepers = (
+        reps.join(kept.select("doc_id", "q"), "doc_id")
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select("doc_id")
+    )
+    kept = kept.join(keepers, "doc_id", "left_semi")
     stats["after_near_dedup"] = kept.count()
 
     # 4. PII scrub (audit counts folded into the stats)

@@ -199,3 +199,37 @@ def test_dsir_importance_separates_target_language(spark, sf_dir):
     # and the keep flag is exactly the positive-weight rule
     for r in rows:
         assert r["keep"] == (r["logw"] > 0)
+
+
+def test_build_training_corpus_keeps_best_quality_member(spark, tmp_path):
+    """The e2e builder's near-dedup stage (round 12: doc_dedup_reps +
+    quality argmax, replacing pair-grain LSH + keep-min-id) must keep the
+    HIGHEST-quality member of a near-dup cluster — here the higher
+    doc_id, which the old min-id rule would have discarded."""
+    from pleiades_spark.operators.corpus import build_training_corpus
+
+    body = " ".join(f"word{i:03d}" for i in range(200))
+    # doc 0: 4 repeats of one extra token -> lower type-token ratio
+    # doc 1: 4 distinct extra tokens -> higher quality, same shingle body
+    rows = [
+        (0, body + " alpha alpha alpha alpha"),
+        (1, body + " beta gamma delta epsilon"),
+        (2, " ".join(f"other{i:03d}" for i in range(150))),  # singleton
+    ]
+    docs = spark.createDataFrame(
+        [(i, t, "en", "src0", len(t)) for i, t in rows],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    out = tmp_path / "corpus_best"
+    stats = build_training_corpus(docs, str(out), n_shards=1)
+    assert stats["after_near_dedup"] == 2  # cluster collapsed + singleton
+    kept_ids = set()
+    for split in ("train", "val", "test"):
+        if stats[f"{split}_docs"] > 0:  # empty split dir has no schema
+            kept_ids |= {
+                r.doc_id
+                for r in spark.read.json(str(out / split))
+                .select("doc_id")
+                .collect()
+            }
+    assert 1 in kept_ids and 0 not in kept_ids and 2 in kept_ids
