@@ -141,12 +141,61 @@ def band_keys(sig: Column) -> Column:
     )
 
 
+def _guard_expected_pairs(
+    keyed: DataFrame,
+    key_cols: tuple[str, ...],
+    op: str,
+    max_expected_pairs: int | None,
+    reps_alternative: str,
+) -> None:
+    """Output-volume pre-flight for pair-emitting contracts (round 12).
+
+    The input-row quadratic guards (_guard_quadratic) miss how pair
+    operators actually die at scale: by OUTPUT volume. A corpus of n docs
+    in 1000-copy groups has only n input rows but Σ C(mult, 2) ≈ 500·n
+    true pairs — the sf100 lesson (BENCH_SF100.md: pair enumerators
+    bounded below by their own ~10⁹-row output). The exact raw candidate
+    count is already computable from the band/bucket index in hand before
+    the self-join runs: Σ over buckets of C(bucket_size, 2) — ONE
+    aggregation (map-side combined groupBy count, then a global sum of
+    b·(b−1) DIV 2, exact in int64 up to 3·10⁹-row buckets). When the
+    estimate blows the caller's budget, raise BEFORE enumerating, with a
+    pointer to the linear reps contract that sidesteps the pair grain.
+
+    The estimate counts bucket co-occupancy per band, so it upper-bounds
+    distinct pairs (a pair sharing k bands counts k times) and — for
+    incremental (``new_col``) runs — also counts old×old pairs the join
+    itself would skip; both biases are toward raising early, the safe
+    direction for a pre-flight. None (the default, and the gate path)
+    skips the extra job entirely.
+    """
+    if max_expected_pairs is None:
+        return
+    est = (
+        keyed.groupBy(*key_cols)
+        .agg(F.count(F.lit(1)).alias("b"))
+        .agg(F.expr("sum(b * (b - 1) DIV 2)").alias("pairs"))
+        .collect()[0]["pairs"]
+    )
+    est = int(est or 0)
+    if est > max_expected_pairs:
+        raise ValueError(
+            f"{op}: expected candidate-pair volume ≈{est:,} exceeds "
+            f"max_expected_pairs={max_expected_pairs:,}. Pair-emitting "
+            f"dedup is Θ(Σ multiplicity²) in its own output on "
+            f"high-multiplicity corpora; use the linear-output reps "
+            f"contract ({reps_alternative}) instead, or raise the budget "
+            f"if you really want the pairs."
+        )
+
+
 def minhash_lsh_pairs(
     docs: DataFrame,
     threshold: float = 0.6,
     max_bucket_size: int | None = None,
     new_col: str | None = None,
     candidate_observation=None,
+    max_expected_pairs: int | None = None,
 ) -> DataFrame:
     """Near-duplicate pairs: LSH candidates verified by exact Jaccard.
 
@@ -177,7 +226,11 @@ def minhash_lsh_pairs(
     ``candidate_observation``: optional ``pyspark.sql.Observation`` —
     raw pre-distinct candidate volume (the quantity hot band buckets
     blow up), same production-alarm contract as the prefix joins'
-    (_observe_candidates).
+    (_observe_candidates). ``max_expected_pairs`` is the PRE-flight twin
+    (round 12): the exact Σ C(bucket, 2) candidate volume is one
+    aggregation over the band index, checked BEFORE the self-join runs
+    (_guard_expected_pairs) — the observation alarms after the fact, the
+    guard refuses to start a ~10⁹-row enumeration at all.
     """
     sel = ["doc_id"] + ([new_col] if new_col else [])
     signed = with_signature(docs, keep=tuple(sel[1:])).cache()
@@ -193,6 +246,13 @@ def minhash_lsh_pairs(
             .filter(F.col("bucket_size") <= max_bucket_size)
             .drop("bucket_size")
         )
+    _guard_expected_pairs(
+        bands.select("band_idx", "band_key"),
+        ("band_idx", "band_key"),
+        "minhash_lsh_pairs",
+        max_expected_pairs,
+        "doc_dedup_reps / q_dedup_keep_best_reps",
+    )
     left = bands.alias("l")
     right = bands.alias("r")
     cond = (
@@ -1230,6 +1290,7 @@ def embedding_near_dup_ivf2(
     max_bucket_size: int | None = None,
     n_probe_cells: int = 1,
     block_size: int = 512,
+    max_expected_pairs: int | None = None,
 ) -> DataFrame:
     """Two-level IVF embedding near-dup — the sub-n^1.5 scale path.
 
@@ -1267,6 +1328,13 @@ def embedding_near_dup_ivf2(
             .filter(F.col("bucket_size") <= max_bucket_size)
             .drop("bucket_size")
         )
+    _guard_expected_pairs(
+        assigned.select("centroid_id"),
+        ("centroid_id",),
+        "embedding_near_dup_ivf2",
+        max_expected_pairs,
+        "embedding_dedup_reps",
+    )
     pairs = (
         _blocked_bucket_pairs(
             assigned.select("vec_id", "v", "centroid_id", "nrm"), block_size
@@ -1492,7 +1560,10 @@ def embedding_dedup_reps(
 
 
 def embedding_near_dup_srp(
-    emb: DataFrame, threshold: float = 0.45, rows_bits: int | None = None
+    emb: DataFrame,
+    threshold: float = 0.45,
+    rows_bits: int | None = None,
+    max_expected_pairs: int | None = None,
 ) -> DataFrame:
     """Cosine near-dup pairs via signed-random-projection LSH — the scale
     path for embedding dedup that, unlike ``embedding_near_dup_ivf``, has
@@ -1534,6 +1605,15 @@ def embedding_near_dup_srp(
     Passing an explicit value skips the count job.
     """
     v, banded = _srp_banded(emb, rows_bits)
+    # pre-flight on the banded index (column-pruned: the sign bits
+    # recompute, the 64-double vectors never move) — see _guard_expected_pairs
+    _guard_expected_pairs(
+        banded.select("band_idx", "band_val"),
+        ("band_idx", "band_val"),
+        "embedding_near_dup_srp",
+        max_expected_pairs,
+        "embedding_dedup_reps",
+    )
     left = banded.alias("l")
     right = banded.alias("r")
     first_shared = [

@@ -916,3 +916,65 @@ def test_simhash128_prune_path_output_invariant(spark):
     assert out[True] == out[False]
     assert (0, 1, 3) in out[True] and (0, 2, 4) in out[True]
     assert (0, 3, 7) in out[True]
+
+
+def test_output_volume_preflight_guard_trips_on_high_multiplicity(spark):
+    """Round-12 pre-flight (_guard_expected_pairs): a pair contract must
+    refuse to START enumerating when the band index says the candidate
+    volume Σ C(bucket, 2) blows the caller's budget — the sf100 lesson
+    that pair operators die by OUTPUT volume, which input-row guards
+    never see. The error must point at the linear reps contract."""
+    import pytest
+
+    from pleiades_spark.operators.dedup import minhash_lsh_pairs
+
+    rows = []
+    for g in range(4):
+        base = " ".join(f"w{g}x{i}" for i in range(80))
+        rows += [
+            (g * 100 + c, f"{base} tail{g}x{c}", 0) for c in range(30)
+        ]
+    hot = spark.createDataFrame(rows, "doc_id long, text string, n_chars long")
+    with pytest.raises(ValueError, match="doc_dedup_reps"):
+        minhash_lsh_pairs(hot, 0.6, max_expected_pairs=500)
+
+
+def test_output_volume_preflight_guard_passes_normal_corpus(spark):
+    """The same budget that trips the template corpus lets a normal
+    (unique-docs) corpus run: band buckets are singletons, so the
+    estimate is ~0 and the operator proceeds to an empty pair set."""
+    from pleiades_spark.operators.dedup import minhash_lsh_pairs
+
+    uniq = spark.createDataFrame(
+        [
+            (i, " ".join(f"r{i}y{j}" for j in range(60)), 0)
+            for i in range(120)
+        ],
+        "doc_id long, text string, n_chars long",
+    )
+    out = minhash_lsh_pairs(uniq, 0.6, max_expected_pairs=500)
+    assert out.count() == 0
+
+
+def test_output_volume_preflight_guard_embedding_twins(embeddings):
+    """SRP and two-level IVF carry the same pre-flight: a zero budget
+    trips on the fixture's near-dup copies (pointing at
+    embedding_dedup_reps); a generous budget lets the same corpus
+    through unchanged."""
+    import pytest
+
+    from pleiades_spark.operators.dedup import (
+        embedding_near_dup_ivf2,
+        embedding_near_dup_srp,
+    )
+
+    with pytest.raises(ValueError, match="embedding_dedup_reps"):
+        embedding_near_dup_srp(embeddings, 0.45, max_expected_pairs=0)
+    with pytest.raises(ValueError, match="embedding_dedup_reps"):
+        embedding_near_dup_ivf2(embeddings, 0.45, max_expected_pairs=0)
+    assert (
+        embedding_near_dup_srp(
+            embeddings, 0.45, max_expected_pairs=10**9
+        ).count()
+        > 0
+    )
