@@ -224,23 +224,97 @@ def streaming_dedup(events: DataFrame) -> DataFrame:
     )
 
 
+DEDUP_STATE_SCHEMA_BOUNDED = "seen array<long>, days array<int>, max_day int"
+
+
+def _dedup_bounded(horizon_days: int):
+    """Factory for the HORIZON-BOUNDED dedup state function (round 12):
+    state stores (event_id, day-bucket) pairs plus the monotone max day
+    seen, and every update prunes ids whose bucket fell below
+    max_day − horizon — the production contract for an infinite stream
+    (the unbounded ``_dedup`` re-serializes every id ever seen, per
+    batch, forever). Pruning runs BEFORE membership checks, so a
+    re-delivery whose original aged out passes through — the same
+    lateness contract as the built-in dropDuplicatesWithinWatermark:
+    exactly-once is guaranteed only within the horizon. max_day is
+    stored explicitly so the floor stays monotone even across a batch
+    whose every stored id gets pruned."""
+
+    def fn(
+        key: tuple, pdfs: Iterable[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        ids, days, max_day = state.get if state.exists else ((), (), None)
+        seen = dict(zip(ids, days))
+        max_day = -(10**9) if max_day is None else int(max_day)
+        for pdf in pdfs:
+            if not len(pdf):
+                continue
+            max_day = max(max_day, int(pdf["_day"].max()))
+            floor = max_day - horizon_days
+            seen = {i: d for i, d in seen.items() if d >= floor}
+            fresh = pdf[~pdf["event_id"].isin(seen.keys())]
+            fresh = fresh.drop_duplicates(subset=["event_id"], keep="first")
+            for i, d in zip(
+                fresh["event_id"].to_numpy(), fresh["_day"].to_numpy()
+            ):
+                seen[int(i)] = int(d)
+            if len(fresh):
+                yield fresh[
+                    ["event_id", "ts", "user_id", "event_type", "value"]
+                ]
+        order = sorted(seen)
+        state.update((order, [seen[i] for i in order], max_day))
+
+    return fn
+
+
 def streaming_dedup_sharded(
-    events: DataFrame, n_shards: int = N_STATE_SHARDS
+    events: DataFrame,
+    n_shards: int = N_STATE_SHARDS,
+    horizon_days: int | None = None,
 ) -> DataFrame:
     """streaming_dedup with bucket-sharded state (see the sharding note
     above): ``_dedup`` never reads its key, and a re-delivered event_id
     carries the same user_id, so hashing users into buckets routes every
     re-delivery to the bucket that already holds its id — output is
-    row-identical to the per-user grain."""
+    row-identical to the per-user grain.
+
+    ``horizon_days`` bounds the state (round 12): ids older than the
+    lateness horizon are pruned on every update, so bucket state is
+    O(events within horizon) instead of O(all history) and the per-batch
+    serialize cost stops growing. None (the gate default) keeps the
+    exact unbounded contract; production streams set the horizon to
+    their late-data tolerance — beyond it a re-delivery is passed
+    through rather than deduped, exactly the
+    dropDuplicatesWithinWatermark trade. The day bucket is computed
+    Spark-side (codegen'd epoch-day, timezone-free) so the Python state
+    function only touches ints."""
     from pyspark.sql import functions as F
 
+    if horizon_days is None:
+        return (
+            events.withColumn(
+                "_shard", F.pmod(F.col("user_id"), F.lit(n_shards))
+            )
+            .groupBy("_shard")
+            .applyInPandasWithState(
+                _dedup,
+                outputStructType=DEDUP_SCHEMA,
+                stateStructType=DEDUP_STATE_SCHEMA,
+                outputMode="append",
+                timeoutConf=GroupStateTimeout.NoTimeout,
+            )
+        )
     return (
-        events.withColumn("_shard", F.pmod(F.col("user_id"), F.lit(n_shards)))
+        events.withColumn(
+            "_day", F.floor(F.unix_timestamp("ts") / 86400).cast("int")
+        )
+        .withColumn("_shard", F.pmod(F.col("user_id"), F.lit(n_shards)))
         .groupBy("_shard")
         .applyInPandasWithState(
-            _dedup,
+            _dedup_bounded(horizon_days),
             outputStructType=DEDUP_SCHEMA,
-            stateStructType=DEDUP_STATE_SCHEMA,
+            stateStructType=DEDUP_STATE_SCHEMA_BOUNDED,
             outputMode="append",
             timeoutConf=GroupStateTimeout.NoTimeout,
         )

@@ -218,3 +218,115 @@ def test_sharded_state_variants_match_per_key_grain(spark, tmp_path):
         (r.event_id, r.user_id, r.event_type, r.value) for r in rows
     )
     assert dkey(ded_user) == dkey(ded_shard)
+
+
+class _StubState:
+    """Minimal GroupState stand-in for unit-testing state functions."""
+
+    def __init__(self, value=None):
+        self._v = value
+
+    @property
+    def exists(self):
+        return self._v is not None
+
+    @property
+    def get(self):
+        return self._v
+
+    def update(self, v):
+        self._v = v
+
+
+def test_dedup_bounded_prunes_state_and_keeps_floor_monotone():
+    """Horizon-bounded dedup state (round 12): ids below
+    max_day − horizon are pruned on every update (state size bounded by
+    the horizon window, not history), re-deliveries within the horizon
+    drop, and max_day stays monotone even when every stored id ages out."""
+    import pandas as pd
+
+    from pleiades_spark.streaming.stateful import _dedup_bounded
+
+    fn = _dedup_bounded(5)
+    state = _StubState()
+
+    def batch(rows):  # rows: (event_id, day)
+        return pd.DataFrame(
+            {
+                "event_id": [r[0] for r in rows],
+                "ts": pd.Timestamp("2024-01-01"),
+                "user_id": 7,
+                "event_type": "click",
+                "value": 1.0,
+                "_day": [r[1] for r in rows],
+            }
+        )
+
+    out = list(fn((0,), [batch([(1, 0), (2, 0)])], state))
+    assert sorted(out[0]["event_id"]) == [1, 2]
+    assert state.get == ([1, 2], [0, 0], 0)
+
+    # within horizon: re-delivery of 2 drops; id 3 fresh at day 1
+    out = list(fn((0,), [batch([(2, 1), (3, 1)])], state))
+    assert sorted(out[0]["event_id"]) == [3]
+    # a dropped re-delivery does NOT refresh its day: lifetime anchors
+    # to first sighting (dropDuplicatesWithinWatermark semantics)
+    assert state.get == ([1, 2, 3], [0, 0, 1], 1)
+
+    # day 10: floor = 5 → every stored id pruned BEFORE membership, so
+    # the day-0 original of id 1 aged out and its re-delivery passes
+    out = list(fn((0,), [batch([(1, 10), (4, 10)])], state))
+    assert sorted(out[0]["event_id"]) == [1, 4]
+    assert state.get == ([1, 4], [10, 10], 10)  # bounded: 2 ids, not 4
+
+    # an all-old batch (below the floor) must not move max_day backwards
+    out = list(fn((0,), [batch([(9, 2)])], state))
+    assert sorted(out[0]["event_id"]) == [9]  # too late to dedup: passes
+    assert state.get[2] == 10  # monotone floor
+    assert 9 not in state.get[0] or state.get[1][state.get[0].index(9)] == 2
+    # ...and it is pruned on the NEXT update (2 < 10 - 5)
+    list(fn((0,), [batch([(11, 10)])], state))
+    assert 9 not in state.get[0]
+
+
+def test_streaming_dedup_sharded_horizon_e2e(spark, tmp_path):
+    """The bounded variant on a real stream: within-horizon re-delivery
+    drops, beyond-horizon re-delivery passes through (its original was
+    pruned), fresh ids always pass. horizon_days=None (the gate path)
+    keeps the exact unbounded semantics."""
+    import datetime
+
+    from pleiades_spark.streaming.stateful import streaming_dedup_sharded
+
+    def day(d):
+        return datetime.datetime(2024, 1, 1) + datetime.timedelta(days=d)
+
+    base = str(tmp_path / "in")
+    _write_event_files(
+        spark,
+        base,
+        [
+            [(1, day(0), 7, "click", 1.0), (2, day(0), 7, "view", 2.0)],
+            [(2, day(1), 7, "view", 2.0), (3, day(1), 7, "click", 3.0)],
+            [(1, day(10), 7, "click", 1.0), (3, day(10), 7, "click", 3.0)],
+        ],
+    )
+    out = streaming_dedup_sharded(
+        _stream(spark, base + "/b*"), n_shards=2, horizon_days=5
+    )
+    q = (
+        out.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("dd_bounded")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+        q.awaitTermination()
+    rows = spark.sql("SELECT event_id, ts FROM dd_bounded").collect()
+    got = sorted((r.event_id, r.ts.day) for r in rows)
+    # batch1: 1,2 fresh; batch2: 2 dropped (within horizon), 3 fresh;
+    # batch3 at day 10: floor=5 prunes day-0/1 ids → both re-deliveries pass
+    assert got == [(1, 1), (1, 11), (2, 1), (3, 2), (3, 11)]
