@@ -490,6 +490,148 @@ def doc_dedup_reps_incremental(
     )
 
 
+# --- persisted star index (round 12) --------------------------------------
+#
+# doc_dedup_reps_incremental's gate recomputes the OLD phase
+# deterministically (the oracle must replay it); a real nightly pays
+# O(increment) only if last night's run PERSISTED its state. The index
+# is four parquet tables, all linear in corpus size:
+#
+#   band_index  (band_idx, band_key, orep)   each bucket's min doc_id
+#   edges       (doc_id, rep)                verified star edges so far
+#   rep_hsets   (doc_id, hset)               int32 verify sets for docs
+#                                            that are some bucket's rep —
+#                                            the only old hsets a new
+#                                            edge can need (edge targets
+#                                            are bucket mins; the only
+#                                            old edge SOURCE is an
+#                                            undercut rep)
+#   doc_ids     (doc_id)                     for singleton assignment
+#
+# The nightly then: stages ONLY the new docs, joins their bands against
+# band_index (bucket min = min(orep, new members)), verifies new edges
+# against (new hsets ∪ rep_hsets), unions the persisted edges, and runs
+# one CC — per-bucket work O(new members + 1), identical semantics to
+# the in-gate recompute (equivalence-tested).
+
+
+def write_reps_index(docs: DataFrame, path: str, threshold: float = 0.6) -> None:
+    """Bootstrap the persisted star index from a full corpus — one
+    doc_dedup_reps-shaped pass whose intermediates land in parquet
+    instead of being discarded."""
+    staged = _staged_minhash(docs).cache()
+    bands = staged.select(
+        "doc_id",
+        F.posexplode(band_keys(F.col("sig"))).alias("band_idx", "band_key"),
+    )
+    reps = bands.groupBy("band_idx", "band_key").agg(
+        F.min("doc_id").alias("orep")
+    )
+    edges = (
+        bands.join(reps, ["band_idx", "band_key"])
+        .filter(F.col("doc_id") != F.col("orep"))
+        .select("doc_id", F.col("orep").alias("rep"))
+        .distinct()
+    )
+    verified = _verify_hashed_edges(edges, staged, threshold)
+    reps.write.mode("overwrite").parquet(f"{path}/band_index")
+    verified.write.mode("overwrite").parquet(f"{path}/edges")
+    rep_ids = reps.select(F.col("orep").alias("doc_id")).distinct()
+    (
+        staged.join(rep_ids, "doc_id", "left_semi")
+        .select("doc_id", "hset")
+        .write.mode("overwrite")
+        .parquet(f"{path}/rep_hsets")
+    )
+    staged.select("doc_id").write.mode("overwrite").parquet(f"{path}/doc_ids")
+    staged.unpersist()
+
+
+def doc_dedup_reps_from_index(
+    new_docs: DataFrame,
+    index_path: str,
+    threshold: float = 0.6,
+    out_index_path: str | None = None,
+) -> DataFrame:
+    """The production nightly: (doc_id, rep_id) for old ∪ new docs, where
+    tonight's work is O(increment) — old docs are never re-staged,
+    re-banded, or re-verified; their contribution arrives via the
+    persisted index. Semantics identical to
+    :func:`doc_dedup_reps_incremental` on the same split (the
+    equivalence test pins it): bucket min over old ∪ new =
+    min(stored orep, new members); edges = every new member → full min,
+    plus the undercut orep → full min bridge; old×old pairs never
+    regenerate. ``out_index_path`` additionally ROLLS the index forward
+    (tomorrow's band_index/edges/rep_hsets/doc_ids), itself O(increment)
+    plus a rewrite of the index tables — each linear in corpus size,
+    never in pairs.
+    """
+    spark = new_docs.sparkSession
+    band_index = spark.read.parquet(f"{index_path}/band_index")
+    old_edges = spark.read.parquet(f"{index_path}/edges")
+    rep_hsets = spark.read.parquet(f"{index_path}/rep_hsets")
+    old_ids = spark.read.parquet(f"{index_path}/doc_ids")
+
+    staged = _staged_minhash(new_docs).cache()
+    nbands = staged.select(
+        "doc_id",
+        F.posexplode(band_keys(F.col("sig"))).alias("band_idx", "band_key"),
+    )
+    bkeys = ["band_idx", "band_key"]
+    new_mins = nbands.groupBy(*bkeys).agg(F.min("doc_id").alias("nmin"))
+    touched = new_mins.join(band_index, bkeys, "left").select(
+        *bkeys,
+        F.least(
+            F.col("nmin"), F.coalesce(F.col("orep"), F.col("nmin"))
+        ).alias("frep"),
+        "orep",
+    )
+    member_edges = (
+        nbands.join(touched, bkeys)
+        .filter(F.col("doc_id") != F.col("frep"))
+        .select("doc_id", F.col("frep").alias("rep"))
+    )
+    undercut_edges = touched.filter(
+        F.col("orep").isNotNull() & (F.col("orep") != F.col("frep"))
+    ).select(F.col("orep").alias("doc_id"), F.col("frep").alias("rep"))
+    new_edges = member_edges.unionAll(undercut_edges).distinct()
+    # no distinct: new ids and old rep ids are disjoint by contract
+    # (a distinct here would shuffle the int32 arrays for nothing)
+    hsets = staged.select("doc_id", "hset").unionAll(rep_hsets)
+    verified_new = _verify_hashed_edges(new_edges, hsets, threshold)
+    all_edges = old_edges.unionAll(verified_new).distinct()
+    from pleiades_spark.operators.graph import connected_components_star
+
+    cc = connected_components_star(all_edges, src="doc_id", dst="rep")
+    all_ids = old_ids.unionAll(staged.select("doc_id"))
+    result = (
+        all_ids.join(cc.withColumnRenamed("cluster", "rep_id"), "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("rep_id"), F.col("doc_id")).alias("rep_id"),
+        )
+    )
+    if out_index_path is not None:
+        # roll forward: untouched buckets keep their orep; touched
+        # buckets take frep; new-only buckets enter with frep
+        rolled = (
+            band_index.join(touched.select(*bkeys), bkeys, "left_anti")
+            .unionAll(
+                touched.select(*bkeys, F.col("frep").alias("orep"))
+            )
+        )
+        rolled.write.mode("overwrite").parquet(f"{out_index_path}/band_index")
+        all_edges.write.mode("overwrite").parquet(f"{out_index_path}/edges")
+        rep_ids = rolled.select(F.col("orep").alias("doc_id")).distinct()
+        (
+            hsets.join(rep_ids, "doc_id", "left_semi")
+            .write.mode("overwrite")
+            .parquet(f"{out_index_path}/rep_hsets")
+        )
+        all_ids.write.mode("overwrite").parquet(f"{out_index_path}/doc_ids")
+    return result
+
+
 # --- simhash -------------------------------------------------------------
 
 SIMHASH_BITS = 32

@@ -978,3 +978,76 @@ def test_output_volume_preflight_guard_embedding_twins(embeddings):
         ).count()
         > 0
     )
+
+
+def test_persisted_reps_index_matches_in_gate_incremental(spark, tmp_path):
+    """Round-12 persisted star index: write_reps_index on the old slice
+    + doc_dedup_reps_from_index on the new slice must produce EXACTLY
+    the assignments of doc_dedup_reps_incremental on the combined frame
+    — the gate's deterministic old-phase recompute and the production
+    parquet round-trip are the same protocol. Includes the undercut case
+    (every group's global min id is new)."""
+    from pyspark.sql import functions as F
+
+    from pleiades_spark.operators.dedup import (
+        doc_dedup_reps_from_index,
+        doc_dedup_reps_incremental,
+        write_reps_index,
+    )
+
+    rows = []
+    for g in range(6):
+        base = " ".join(f"g{g}w{i}" for i in range(80))
+        for c in range(20):
+            text = f"{base} t{g}x{c}"
+            rows.append((g * 100 + c, text, len(text)))
+    for i in range(120):
+        text = " ".join(f"u{i}v{j}" for j in range(60))
+        rows.append((10_000 + i, text, len(text)))
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, n_chars long"
+    ).withColumn("is_new", F.col("doc_id") % 2 == 0)
+
+    expected = {
+        r.doc_id: r.rep_id
+        for r in doc_dedup_reps_incremental(docs, "is_new", 0.6).collect()
+    }
+
+    idx = str(tmp_path / "idx0")
+    idx2 = str(tmp_path / "idx1")
+    old = docs.filter(~F.col("is_new")).drop("is_new")
+    new = docs.filter(F.col("is_new")).drop("is_new")
+    write_reps_index(old, idx, 0.6)
+    got_df = doc_dedup_reps_from_index(new, idx, 0.6, out_index_path=idx2)
+    got = {r.doc_id: r.rep_id for r in got_df.collect()}
+    assert got == expected
+
+    # the ROLLED index is a valid starting point for night 2: a further
+    # increment assigns every id exactly once and still clusters a copy
+    # group split across ALL THREE slices (bit-equality is not the
+    # contract across nights — bucket reps seen by night 1 differ from a
+    # two-slice recompute — but group capture and precision are)
+    night2 = [
+        (g * 100 + 50 + c, " ".join(f"g{g}w{i}" for i in range(80)) + f" n2x{c}")
+        for g in range(6)
+        for c in range(3)
+    ]
+    new2 = spark.createDataFrame(
+        [(i, t, len(t)) for i, t in night2],
+        "doc_id long, text string, n_chars long",
+    )
+    got2 = {
+        r.doc_id: r.rep_id
+        for r in doc_dedup_reps_from_index(new2, idx2, 0.6).collect()
+    }
+    assert len(got2) == len(rows) + len(night2)
+    for g in range(6):
+        members = [d for d in (g * 100 + 50 + c for c in range(3))]
+        reps_of_group = {got2[m] for m in members} | {got2[g * 100]}
+        assert len(reps_of_group) == 1, f"group {g} split: {reps_of_group}"
+    by_rep: dict = {}
+    for did, rep in got2.items():
+        by_rep.setdefault(rep, []).append(did)
+    for members in by_rep.values():
+        groups = {m // 100 for m in members if m < 10_000}
+        assert len(groups) <= 1, f"cluster mixes groups: {sorted(groups)}"
