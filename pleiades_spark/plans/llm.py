@@ -265,6 +265,47 @@ FROM documents d LEFT JOIN cl ON cl.node = d.doc_id
 """
 
 
+def q_doc_dedup_reps_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PRODUCTION nightly path (round 12): last night's star index —
+    band-bucket mins, verified edges, rep hsets, doc ids — persisted as
+    parquet (operators/dedup.write_reps_index), tonight's run staging
+    ONLY the new slice against it (doc_dedup_reps_from_index). Output is
+    provably identical to the in-gate two-phase recompute
+    (tests/test_ann_recall.py equivalence test), so this gate shares
+    ORACLE_DOC_DEDUP_REPS_INCR verbatim — what it adds over
+    doc_dedup_reps_incr is end-to-end coverage of the parquet
+    round-trip, i.e. the artifact a real nightly actually reads.
+
+    The index bootstrap is cached per fixture identity via the shared
+    staging helper (same /tmp-reuse + atomic-publish discipline as the
+    streaming gates), so benchmark reps measure the INCREMENT — the
+    nightly economics — not a nightly plus a rebuild."""
+    from pleiades_spark.functions.hashing import h32
+    from pleiades_spark.operators.dedup import (
+        doc_dedup_reps_from_index,
+        write_reps_index,
+    )
+    from pleiades_spark.plans.streaming_batch import _staged_src
+
+    docs = _t(spark, sf_dir, "documents").withColumn(
+        "is_new",
+        h32(F.concat(F.lit("incr:"), F.col("doc_id").cast("string"))) % 100
+        < INCR_PCT,
+    )
+    idx = _staged_src(
+        sf_dir,
+        "reps_idx",
+        lambda tmp: write_reps_index(
+            docs.filter(~F.col("is_new")).drop("is_new"),
+            tmp,
+            JACCARD_THRESHOLD,
+        ),
+    )
+    return doc_dedup_reps_from_index(
+        docs.filter(F.col("is_new")).drop("is_new"), idx, JACCARD_THRESHOLD
+    )
+
+
 # --- incremental near-dedup (nightly-increment economics) -------------------
 # (INCR_PCT defined above q_doc_dedup_reps_incr — shared by both
 # incremental gates)
@@ -2991,6 +3032,9 @@ QUERIES = [
     Query("doc_dedup_reps_incr", q_doc_dedup_reps_incr,
           ORACLE_DOC_DEDUP_REPS_INCR,
           "incremental reps maintenance: O(increment) bucket work + one CC"),
+    Query("doc_dedup_reps_persisted", q_doc_dedup_reps_persisted,
+          ORACLE_DOC_DEDUP_REPS_INCR,
+          "nightly reps over the PERSISTED parquet star index (round 12)"),
     Query("dedup_jaccard_prefix", q_dedup_jaccard_prefix,
           ORACLE_DEDUP_JACCARD_PREFIX,
           "exact Jaccard join via prefix filtering (recall-1 scale path)"),
