@@ -1533,7 +1533,7 @@ def embedding_near_dup_pairs(
 
 
 def _srp_banded(
-    emb: DataFrame, rows_bits: int | None
+    emb: DataFrame, rows_bits: int | None, keep: tuple[str, ...] = ()
 ) -> tuple[DataFrame, DataFrame]:
     """Shared SRP banding stage: returns ``(v, banded)`` where ``v`` is
     the (vec_id, v double[]) frame and ``banded`` the exploded band rows
@@ -1566,11 +1566,12 @@ def _srp_banded(
             SRP_ROWS, (n // 32).bit_length()
         )
     planes = SRP_PLANES if rows_bits == SRP_ROWS else srp_planes(SRP_BANDS * rows_bits)
-    v = emb.select("vec_id", as_double(F.col("embedding")).alias("v"))
+    v = emb.select("vec_id", *keep, as_double(F.col("embedding")).alias("v"))
     from pleiades_spark.functions.vectors import attach_matrix
 
     bits = attach_matrix(v, planes).select(
         "vec_id",
+        *keep,
         "v",
         F.transform(
             F.col("_planes"), lambda p: (dot(F.col("v"), p) >= 0).cast("int")
@@ -1590,6 +1591,7 @@ def _srp_banded(
     )
     banded = bits.select(
         "vec_id",
+        *keep,
         "v",
         norm(F.col("v")).alias("nrm"),
         band_arr.alias("bands"),
@@ -1662,6 +1664,103 @@ def embedding_dedup_reps(
         .distinct()
     )
     vn = v.withColumn("nrm", norm(F.col("v")))
+    va = vn.select(
+        F.col("vec_id"), F.col("v").alias("v_a"), F.col("nrm").alias("n_a")
+    )
+    vb = vn.select(
+        F.col("vec_id").alias("rep"), F.col("v").alias("v_b"),
+        F.col("nrm").alias("n_b"),
+    )
+    verified = (
+        edges.join(va, "vec_id")
+        .join(vb, "rep")
+        .withColumn(
+            "cos",
+            F.round(
+                dot(F.col("v_a"), F.col("v_b")) / (F.col("n_a") * F.col("n_b")),
+                6,
+            ),
+        )
+        .filter(F.col("cos") >= threshold)
+        .select("vec_id", "rep")
+    )
+    from pleiades_spark.operators.graph import connected_components_star
+
+    cc = connected_components_star(verified, src="vec_id", dst="rep")
+    return (
+        v.select("vec_id")
+        .join(
+            cc.withColumnRenamed("doc_id", "vec_id").withColumnRenamed(
+                "cluster", "rep_id"
+            ),
+            "vec_id",
+            "left",
+        )
+        .select(
+            "vec_id",
+            F.coalesce(F.col("rep_id"), F.col("vec_id")).alias("rep_id"),
+        )
+    )
+
+
+def embedding_dedup_reps_incremental(
+    emb: DataFrame,
+    new_col: str,
+    threshold: float = 0.45,
+    rows_bits: int | None = None,
+    target_bucket: int = 4,
+) -> DataFrame:
+    """Nightly-increment maintenance of the EMBEDDING reps contract —
+    the modality twin of :func:`doc_dedup_reps_incremental` (round 12,
+    closing the symmetry gap the other way: round 11 gave text the
+    incremental path it lacked; embeddings had none at all).
+
+    Identical protocol, SRP band domain instead of MinHash: OLD phase =
+    bucket-min star edges over the not-new slice (in production, the
+    persisted index); NEW phase = only buckets containing a new vector,
+    candidate rep = min(old bucket-rep, new members), edges from every
+    new member plus the undercut old rep, each O(new members + 1) per
+    bucket. Both phases verify by exact cosine ≥ t and one star-CC pass
+    runs over the union. ``rows_bits`` derives from the FULL corpus
+    count with the same target_bucket=4 purity rule as
+    embedding_dedup_reps, so tonight's banding is the one the full
+    rebuild would use (and the n ≤ 1024 gate region stays in the frozen
+    r=SRP_ROWS oracle planes)."""
+    if rows_bits is None:
+        n = emb.count()
+        rows_bits = SRP_ROWS if n <= 1024 else max(
+            SRP_ROWS, (n // target_bucket).bit_length()
+        )
+    v, banded = _srp_banded(emb, rows_bits, keep=(new_col,))
+    bkeys = ["band_idx", "band_val"]
+    old_reps = (
+        banded.filter(~F.col(new_col))
+        .groupBy(*bkeys)
+        .agg(F.min("vec_id").alias("orep"))
+    )
+    old_edges = (
+        banded.filter(~F.col(new_col))
+        .join(old_reps, bkeys)
+        .filter(F.col("vec_id") != F.col("orep"))
+        .select("vec_id", F.col("orep").alias("rep"))
+        .distinct()
+    )
+    full_reps = banded.groupBy(*bkeys).agg(
+        F.min("vec_id").alias("frep"),
+        F.max(F.col(new_col).cast("int")).alias("has_new"),
+    )
+    new_edges = (
+        banded.join(full_reps.filter(F.col("has_new") == 1), bkeys)
+        .join(old_reps, bkeys, "left")
+        .filter(
+            (F.col("vec_id") != F.col("frep"))
+            & (F.col(new_col) | (F.col("vec_id") == F.col("orep")))
+        )
+        .select("vec_id", F.col("frep").alias("rep"))
+        .distinct()
+    )
+    edges = old_edges.unionAll(new_edges).distinct()
+    vn = v.select("vec_id", "v").withColumn("nrm", norm(F.col("v")))
     va = vn.select(
         F.col("vec_id"), F.col("v").alias("v_a"), F.col("nrm").alias("n_a")
     )

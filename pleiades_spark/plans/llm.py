@@ -1489,6 +1489,89 @@ FROM v vv LEFT JOIN cl ON cl.node = vv.vec_id
 """
 
 
+def q_dedup_embedding_reps_incr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental maintenance of the EMBEDDING reps contract (round 12)
+    — the modality twin of doc_dedup_reps_incr: old-slice SRP bucket-min
+    star edges + tonight's O(increment) bucket work (new members and
+    undercut old reps to the full bucket min) + one CC pass
+    (operators/dedup.embedding_dedup_reps_incremental). Same
+    deterministic 20 % hash slice; the oracle replays both phases and
+    the closure bit-for-bit."""
+    from pleiades_spark.functions.hashing import h32
+    from pleiades_spark.operators.dedup import (
+        embedding_dedup_reps_incremental,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings").withColumn(
+        "is_new",
+        h32(F.concat(F.lit("incr:"), F.col("vec_id").cast("string"))) % 100
+        < INCR_PCT,
+    )
+    return embedding_dedup_reps_incremental(emb, "is_new", COSINE_DUP_THRESHOLD)
+
+
+ORACLE_DEDUP_EMBEDDING_REPS_INCR = f"""
+WITH RECURSIVE v AS (
+  SELECT vec_id,
+         {h32_sql("concat('incr:', CAST(vec_id AS VARCHAR))")} % 100
+           < {INCR_PCT} AS is_new,
+         CAST(embedding AS DOUBLE[]) AS v
+  FROM embeddings
+),
+bits AS (SELECT vec_id, is_new, {_SRP_BITS_SQL} AS bits FROM v),
+bands AS (
+  SELECT vec_id, is_new, band_idx, {_SRP_BAND_VAL_SQL} AS band_val
+  FROM bits, (SELECT unnest(range(0, {SRP_BANDS})) AS band_idx)
+),
+oreps AS (
+  SELECT band_idx, band_val, min(vec_id) AS orep
+  FROM bands WHERE NOT is_new GROUP BY band_idx, band_val
+),
+oe AS (
+  SELECT DISTINCT b.vec_id, o.orep AS rep
+  FROM bands b JOIN oreps o
+    ON b.band_idx = o.band_idx AND b.band_val = o.band_val
+  WHERE NOT b.is_new AND b.vec_id != o.orep
+),
+freps AS (
+  SELECT band_idx, band_val, min(vec_id) AS frep,
+         max(CASE WHEN is_new THEN 1 ELSE 0 END) AS has_new
+  FROM bands GROUP BY band_idx, band_val
+),
+ne AS (
+  SELECT DISTINCT b.vec_id, f.frep AS rep
+  FROM bands b
+  JOIN freps f
+    ON b.band_idx = f.band_idx AND b.band_val = f.band_val AND f.has_new = 1
+  LEFT JOIN oreps o
+    ON b.band_idx = o.band_idx AND b.band_val = o.band_val
+  WHERE b.vec_id != f.frep AND (b.is_new OR b.vec_id = o.orep)
+),
+e0 AS (
+  SELECT vec_id, rep FROM oe UNION SELECT vec_id, rep FROM ne
+),
+ver AS (
+  SELECT vec_id, rep FROM (
+    SELECT e0.vec_id, e0.rep, {_COS_SQL} AS cos
+    FROM e0 JOIN v a ON a.vec_id = e0.vec_id
+            JOIN v b ON b.vec_id = e0.rep
+  ) WHERE cos >= {COSINE_DUP_THRESHOLD}
+),
+edges AS (
+  SELECT vec_id AS u, rep AS w FROM ver
+  UNION SELECT rep, vec_id FROM ver
+),
+reach(node, r) AS (
+  SELECT u, u FROM edges
+  UNION
+  SELECT e.w, reach.r FROM reach JOIN edges e ON e.u = reach.node
+),
+cl AS (SELECT node, min(r) AS cluster FROM reach GROUP BY node)
+SELECT vv.vec_id, CAST(coalesce(cl.cluster, vv.vec_id) AS BIGINT) AS rep_id
+FROM v vv LEFT JOIN cl ON cl.node = vv.vec_id
+"""
+
+
 # =========================== text analysis ================================
 
 
@@ -3027,6 +3110,9 @@ QUERIES = [
     Query("dedup_embedding_reps", q_dedup_embedding_reps,
           ORACLE_DEDUP_EMBEDDING_REPS,
           "linear-output embedding dedup: SRP star edges + CC → (vec, rep)"),
+    Query("dedup_embedding_reps_incr", q_dedup_embedding_reps_incr,
+          ORACLE_DEDUP_EMBEDDING_REPS_INCR,
+          "incremental embedding reps: O(increment) SRP bucket work + one CC"),
     Query("doc_dedup_reps", q_doc_dedup_reps, ORACLE_DOC_DEDUP_REPS,
           "linear-output document dedup: MinHash star edges + CC → (doc, rep)"),
     Query("doc_dedup_reps_incr", q_doc_dedup_reps_incr,

@@ -1051,3 +1051,57 @@ def test_persisted_reps_index_matches_in_gate_incremental(spark, tmp_path):
     for members in by_rep.values():
         groups = {m // 100 for m in members if m < 10_000}
         assert len(groups) <= 1, f"cluster mixes groups: {sorted(groups)}"
+
+
+def test_embedding_dedup_reps_incremental_clusters_across_slices(spark):
+    """Embedding incremental reps (round 12 — the modality twin of the
+    doc version): copy groups SPLIT across old/new slices must still
+    cluster, including the undercut case (even ids are new, so every
+    group's global min id is new while the old phase clustered around
+    the odd min). Precision stays exact at threshold 0.9."""
+    from pyspark.sql import functions as F
+
+    from pleiades_spark.operators.dedup import (
+        embedding_dedup_reps_incremental,
+    )
+
+    dim, rows = 64, []
+    for g in range(8):
+        base = [(((g * 37 + j * 13) % 23) - 11) / 11.0 for j in range(dim)]
+        for c in range(40):
+            rows.append((g * 100 + c, base))
+    for i in range(900):
+        rows.append(
+            (
+                10_000 + i,
+                [
+                    (((i * 2654435761 + j * 40503 + i * i * 97) % 8191) - 4095)
+                    / 4095.0
+                    for j in range(dim)
+                ],
+            )
+        )
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>"
+    ).withColumn("is_new", F.col("vec_id") % 2 == 0)
+    reps = {
+        r.vec_id: r.rep_id
+        for r in embedding_dedup_reps_incremental(emb, "is_new", 0.9).collect()
+    }
+    assert len(reps) == len(rows)
+    hit = total = 0
+    for g in range(8):
+        ids = [g * 100 + c for c in range(40)]
+        for i, a in enumerate(ids):
+            for b in ids[i + 1:]:
+                total += 1
+                hit += reps[a] == reps[b]
+    assert hit / total >= 0.9, f"cross-slice recall = {hit / total:.3f}"
+    by_rep: dict = {}
+    for vid, rep in reps.items():
+        by_rep.setdefault(rep, []).append(vid)
+    for members in by_rep.values():
+        groups = {m // 100 for m in members if m < 10_000}
+        assert len(groups) <= 1, f"cluster mixes groups: {sorted(groups)}"
+        if groups:
+            assert all(m < 10_000 for m in members), "group absorbed randoms"
