@@ -354,6 +354,64 @@ SELECT event_id, strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_s,
 FROM events
 """
 
+DEDUP_HORIZON_DAYS = 7
+
+
+def q_stateful_dedup_horizon(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The HORIZON-BOUNDED production dedup (round 12): same re-delivered
+    second batch as stateful_stream_dedup, but state stores (event_id,
+    day-bucket) and prunes below each bucket's max_day − 7 on every
+    update (streaming/stateful.streaming_dedup_sharded(horizon_days=7)).
+    Re-deliveries within the horizon are dropped; older ones PASS
+    THROUGH — their originals were pruned, the
+    dropDuplicatesWithinWatermark lateness contract. The floor is
+    per-SHARD (a bucket's max day is the max over ITS users' events),
+    which the oracle replays with a user_id % N_STATE_SHARDS group max.
+    Deterministic despite Arrow chunking: batch 1 starts from the
+    persisted max_day, so every chunk sees the same floor."""
+    apply_runtime_confs(spark)
+    from pleiades_spark.streaming.stateful import streaming_dedup_sharded
+
+    src = _staged_src(sf_dir, "ev_redeliver",
+                      lambda d: _stage_event_files(spark, sf_dir, d, split=False))
+    mem = _run_stateful(
+        spark,
+        src,
+        lambda s: streaming_dedup_sharded(
+            s, horizon_days=DEDUP_HORIZON_DAYS
+        ),
+        "append",
+        "stateful_dedup_horizon_gate",
+        sink="parquet",
+    )
+    return mem.select(
+        "event_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts_s"),
+        "user_id",
+        "event_type",
+        "value",
+    )
+
+
+ORACLE_STATEFUL_DEDUP_HORIZON = f"""
+WITH e AS (
+  SELECT event_id, ts, user_id, event_type, value,
+         CAST(floor(epoch(ts) / 86400) AS BIGINT) AS day,
+         user_id % 1024 AS shard
+  FROM events
+), m AS (
+  SELECT shard, max(day) AS max_day FROM e GROUP BY shard
+)
+SELECT event_id, strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_s,
+       user_id, event_type, value
+FROM events
+UNION ALL
+SELECT e.event_id, strftime(e.ts, '%Y-%m-%d %H:%M:%S') AS ts_s,
+       e.user_id, e.event_type, e.value
+FROM e JOIN m USING (shard)
+WHERE e.day < m.max_day - {DEDUP_HORIZON_DAYS}
+"""
+
 
 def q_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stream-stream interval self-join driven to completion: each event
@@ -883,6 +941,9 @@ QUERIES = [
     Query("stateful_stream_dedup", q_stateful_stream_dedup,
           ORACLE_STATEFUL_STREAM_DEDUP,
           "applyInPandasWithState cross-batch dedup: replayed batch emits 0 rows"),
+    Query("stateful_dedup_horizon", q_stateful_dedup_horizon,
+          ORACLE_STATEFUL_DEDUP_HORIZON,
+          "horizon-bounded dedup state: old re-deliveries pass, recent drop"),
     Query("streaming_sessions", q_streaming_sessions, ORACLE_STREAMING_SESSIONS,
           "streaming session_window (merging windows) in append mode"),
     Query("streaming_dau", q_streaming_dau, ORACLE_STREAMING_DAU,
