@@ -211,6 +211,12 @@ HEADLINE = [
     # keep-best corpus keep-list over it
     "doc_dedup_reps",
     "dedup_keep_best_reps",
+    # round 12: the production nightly (persisted parquet star index,
+    # O(increment) run), its embedding-modality twin, and the
+    # horizon-bounded streaming dedup (O(window) state)
+    "doc_dedup_reps_persisted",
+    "dedup_embedding_reps_incr",
+    "stateful_dedup_horizon",
 ]
 
 # Queries whose min-of-2 is still warmup-contaminated, measured min-of-3:
