@@ -216,6 +216,7 @@ HEADLINE = [
     # horizon-bounded streaming dedup (O(window) state)
     "doc_dedup_reps_persisted",
     "dedup_embedding_reps_incr",
+    "dedup_embedding_reps_persisted",
     "stateful_dedup_horizon",
 ]
 

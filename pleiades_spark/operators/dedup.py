@@ -1663,27 +1663,7 @@ def embedding_dedup_reps(
         .select("vec_id", "rep")
         .distinct()
     )
-    vn = v.withColumn("nrm", norm(F.col("v")))
-    va = vn.select(
-        F.col("vec_id"), F.col("v").alias("v_a"), F.col("nrm").alias("n_a")
-    )
-    vb = vn.select(
-        F.col("vec_id").alias("rep"), F.col("v").alias("v_b"),
-        F.col("nrm").alias("n_b"),
-    )
-    verified = (
-        edges.join(va, "vec_id")
-        .join(vb, "rep")
-        .withColumn(
-            "cos",
-            F.round(
-                dot(F.col("v_a"), F.col("v_b")) / (F.col("n_a") * F.col("n_b")),
-                6,
-            ),
-        )
-        .filter(F.col("cos") >= threshold)
-        .select("vec_id", "rep")
-    )
+    verified = _verify_cosine_edges(edges, v, threshold)
     from pleiades_spark.operators.graph import connected_components_star
 
     cc = connected_components_star(verified, src="vec_id", dst="rep")
@@ -1760,27 +1740,7 @@ def embedding_dedup_reps_incremental(
         .distinct()
     )
     edges = old_edges.unionAll(new_edges).distinct()
-    vn = v.select("vec_id", "v").withColumn("nrm", norm(F.col("v")))
-    va = vn.select(
-        F.col("vec_id"), F.col("v").alias("v_a"), F.col("nrm").alias("n_a")
-    )
-    vb = vn.select(
-        F.col("vec_id").alias("rep"), F.col("v").alias("v_b"),
-        F.col("nrm").alias("n_b"),
-    )
-    verified = (
-        edges.join(va, "vec_id")
-        .join(vb, "rep")
-        .withColumn(
-            "cos",
-            F.round(
-                dot(F.col("v_a"), F.col("v_b")) / (F.col("n_a") * F.col("n_b")),
-                6,
-            ),
-        )
-        .filter(F.col("cos") >= threshold)
-        .select("vec_id", "rep")
-    )
+    verified = _verify_cosine_edges(edges, v, threshold)
     from pleiades_spark.operators.graph import connected_components_star
 
     cc = connected_components_star(verified, src="vec_id", dst="rep")
@@ -1798,6 +1758,164 @@ def embedding_dedup_reps_incremental(
             F.coalesce(F.col("rep_id"), F.col("vec_id")).alias("rep_id"),
         )
     )
+
+
+def write_emb_reps_index(
+    emb: DataFrame,
+    path: str,
+    threshold: float = 0.45,
+    rows_bits: int | None = None,
+    target_bucket: int = 4,
+) -> None:
+    """Bootstrap the persisted EMBEDDING star index — the SRP twin of
+    :func:`write_reps_index` (round 12). Five parquet tables, all linear:
+    meta (rows_bits — the banding GEOMETRY is part of the artifact: the
+    nightly must band tonight's vectors with the bootstrap's bits, not
+    re-derive from tonight's count), band_index (band_idx, band_val,
+    orep), edges (verified star edges), rep_vecs (vec_id, v — the only
+    old vectors a new edge can need as verify partners), vec_ids."""
+    if rows_bits is None:
+        n = emb.count()
+        rows_bits = SRP_ROWS if n <= 1024 else max(
+            SRP_ROWS, (n // target_bucket).bit_length()
+        )
+    v, banded = _srp_banded(emb, rows_bits)
+    spark = emb.sparkSession
+    spark.createDataFrame(
+        [(rows_bits,)], "rows_bits int"
+    ).write.mode("overwrite").parquet(f"{path}/meta")
+    bkeys = ["band_idx", "band_val"]
+    reps = banded.groupBy(*bkeys).agg(F.min("vec_id").alias("orep"))
+    edges = (
+        banded.join(reps, bkeys)
+        .filter(F.col("vec_id") != F.col("orep"))
+        .select("vec_id", F.col("orep").alias("rep"))
+        .distinct()
+    )
+    verified = _verify_cosine_edges(edges, v, threshold)
+    reps.write.mode("overwrite").parquet(f"{path}/band_index")
+    verified.write.mode("overwrite").parquet(f"{path}/edges")
+    rep_ids = reps.select(F.col("orep").alias("vec_id")).distinct()
+    (
+        v.join(rep_ids, "vec_id", "left_semi")
+        .select("vec_id", "v")
+        .write.mode("overwrite")
+        .parquet(f"{path}/rep_vecs")
+    )
+    v.select("vec_id").write.mode("overwrite").parquet(f"{path}/vec_ids")
+
+
+def _verify_cosine_edges(
+    edges: DataFrame, v: DataFrame, threshold: float
+) -> DataFrame:
+    """Exact-cosine verification of (vec_id, rep) star edges against a
+    (vec_id, v) vector frame — shared by the batch, incremental, and
+    persisted-index embedding reps builders (per-row norms computed once
+    per side, one dot per edge)."""
+    vn = v.select("vec_id", "v").withColumn("nrm", norm(F.col("v")))
+    va = vn.select(
+        F.col("vec_id"), F.col("v").alias("v_a"), F.col("nrm").alias("n_a")
+    )
+    vb = vn.select(
+        F.col("vec_id").alias("rep"), F.col("v").alias("v_b"),
+        F.col("nrm").alias("n_b"),
+    )
+    return (
+        edges.join(va, "vec_id")
+        .join(vb, "rep")
+        .withColumn(
+            "cos",
+            F.round(
+                dot(F.col("v_a"), F.col("v_b")) / (F.col("n_a") * F.col("n_b")),
+                6,
+            ),
+        )
+        .filter(F.col("cos") >= threshold)
+        .select("vec_id", "rep")
+    )
+
+
+def embedding_dedup_reps_from_index(
+    new_emb: DataFrame,
+    index_path: str,
+    threshold: float = 0.45,
+    out_index_path: str | None = None,
+) -> DataFrame:
+    """The embedding nightly over the persisted SRP star index — twin of
+    :func:`doc_dedup_reps_from_index`: (vec_id, rep_id) for old ∪ new
+    vectors, tonight's work O(increment). Banding geometry (rows_bits)
+    comes from the index meta, so tonight's band values live in the same
+    key space the bootstrap wrote. Semantics identical to
+    :func:`embedding_dedup_reps_incremental` at the same rows_bits
+    (equivalence-tested); ``out_index_path`` rolls the artifact forward.
+    """
+    spark = new_emb.sparkSession
+    rows_bits = int(
+        spark.read.parquet(f"{index_path}/meta").collect()[0]["rows_bits"]
+    )
+    band_index = spark.read.parquet(f"{index_path}/band_index")
+    old_edges = spark.read.parquet(f"{index_path}/edges")
+    rep_vecs = spark.read.parquet(f"{index_path}/rep_vecs")
+    old_ids = spark.read.parquet(f"{index_path}/vec_ids")
+
+    v, banded = _srp_banded(new_emb, rows_bits)
+    bkeys = ["band_idx", "band_val"]
+    new_mins = banded.groupBy(*bkeys).agg(F.min("vec_id").alias("nmin"))
+    touched = new_mins.join(band_index, bkeys, "left").select(
+        *bkeys,
+        F.least(
+            F.col("nmin"), F.coalesce(F.col("orep"), F.col("nmin"))
+        ).alias("frep"),
+        "orep",
+    )
+    member_edges = (
+        banded.join(touched, bkeys)
+        .filter(F.col("vec_id") != F.col("frep"))
+        .select("vec_id", F.col("frep").alias("rep"))
+    )
+    undercut_edges = touched.filter(
+        F.col("orep").isNotNull() & (F.col("orep") != F.col("frep"))
+    ).select(F.col("orep").alias("vec_id"), F.col("frep").alias("rep"))
+    new_edges = member_edges.unionAll(undercut_edges).distinct()
+    # new ids and old rep ids are disjoint by contract — no distinct
+    vecs = v.select("vec_id", "v").unionAll(rep_vecs)
+    verified_new = _verify_cosine_edges(new_edges, vecs, threshold)
+    all_edges = old_edges.unionAll(verified_new).distinct()
+    from pleiades_spark.operators.graph import connected_components_star
+
+    cc = connected_components_star(all_edges, src="vec_id", dst="rep")
+    all_ids = old_ids.unionAll(v.select("vec_id"))
+    result = (
+        all_ids.join(
+            cc.withColumnRenamed("doc_id", "vec_id").withColumnRenamed(
+                "cluster", "rep_id"
+            ),
+            "vec_id",
+            "left",
+        )
+        .select(
+            "vec_id",
+            F.coalesce(F.col("rep_id"), F.col("vec_id")).alias("rep_id"),
+        )
+    )
+    if out_index_path is not None:
+        spark.createDataFrame(
+            [(rows_bits,)], "rows_bits int"
+        ).write.mode("overwrite").parquet(f"{out_index_path}/meta")
+        rolled = (
+            band_index.join(touched.select(*bkeys), bkeys, "left_anti")
+            .unionAll(touched.select(*bkeys, F.col("frep").alias("orep")))
+        )
+        rolled.write.mode("overwrite").parquet(f"{out_index_path}/band_index")
+        all_edges.write.mode("overwrite").parquet(f"{out_index_path}/edges")
+        rep_ids = rolled.select(F.col("orep").alias("vec_id")).distinct()
+        (
+            vecs.join(rep_ids, "vec_id", "left_semi")
+            .write.mode("overwrite")
+            .parquet(f"{out_index_path}/rep_vecs")
+        )
+        all_ids.write.mode("overwrite").parquet(f"{out_index_path}/vec_ids")
+    return result
 
 
 def embedding_near_dup_srp(

@@ -1572,6 +1572,44 @@ FROM v vv LEFT JOIN cl ON cl.node = vv.vec_id
 """
 
 
+def q_dedup_embedding_reps_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The embedding nightly over the PERSISTED SRP star index
+    (round 12): write_emb_reps_index on the old slice (bootstrap, cached
+    per fixture identity), embedding_dedup_reps_from_index on tonight's
+    vectors. rows_bits is pinned from the FULL corpus count — the
+    production discipline (geometry is chosen for the corpus the index
+    will grow into, and it is part of the artifact) — which also makes
+    the run bit-identical to dedup_embedding_reps_incr, whose oracle it
+    shares (the equivalence is separately pytest-pinned)."""
+    from pleiades_spark.functions.hashing import SRP_ROWS, h32
+    from pleiades_spark.operators.dedup import (
+        embedding_dedup_reps_from_index,
+        write_emb_reps_index,
+    )
+    from pleiades_spark.plans.streaming_batch import _staged_src
+
+    emb = _t(spark, sf_dir, "embeddings").withColumn(
+        "is_new",
+        h32(F.concat(F.lit("incr:"), F.col("vec_id").cast("string"))) % 100
+        < INCR_PCT,
+    )
+    n = emb.count()
+    rows_bits = SRP_ROWS if n <= 1024 else max(SRP_ROWS, (n // 4).bit_length())
+    idx = _staged_src(
+        sf_dir,
+        "emb_reps_idx",
+        lambda tmp: write_emb_reps_index(
+            emb.filter(~F.col("is_new")).drop("is_new"),
+            tmp,
+            COSINE_DUP_THRESHOLD,
+            rows_bits=rows_bits,
+        ),
+    )
+    return embedding_dedup_reps_from_index(
+        emb.filter(F.col("is_new")).drop("is_new"), idx, COSINE_DUP_THRESHOLD
+    )
+
+
 # =========================== text analysis ================================
 
 
@@ -3113,6 +3151,9 @@ QUERIES = [
     Query("dedup_embedding_reps_incr", q_dedup_embedding_reps_incr,
           ORACLE_DEDUP_EMBEDDING_REPS_INCR,
           "incremental embedding reps: O(increment) SRP bucket work + one CC"),
+    Query("dedup_embedding_reps_persisted", q_dedup_embedding_reps_persisted,
+          ORACLE_DEDUP_EMBEDDING_REPS_INCR,
+          "embedding nightly over the PERSISTED SRP star index (round 12)"),
     Query("doc_dedup_reps", q_doc_dedup_reps, ORACLE_DOC_DEDUP_REPS,
           "linear-output document dedup: MinHash star edges + CC → (doc, rep)"),
     Query("doc_dedup_reps_incr", q_doc_dedup_reps_incr,

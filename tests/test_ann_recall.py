@@ -1105,3 +1105,82 @@ def test_embedding_dedup_reps_incremental_clusters_across_slices(spark):
         assert len(groups) <= 1, f"cluster mixes groups: {sorted(groups)}"
         if groups:
             assert all(m < 10_000 for m in members), "group absorbed randoms"
+
+
+def test_persisted_emb_reps_index_matches_in_gate_incremental(spark, tmp_path):
+    """Round-12 embedding persisted index: write_emb_reps_index on the
+    old slice + embedding_dedup_reps_from_index on the new slice must
+    produce EXACTLY the assignments of embedding_dedup_reps_incremental
+    on the combined frame (corpus kept ≤1024 vectors so both paths band
+    in the frozen rows_bits region). Rolled index is a valid night-2
+    start: a further increment assigns every id once and extends the
+    copy groups."""
+    from pyspark.sql import functions as F
+
+    from pleiades_spark.operators.dedup import (
+        embedding_dedup_reps_from_index,
+        embedding_dedup_reps_incremental,
+        write_emb_reps_index,
+    )
+
+    dim, rows = 64, []
+    for g in range(8):
+        base = [(((g * 37 + j * 13) % 23) - 11) / 11.0 for j in range(dim)]
+        for c in range(40):
+            rows.append((g * 100 + c, base))
+    for i in range(600):
+        rows.append(
+            (
+                10_000 + i,
+                [
+                    (((i * 2654435761 + j * 40503 + i * i * 97) % 8191) - 4095)
+                    / 4095.0
+                    for j in range(dim)
+                ],
+            )
+        )
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>"
+    ).withColumn("is_new", F.col("vec_id") % 2 == 0)
+
+    # rows_bits pinned to 8 on BOTH paths: the equivalence claim needs
+    # identical banding geometry, and 8 bits (256 bucket values/band)
+    # keeps the night-2 triplet's buckets from colliding with OTHER
+    # groups' mins — at the frozen r=4 all four band draws can land on
+    # cross-group mins that cosine-verify correctly rejects (LSH
+    # physics, observed in round 12, not an index defect)
+    expected = {
+        r.vec_id: r.rep_id
+        for r in embedding_dedup_reps_incremental(
+            emb, "is_new", 0.9, rows_bits=8
+        ).collect()
+    }
+
+    idx = str(tmp_path / "eidx0")
+    idx2 = str(tmp_path / "eidx1")
+    old = emb.filter(~F.col("is_new")).drop("is_new")
+    new = emb.filter(F.col("is_new")).drop("is_new")
+    write_emb_reps_index(old, idx, 0.9, rows_bits=8)
+    got = {
+        r.vec_id: r.rep_id
+        for r in embedding_dedup_reps_from_index(
+            new, idx, 0.9, out_index_path=idx2
+        ).collect()
+    }
+    assert got == expected
+
+    n2 = []
+    for g in range(8):
+        base = [(((g * 37 + j * 13) % 23) - 11) / 11.0 for j in range(dim)]
+        for c in range(3):
+            n2.append((g * 100 + 50 + c, base))
+    new2 = spark.createDataFrame(n2, "vec_id long, embedding array<float>")
+    got2 = {
+        r.vec_id: r.rep_id
+        for r in embedding_dedup_reps_from_index(new2, idx2, 0.9).collect()
+    }
+    assert len(got2) == len(rows) + len(n2)
+    for g in range(8):
+        members = [g * 100 + 50 + c for c in range(3)]
+        reps_of_group = {got2[m] for m in members} | {got2[g * 100]}
+        assert len(reps_of_group) == 1, f"group {g} split: {reps_of_group}"
