@@ -171,10 +171,17 @@ def _guard_expected_pairs(
     """
     if max_expected_pairs is None:
         return
+    # SECOND-order moment: b·(b−1) overflows int64 exactly on the
+    # pathological corpora this guard targets (CLAUDE.md exact-integer
+    # rule) — compute decimal(38,0), exact and ANSI-safe at any bucket
     est = (
         keyed.groupBy(*key_cols)
         .agg(F.count(F.lit(1)).alias("b"))
-        .agg(F.expr("sum(b * (b - 1) DIV 2)").alias("pairs"))
+        .agg(
+            F.sum(
+                F.col("b").cast("decimal(38,0)") * (F.col("b") - 1) / 2
+            ).alias("pairs")
+        )
         .collect()[0]["pairs"]
     )
     est = int(est or 0)
@@ -515,6 +522,25 @@ def doc_dedup_reps_incremental(
 # the in-gate recompute (equivalence-tested).
 
 
+def _guard_inplace_roll(index_path: str, out_index_path: str | None) -> None:
+    """Refuse out_index_path == index_path: mode('overwrite') on a path
+    the same plan lazily READS either throws mid-job or tears the
+    artifact (writes run sequentially, so a failure between tables
+    leaves tonight's band_index next to last night's edges — an
+    inconsistent index with no marker protection). The nightly writes a
+    fresh dir and swaps pointers afterwards."""
+    import os
+
+    if out_index_path is not None and os.path.abspath(
+        out_index_path
+    ) == os.path.abspath(index_path):
+        raise ValueError(
+            "out_index_path must differ from index_path: rolling the "
+            "index in place overwrites parquet the same job is reading "
+            "— write a new dir and rename/swap after the job commits"
+        )
+
+
 def write_reps_index(docs: DataFrame, path: str, threshold: float = 0.6) -> None:
     """Bootstrap the persisted star index from a full corpus — one
     doc_dedup_reps-shaped pass whose intermediates land in parquet
@@ -566,6 +592,7 @@ def doc_dedup_reps_from_index(
     plus a rewrite of the index tables — each linear in corpus size,
     never in pairs.
     """
+    _guard_inplace_roll(index_path, out_index_path)
     spark = new_docs.sparkSession
     band_index = spark.read.parquet(f"{index_path}/band_index")
     old_edges = spark.read.parquet(f"{index_path}/edges")
@@ -599,7 +626,11 @@ def doc_dedup_reps_from_index(
     # (a distinct here would shuffle the int32 arrays for nothing)
     hsets = staged.select("doc_id", "hset").unionAll(rep_hsets)
     verified_new = _verify_hashed_edges(new_edges, hsets, threshold)
+    # in roll mode all_edges feeds BOTH the CC and the parquet write —
+    # localCheckpoint so the verify join executes once
     all_edges = old_edges.unionAll(verified_new).distinct()
+    if out_index_path is not None:
+        all_edges = all_edges.localCheckpoint()
     from pleiades_spark.operators.graph import connected_components_star
 
     cc = connected_components_star(all_edges, src="doc_id", dst="rep")
@@ -1849,6 +1880,7 @@ def embedding_dedup_reps_from_index(
     :func:`embedding_dedup_reps_incremental` at the same rows_bits
     (equivalence-tested); ``out_index_path`` rolls the artifact forward.
     """
+    _guard_inplace_roll(index_path, out_index_path)
     spark = new_emb.sparkSession
     rows_bits = int(
         spark.read.parquet(f"{index_path}/meta").collect()[0]["rows_bits"]
@@ -1858,7 +1890,10 @@ def embedding_dedup_reps_from_index(
     rep_vecs = spark.read.parquet(f"{index_path}/rep_vecs")
     old_ids = spark.read.parquet(f"{index_path}/vec_ids")
 
+    # cache the banded frame: the SRP plane projection is the expensive
+    # per-vector work and both new_mins and member_edges consume it
     v, banded = _srp_banded(new_emb, rows_bits)
+    banded = banded.cache()
     bkeys = ["band_idx", "band_val"]
     new_mins = banded.groupBy(*bkeys).agg(F.min("vec_id").alias("nmin"))
     touched = new_mins.join(band_index, bkeys, "left").select(
@@ -1880,7 +1915,11 @@ def embedding_dedup_reps_from_index(
     # new ids and old rep ids are disjoint by contract — no distinct
     vecs = v.select("vec_id", "v").unionAll(rep_vecs)
     verified_new = _verify_cosine_edges(new_edges, vecs, threshold)
+    # in roll mode all_edges feeds BOTH the CC and the parquet write —
+    # localCheckpoint so the verify join executes once
     all_edges = old_edges.unionAll(verified_new).distinct()
+    if out_index_path is not None:
+        all_edges = all_edges.localCheckpoint()
     from pleiades_spark.operators.graph import connected_components_star
 
     cc = connected_components_star(all_edges, src="vec_id", dst="rep")

@@ -292,9 +292,12 @@ def q_doc_dedup_reps_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
         h32(F.concat(F.lit("incr:"), F.col("doc_id").cast("string"))) % 100
         < INCR_PCT,
     )
+    # the staging key carries every constant the index CONTENT depends
+    # on (slice pct, threshold) — a retuned constant must produce a
+    # fresh tag, not silently reuse an index built under the old recipe
     idx = _staged_src(
         sf_dir,
-        "reps_idx",
+        f"reps_idx_p{INCR_PCT}_t{JACCARD_THRESHOLD}",
         lambda tmp: write_reps_index(
             docs.filter(~F.col("is_new")).drop("is_new"),
             tmp,
@@ -1595,9 +1598,11 @@ def q_dedup_embedding_reps_persisted(spark: SparkSession, sf_dir: str) -> DataFr
     )
     n = emb.count()
     rows_bits = SRP_ROWS if n <= 1024 else max(SRP_ROWS, (n // 4).bit_length())
+    # key carries the recipe constants (slice pct, threshold, geometry)
+    # so a retune can never silently reuse a stale index
     idx = _staged_src(
         sf_dir,
-        "emb_reps_idx",
+        f"emb_reps_idx_p{INCR_PCT}_t{COSINE_DUP_THRESHOLD}_r{rows_bits}",
         lambda tmp: write_emb_reps_index(
             emb.filter(~F.col("is_new")).drop("is_new"),
             tmp,

@@ -33,6 +33,7 @@ from pleiades_spark.streaming.pipeline import (
     stream_stream_user_join,
 )
 from pleiades_spark.streaming.stateful import (
+    N_STATE_SHARDS,
     running_user_totals_sharded,
     streaming_dedup_sharded,
 )
@@ -110,6 +111,13 @@ def _staged_src(sf_dir: str, key: str, stage_fn) -> str:
     d = os.path.join(tempfile.gettempdir(), f"pleiades_stage_{key}_{tag}")
     marker = os.path.join(d, "_STAGED_OK")
     if os.path.isfile(marker):
+        # refresh the marker so the published-dir sweep's age gate
+        # means "unused for N days", not "staged N days ago" — a hot
+        # cache reused across rounds must never be reaped mid-read
+        try:
+            os.utime(marker)
+        except OSError:
+            pass
         return d
     tmp = f"{d}.tmp{os.getpid()}"
     shutil.rmtree(tmp, ignore_errors=True)
@@ -136,19 +144,43 @@ def _staged_src(sf_dir: str, key: str, stage_fn) -> str:
     return d
 
 
-def _sweep_stale_tmp_dirs(max_age_s: float = 86400.0) -> None:
-    """Reap ``pleiades_stage_*.tmp*`` siblings older than a day — the
-    residue of runs killed before their atexit hook (SIGKILL, OOM).
-    Age gate: a live concurrent stager's tmp dir is minutes old; a
-    day-old one has no reader left."""
+def _sweep_stale_tmp_dirs(
+    max_age_s: float = 86400.0, max_published_age_s: float = 7 * 86400.0
+) -> None:
+    """Reap stale staging residue (round 12, both leak classes):
+
+    - ``pleiades_stage_*.tmp*`` siblings older than a day — runs killed
+      before their atexit hook (SIGKILL, OOM). A live concurrent
+      stager's tmp dir is minutes old; a day-old one has no reader.
+    - PUBLISHED ``pleiades_stage_*`` dirs whose ``_STAGED_OK`` marker is
+      older than a week — orphans left behind when the identity scheme
+      or a recipe key changes retags every fixture (the mtime→mtime_ns
+      fix did exactly that). The marker's mtime is refreshed on every
+      cache hit, so the age gate means "unused for a week", keeping a
+      hot cross-round cache safe from mid-read deletion."""
     import glob
     import time
 
-    pat = os.path.join(tempfile.gettempdir(), "pleiades_stage_*.tmp*")
     now = time.time()
-    for p in glob.glob(pat):
+    for p in glob.glob(
+        os.path.join(tempfile.gettempdir(), "pleiades_stage_*.tmp*")
+    ):
         try:
             if now - os.stat(p).st_mtime > max_age_s:
+                shutil.rmtree(p, ignore_errors=True)
+        except OSError:
+            continue
+    for p in glob.glob(
+        os.path.join(tempfile.gettempdir(), "pleiades_stage_*")
+    ):
+        if ".tmp" in os.path.basename(p):
+            continue
+        marker = os.path.join(p, "_STAGED_OK")
+        try:
+            if (
+                os.path.isfile(marker)
+                and now - os.stat(marker).st_mtime > max_published_age_s
+            ):
                 shutil.rmtree(p, ignore_errors=True)
         except OSError:
             continue
@@ -397,7 +429,7 @@ ORACLE_STATEFUL_DEDUP_HORIZON = f"""
 WITH e AS (
   SELECT event_id, ts, user_id, event_type, value,
          CAST(floor(epoch(ts) / 86400) AS BIGINT) AS day,
-         user_id % 1024 AS shard
+         user_id % {N_STATE_SHARDS} AS shard
   FROM events
 ), m AS (
   SELECT shard, max(day) AS max_day FROM e GROUP BY shard

@@ -246,24 +246,31 @@ def _dedup_bounded(horizon_days: int):
         ids, days, max_day = state.get if state.exists else ((), (), None)
         seen = dict(zip(ids, days))
         max_day = -(10**9) if max_day is None else int(max_day)
-        for pdf in pdfs:
-            if not len(pdf):
-                continue
-            max_day = max(max_day, int(pdf["_day"].max()))
-            floor = max_day - horizon_days
-            seen = {i: d for i, d in seen.items() if d >= floor}
-            fresh = pdf[~pdf["event_id"].isin(seen.keys())]
-            fresh = fresh.drop_duplicates(subset=["event_id"], keep="first")
-            for i, d in zip(
-                fresh["event_id"].to_numpy(), fresh["_day"].to_numpy()
-            ):
-                seen[int(i)] = int(d)
-            if len(fresh):
-                yield fresh[
-                    ["event_id", "ts", "user_id", "event_type", "value"]
-                ]
+        # materialize the WHOLE micro-batch before computing the floor:
+        # per-Arrow-chunk max_day would make the prune (and therefore
+        # which re-deliveries pass) depend on chunk order, an internal
+        # nondeterministic detail, whenever one batch both advances
+        # max_day and re-delivers an id near the old floor (code-review
+        # round 12; the _running_totals_sharded precedent)
+        parts = [p for p in pdfs if len(p)]
+        if not parts:
+            order = sorted(seen)
+            state.update((order, [seen[i] for i in order], max_day))
+            return
+        batch = pd.concat(parts) if len(parts) > 1 else parts[0]
+        max_day = max(max_day, int(batch["_day"].max()))
+        floor = max_day - horizon_days
+        seen = {i: d for i, d in seen.items() if d >= floor}
+        fresh = batch[~batch["event_id"].isin(seen.keys())]
+        fresh = fresh.drop_duplicates(subset=["event_id"], keep="first")
+        for i, d in zip(
+            fresh["event_id"].to_numpy(), fresh["_day"].to_numpy()
+        ):
+            seen[int(i)] = int(d)
         order = sorted(seen)
         state.update((order, [seen[i] for i in order], max_day))
+        if len(fresh):
+            yield fresh[["event_id", "ts", "user_id", "event_type", "value"]]
 
     return fn
 
@@ -292,29 +299,24 @@ def streaming_dedup_sharded(
     from pyspark.sql import functions as F
 
     if horizon_days is None:
-        return (
-            events.withColumn(
-                "_shard", F.pmod(F.col("user_id"), F.lit(n_shards))
-            )
-            .groupBy("_shard")
-            .applyInPandasWithState(
-                _dedup,
-                outputStructType=DEDUP_SCHEMA,
-                stateStructType=DEDUP_STATE_SCHEMA,
-                outputMode="append",
-                timeoutConf=GroupStateTimeout.NoTimeout,
-            )
+        fn, state_schema = _dedup, DEDUP_STATE_SCHEMA
+    else:
+        fn, state_schema = (
+            _dedup_bounded(horizon_days),
+            DEDUP_STATE_SCHEMA_BOUNDED,
+        )
+        events = events.withColumn(
+            "_day", F.floor(F.unix_timestamp("ts") / 86400).cast("int")
         )
     return (
         events.withColumn(
-            "_day", F.floor(F.unix_timestamp("ts") / 86400).cast("int")
+            "_shard", F.pmod(F.col("user_id"), F.lit(n_shards))
         )
-        .withColumn("_shard", F.pmod(F.col("user_id"), F.lit(n_shards)))
         .groupBy("_shard")
         .applyInPandasWithState(
-            _dedup_bounded(horizon_days),
+            fn,
             outputStructType=DEDUP_SCHEMA,
-            stateStructType=DEDUP_STATE_SCHEMA_BOUNDED,
+            stateStructType=state_schema,
             outputMode="append",
             timeoutConf=GroupStateTimeout.NoTimeout,
         )

@@ -1184,3 +1184,27 @@ def test_persisted_emb_reps_index_matches_in_gate_incremental(spark, tmp_path):
         members = [g * 100 + 50 + c for c in range(3)]
         reps_of_group = {got2[m] for m in members} | {got2[g * 100]}
         assert len(reps_of_group) == 1, f"group {g} split: {reps_of_group}"
+
+
+def test_from_index_refuses_in_place_roll(spark, tmp_path):
+    """Rolling the index onto its own path would overwrite parquet the
+    same job is lazily reading (torn artifact) — both from_index
+    functions must refuse before any work runs."""
+    import pytest
+
+    from pleiades_spark.operators.dedup import (
+        doc_dedup_reps_from_index,
+        embedding_dedup_reps_from_index,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "a b c", 5)], "doc_id long, text string, n_chars long"
+    )
+    emb = spark.createDataFrame(
+        [(1, [0.1] * 4)], "vec_id long, embedding array<float>"
+    )
+    idx = str(tmp_path / "same")
+    with pytest.raises(ValueError, match="in place"):
+        doc_dedup_reps_from_index(docs, idx, out_index_path=idx)
+    with pytest.raises(ValueError, match="in place"):
+        embedding_dedup_reps_from_index(emb, idx, out_index_path=idx)
