@@ -162,14 +162,13 @@ def _sweep_stale_tmp_dirs(
     import time
 
     now = time.time()
-    for p in glob.glob(
-        os.path.join(tempfile.gettempdir(), "pleiades_stage_*.tmp*")
-    ):
-        try:
-            if now - os.stat(p).st_mtime > max_age_s:
-                shutil.rmtree(p, ignore_errors=True)
-        except OSError:
-            continue
+    for pat in ("pleiades_stage_*.tmp*", "pleiades_sink_*"):
+        for p in glob.glob(os.path.join(tempfile.gettempdir(), pat)):
+            try:
+                if now - os.stat(p).st_mtime > max_age_s:
+                    shutil.rmtree(p, ignore_errors=True)
+            except OSError:
+                continue
     for p in glob.glob(
         os.path.join(tempfile.gettempdir(), "pleiades_stage_*")
     ):
@@ -305,7 +304,14 @@ def _run_stateful(
     with _rocksdb_state(spark):
         writer = op(stream).writeStream.outputMode(output_mode)
         if sink == "parquet":
-            out = tempfile.mkdtemp(prefix=f"{query_name}_out_")
+            # sweepable prefix + atexit cleanup (round 12): these sink
+            # dirs are 3+ GB each at sf100 and accumulated one per rep
+            # forever (110 leaked dirs / 6.2 GB found when the sf100
+            # probe hit ENOSPC); the frame returned below lazily READS
+            # the dir, so reclamation is deferred to process exit and a
+            # day-old sweep catches kills
+            out = tempfile.mkdtemp(prefix=f"pleiades_sink_{query_name}_")
+            atexit.register(shutil.rmtree, out, ignore_errors=True)
             q = (
                 writer.format("parquet")
                 .option("path", out)

@@ -233,12 +233,14 @@ def _dedup_bounded(horizon_days: int):
     seen, and every update prunes ids whose bucket fell below
     max_day − horizon — the production contract for an infinite stream
     (the unbounded ``_dedup`` re-serializes every id ever seen, per
-    batch, forever). Pruning runs BEFORE membership checks, so a
-    re-delivery whose original aged out passes through — the same
-    lateness contract as the built-in dropDuplicatesWithinWatermark:
-    exactly-once is guaranteed only within the horizon. max_day is
-    stored explicitly so the floor stays monotone even across a batch
-    whose every stored id gets pruned."""
+    batch, forever). The floor comes from PREVIOUS batches' max day
+    (exactly Spark's watermark lag — see the in-function note), and
+    pruning runs BEFORE membership checks, so a re-delivery whose
+    original aged out passes through — the same lateness contract as
+    the built-in dropDuplicatesWithinWatermark: exactly-once is
+    guaranteed only within the horizon. max_day is stored explicitly so
+    the floor stays monotone even across a batch whose every stored id
+    gets pruned."""
 
     def fn(
         key: tuple, pdfs: Iterable[pd.DataFrame], state: GroupState
@@ -246,31 +248,34 @@ def _dedup_bounded(horizon_days: int):
         ids, days, max_day = state.get if state.exists else ((), (), None)
         seen = dict(zip(ids, days))
         max_day = -(10**9) if max_day is None else int(max_day)
-        # materialize the WHOLE micro-batch before computing the floor:
-        # per-Arrow-chunk max_day would make the prune (and therefore
-        # which re-deliveries pass) depend on chunk order, an internal
-        # nondeterministic detail, whenever one batch both advances
-        # max_day and re-delivers an id near the old floor (code-review
-        # round 12; the _running_totals_sharded precedent)
-        parts = [p for p in pdfs if len(p)]
-        if not parts:
-            order = sorted(seen)
-            state.update((order, [seen[i] for i in order], max_day))
-            return
-        batch = pd.concat(parts) if len(parts) > 1 else parts[0]
-        max_day = max(max_day, int(batch["_day"].max()))
+        # LAGGED floor — Spark's own watermark semantics: lateness is
+        # evaluated against the max event time of PREVIOUS batches (the
+        # watermark itself always lags one batch), so the floor is fixed
+        # before the first chunk and the whole batch streams through one
+        # pipelined pass. This is both the determinism fix (a per-chunk
+        # max_day made pass-through decisions depend on Arrow chunk
+        # order — code-review round 12) and the fast shape: buffering
+        # the batch to compute an intra-batch floor measured 152–187 s
+        # vs 81 s at sf100 (list(pdfs)/concat break the receive/emit
+        # overlap between the JVM and the Python worker).
         floor = max_day - horizon_days
         seen = {i: d for i, d in seen.items() if d >= floor}
-        fresh = batch[~batch["event_id"].isin(seen.keys())]
-        fresh = fresh.drop_duplicates(subset=["event_id"], keep="first")
-        for i, d in zip(
-            fresh["event_id"].to_numpy(), fresh["_day"].to_numpy()
-        ):
-            seen[int(i)] = int(d)
+        for pdf in pdfs:
+            if not len(pdf):
+                continue
+            max_day = max(max_day, int(pdf["_day"].max()))
+            fresh = pdf[~pdf["event_id"].isin(seen.keys())]
+            fresh = fresh.drop_duplicates(subset=["event_id"], keep="first")
+            for i, d in zip(
+                fresh["event_id"].to_numpy(), fresh["_day"].to_numpy()
+            ):
+                seen[int(i)] = int(d)
+            if len(fresh):
+                yield fresh[
+                    ["event_id", "ts", "user_id", "event_type", "value"]
+                ]
         order = sorted(seen)
         state.update((order, [seen[i] for i in order], max_day))
-        if len(fresh):
-            yield fresh[["event_id", "ts", "user_id", "event_type", "value"]]
 
     return fn
 

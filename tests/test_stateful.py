@@ -273,18 +273,20 @@ def test_dedup_bounded_prunes_state_and_keeps_floor_monotone():
     # to first sighting (dropDuplicatesWithinWatermark semantics)
     assert state.get == ([1, 2, 3], [0, 0, 1], 1)
 
-    # day 10: floor = 5 → every stored id pruned BEFORE membership, so
-    # the day-0 original of id 1 aged out and its re-delivery passes
+    # day 10: the floor is LAGGED (Spark watermark semantics — lateness
+    # judged against PREVIOUS batches' max): floor = 1 − 5, so nothing
+    # is pruned yet and the re-delivery of id 1 still drops; the fresh
+    # id 4 passes and max_day advances to 10 for the NEXT batch
     out = list(fn((0,), [batch([(1, 10), (4, 10)])], state))
-    assert sorted(out[0]["event_id"]) == [1, 4]
-    assert state.get == ([1, 4], [10, 10], 10)  # bounded: 2 ids, not 4
+    assert sorted(out[0]["event_id"]) == [4]
+    assert state.get == ([1, 2, 3, 4], [0, 0, 1, 10], 10)
 
-    # an all-old batch (below the floor) must not move max_day backwards
+    # next batch: floor = 10 − 5 prunes the day-0/1 ids, so a too-late
+    # event passes through; max_day must not move backwards
     out = list(fn((0,), [batch([(9, 2)])], state))
     assert sorted(out[0]["event_id"]) == [9]  # too late to dedup: passes
-    assert state.get[2] == 10  # monotone floor
-    assert 9 not in state.get[0] or state.get[1][state.get[0].index(9)] == 2
-    # ...and it is pruned on the NEXT update (2 < 10 - 5)
+    assert state.get == ([4, 9], [10, 2], 10)  # bounded + monotone floor
+    # ...and 9 (day 2 < 10−5) is pruned on the NEXT update
     list(fn((0,), [batch([(11, 10)])], state))
     assert 9 not in state.get[0]
 
@@ -308,6 +310,7 @@ def test_streaming_dedup_sharded_horizon_e2e(spark, tmp_path):
         [
             [(1, day(0), 7, "click", 1.0), (2, day(0), 7, "view", 2.0)],
             [(2, day(1), 7, "view", 2.0), (3, day(1), 7, "click", 3.0)],
+            [(1, day(10), 7, "click", 1.0), (4, day(10), 7, "view", 4.0)],
             [(1, day(10), 7, "click", 1.0), (3, day(10), 7, "click", 3.0)],
         ],
     )
@@ -328,5 +331,7 @@ def test_streaming_dedup_sharded_horizon_e2e(spark, tmp_path):
     rows = spark.sql("SELECT event_id, ts FROM dd_bounded").collect()
     got = sorted((r.event_id, r.ts.day) for r in rows)
     # batch1: 1,2 fresh; batch2: 2 dropped (within horizon), 3 fresh;
-    # batch3 at day 10: floor=5 prunes day-0/1 ids → both re-deliveries pass
-    assert got == [(1, 1), (1, 11), (2, 1), (3, 2), (3, 11)]
+    # batch3 at day 10: LAGGED floor = 1−5 → re-delivery of 1 still
+    # drops, fresh 4 passes, max_day advances to 10; batch4: floor =
+    # 10−5 = 5 prunes the day-0/1 originals → both re-deliveries pass
+    assert got == [(1, 1), (1, 11), (2, 1), (3, 2), (3, 11), (4, 11)]
