@@ -522,6 +522,39 @@ def doc_dedup_reps_incremental(
 # the in-gate recompute (equivalence-tested).
 
 
+def _mark_index_ok(spark, path: str) -> None:
+    """Write the ``_INDEX_OK`` completion marker as the LAST step of an
+    index bootstrap/roll (ADVICE r12): the 4-5 index tables are written
+    sequentially, so a crash mid-write leaves a partial artifact (e.g.
+    band_index present, rep_hsets missing) that a later nightly would
+    only discover via a confusing read error. The marker makes torn
+    indexes an explicit, early rejection — the same ``_STAGED_OK``
+    discipline plans/streaming_batch._staged_src uses. Hadoop FS API so
+    it works on HDFS/S3A, not just local paths."""
+    jvm = spark._jvm
+    p = jvm.org.apache.hadoop.fs.Path(f"{path}/_INDEX_OK")
+    fs = p.getFileSystem(spark._jsc.hadoopConfiguration())
+    fs.create(p, True).close()
+
+
+def _check_index_ok(spark, path: str, op: str) -> None:
+    """Reject an index dir without the completion marker before any table
+    is read — torn (crashed mid-roll) and pre-marker-vintage artifacts
+    fail fast with the rebuild instruction instead of a missing-path
+    error halfway through the nightly."""
+    jvm = spark._jvm
+    p = jvm.org.apache.hadoop.fs.Path(f"{path}/_INDEX_OK")
+    fs = p.getFileSystem(spark._jsc.hadoopConfiguration())
+    if not fs.exists(p):
+        raise ValueError(
+            f"{op}: no _INDEX_OK marker under {path!r} — the index "
+            "bootstrap/roll that wrote it did not complete (torn "
+            "artifact), or it predates the marker discipline. Rebuild "
+            "with write_reps_index / write_emb_reps_index, or re-roll "
+            "from the last good index."
+        )
+
+
 def _guard_inplace_roll(index_path: str, out_index_path: str | None) -> None:
     """Refuse out_index_path == index_path: mode('overwrite') on a path
     the same plan lazily READS either throws mid-job or tears the
@@ -571,6 +604,7 @@ def write_reps_index(docs: DataFrame, path: str, threshold: float = 0.6) -> None
     )
     staged.select("doc_id").write.mode("overwrite").parquet(f"{path}/doc_ids")
     staged.unpersist()
+    _mark_index_ok(docs.sparkSession, path)
 
 
 def doc_dedup_reps_from_index(
@@ -578,6 +612,7 @@ def doc_dedup_reps_from_index(
     index_path: str,
     threshold: float = 0.6,
     out_index_path: str | None = None,
+    pre_staged: bool = False,
 ) -> DataFrame:
     """The production nightly: (doc_id, rep_id) for old ∪ new docs, where
     tonight's work is O(increment) — old docs are never re-staged,
@@ -591,15 +626,31 @@ def doc_dedup_reps_from_index(
     (tomorrow's band_index/edges/rep_hsets/doc_ids), itself O(increment)
     plus a rewrite of the index tables — each linear in corpus size,
     never in pairs.
+
+    ``pre_staged=True`` means ``new_docs`` is ALREADY the staged
+    (doc_id, sig, hset) frame — the streaming-ingest contract (round
+    13): a continuous stream stages arriving docs inside foreachBatch
+    (stream_doc_reps_batch) and lands them in an inbox; the nightly
+    finalize consumes the inbox without re-shingling. Staging is a pure
+    deterministic function of the text, so the result is bit-identical
+    to staging here.
     """
     _guard_inplace_roll(index_path, out_index_path)
     spark = new_docs.sparkSession
+    _check_index_ok(spark, index_path, "doc_dedup_reps_from_index")
     band_index = spark.read.parquet(f"{index_path}/band_index")
     old_edges = spark.read.parquet(f"{index_path}/edges")
     rep_hsets = spark.read.parquet(f"{index_path}/rep_hsets")
     old_ids = spark.read.parquet(f"{index_path}/doc_ids")
 
-    staged = _staged_minhash(new_docs).cache()
+    # localCheckpoint, not cache (ADVICE r12): the staged blocks free
+    # when the returned frame is GC'd instead of accumulating executor
+    # storage across a long-lived session's nightly invocations
+    staged = (
+        new_docs.select("doc_id", "sig", "hset")
+        if pre_staged
+        else _staged_minhash(new_docs)
+    ).localCheckpoint()
     nbands = staged.select(
         "doc_id",
         F.posexplode(band_keys(F.col("sig"))).alias("band_idx", "band_key"),
@@ -660,6 +711,7 @@ def doc_dedup_reps_from_index(
             .parquet(f"{out_index_path}/rep_hsets")
         )
         all_ids.write.mode("overwrite").parquet(f"{out_index_path}/doc_ids")
+        _mark_index_ok(spark, out_index_path)
     return result
 
 
@@ -1834,6 +1886,7 @@ def write_emb_reps_index(
         .parquet(f"{path}/rep_vecs")
     )
     v.select("vec_id").write.mode("overwrite").parquet(f"{path}/vec_ids")
+    _mark_index_ok(emb.sparkSession, path)
 
 
 def _verify_cosine_edges(
@@ -1882,6 +1935,7 @@ def embedding_dedup_reps_from_index(
     """
     _guard_inplace_roll(index_path, out_index_path)
     spark = new_emb.sparkSession
+    _check_index_ok(spark, index_path, "embedding_dedup_reps_from_index")
     rows_bits = int(
         spark.read.parquet(f"{index_path}/meta").collect()[0]["rows_bits"]
     )
@@ -1890,10 +1944,13 @@ def embedding_dedup_reps_from_index(
     rep_vecs = spark.read.parquet(f"{index_path}/rep_vecs")
     old_ids = spark.read.parquet(f"{index_path}/vec_ids")
 
-    # cache the banded frame: the SRP plane projection is the expensive
-    # per-vector work and both new_mins and member_edges consume it
+    # localCheckpoint the banded frame (ADVICE r12 — was cache with no
+    # unpersist): the SRP plane projection is the expensive per-vector
+    # work and both new_mins and member_edges consume it; checkpoint
+    # blocks free when the result frame is GC'd instead of accumulating
+    # executor storage across a long session's nightlies
     v, banded = _srp_banded(new_emb, rows_bits)
-    banded = banded.cache()
+    banded = banded.localCheckpoint()
     bkeys = ["band_idx", "band_val"]
     new_mins = banded.groupBy(*bkeys).agg(F.min("vec_id").alias("nmin"))
     touched = new_mins.join(band_index, bkeys, "left").select(
@@ -1954,6 +2011,7 @@ def embedding_dedup_reps_from_index(
             .parquet(f"{out_index_path}/rep_vecs")
         )
         all_ids.write.mode("overwrite").parquet(f"{out_index_path}/vec_ids")
+        _mark_index_ok(spark, out_index_path)
     return result
 
 

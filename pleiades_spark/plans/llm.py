@@ -265,6 +265,45 @@ FROM documents d LEFT JOIN cl ON cl.node = d.doc_id
 """
 
 
+def _incr_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixture documents + the deterministic is_new increment slice —
+    shared by the persisted-index and streaming-reps gates so both see
+    the identical old/new split."""
+    from pleiades_spark.functions.hashing import h32
+
+    return _t(spark, sf_dir, "documents").withColumn(
+        "is_new",
+        h32(F.concat(F.lit("incr:"), F.col("doc_id").cast("string"))) % 100
+        < INCR_PCT,
+    )
+
+
+def staged_doc_reps_index(spark: SparkSession, sf_dir: str) -> str:
+    """Bootstrap (or reuse) the persisted doc star index over the OLD
+    slice, cached per fixture identity via the shared staging helper —
+    one artifact serves the persisted nightly gate AND the streaming
+    reps gates. The staging key carries every constant the index CONTENT
+    depends on (slice pct, threshold, band geometry, shingle width,
+    hash-domain version — ADVICE r12: the earlier key named only the
+    first two, so retuning LSH_BANDS/LSH_ROWS would have silently reused
+    a stale artifact and surfaced as an oracle mismatch, not a rebuild).
+    """
+    from pleiades_spark.operators.dedup import write_reps_index
+    from pleiades_spark.plans.streaming_batch import _staged_src
+
+    docs = _incr_docs(spark, sf_dir)
+    return _staged_src(
+        sf_dir,
+        f"reps_idx_p{INCR_PCT}_t{JACCARD_THRESHOLD}"
+        f"_b{LSH_BANDS}x{LSH_ROWS}s3h1",
+        lambda tmp: write_reps_index(
+            docs.filter(~F.col("is_new")).drop("is_new"),
+            tmp,
+            JACCARD_THRESHOLD,
+        ),
+    )
+
+
 def q_doc_dedup_reps_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The PRODUCTION nightly path (round 12): last night's star index —
     band-bucket mins, verified edges, rep hsets, doc ids — persisted as
@@ -280,30 +319,10 @@ def q_doc_dedup_reps_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
     staging helper (same /tmp-reuse + atomic-publish discipline as the
     streaming gates), so benchmark reps measure the INCREMENT — the
     nightly economics — not a nightly plus a rebuild."""
-    from pleiades_spark.functions.hashing import h32
-    from pleiades_spark.operators.dedup import (
-        doc_dedup_reps_from_index,
-        write_reps_index,
-    )
-    from pleiades_spark.plans.streaming_batch import _staged_src
+    from pleiades_spark.operators.dedup import doc_dedup_reps_from_index
 
-    docs = _t(spark, sf_dir, "documents").withColumn(
-        "is_new",
-        h32(F.concat(F.lit("incr:"), F.col("doc_id").cast("string"))) % 100
-        < INCR_PCT,
-    )
-    # the staging key carries every constant the index CONTENT depends
-    # on (slice pct, threshold) — a retuned constant must produce a
-    # fresh tag, not silently reuse an index built under the old recipe
-    idx = _staged_src(
-        sf_dir,
-        f"reps_idx_p{INCR_PCT}_t{JACCARD_THRESHOLD}",
-        lambda tmp: write_reps_index(
-            docs.filter(~F.col("is_new")).drop("is_new"),
-            tmp,
-            JACCARD_THRESHOLD,
-        ),
-    )
+    docs = _incr_docs(spark, sf_dir)
+    idx = staged_doc_reps_index(spark, sf_dir)
     return doc_dedup_reps_from_index(
         docs.filter(F.col("is_new")).drop("is_new"), idx, JACCARD_THRESHOLD
     )
@@ -1598,11 +1617,13 @@ def q_dedup_embedding_reps_persisted(spark: SparkSession, sf_dir: str) -> DataFr
     )
     n = emb.count()
     rows_bits = SRP_ROWS if n <= 1024 else max(SRP_ROWS, (n // 4).bit_length())
-    # key carries the recipe constants (slice pct, threshold, geometry)
-    # so a retune can never silently reuse a stale index
+    # key carries the recipe constants (slice pct, threshold, geometry,
+    # band count, frozen-plane version — ADVICE r12) so a retune can
+    # never silently reuse a stale index
     idx = _staged_src(
         sf_dir,
-        f"emb_reps_idx_p{INCR_PCT}_t{COSINE_DUP_THRESHOLD}_r{rows_bits}",
+        f"emb_reps_idx_p{INCR_PCT}_t{COSINE_DUP_THRESHOLD}_r{rows_bits}"
+        f"_b{SRP_BANDS}p1",
         lambda tmp: write_emb_reps_index(
             emb.filter(~F.col("is_new")).drop("is_new"),
             tmp,

@@ -157,18 +157,44 @@ def _sweep_stale_tmp_dirs(
       or a recipe key changes retags every fixture (the mtime→mtime_ns
       fix did exactly that). The marker's mtime is refreshed on every
       cache hit, so the age gate means "unused for a week", keeping a
-      hot cross-round cache safe from mid-read deletion."""
+      hot cross-round cache safe from mid-read deletion.
+
+    Sink dirs carry their owner PID in the name (``_p<pid>_``) since
+    round 13 (ADVICE r12: the pure age gate could reap a >24h-old sink a
+    live process still lazily reads): a sink whose owner is ALIVE is
+    never touched regardless of age; one whose owner is dead is reaped
+    immediately (its atexit hook never ran — SIGKILL/OOM). Legacy
+    pid-less names keep the age gate."""
     import glob
+    import re
     import time
 
+    def _pid_alive(pid: int) -> bool:
+        try:
+            os.kill(pid, 0)
+        except ProcessLookupError:
+            return False
+        except PermissionError:
+            return True
+        return True
+
     now = time.time()
-    for pat in ("pleiades_stage_*.tmp*", "pleiades_sink_*"):
-        for p in glob.glob(os.path.join(tempfile.gettempdir(), pat)):
-            try:
-                if now - os.stat(p).st_mtime > max_age_s:
+    for p in glob.glob(os.path.join(tempfile.gettempdir(), "pleiades_stage_*.tmp*")):
+        try:
+            if now - os.stat(p).st_mtime > max_age_s:
+                shutil.rmtree(p, ignore_errors=True)
+        except OSError:
+            continue
+    for p in glob.glob(os.path.join(tempfile.gettempdir(), "pleiades_sink_*")):
+        m = re.search(r"_p(\d+)_", os.path.basename(p))
+        try:
+            if m is not None:
+                if not _pid_alive(int(m.group(1))):
                     shutil.rmtree(p, ignore_errors=True)
-            except OSError:
-                continue
+            elif now - os.stat(p).st_mtime > max_age_s:
+                shutil.rmtree(p, ignore_errors=True)
+        except OSError:
+            continue
     for p in glob.glob(
         os.path.join(tempfile.gettempdir(), "pleiades_stage_*")
     ):
@@ -310,7 +336,9 @@ def _run_stateful(
             # probe hit ENOSPC); the frame returned below lazily READS
             # the dir, so reclamation is deferred to process exit and a
             # day-old sweep catches kills
-            out = tempfile.mkdtemp(prefix=f"pleiades_sink_{query_name}_")
+            out = tempfile.mkdtemp(
+                prefix=f"pleiades_sink_{query_name}_p{os.getpid()}_"
+            )
             atexit.register(shutil.rmtree, out, ignore_errors=True)
             q = (
                 writer.format("parquet")
@@ -609,7 +637,8 @@ def q_counters_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
     apply_runtime_confs(spark)
     src = _staged_src(sf_dir, "day_full",
                       lambda d: _stage_day_split(spark, sf_dir, d))
-    out = tempfile.mkdtemp(prefix="ctr_reconcile_out_")
+    out = tempfile.mkdtemp(prefix=f"pleiades_sink_ctr_reconcile_p{os.getpid()}_")
+    atexit.register(shutil.rmtree, out, ignore_errors=True)
     # repartition before the parse/explode — single-file micro-batch
     # would otherwise run it single-threaded (54.3 → 27.4 s at sf10;
     # see q_streaming_counters_append's note)
@@ -804,7 +833,10 @@ def q_streaming_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     # with events (~0.7/event), so the memory sink's driver
     # materialization is tens of millions of rows at sf100 — the same
     # OOM class _run_stateful's parquet-sink rationale documents
-    out_dir = tempfile.mkdtemp(prefix="sessions_gate_out_")
+    out_dir = tempfile.mkdtemp(
+        prefix=f"pleiades_sink_sessions_p{os.getpid()}_"
+    )
+    atexit.register(shutil.rmtree, out_dir, ignore_errors=True)
     with _rocksdb_state(spark):
         q = (
             sess.writeStream.outputMode("append")
