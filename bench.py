@@ -218,6 +218,11 @@ HEADLINE = [
     "dedup_embedding_reps_incr",
     "dedup_embedding_reps_persisted",
     "stateful_dedup_horizon",
+    # round 13: streaming reps assignment against the persisted star
+    # index (linear-in-stream-volume twin of the batch nightly) + the
+    # per-arrival probe grain
+    "streaming_doc_reps",
+    "streaming_doc_reps_probe",
 ]
 
 # Queries whose min-of-2 is still warmup-contaminated, measured min-of-3:
@@ -246,6 +251,9 @@ MIN_OF_3 = {
     "stateful_dedup_horizon",
     "doc_dedup_reps_persisted",
     "dedup_embedding_reps_persisted",
+    # round 13: first rep pays doc staging + index bootstrap
+    "streaming_doc_reps",
+    "streaming_doc_reps_probe",
 }
 
 

@@ -932,6 +932,136 @@ def _oracle_streaming_lsh_dedup() -> str:
     return ORACLE_DEDUP_MINHASH
 
 
+def _doc_reps_stream_setup(spark: SparkSession, sf_dir: str):
+    """Shared setup for the streaming-reps gates (round 13): the
+    persisted star index bootstrapped over the OLD slice (the SAME
+    cached artifact doc_dedup_reps_persisted uses — one bootstrap
+    serves all three gates) and the NEW slice staged as two micro-batch
+    files split even/odd by doc_id, so near-dup partners deliberately
+    straddle the batch boundary."""
+    from pleiades_spark.plans.llm import _incr_docs, staged_doc_reps_index
+
+    apply_runtime_confs(spark)
+    idx = staged_doc_reps_index(spark, sf_dir)
+    new = _incr_docs(spark, sf_dir).filter(F.col("is_new")).drop("is_new")
+    src = _staged_src(
+        sf_dir,
+        "docs_new_split",
+        lambda d: _stage_parts(
+            [new.filter(F.col("doc_id") % 2 == 0),
+             new.filter(F.col("doc_id") % 2 == 1)],
+            d,
+        ),
+    )
+    stream = (
+        spark.readStream.schema(new.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    return idx, stream
+
+
+def q_streaming_doc_reps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end streaming reps contract (round 13, closing the round-12
+    verdict's top item): arriving docs are STAGED INSIDE THE STREAM
+    (foreachBatch — shingle/minhash/hset computed once per doc, landed
+    in the inbox), then the nightly finalize consumes the inbox with
+    ``pre_staged=True`` and runs the O(increment) persisted-index
+    protocol. Because staging is a pure function of the text, the final
+    (doc_id, rep_id) output is BIT-IDENTICAL to
+    doc_dedup_reps_from_index on the raw slice — this gate shares
+    ORACLE_DOC_DEDUP_REPS_INCR with the batch nightly, and what it adds
+    is end-to-end coverage of the streaming ingest path: two real
+    micro-batches, cross-batch inbox accumulation, per-arrival probe
+    output exercised by the twin probe gate."""
+    from pleiades_spark.operators.dedup import doc_dedup_reps_from_index
+    from pleiades_spark.plans.llm import JACCARD_THRESHOLD
+    from pleiades_spark.streaming.pipeline import run_doc_reps_stream
+
+    idx, stream = _doc_reps_stream_setup(spark, sf_dir)
+    inbox, _assign = run_doc_reps_stream(spark, stream, idx, JACCARD_THRESHOLD)
+    return doc_dedup_reps_from_index(
+        spark.read.parquet(inbox), idx, JACCARD_THRESHOLD, pre_staged=True
+    )
+
+
+def _oracle_streaming_doc_reps() -> str:
+    from pleiades_spark.plans.llm import ORACLE_DOC_DEDUP_REPS_INCR
+
+    return ORACLE_DOC_DEDUP_REPS_INCR
+
+
+def q_streaming_doc_reps_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PER-ARRIVAL serving contract of the streaming reps pipeline:
+    one provisional (doc_id, rep_id) per streamed doc, emitted by the
+    stream-static probe of the persisted band_index + rep_hsets
+    (streaming/pipeline.stream_doc_reps_batch steps 3-5). Assignment =
+    min VERIFIED persisted bucket-rep, else self — a pure per-doc
+    function of (text, static index), so it is independent of
+    micro-batch boundaries and the oracle replays it exactly. New-new
+    merges are deferred to the nightly finalize (the streaming_doc_reps
+    gate); this grain is what an online ingest consumer sees between
+    nightlies."""
+    from pleiades_spark.plans.llm import JACCARD_THRESHOLD
+    from pleiades_spark.streaming.pipeline import run_doc_reps_stream
+
+    idx, stream = _doc_reps_stream_setup(spark, sf_dir)
+    _inbox, assign = run_doc_reps_stream(spark, stream, idx, JACCARD_THRESHOLD)
+    return spark.read.parquet(assign).select("doc_id", "rep_id")
+
+
+def _oracle_streaming_doc_reps_probe() -> str:
+    from pleiades_spark.functions.hashing import LSH_ROWS, h32_sql
+    from pleiades_spark.functions.text import word_shingles_sql
+    from pleiades_spark.plans.llm import (
+        _BANDS_RANGE_SQL,
+        _SIG_SQL,
+        INCR_PCT,
+        JACCARD_THRESHOLD,
+    )
+
+    return f"""
+WITH sh AS (
+  SELECT doc_id,
+         {h32_sql("concat('incr:', CAST(doc_id AS VARCHAR))")} % 100
+           < {INCR_PCT} AS is_new,
+         {word_shingles_sql('text')} AS sh
+  FROM documents
+), hashed AS (
+  SELECT doc_id, is_new, list_transform(sh, s -> {h32_sql('s')}) AS hs FROM sh
+), sig AS (
+  SELECT doc_id, is_new, {_SIG_SQL} AS sig,
+         list_distinct(list_transform(hs, h -> CAST(h - 2147483648 AS INTEGER)))
+           AS hset
+  FROM hashed
+), bands AS (
+  SELECT doc_id, is_new, band_idx,
+         array_to_string(sig[band_idx*{LSH_ROWS}+1 : band_idx*{LSH_ROWS}+{LSH_ROWS}], '-') AS band_key
+  FROM sig, {_BANDS_RANGE_SQL}
+), oreps AS (
+  SELECT band_idx, band_key, min(doc_id) AS orep
+  FROM bands WHERE NOT is_new GROUP BY band_idx, band_key
+), cand AS (
+  SELECT DISTINCT b.doc_id, o.orep
+  FROM bands b JOIN oreps o
+    ON b.band_idx = o.band_idx AND b.band_key = o.band_key
+  WHERE b.is_new
+), ver AS (
+  SELECT doc_id, orep FROM (
+    SELECT c.doc_id, c.orep,
+           round(len(list_intersect(a.hset, b.hset)) * 1.0
+                 / (len(a.hset) + len(b.hset)
+                    - len(list_intersect(a.hset, b.hset))), 6) AS jaccard
+    FROM cand c JOIN sig a ON a.doc_id = c.doc_id
+                JOIN sig b ON b.doc_id = c.orep
+  ) WHERE jaccard >= {JACCARD_THRESHOLD}
+)
+SELECT s.doc_id, CAST(coalesce(min(v.orep), s.doc_id) AS BIGINT) AS rep_id
+FROM sig s LEFT JOIN ver v ON v.doc_id = s.doc_id
+WHERE s.is_new GROUP BY s.doc_id
+"""
+
+
 def q_streaming_ab_welch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The A/B readout as a CONTINUOUS pipeline: the six Welch arm
     moments (counts, Σcents, Σcents² per arm) are a commutative monoid,
@@ -997,6 +1127,12 @@ QUERIES = [
     Query("streaming_lsh_dedup", q_streaming_lsh_dedup,
           _oracle_streaming_lsh_dedup(),
           "streaming near-dedup vs static LSH index = batch pairs (2 batches)"),
+    Query("streaming_doc_reps", q_streaming_doc_reps,
+          _oracle_streaming_doc_reps(),
+          "stream-staged inbox + persisted-index finalize == batch nightly"),
+    Query("streaming_doc_reps_probe", q_streaming_doc_reps_probe,
+          _oracle_streaming_doc_reps_probe(),
+          "per-arrival provisional rep via stream-static band_index probe"),
     Query("streaming_counters", q_streaming_counters, ORACLE_STREAMING_COUNTERS,
           "real Structured Streaming run: file source → window agg → memory sink"),
     Query("streaming_counters_append", q_streaming_counters_append,

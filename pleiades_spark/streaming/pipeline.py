@@ -215,6 +215,137 @@ def lsh_dedup_stream(
     )
 
 
+def stream_doc_reps_batch(
+    batch: DataFrame,
+    index_path: str,
+    inbox_path: str,
+    assign_path: str,
+    threshold: float = 0.6,
+) -> None:
+    """One micro-batch of STREAMING reps assignment against the persisted
+    star index (round 13 — the streaming twin of the linear-output reps
+    contract). lsh_dedup_stream emits the PAIR grain, whose state and
+    output are Θ(Σ multiplicity²) on template-heavy streams — exactly
+    the wall the batch side engineered out with doc_dedup_reps. This
+    operator is linear in stream volume: each arriving doc costs one
+    staging projection + LSH_BANDS band probes + at most LSH_BANDS
+    verified edges, and emits exactly ONE (doc_id, rep_id) row.
+
+    Per batch (all work batch-DataFrame side, full API — the foreachBatch
+    production-sink shape, like the counters merge):
+      1. stage (doc_id, sig, hset) via the SAME deterministic minhash
+         staging the batch nightly uses (_staged_minhash — repartition
+         runs BEFORE hashing, so a one-file micro-batch never hashes
+         single-threaded: the CLAUDE.md file-source invariant);
+      2. append the staged rows to the INBOX — the nightly finalize
+         (doc_dedup_reps_from_index(pre_staged=True)) consumes them
+         without re-shingling, so the stream pays the expensive text
+         work exactly once;
+      3. probe the static band_index on (band_idx, band_key) — a
+         stream-static equi-join that shuffles 16-byte keys, never
+         text; candidate rep = the bucket's persisted orep;
+      4. verify each (doc, orep) edge by exact hashed-shingle Jaccard
+         against rep_hsets (the only old hsets a probe can need);
+      5. emit the PROVISIONAL assignment — min verified orep, else the
+         doc itself — one row per arriving doc, append-only.
+
+    Provisional vs final: the probe sees only the PERSISTED index, so
+    two new docs that share a brand-new bucket (no orep yet) each keep
+    themselves until the nightly finalize's CC merges them — the same
+    deferred-merge semantics as the reference aggregate personality's
+    continuous increments reconciled by batch recompute
+    (pkg/aggregator/kafka/aggregator.go:159-204; the kappa pattern
+    counters_reconcile gates). The assignment is a pure per-doc function
+    of (doc text, static index) — independent of micro-batch boundaries,
+    so the gate oracle replays it exactly.
+
+    At 100 TB: band_index should be written bucketed by (band_idx,
+    band_key) so the per-batch probe join co-partitions without a
+    full index shuffle; rep_hsets likewise by doc_id. Both tables are
+    linear in corpus size and shared read-only across executors.
+    """
+    if batch.isEmpty():
+        return
+    from pleiades_spark.operators.dedup import (
+        _staged_minhash,
+        _verify_hashed_edges,
+        band_keys,
+    )
+
+    spark = batch.sparkSession  # the CLONED session — confs must go here
+    apply_runtime_confs(spark)
+    # localCheckpoint: staged feeds the inbox write AND the probe; the
+    # blocks free at batch end (GC), never accumulating across batches
+    staged = _staged_minhash(batch).localCheckpoint()
+    staged.write.mode("append").parquet(inbox_path)
+    band_index = spark.read.parquet(f"{index_path}/band_index")
+    rep_hsets = spark.read.parquet(f"{index_path}/rep_hsets")
+    bands = staged.select(
+        "doc_id",
+        F.posexplode(band_keys(F.col("sig"))).alias("band_idx", "band_key"),
+    )
+    cand = (
+        bands.join(band_index, ["band_idx", "band_key"])
+        .select("doc_id", F.col("orep").alias("rep"))
+        .distinct()
+    )
+    hsets = staged.select("doc_id", "hset").unionAll(rep_hsets)
+    verified = _verify_hashed_edges(cand, hsets, threshold)
+    assigns = (
+        staged.select("doc_id")
+        .join(
+            verified.groupBy("doc_id").agg(F.min("rep").alias("hit")),
+            "doc_id",
+            "left",
+        )
+        .select("doc_id", F.coalesce(F.col("hit"), F.col("doc_id")).alias("rep_id"))
+    )
+    assigns.write.mode("append").parquet(assign_path)
+
+
+def run_doc_reps_stream(
+    spark: SparkSession,
+    stream_docs: DataFrame,
+    index_path: str,
+    threshold: float = 0.6,
+    work_dir: str | None = None,
+) -> tuple[str, str]:
+    """Drive the streaming reps assignment over a bounded source to
+    completion; returns ``(inbox_path, assign_path)``. The inbox is the
+    nightly finalize's input (doc_dedup_reps_from_index with
+    ``pre_staged=True``), the assign dir holds one provisional
+    (doc_id, rep_id) row per streamed doc."""
+    import atexit
+    import os
+    import shutil
+    import tempfile
+
+    from pleiades_spark.operators.dedup import _check_index_ok
+
+    _check_index_ok(spark, index_path, "run_doc_reps_stream")
+    if work_dir is None:
+        work_dir = tempfile.mkdtemp(
+            prefix=f"pleiades_sink_docreps_p{os.getpid()}_"
+        )
+        atexit.register(shutil.rmtree, work_dir, ignore_errors=True)
+    inbox, assign = f"{work_dir}/inbox", f"{work_dir}/assign"
+    q = (
+        stream_docs.writeStream.foreachBatch(
+            lambda b, _eid: stream_doc_reps_batch(
+                b, index_path, inbox, assign, threshold
+            )
+        )
+        .option("checkpointLocation", f"{work_dir}/ckpt")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+        q.awaitTermination()
+    return inbox, assign
+
+
 def counters_stream(events: DataFrame, watermark: str = DEFAULT_WATERMARK) -> DataFrame:
     """The standing aggregation: 1-day tumbling event-time window × counter.
 

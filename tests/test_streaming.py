@@ -419,3 +419,86 @@ def test_streaming_ab_welch_converges_to_batch(spark, sf_dir):
     mem = spark.table("sab_welch_gate")
     per_type = mem.groupBy("event_type").count().collect()
     assert max(r["count"] for r in per_type) >= 2
+
+
+def test_stream_doc_reps_cross_batch(spark, tmp_path):
+    """Round-13 streaming reps contract, cross-batch:
+    (a) the stream-staged inbox + pre_staged finalize is BIT-IDENTICAL
+        to the batch nightly (doc_dedup_reps_from_index on the raw
+        slice) — staging in foreachBatch loses nothing;
+    (b) the per-arrival probe assigns each new doc to a VERIFIED
+        persisted bucket-rep (group members land on the old group min)
+        and defers new-new merges — docs 777/778 are near-dups of each
+        other only, arrive in DIFFERENT micro-batches, probe to
+        themselves, and the finalize's CC merges them."""
+    import os
+
+    from pleiades_spark.operators.dedup import (
+        doc_dedup_reps_from_index,
+        write_reps_index,
+    )
+    from pleiades_spark.plans.streaming_batch import _stage_parts
+    from pleiades_spark.streaming.pipeline import run_doc_reps_stream
+
+    rows = []
+    for g in range(4):
+        base = " ".join(f"g{g}w{i}" for i in range(80))
+        for c in range(8):
+            text = f"{base} t{g}x{c}"
+            rows.append((g * 100 + c, text))
+    for i in range(40):
+        rows.append((10_000 + i, " ".join(f"u{i}v{j}" for j in range(60))))
+    nn = " ".join(f"nn{j}" for j in range(80))
+    rows.append((777, nn + " a1"))
+    rows.append((778, nn + " a2"))
+    docs = spark.createDataFrame(
+        [(i, t, len(t)) for i, t in rows],
+        "doc_id long, text string, n_chars long",
+    )
+    is_new = (F.col("doc_id") % 2 == 0) | (F.col("doc_id") == 777)
+    old = docs.filter(~is_new)
+    new_raw = docs.filter(is_new)
+
+    idx = str(tmp_path / "idx")
+    write_reps_index(old, idx, 0.6)
+
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    # batch 1 = odd ids (777 alone), batch 2 = even ids (778 among them)
+    _stage_parts(
+        [new_raw.filter(F.col("doc_id") % 2 == 1),
+         new_raw.filter(F.col("doc_id") % 2 == 0)],
+        src,
+    )
+    stream = (
+        spark.readStream.schema(new_raw.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    inbox, assign = run_doc_reps_stream(
+        spark, stream, idx, 0.6, work_dir=str(tmp_path / "work")
+    )
+
+    probe = {r.doc_id: r.rep_id
+             for r in spark.read.parquet(assign).collect()}
+    n_new = new_raw.count()
+    assert len(probe) == n_new  # one provisional row per arriving doc
+    # group members probe to the OLD group min (odd ids: g*100+1)
+    for g in range(4):
+        for c in range(0, 8, 2):
+            assert probe[g * 100 + c] == g * 100 + 1
+    # the cross-batch new-new pair probes to SELF (no persisted partner)
+    assert probe[777] == 777 and probe[778] == 778
+
+    final = {
+        r.doc_id: r.rep_id
+        for r in doc_dedup_reps_from_index(
+            spark.read.parquet(inbox), idx, 0.6, pre_staged=True
+        ).collect()
+    }
+    expected = {
+        r.doc_id: r.rep_id
+        for r in doc_dedup_reps_from_index(new_raw, idx, 0.6).collect()
+    }
+    assert final == expected  # stream-staged == batch nightly, bit-equal
+    assert final[777] == final[778]  # deferred merge happened in finalize
