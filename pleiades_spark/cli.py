@@ -84,6 +84,87 @@ def cmd_corpus(args: argparse.Namespace) -> int:
     return 0
 
 
+def cmd_dedup_nightly(args: argparse.Namespace) -> int:
+    """The nightly-dedup personality (round 13): the persisted star
+    index's whole lifecycle — bootstrap, O(increment) nightly run +
+    roll-forward, and small-file compaction — as one CLI verb, so a
+    production nightly is a cron line, not a Python session. Three
+    mutually exclusive modes:
+
+        # night 0: bootstrap the index from the full corpus
+        dedup-nightly --modality doc --bootstrap --in corpus.parquet \\
+                      --index idx_n0
+
+        # night N: assign old ∪ new, roll the index forward
+        dedup-nightly --modality doc --in tonight.parquet --index idx_n0 \\
+                      --roll idx_n1 [--out assignments.parquet]
+
+        # periodically: compact the artifact's small files
+        dedup-nightly --modality doc --compact --index idx_n7 \\
+                      --roll idx_n7c [--target-mb 128]
+
+    --modality doc expects (doc_id, text) parquet; embedding expects
+    (vec_id, embedding). Prints one JSON stats line (the cmd_corpus
+    convention). Roll targets must be NEW directories — in-place rolls
+    are refused by the library (torn-artifact guard); swap pointers
+    (symlink/rename) after the job exits 0.
+    """
+    import json
+
+    from pleiades_spark.operators import dedup as D
+    from pleiades_spark.session import get_spark
+
+    is_doc = args.modality == "doc"
+    threshold = args.threshold if args.threshold is not None else (
+        0.6 if is_doc else 0.45
+    )
+    if args.compact and not args.roll:
+        raise SystemExit("--compact needs --roll (the compacted index dir)")
+    if not args.compact and not args.infile:
+        raise SystemExit("bootstrap/nightly modes need --in")
+    spark = get_spark("pleiades_dedup_nightly")
+    stats: dict = {"modality": args.modality, "mode": "nightly"}
+    if args.compact:
+        written = D.compact_reps_index(
+            spark, args.index, args.roll,
+            target_bytes=args.target_mb * 1024 * 1024,
+        )
+        stats.update(mode="compact", files=written)
+    elif args.bootstrap:
+        new = spark.read.parquet(args.infile)
+        if is_doc:
+            D.write_reps_index(new, args.index, threshold)
+            n = spark.read.parquet(f"{args.index}/doc_ids").count()
+        else:
+            D.write_emb_reps_index(new, args.index, threshold)
+            n = spark.read.parquet(f"{args.index}/vec_ids").count()
+        stats.update(mode="bootstrap", n_ids=n, index=args.index)
+    else:
+        new = spark.read.parquet(args.infile)
+        fn = (
+            D.doc_dedup_reps_from_index
+            if is_doc
+            else D.embedding_dedup_reps_from_index
+        )
+        assigns = fn(new, args.index, threshold,
+                     out_index_path=args.roll)
+        if args.out:
+            assigns.write.mode("overwrite").parquet(args.out)
+            assigns = spark.read.parquet(args.out)
+        from pyspark.sql import functions as F
+
+        row = assigns.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.count_distinct(F.col("rep_id")).alias("n_clusters"),
+        ).collect()[0]
+        stats.update(
+            n_ids=row["n"], n_clusters=row["n_clusters"],
+            rolled_to=args.roll, out=args.out,
+        )
+    print(json.dumps(stats))
+    return 0
+
+
 def cmd_explain(args: argparse.Namespace) -> int:
     """Print the optimized physical plan of a registered gate query —
     the plan-audit loop (`.explain("formatted")`) as a first-class CLI
@@ -338,6 +419,23 @@ def build_parser() -> argparse.ArgumentParser:
     cor.add_argument("--out", required=True)
     cor.add_argument("--shards", type=int, default=4)
     cor.set_defaults(fn=cmd_corpus)
+
+    dn = sub.add_parser(
+        "dedup-nightly",
+        help="persisted star-index lifecycle: bootstrap / nightly roll / compact",
+    )
+    dn.add_argument("--modality", choices=["doc", "embedding"], default="doc")
+    dn.add_argument("--index", required=True, help="existing index dir (or bootstrap target)")
+    dn.add_argument("--in", dest="infile", default=None,
+                    help="new docs/vectors parquet (nightly + bootstrap modes)")
+    dn.add_argument("--roll", default=None,
+                    help="NEW dir for the rolled/compacted index")
+    dn.add_argument("--out", default=None, help="assignments parquet output")
+    dn.add_argument("--threshold", type=float, default=None)
+    dn.add_argument("--bootstrap", action="store_true")
+    dn.add_argument("--compact", action="store_true")
+    dn.add_argument("--target-mb", type=int, default=128)
+    dn.set_defaults(fn=cmd_dedup_nightly)
 
     cp = sub.add_parser("compact", help="small-file compaction (day-partitioned)")
     cp.add_argument("--table", required=True, help="day-partitioned parquet root")

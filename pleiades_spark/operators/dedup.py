@@ -715,6 +715,58 @@ def doc_dedup_reps_from_index(
     return result
 
 
+def compact_reps_index(
+    spark,
+    index_path: str,
+    out_index_path: str,
+    target_bytes: int = 128 * 1024 * 1024,
+) -> dict[str, int]:
+    """Small-file maintenance for the persisted star indices (round 13 —
+    the N-night lifecycle item): every nightly roll rewrites each index
+    table through its final shuffle, so a table lands as
+    ``spark.sql.shuffle.partitions`` files no matter how few megabytes
+    it holds — a month of nightlies on a 32-partition session keeps
+    re-publishing 32 KB-sized files per table, the same small-file
+    class ``maintenance.compact_days`` exists for on the counters table
+    (listing + per-file-open cost dominates the scan at 100 TB).
+
+    Rewrites every table directory under ``index_path`` into
+    ``ceil(table_bytes / target_bytes)`` files (size from one
+    filesystem listing, no data read), writes the ``_INDEX_OK`` marker
+    LAST, and returns {table: n_files}. Content is untouched —
+    repartition(n) only re-buckets rows, and every consumer of the
+    artifact is order-insensitive (equality-tested). Same
+    new-dir-then-swap-pointers discipline as the roll: compacting in
+    place is refused (_guard_inplace_roll), because a reader holding
+    last night's index must never observe a half-rewritten table.
+
+    Works for BOTH modalities — the doc index's 4 tables and the
+    embedding index's 5 (meta included: 1 row → 1 file) are just the
+    subdirectories present.
+    """
+    _guard_inplace_roll(index_path, out_index_path)
+    _check_index_ok(spark, index_path, "compact_reps_index")
+    jvm = spark._jvm
+    root = jvm.org.apache.hadoop.fs.Path(index_path)
+    fs = root.getFileSystem(spark._jsc.hadoopConfiguration())
+    written: dict[str, int] = {}
+    for st in fs.listStatus(root):
+        name = st.getPath().getName()
+        if not st.isDirectory() or name.startswith(("_", ".")):
+            continue
+        size = fs.getContentSummary(st.getPath()).getLength()
+        n = max(1, -(-int(size) // int(target_bytes)))
+        (
+            spark.read.parquet(f"{index_path}/{name}")
+            .repartition(n)
+            .write.mode("overwrite")
+            .parquet(f"{out_index_path}/{name}")
+        )
+        written[name] = n
+    _mark_index_ok(spark, out_index_path)
+    return written
+
+
 # --- simhash -------------------------------------------------------------
 
 SIMHASH_BITS = 32
