@@ -260,13 +260,18 @@ def _stage_day_split(spark: SparkSession, sf_dir: str, src: str) -> None:
 
 
 @contextmanager
-def _rocksdb_state(spark: SparkSession):
+def _rocksdb_state(spark: SparkSession, est_state_bytes: float | None = None):
     """Scope the streaming state-store provider choice to one run.
 
-    ``PLEIADES_STATE_STORE=rocksdb|hdfs`` selects; results are
-    storage-identical either way (gates re-verified green on both). The
-    conf is read at query START, so set-before/restore-after bounds the
-    effect to the gate run.
+    ``PLEIADES_STATE_STORE=rocksdb|hdfs`` selects explicitly; results
+    are storage-identical either way (gates re-verified green on both).
+    When the env var is UNSET and the caller passes an
+    ``est_state_bytes`` estimate, the provider auto-selects from the
+    measured volume-vs-heap crossover
+    (streaming/pipeline.choose_state_store — round 13: streaming_sessions
+    at sf100 previously FAILED on the default HDFS provider unless the
+    operator knew to export the knob). The conf is read at query START,
+    so set-before/restore-after bounds the effect to the gate run.
 
     MEASURED (round 6, local[32], stream_stream_join min-of-2): HDFS
     10.6 s / 13.1 s / 144 s at sf0.01/sf1/sf10 vs RocksDB 10.8 / 17.5 /
@@ -278,7 +283,14 @@ def _rocksdb_state(spark: SparkSession):
     whose accumulated state exceeds executor memory — exactly the
     regime a 2-file availableNow gate can never reach.
     """
-    choice = os.environ.get("PLEIADES_STATE_STORE", "hdfs")
+    choice = os.environ.get("PLEIADES_STATE_STORE")
+    if choice is None:
+        if est_state_bytes is not None:
+            from pleiades_spark.streaming.pipeline import choose_state_store
+
+            choice = choose_state_store(spark, est_state_bytes)
+        else:
+            choice = "hdfs"
     key = "spark.sql.streaming.stateStore.providerClass"
     prev = spark.conf.get(key, None)
     if choice == "rocksdb":
@@ -837,7 +849,15 @@ def q_streaming_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
         prefix=f"pleiades_sink_sessions_p{os.getpid()}_"
     )
     atexit.register(shutil.rmtree, out_dir, ignore_errors=True)
-    with _rocksdb_state(spark):
+    # auto state-store selection from estimated session-state volume
+    # (~0.7 sessions/event measured on the fixture; the staged count is
+    # one metadata-cheap job) — at sf100 this flips to RocksDB, which
+    # previously required the operator to know the env knob or fail
+    from pleiades_spark.streaming.pipeline import SESSION_STATE_ROW_BYTES
+
+    n_events = spark.read.parquet(src).count()
+    est_state_bytes = 0.7 * n_events * SESSION_STATE_ROW_BYTES
+    with _rocksdb_state(spark, est_state_bytes=est_state_bytes):
         q = (
             sess.writeStream.outputMode("append")
             .format("parquet")

@@ -50,6 +50,43 @@ def use_rocksdb_state(spark: SparkSession) -> None:
     spark.conf.set("spark.sql.streaming.stateStore.providerClass", ROCKSDB_PROVIDER)
 
 
+# Fraction of the JVM heap the in-heap HDFS provider's state may be
+# estimated to occupy before the auto-selector flips to RocksDB.
+# Conservative on purpose: the provider keeps versioned copies of every
+# key, and the measured sf100 session-window failure happened well below
+# nominal heap occupancy once versioning + shuffle buffers are counted.
+HEAP_STATE_FRACTION = 0.15
+
+# Measured in-heap cost of one session-window state row under the HDFS
+# provider (key object + window struct + agg values + versioned-map
+# entry overhead) — the estimator constant streaming_sessions uses.
+SESSION_STATE_ROW_BYTES = 400
+
+
+def choose_state_store(spark: SparkSession, est_state_bytes: float) -> str:
+    """Auto-select the state-store provider from ESTIMATED state volume
+    (round 13, encoding the round-11/12 measurements instead of leaving
+    them as a knob the operator must know about).
+
+    MEASURED crossover (BENCH_SF100.md): the in-heap HDFSBackedStateStore
+    wins at every state volume that fits the heap — stream_stream_join
+    at sf100: HDFS 431.7 s vs RocksDB >590 s; sf0.01/sf1/sf10 all favor
+    HDFS — but FAILS OUTRIGHT when it doesn't: streaming_sessions at
+    sf100 (~70 M merging session-window rows) dies in GCLocker
+    allocation thrash at a 64 GiB heap, while RocksDB completes in
+    275.7 s. The crossover variable is per-OPERATOR state volume, never
+    the scale factor.
+
+    Decision: RocksDB iff ``est_state_bytes > HEAP_STATE_FRACTION ×
+    Runtime.maxMemory()``. A flip costs bounded slowdown (RocksDB works
+    everywhere); a miss the other way costs the job — so the threshold
+    errs toward flipping. ``PLEIADES_STATE_STORE`` still overrides both
+    ways (_rocksdb_state).
+    """
+    heap = int(spark._jvm.java.lang.Runtime.getRuntime().maxMemory())
+    return "rocksdb" if est_state_bytes > HEAP_STATE_FRACTION * heap else "hdfs"
+
+
 def events_file_stream(spark: SparkSession, path: str) -> DataFrame:
     """Streaming scan of fixture-format events parquet.
 

@@ -51,3 +51,40 @@ def test_rocksdb_state_store_runs_and_observes(spark, sf_dir, tmp_path):
         assert total == 1000
     finally:
         spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+
+
+def test_choose_state_store_both_sides_of_threshold(spark):
+    """Round-13 auto-selection guard: estimated state volume vs heap —
+    under the fraction stays on the measured-faster HDFS provider, over
+    it flips to RocksDB (the regime where HDFS fails outright at sf100,
+    BENCH_SF100.md)."""
+    from pleiades_spark.streaming.pipeline import (
+        HEAP_STATE_FRACTION,
+        choose_state_store,
+    )
+
+    heap = int(spark._jvm.java.lang.Runtime.getRuntime().maxMemory())
+    assert choose_state_store(spark, 0.5 * HEAP_STATE_FRACTION * heap) == "hdfs"
+    assert choose_state_store(spark, 2.0 * HEAP_STATE_FRACTION * heap) == "rocksdb"
+
+
+def test_auto_state_store_wiring_and_env_precedence(spark, monkeypatch):
+    from pleiades_spark.plans.streaming_batch import _rocksdb_state
+
+    key = "spark.sql.streaming.stateStore.providerClass"
+    heap = int(spark._jvm.java.lang.Runtime.getRuntime().maxMemory())
+
+    monkeypatch.delenv("PLEIADES_STATE_STORE", raising=False)
+    with _rocksdb_state(spark, est_state_bytes=heap):  # way over threshold
+        assert "RocksDB" in spark.conf.get(key)
+    assert spark.conf.get(key, None) is None  # restored after the scope
+    with _rocksdb_state(spark, est_state_bytes=1.0):  # way under
+        assert "RocksDB" not in (spark.conf.get(key, "") or "")
+
+    # the explicit knob overrides the estimate in BOTH directions
+    monkeypatch.setenv("PLEIADES_STATE_STORE", "hdfs")
+    with _rocksdb_state(spark, est_state_bytes=heap):
+        assert "RocksDB" not in (spark.conf.get(key, "") or "")
+    monkeypatch.setenv("PLEIADES_STATE_STORE", "rocksdb")
+    with _rocksdb_state(spark, est_state_bytes=1.0):
+        assert "RocksDB" in spark.conf.get(key)
