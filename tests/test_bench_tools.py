@@ -105,3 +105,46 @@ def test_gen_scale_fixture_rejects_already_scaled_input(spark, tmp_path):
     assert n == 50
     got = spark.read.parquet(str(out / "customer.parquet"))
     assert got.select("c_custkey").distinct().count() == 50
+
+
+def test_gen_scale_fixture_mutate_mode(spark):
+    """Round-13 near-dup text mode: copy 0 bit-identical, mutated copies
+    share most-but-not-all shingles (true near-dups, unlike suffix mode
+    where no shingle survives), loop and vectorized paths agree."""
+    import sys
+
+    from pyspark.sql import functions as F
+
+    sys.path.insert(0, "tools")
+    try:
+        from gen_scale_fixture import _all_copies_wide, _one_copy
+    finally:
+        sys.path.pop(0)
+
+    docs = spark.createDataFrame(
+        [(i, " ".join(f"d{i}w{j}" for j in range(120))) for i in range(6)],
+        "doc_id long, text string",
+    ).withColumn("n_chars", F.length("text").cast("long"))
+
+    loop = _one_copy(docs, "documents", 0, "mutate", 5)
+    for i in (1, 2):
+        loop = loop.unionAll(_one_copy(docs, "documents", i, "mutate", 5))
+    wide = _all_copies_wide(docs, "documents", 3, "mutate", 5)
+    assert (
+        {(r.doc_id, r.text) for r in loop.collect()}
+        == {(r.doc_id, r.text) for r in wide.collect()}
+    )
+
+    rows = {r.doc_id: r.text for r in wide.collect()}
+    src = {r.doc_id: r.text for r in docs.collect()}
+    for i in range(6):
+        assert rows[i] == src[i]  # copy 0 untouched
+        c1 = rows[i + 10**7].split(" ")
+        base = src[i].split(" ")
+        # token count preserved; SOME tokens edited, MOST survive
+        assert len(c1) == len(base)
+        edited = sum(a != b for a, b in zip(base, c1))
+        assert 0 < edited < len(base) // 2
+        # edited tokens carry the per-copy suffix (deterministic form)
+        assert all(b.startswith(a) and b.endswith("zw1")
+                   for a, b in zip(base, c1) if a != b)

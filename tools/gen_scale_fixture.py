@@ -58,17 +58,48 @@ SCALED = (
 )
 
 
-def _one_copy(df: DataFrame, table: str, i: int) -> DataFrame:
+def _mutated_text(cpy, pct: int):
+    """Token-level edits at ~pct % — the REALISTIC near-dup text mode
+    (round 13, verdict item #3). Each token of copy i independently
+    gets a per-copy suffix when a deterministic hash of (doc_id,
+    position, copy) falls under pct; two copies of one base doc then
+    share a token iff NEITHER side edited it, so with 3-word shingles
+    the expected cross-copy shingle Jaccard is s/(2−s), s=(1−p)⁶:
+    p=5 % → ≈0.60 (at the dedup threshold — hard mode), p=3 % → ≈0.71.
+    Suffix mode (the default) rewrites EVERY token, so no shingle
+    survives across copies and the scaled corpora never stressed
+    doc_dedup_reps' verify/CC stages under true text multiplicity
+    (BENCH_SF100.md headline). xxhash64 is fine here — fixture
+    generation is not an oracle-replayed domain."""
+    toks = F.split(F.col("text"), " ")
+    edited = F.transform(
+        toks,
+        lambda t, j: F.when(
+            F.pmod(F.xxhash64(F.col("doc_id"), j, cpy), 100) < pct,
+            F.concat(t, F.lit("zw"), cpy.cast("string")),
+        ).otherwise(t),
+    )
+    return F.array_join(edited, " ")
+
+
+def _one_copy(
+    df: DataFrame, table: str, i: int, doc_mode: str = "suffix",
+    mutate_pct: int = 5,
+) -> DataFrame:
     if i == 0:
         return df
     for col in df.columns:
         if col in STRIDES:
             df = df.withColumn(col, F.col(col) + F.lit(i * STRIDES[col]))
     if table == "documents":
-        # suffix every token → no shingle survives across copies
-        df = df.withColumn(
-            "text", F.regexp_replace(F.col("text"), r"(\S+)", f"$1zw{i}")
-        ).withColumn("n_chars", F.length("text").cast("long"))
+        if doc_mode == "mutate":
+            new_text = _mutated_text(F.lit(i).cast("bigint"), mutate_pct)
+        else:
+            # suffix every token → no shingle survives across copies
+            new_text = F.regexp_replace(F.col("text"), r"(\S+)", f"$1zw{i}")
+        df = df.withColumn("text", new_text).withColumn(
+            "n_chars", F.length("text").cast("long")
+        )
     if table == "embeddings":
         # deterministic direction perturbation; keeps FLOAT[] schema
         df = df.withColumn(
@@ -87,7 +118,10 @@ def _one_copy(df: DataFrame, table: str, i: int) -> DataFrame:
     return df
 
 
-def _all_copies_wide(df: DataFrame, table: str, k: int) -> DataFrame:
+def _all_copies_wide(
+    df: DataFrame, table: str, k: int, doc_mode: str = "suffix",
+    mutate_pct: int = 5,
+) -> DataFrame:
     """Vectorized equivalent of the unionAll-of-_one_copy loop for LARGE
     k (the sf100 probe's k=1000 would otherwise build a 1000-branch
     union plan): one explode(sequence) per source row, shifts computed
@@ -107,15 +141,17 @@ def _all_copies_wide(df: DataFrame, table: str, k: int) -> DataFrame:
                 col, F.col(col) + cpy * F.lit(STRIDES[col]).cast("bigint")
             )
     if table == "documents":
+        if doc_mode == "mutate":
+            changed = _mutated_text(cpy, mutate_pct)
+        else:
+            changed = F.regexp_replace(
+                F.col("text"),
+                F.lit(r"(\S+)"),
+                F.concat(F.lit("$1zw"), F.col("_copy").cast("string")),
+            )
         out = out.withColumn(
             "text",
-            F.when(F.col("_copy") == 0, F.col("text")).otherwise(
-                F.regexp_replace(
-                    F.col("text"),
-                    F.lit(r"(\S+)"),
-                    F.concat(F.lit("$1zw"), F.col("_copy").cast("string")),
-                )
-            ),
+            F.when(F.col("_copy") == 0, F.col("text")).otherwise(changed),
             # guard n_chars like text: copy 0 must stay bit-identical even
             # if the source fixture's n_chars ever disagrees with
             # length(text) (ADVICE r9)
@@ -148,7 +184,10 @@ def _all_copies_wide(df: DataFrame, table: str, k: int) -> DataFrame:
     return out.drop("_copy")
 
 
-def scale_table(spark: SparkSession, src: str, out: str, table: str, k: int) -> int:
+def scale_table(
+    spark: SparkSession, src: str, out: str, table: str, k: int,
+    doc_mode: str = "suffix", mutate_pct: int = 5,
+) -> int:
     df = spark.read.parquet(os.path.join(src, f"{table}.parquet"))
     if table in FIXED_DIMS:
         scaled = df
@@ -173,11 +212,13 @@ def scale_table(spark: SparkSession, src: str, out: str, table: str, k: int) -> 
                         f"from the base fixture with a larger k instead."
                     )
         if k > 100:
-            scaled = _all_copies_wide(df, table, k)
+            scaled = _all_copies_wide(df, table, k, doc_mode, mutate_pct)
         else:
-            scaled = _one_copy(df, table, 0)
+            scaled = _one_copy(df, table, 0, doc_mode, mutate_pct)
             for i in range(1, k):
-                scaled = scaled.unionAll(_one_copy(df, table, i))
+                scaled = scaled.unionAll(
+                    _one_copy(df, table, i, doc_mode, mutate_pct)
+                )
     dest = os.path.join(out, f"{table}.parquet")
     # repartition: multi-file output like a real warehouse table (and the
     # downstream scans parallelize without relying on parquet row groups)
@@ -187,13 +228,26 @@ def scale_table(spark: SparkSession, src: str, out: str, table: str, k: int) -> 
 
 
 def main() -> None:
-    src = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
-    out = sys.argv[2] if len(sys.argv) > 2 else "testdata_sf1"
-    k = int(sys.argv[3]) if len(sys.argv) > 3 else 10
+    # --mutate-docs[=PCT] anywhere on the line selects the near-dup text
+    # mode (token-level edits, default 5 % ≈ 0.6 cross-copy Jaccard)
+    doc_mode, mutate_pct = "suffix", 5
+    pos = []
+    for a in sys.argv[1:]:
+        if a.startswith("--mutate-docs"):
+            doc_mode = "mutate"
+            if "=" in a:
+                mutate_pct = int(a.split("=", 1)[1])
+        elif a.startswith("--"):
+            raise SystemExit(f"unknown flag {a!r}")
+        else:
+            pos.append(a)
+    src = pos[0] if len(pos) > 0 else "/root/testdata/sf0.1"
+    out = pos[1] if len(pos) > 1 else "testdata_sf1"
+    k = int(pos[2]) if len(pos) > 2 else 10
     # optional 4th arg: comma-separated table subset (dims always copied)
     # — the sf100 probe only needs events/documents/embeddings; skipping
     # lineitem/orders keeps the fourth-decade fixture ~3 GB, not 18 GB
-    subset = set(sys.argv[4].split(",")) if len(sys.argv) > 4 else None
+    subset = set(pos[3].split(",")) if len(pos) > 3 else None
     if subset is not None and (unknown := subset - set(SCALED)):
         raise SystemExit(f"unknown table(s) in subset: {sorted(unknown)}")
 
@@ -204,7 +258,7 @@ def main() -> None:
     for table in FIXED_DIMS + SCALED:
         if subset is not None and table in SCALED and table not in subset:
             continue
-        n = scale_table(spark, src, out, table, k)
+        n = scale_table(spark, src, out, table, k, doc_mode, mutate_pct)
         print(f"{table}: {n} rows")
 
 
