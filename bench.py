@@ -14,6 +14,15 @@ always a complete, parseable JSON object.
 Each query executes end-to-end via the noop sink (full plan runs, no
 driver-side result transfer skewing the number). A warmup query first
 absorbs JVM/codegen startup.
+
+Protocol since round 13 (the round-12 verdict's recommendation — the
+r12 headline "+23 %" decomposed entirely into cold-state drift the
+full-sweep harness's warmup+median protocol did not show): every query
+gets ONE untimed warm-up rep (plan compilation, codegen cache, shuffle
+file reuse), then the reported value is the MEDIAN of the timed reps
+(2; 3 for the MIN_OF_3 staging/iterative set). Median over min: min
+systematically hides GC share, and the ±25 % box jitter (measured,
+CLAUDE.md) makes single-best numbers unstable round-over-round.
 """
 
 from __future__ import annotations
@@ -21,6 +30,7 @@ from __future__ import annotations
 import json
 import os
 import re
+import statistics
 import sys
 import time
 
@@ -225,7 +235,9 @@ HEADLINE = [
     "streaming_doc_reps_probe",
 ]
 
-# Queries whose min-of-2 is still warmup-contaminated, measured min-of-3:
+# Queries that get a THIRD timed rep (iterative driver-loop and
+# staged-micro-batch classes — higher per-rep variance even after the
+# round-13 untimed warmup absorbs staging/bootstrap). History:
 # (a) iterative driver-loop queries — many small jobs, per-job GC/compile
 # jitter compounds; (b) staged-micro-batch streaming gates — run 1 pays
 # temp-dir staging + checkpoint bootstrap (round-8 idle re-measure:
@@ -273,18 +285,18 @@ def main() -> None:
         q = registry.get(name)
         if q is None:
             continue
-        # min over repeats: steady-state cost without JIT/GC noise.
-        # Driver-loop iterative queries (each round is a separate job, so
-        # GC/compilation noise compounds across rounds) get a third run —
-        # BENCH_r06's only >10% "regressions" were 0.3-0.4 s min-of-2
-        # jitter on exactly these (token_triangles, pagerank_types).
+        # warmup + median (round 13, see module docstring): rep 0 is
+        # untimed — it absorbs plan compilation, codegen cache misses,
+        # and any once-per-fixture staged artifacts (the MIN_OF_3 class);
+        # the value is the median of the timed reps.
         runs = 3 if name in MIN_OF_3 else 2
-        best = float("inf")
+        q.fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
+        timed = []
         for _ in range(runs):
             t0 = time.time()
             q.fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
-            best = min(best, time.time() - t0)
-        timings[name] = round(best, 3)
+            timed.append(time.time() - t0)
+        timings[name] = round(statistics.median(timed), 3)
 
     total = round(sum(timings.values()), 3)
     compact = json.dumps(

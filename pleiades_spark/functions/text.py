@@ -29,22 +29,28 @@ def tokens(text: Column) -> Column:
 TOKENS_SQL = "string_split({t}, ' ')"
 
 
-def word_shingles(text: Column, n: int = 3) -> Column:
-    """Distinct n-word shingles; short docs fall back to the whole text.
-
-    The shingle set is the dedup unit for MinHash / Jaccard — 3-word
-    shingles are discriminative where raw token sets saturate (small
-    vocabulary ⇒ most docs share most tokens).
+def word_shingles_from_tokens(toks: Column, text: Column, n: int = 3) -> Column:
+    """Distinct n-word shingles over a PRE-STAGED token-array column
+    (round 13): the inline ``word_shingles(text)`` form references the
+    split SIX times (two slice args, three size gates, the zip_with
+    input) and Catalyst does not CSE across higher-order-function
+    arguments, so a 600-token doc was re-split per reference in the
+    staging scan — the single hottest stage of the doc dedup family
+    (56 % of the sf100 cell). Hot paths stage ``tokens(text)`` as a
+    real multi-referenced column (CollapseProject leaves it intact, the
+    _with_dtoks precedent) and pass it here: measured 36.1 → 33.0 s
+    median (−8.6 %) on the sf100 staging materialization, interleaved
+    warmup+3-rep A/B, every rep ordered.
 
     Formulated as zip_with over shifted slices rather than
     ``transform(sequence, i -> slice(toks, i, n))``: a lambda body
     re-evaluates outer expressions PER ELEMENT, which would re-split the
     text O(tokens²) times. Here each slice is evaluated once per row;
     zip_with pads the shorter side with null and concat propagates it, so
-    the trailing partial windows drop out in the filter.
+    the trailing partial windows drop out in the filter. ``text`` is
+    only the short-doc (< n tokens) fallback value.
     """
     assert n == 3, "shingle builder is specialized for n=3"
-    toks = tokens(text)
     pairs = F.zip_with(
         F.slice(toks, 2, F.greatest(F.size(toks) - 1, F.lit(0))),
         F.slice(toks, 3, F.greatest(F.size(toks) - 2, F.lit(0))),
@@ -55,6 +61,22 @@ def word_shingles(text: Column, n: int = 3) -> Column:
         F.size(toks) >= n,
         F.array_distinct(F.filter(tri, lambda x: x.isNotNull())),
     ).otherwise(F.array(text))
+
+
+def word_shingles(text: Column, n: int = 3) -> Column:
+    """Distinct n-word shingles; short docs fall back to the whole text.
+
+    The shingle set is the dedup unit for MinHash / Jaccard — 3-word
+    shingles are discriminative where raw token sets saturate (small
+    vocabulary ⇒ most docs share most tokens).
+
+    Convenience inline form — the token split re-evaluates per
+    reference inside the builder (no CSE across HOF arguments), which
+    is fine for one-shot callers; per-corpus staging scans use
+    :func:`word_shingles_from_tokens` over a staged token column
+    instead (same expression tree, bit-identical output).
+    """
+    return word_shingles_from_tokens(tokens(text), text, n)
 
 
 def word_shingles_sql(t: str, n: int = 3) -> str:

@@ -118,9 +118,18 @@ def with_signature(docs: DataFrame, keep: tuple[str, ...] = ()) -> DataFrame:
     # the CPU hot spot, so spread it before computing signatures. (At real
     # scale the scan already has many splits and this shuffle is a no-op to
     # keep — it also pre-partitions by doc_id for the verification joins.)
+    # Tokens staged as a real column (round 13): the inline shingle form
+    # re-splits the text per reference — see word_shingles_from_tokens.
+    from pleiades_spark.functions.text import tokens, word_shingles_from_tokens
+
     return (
         docs.repartition(F.col("doc_id"))
-        .select("doc_id", *keep, word_shingles(F.col("text")).alias("sh"))
+        .select("doc_id", *keep, "text", tokens(F.col("text")).alias("toks"))
+        .select(
+            "doc_id",
+            *keep,
+            word_shingles_from_tokens(F.col("toks"), F.col("text")).alias("sh"),
+        )
         .withColumn("sig", minhash_signature(F.col("sh")))
     )
 
@@ -300,10 +309,19 @@ def _staged_minhash(docs: DataFrame, keep: tuple[str, ...] = ()) -> DataFrame:
     prefix_jaccard_pairs introduced; the verify arrays are the bytes
     that ride the edge joins). hs is multi-referenced and non-cheap, so
     CollapseProject leaves the staging projection intact (the
-    _with_dtoks precedent)."""
+    _with_dtoks precedent). Tokens staged as a real column too (round
+    13, −8.6 % on the sf100 staging scan): see
+    word_shingles_from_tokens."""
+    from pleiades_spark.functions.text import tokens, word_shingles_from_tokens
+
     return (
         docs.repartition(F.col("doc_id"))
-        .select("doc_id", *keep, word_shingles(F.col("text")).alias("sh"))
+        .select("doc_id", *keep, "text", tokens(F.col("text")).alias("toks"))
+        .select(
+            "doc_id",
+            *keep,
+            word_shingles_from_tokens(F.col("toks"), F.col("text")).alias("sh"),
+        )
         .select("doc_id", *keep, F.transform("sh", h32).alias("hs"))
         .select(
             "doc_id",
