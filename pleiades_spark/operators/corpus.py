@@ -429,11 +429,28 @@ def build_training_corpus(
     per stage), not data collection — the data path stays distributed
     end-to-end, and the JSONL write parallelism is n_shards per split.
     """
+    import time
+
     from pleiades_spark.functions.text import stopword_count, tokens
     from pleiades_spark.operators.dedup import doc_dedup_reps
     from pleiades_spark.sources.jsonl import write_jsonl
 
-    stats = {"input": docs.count()}
+    # Per-stage wall clocks land in the stats as wall_<stage> (round 13
+    # — the sf100 e2e run wants stage attribution). NB each stage's
+    # count materializes its full LINEAGE (stages are not checkpointed:
+    # the data path stays lazy so the final write is one fused job), so
+    # wall_<stage> includes recomputing the upstream stages — read them
+    # as cumulative-cost laps, not isolated stage costs.
+    t_prev = time.time()
+
+    def _lap(key: str) -> None:
+        nonlocal t_prev
+        now = time.time()
+        stats[f"wall_{key}"] = round(now - t_prev, 1)
+        t_prev = now
+
+    stats: dict = {"input": docs.count()}
+    _lap("input")
 
     # 1. quality gate (same composite as clean_corpus_pipeline, llm.py)
     toks = tokens(F.col("text"))
@@ -448,11 +465,13 @@ def build_training_corpus(
         (F.col("q") >= 0.5) & (F.col("n_chars") >= 60)
     )
     stats["after_quality"] = kept.count()
+    _lap("quality")
 
     # 2. exact dedup: canonical representative = min doc_id per text
     reps = kept.groupBy("text").agg(F.min("doc_id").alias("doc_id"))
     kept = kept.join(reps.select("doc_id"), "doc_id", "left_semi")
     stats["after_exact_dedup"] = kept.count()
+    _lap("exact_dedup")
 
     # 3. near-dedup on the LINEAR reps contract (round 12): doc_dedup_reps
     # — band bucket-MIN star edges, Jaccard-verified, star CC — emits one
@@ -476,6 +495,7 @@ def build_training_corpus(
     )
     kept = kept.join(keepers, "doc_id", "left_semi")
     stats["after_near_dedup"] = kept.count()
+    _lap("near_dedup")
 
     # 4. PII scrub (audit counts folded into the stats)
     scrubbed = pii_scrub(kept)
@@ -485,6 +505,7 @@ def build_training_corpus(
         ).alias("n")
     ).collect()[0]["n"]
     stats["pii_spans_scrubbed"] = int(pii_total or 0)
+    _lap("pii_scrub")
 
     # 5. stable split + shard write (one JSONL dir per split)
     final = scrubbed.select(
@@ -499,6 +520,7 @@ def build_training_corpus(
         part = final.filter(F.col("split") == split).drop("split")
         stats[f"{split}_docs"] = part.count()
         write_jsonl(part, f"{out_dir}/{split}", n_shards=n_shards)
+    _lap("split_write")
     return stats
 
 
