@@ -233,6 +233,8 @@ HEADLINE = [
     # per-arrival probe grain
     "streaming_doc_reps",
     "streaming_doc_reps_probe",
+    "streaming_emb_reps",
+    "streaming_emb_reps_probe",
 ]
 
 # Queries that get a THIRD timed rep (iterative driver-loop and
@@ -266,6 +268,8 @@ MIN_OF_3 = {
     # round 13: first rep pays doc staging + index bootstrap
     "streaming_doc_reps",
     "streaming_doc_reps_probe",
+    "streaming_emb_reps",
+    "streaming_emb_reps_probe",
 }
 
 

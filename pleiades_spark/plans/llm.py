@@ -1594,33 +1594,32 @@ FROM v vv LEFT JOIN cl ON cl.node = vv.vec_id
 """
 
 
-def q_dedup_embedding_reps_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The embedding nightly over the PERSISTED SRP star index
-    (round 12): write_emb_reps_index on the old slice (bootstrap, cached
-    per fixture identity), embedding_dedup_reps_from_index on tonight's
-    vectors. rows_bits is pinned from the FULL corpus count — the
-    production discipline (geometry is chosen for the corpus the index
-    will grow into, and it is part of the artifact) — which also makes
-    the run bit-identical to dedup_embedding_reps_incr, whose oracle it
-    shares (the equivalence is separately pytest-pinned)."""
-    from pleiades_spark.functions.hashing import SRP_ROWS, h32
-    from pleiades_spark.operators.dedup import (
-        embedding_dedup_reps_from_index,
-        write_emb_reps_index,
-    )
-    from pleiades_spark.plans.streaming_batch import _staged_src
+def _incr_emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixture embeddings + the deterministic is_new increment slice —
+    shared by the persisted-index and streaming-reps embedding gates."""
+    from pleiades_spark.functions.hashing import h32
 
-    emb = _t(spark, sf_dir, "embeddings").withColumn(
+    return _t(spark, sf_dir, "embeddings").withColumn(
         "is_new",
         h32(F.concat(F.lit("incr:"), F.col("vec_id").cast("string"))) % 100
         < INCR_PCT,
     )
+
+
+def staged_emb_reps_index(spark: SparkSession, sf_dir: str) -> str:
+    """Bootstrap (or reuse) the persisted SRP star index over the OLD
+    embedding slice — one cached artifact serves the persisted nightly
+    gate AND the streaming reps gates. rows_bits pins from the FULL
+    corpus count (geometry is part of the artifact); the staging key
+    carries every recipe constant."""
+    from pleiades_spark.functions.hashing import SRP_ROWS
+    from pleiades_spark.operators.dedup import write_emb_reps_index
+    from pleiades_spark.plans.streaming_batch import _staged_src
+
+    emb = _incr_emb(spark, sf_dir)
     n = emb.count()
     rows_bits = SRP_ROWS if n <= 1024 else max(SRP_ROWS, (n // 4).bit_length())
-    # key carries the recipe constants (slice pct, threshold, geometry,
-    # band count, frozen-plane version — ADVICE r12) so a retune can
-    # never silently reuse a stale index
-    idx = _staged_src(
+    return _staged_src(
         sf_dir,
         f"emb_reps_idx_p{INCR_PCT}_t{COSINE_DUP_THRESHOLD}_r{rows_bits}"
         f"_b{SRP_BANDS}p1",
@@ -1631,6 +1630,21 @@ def q_dedup_embedding_reps_persisted(spark: SparkSession, sf_dir: str) -> DataFr
             rows_bits=rows_bits,
         ),
     )
+
+
+def q_dedup_embedding_reps_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The embedding nightly over the PERSISTED SRP star index
+    (round 12): write_emb_reps_index on the old slice (bootstrap, cached
+    per fixture identity), embedding_dedup_reps_from_index on tonight's
+    vectors. rows_bits is pinned from the FULL corpus count — the
+    production discipline (geometry is chosen for the corpus the index
+    will grow into, and it is part of the artifact) — which also makes
+    the run bit-identical to dedup_embedding_reps_incr, whose oracle it
+    shares (the equivalence is separately pytest-pinned)."""
+    from pleiades_spark.operators.dedup import embedding_dedup_reps_from_index
+
+    emb = _incr_emb(spark, sf_dir)
+    idx = staged_emb_reps_index(spark, sf_dir)
     return embedding_dedup_reps_from_index(
         emb.filter(F.col("is_new")).drop("is_new"), idx, COSINE_DUP_THRESHOLD
     )

@@ -1082,6 +1082,123 @@ WHERE s.is_new GROUP BY s.doc_id
 """
 
 
+def _emb_reps_stream_setup(spark: SparkSession, sf_dir: str):
+    """Embedding twin of _doc_reps_stream_setup: the persisted SRP index
+    over the old slice (shared artifact with
+    dedup_embedding_reps_persisted) + the new slice staged as two
+    even/odd micro-batch files."""
+    from pleiades_spark.plans.llm import _incr_emb, staged_emb_reps_index
+
+    apply_runtime_confs(spark)
+    idx = staged_emb_reps_index(spark, sf_dir)
+    new = _incr_emb(spark, sf_dir).filter(F.col("is_new")).drop("is_new")
+    src = _staged_src(
+        sf_dir,
+        "emb_new_split",
+        lambda d: _stage_parts(
+            [new.filter(F.col("vec_id") % 2 == 0),
+             new.filter(F.col("vec_id") % 2 == 1)],
+            d,
+        ),
+    )
+    stream = (
+        spark.readStream.schema(new.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    return idx, stream
+
+
+def q_streaming_emb_reps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding twin of streaming_doc_reps: vectors arrive as two real
+    micro-batches, are probed/assigned per arrival, and land in an inbox
+    the nightly embedding_dedup_reps_from_index consumes DIRECTLY
+    (vectors are their own staged form). Final output is bit-identical
+    to the batch nightly, so this gate shares
+    ORACLE_DEDUP_EMBEDDING_REPS_INCR — what it adds is the streaming
+    ingest path coverage for the embedding modality."""
+    from pleiades_spark.operators.dedup import embedding_dedup_reps_from_index
+    from pleiades_spark.plans.llm import COSINE_DUP_THRESHOLD
+    from pleiades_spark.streaming.pipeline import run_emb_reps_stream
+
+    idx, stream = _emb_reps_stream_setup(spark, sf_dir)
+    inbox, _assign = run_emb_reps_stream(
+        spark, stream, idx, COSINE_DUP_THRESHOLD
+    )
+    return embedding_dedup_reps_from_index(
+        spark.read.parquet(inbox), idx, COSINE_DUP_THRESHOLD
+    )
+
+
+def _oracle_streaming_emb_reps() -> str:
+    from pleiades_spark.plans.llm import ORACLE_DEDUP_EMBEDDING_REPS_INCR
+
+    return ORACLE_DEDUP_EMBEDDING_REPS_INCR
+
+
+def q_streaming_emb_reps_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-arrival provisional rep for streamed EMBEDDINGS: min
+    cosine-VERIFIED persisted bucket-rep across the vector's SRP bands,
+    else self — banding geometry pinned from the index meta. Pure
+    per-vector function of (vector, static index): batch-boundary
+    independent, replayed exactly by the oracle."""
+    from pleiades_spark.plans.llm import COSINE_DUP_THRESHOLD
+    from pleiades_spark.streaming.pipeline import run_emb_reps_stream
+
+    idx, stream = _emb_reps_stream_setup(spark, sf_dir)
+    _inbox, assign = run_emb_reps_stream(
+        spark, stream, idx, COSINE_DUP_THRESHOLD
+    )
+    return spark.read.parquet(assign).select("vec_id", "rep_id")
+
+
+def _oracle_streaming_emb_reps_probe() -> str:
+    from pleiades_spark.functions.hashing import h32_sql
+    from pleiades_spark.plans.llm import (
+        _COS_SQL,
+        _SRP_BAND_VAL_SQL,
+        _SRP_BITS_SQL,
+        COSINE_DUP_THRESHOLD,
+        INCR_PCT,
+    )
+    from pleiades_spark.functions.hashing import SRP_BANDS
+
+    return f"""
+WITH v AS (
+  SELECT vec_id,
+         {h32_sql("concat('incr:', CAST(vec_id AS VARCHAR))")} % 100
+           < {INCR_PCT} AS is_new,
+         CAST(embedding AS DOUBLE[]) AS v
+  FROM embeddings
+),
+bits AS (SELECT vec_id, is_new, {_SRP_BITS_SQL} AS bits FROM v),
+bands AS (
+  SELECT vec_id, is_new, band_idx, {_SRP_BAND_VAL_SQL} AS band_val
+  FROM bits, (SELECT unnest(range(0, {SRP_BANDS})) AS band_idx)
+),
+oreps AS (
+  SELECT band_idx, band_val, min(vec_id) AS orep
+  FROM bands WHERE NOT is_new GROUP BY band_idx, band_val
+),
+cand AS (
+  SELECT DISTINCT b.vec_id, o.orep
+  FROM bands b JOIN oreps o
+    ON b.band_idx = o.band_idx AND b.band_val = o.band_val
+  WHERE b.is_new
+),
+ver AS (
+  SELECT vec_id, orep FROM (
+    SELECT c.vec_id, c.orep, {_COS_SQL} AS cos
+    FROM cand c JOIN v a ON a.vec_id = c.vec_id
+                JOIN v b ON b.vec_id = c.orep
+  ) WHERE cos >= {COSINE_DUP_THRESHOLD}
+)
+SELECT s.vec_id, CAST(coalesce(min(ver.orep), s.vec_id) AS BIGINT) AS rep_id
+FROM v s LEFT JOIN ver ON ver.vec_id = s.vec_id
+WHERE s.is_new GROUP BY s.vec_id
+"""
+
+
 def q_streaming_ab_welch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The A/B readout as a CONTINUOUS pipeline: the six Welch arm
     moments (counts, Σcents, Σcents² per arm) are a commutative monoid,
@@ -1153,6 +1270,12 @@ QUERIES = [
     Query("streaming_doc_reps_probe", q_streaming_doc_reps_probe,
           _oracle_streaming_doc_reps_probe(),
           "per-arrival provisional rep via stream-static band_index probe"),
+    Query("streaming_emb_reps", q_streaming_emb_reps,
+          _oracle_streaming_emb_reps(),
+          "embedding stream inbox + persisted-index finalize == batch nightly"),
+    Query("streaming_emb_reps_probe", q_streaming_emb_reps_probe,
+          _oracle_streaming_emb_reps_probe(),
+          "per-arrival provisional rep via SRP band_index probe (meta geometry)"),
     Query("streaming_counters", q_streaming_counters, ORACLE_STREAMING_COUNTERS,
           "real Structured Streaming run: file source → window agg → memory sink"),
     Query("streaming_counters_append", q_streaming_counters_append,

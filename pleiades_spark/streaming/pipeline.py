@@ -383,6 +383,98 @@ def run_doc_reps_stream(
     return inbox, assign
 
 
+def stream_emb_reps_batch(
+    batch: DataFrame,
+    index_path: str,
+    inbox_path: str,
+    assign_path: str,
+    threshold: float = 0.45,
+) -> None:
+    """EMBEDDING micro-batch of the streaming reps assignment — the
+    modality twin of :func:`stream_doc_reps_batch` (round 13). Arriving
+    vectors are banded with the INDEX's pinned geometry (rows_bits from
+    meta — banding geometry is part of the artifact, CLAUDE.md), probed
+    against the persisted band_index, cosine-verified against rep_vecs,
+    and emit one provisional (vec_id, rep_id) each; raw rows land in the
+    inbox the nightly embedding_dedup_reps_from_index consumes directly
+    (vectors ARE their staged form — no pre_staged variant needed).
+    """
+    if batch.isEmpty():
+        return
+    from pleiades_spark.operators.dedup import (
+        _srp_banded,
+        _verify_cosine_edges,
+    )
+
+    spark = batch.sparkSession
+    apply_runtime_confs(spark)
+    batch = batch.repartition(F.col("vec_id")).localCheckpoint()
+    batch.write.mode("append").parquet(inbox_path)
+    rows_bits = int(
+        spark.read.parquet(f"{index_path}/meta").collect()[0]["rows_bits"]
+    )
+    band_index = spark.read.parquet(f"{index_path}/band_index")
+    rep_vecs = spark.read.parquet(f"{index_path}/rep_vecs")
+    v, banded = _srp_banded(batch, rows_bits)
+    cand = (
+        banded.join(band_index, ["band_idx", "band_val"])
+        .select("vec_id", F.col("orep").alias("rep"))
+        .distinct()
+    )
+    vecs = v.select("vec_id", "v").unionAll(rep_vecs)
+    verified = _verify_cosine_edges(cand, vecs, threshold)
+    assigns = (
+        v.select("vec_id")
+        .join(
+            verified.groupBy("vec_id").agg(F.min("rep").alias("hit")),
+            "vec_id",
+            "left",
+        )
+        .select("vec_id", F.coalesce(F.col("hit"), F.col("vec_id")).alias("rep_id"))
+    )
+    assigns.write.mode("append").parquet(assign_path)
+
+
+def run_emb_reps_stream(
+    spark: SparkSession,
+    stream_emb: DataFrame,
+    index_path: str,
+    threshold: float = 0.45,
+    work_dir: str | None = None,
+) -> tuple[str, str]:
+    """Drive the embedding streaming reps assignment to completion;
+    returns ``(inbox_path, assign_path)`` — see run_doc_reps_stream."""
+    import atexit
+    import os
+    import shutil
+    import tempfile
+
+    from pleiades_spark.operators.dedup import _check_index_ok
+
+    _check_index_ok(spark, index_path, "run_emb_reps_stream")
+    if work_dir is None:
+        work_dir = tempfile.mkdtemp(
+            prefix=f"pleiades_sink_embreps_p{os.getpid()}_"
+        )
+        atexit.register(shutil.rmtree, work_dir, ignore_errors=True)
+    inbox, assign = f"{work_dir}/inbox", f"{work_dir}/assign"
+    q = (
+        stream_emb.writeStream.foreachBatch(
+            lambda b, _eid: stream_emb_reps_batch(
+                b, index_path, inbox, assign, threshold
+            )
+        )
+        .option("checkpointLocation", f"{work_dir}/ckpt")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+        q.awaitTermination()
+    return inbox, assign
+
+
 def counters_stream(events: DataFrame, watermark: str = DEFAULT_WATERMARK) -> DataFrame:
     """The standing aggregation: 1-day tumbling event-time window × counter.
 

@@ -502,3 +502,80 @@ def test_stream_doc_reps_cross_batch(spark, tmp_path):
     }
     assert final == expected  # stream-staged == batch nightly, bit-equal
     assert final[777] == final[778]  # deferred merge happened in finalize
+
+
+def test_stream_emb_reps_cross_batch(spark, tmp_path):
+    """Embedding twin of the streaming reps cross-batch test: probe
+    assigns arriving vectors to verified persisted reps (geometry from
+    index meta), inbox finalize is bit-identical to the batch nightly,
+    and a new-new near-dup pair straddling the batch boundary merges
+    only in the finalize."""
+    import os
+
+    from pleiades_spark.operators.dedup import (
+        embedding_dedup_reps_from_index,
+        write_emb_reps_index,
+    )
+    from pleiades_spark.plans.streaming_batch import _stage_parts
+    from pleiades_spark.streaming.pipeline import run_emb_reps_stream
+
+    rows = []
+    # copies are SCALED versions of the base — direction-identical, so
+    # SRP sign bits match exactly and cosine ≈ 1 (an additive
+    # perturbation can flip a marginal plane bit and split a band)
+    for g in range(4):
+        base = [((g * 37 + j * 5) % 17) - 8.0 for j in range(64)]
+        for c in range(8):
+            rows.append((g * 100 + c, [x * (1 + 0.01 * c) for x in base]))
+    for i in range(40):
+        rows.append(
+            (10_000 + i, [((i * 13 + j * 7) % 19) - 9.0 for j in range(64)])
+        )
+    # new-new pair, unlike anything old: 777 (odd batch), 778 (even batch)
+    nn = [((j * 11) % 23) - 11.0 for j in range(64)]
+    rows.append((777, [x * 1.001 for x in nn]))
+    rows.append((778, [x * 0.999 for x in nn]))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    is_new = (F.col("vec_id") % 2 == 0) | (F.col("vec_id") == 777)
+    old = emb.filter(~is_new)
+    new_raw = emb.filter(is_new)
+
+    idx = str(tmp_path / "idx")
+    write_emb_reps_index(old, idx, 0.9, rows_bits=8)
+
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    _stage_parts(
+        [new_raw.filter(F.col("vec_id") % 2 == 1),
+         new_raw.filter(F.col("vec_id") % 2 == 0)],
+        src,
+    )
+    stream = (
+        spark.readStream.schema(new_raw.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    inbox, assign = run_emb_reps_stream(
+        spark, stream, idx, 0.9, work_dir=str(tmp_path / "work")
+    )
+
+    probe = {r.vec_id: r.rep_id
+             for r in spark.read.parquet(assign).collect()}
+    assert len(probe) == new_raw.count()
+    assert probe[777] == 777 and probe[778] == 778  # no persisted partner
+    for g in range(4):  # group members land on the OLD group min
+        for c in range(0, 8, 2):
+            assert probe[g * 100 + c] == g * 100 + 1
+
+    final = {
+        r.vec_id: r.rep_id
+        for r in embedding_dedup_reps_from_index(
+            spark.read.parquet(inbox), idx, 0.9
+        ).collect()
+    }
+    expected = {
+        r.vec_id: r.rep_id
+        for r in embedding_dedup_reps_from_index(new_raw, idx, 0.9).collect()
+    }
+    assert final == expected
+    assert final[777] == final[778]  # deferred merge in the finalize
