@@ -177,11 +177,20 @@ def dedup_events_stream(
 def lsh_dedup_stream(
     stream_docs: DataFrame, static_docs: DataFrame, threshold: float = 0.6
 ) -> DataFrame:
-    """Streaming near-dedup against a static LSH index — the nightly
-    crawl-increment shape run CONTINUOUSLY: documents arrive as a
-    stream, band-hash inside the scan, and probe the indexed corpus via
-    a stream-static equi-join on (band_idx, band_key). Never all-pairs,
-    never stream-stream: the quadratic side lives in the static index.
+    """Streaming near-dedup PAIRS against a static LSH index — the
+    nightly crawl-increment shape run CONTINUOUSLY: documents arrive as
+    a stream, band-hash inside the scan, and probe the indexed corpus
+    via a stream-static equi-join on (band_idx, band_key). Never
+    all-pairs, never stream-stream: the quadratic side lives in the
+    static index.
+
+    PRODUCTION NOTE (round 13): this is the pair-grain GROUND TRUTH —
+    its output (and dropDuplicates state) is Θ(Σ multiplicity²) on a
+    template-heavy stream, the same wall the batch side left behind
+    with doc_dedup_reps. The production streaming contract is
+    :func:`stream_doc_reps_batch` / :func:`run_doc_reps_stream`: one
+    (doc_id, rep_id) per arriving doc, linear in stream volume, against
+    the persisted star index.
 
     Emits exactly minhash_lsh_pairs' rows (doc_a < doc_b, doc_b from
     the stream) once the whole corpus has streamed — the gate
