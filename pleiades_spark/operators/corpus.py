@@ -229,6 +229,19 @@ def temperature_mixture(
 SPLIT_TRAIN, SPLIT_VAL = 80, 90  # train <80, val 80-89, test 90-99
 
 
+def split_expr(doc_id: Column) -> Column:
+    """The train/val/test bucket expression (80/10/10, salt='split') —
+    the single definition every split consumer derives from, so the
+    assignment can never drift between hash_split, decontaminate and
+    the corpus builder."""
+    bucket = sample_bucket(doc_id, salt="split")
+    return (
+        F.when(bucket < SPLIT_TRAIN, F.lit("train"))
+        .when(bucket < SPLIT_VAL, F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+
+
 def hash_split(docs: DataFrame) -> DataFrame:
     """Deterministic train/val/test assignment (80/10/10).
 
@@ -236,14 +249,10 @@ def hash_split(docs: DataFrame) -> DataFrame:
     split never changes as the corpus grows, the property that prevents
     silent train/test contamination across dataset versions.
     """
-    bucket = sample_bucket(F.col("doc_id"), salt="split")
     return docs.select(
         "doc_id",
         "lang",
-        F.when(bucket < SPLIT_TRAIN, F.lit("train"))
-        .when(bucket < SPLIT_VAL, F.lit("val"))
-        .otherwise(F.lit("test"))
-        .alias("split"),
+        split_expr(F.col("doc_id")).alias("split"),
     )
 
 
@@ -273,13 +282,7 @@ def decontaminate(docs: DataFrame, max_df: int = DECONTAM_MAX_DF) -> DataFrame:
     Returns one row per contaminated train doc: how many distinct rare
     shingles hit, across how many distinct eval docs.
     """
-    bucket = sample_bucket(F.col("doc_id"), salt="split")
-    split_docs = docs.withColumn(
-        "split",
-        F.when(bucket < SPLIT_TRAIN, F.lit("train"))
-        .when(bucket < SPLIT_VAL, F.lit("val"))
-        .otherwise(F.lit("test")),
-    )
+    split_docs = docs.withColumn("split", split_expr(F.col("doc_id")))
 
     def shingled(side: DataFrame) -> DataFrame:
         return side.select(
@@ -428,19 +431,30 @@ def build_training_corpus(
     dataset-card numbers). Counts are driver-side aggregates (one number
     per stage), not data collection — the data path stays distributed
     end-to-end, and the JSONL write parallelism is n_shards per split.
+
+    ONE-PASS stats (round 13): every per-stage dataset-card number rides
+    the single materializing job as a CollectMetrics observation
+    (``DataFrame.observe`` — accumulator-side, zero extra passes),
+    instead of a ``.count()`` per stage that re-runs the whole upstream
+    lineage. The survivors frame is persisted once after the split
+    column, so the three per-split JSONL writes replay the cached rows,
+    not the dedup pipeline. The old laps-per-stage protocol materialized
+    the lineage ~11× (5 stage counts + 3 × (count + write)); at sf10
+    this restructure took the personality from 75.8 s of stage walls to
+    the single-pass number recorded in BENCH_SF100.md. Identical plans
+    appearing twice under one action dedup their CollectMetrics node
+    (verified — the observation fires once with the correct value even
+    when the observed frame is both grouped and semi-joined against
+    itself).
     """
     import time
+
+    from pyspark.sql import Observation
 
     from pleiades_spark.functions.text import stopword_count, tokens
     from pleiades_spark.operators.dedup import doc_dedup_reps
     from pleiades_spark.sources.jsonl import write_jsonl
 
-    # Per-stage wall clocks land in the stats as wall_<stage> (round 13
-    # — the sf100 e2e run wants stage attribution). NB each stage's
-    # count materializes its full LINEAGE (stages are not checkpointed:
-    # the data path stays lazy so the final write is one fused job), so
-    # wall_<stage> includes recomputing the upstream stages — read them
-    # as cumulative-cost laps, not isolated stage costs.
     t_prev = time.time()
 
     def _lap(key: str) -> None:
@@ -449,8 +463,15 @@ def build_training_corpus(
         stats[f"wall_{key}"] = round(now - t_prev, 1)
         t_prev = now
 
-    stats: dict = {"input": docs.count()}
-    _lap("input")
+    stats: dict = {}
+    n = F.count(F.lit(1)).alias("n")
+    obs_input = Observation("corpus_input")
+    obs_quality = Observation("corpus_quality")
+    obs_exact = Observation("corpus_exact")
+    obs_near = Observation("corpus_near")
+    obs_pii = Observation("corpus_pii")
+
+    docs = docs.observe(obs_input, n)
 
     # 1. quality gate (same composite as clean_corpus_pipeline, llm.py)
     toks = tokens(F.col("text"))
@@ -464,14 +485,12 @@ def build_training_corpus(
     kept = docs.withColumn("q", F.round(quality, 6)).filter(
         (F.col("q") >= 0.5) & (F.col("n_chars") >= 60)
     )
-    stats["after_quality"] = kept.count()
-    _lap("quality")
+    kept = kept.observe(obs_quality, n)
 
     # 2. exact dedup: canonical representative = min doc_id per text
     reps = kept.groupBy("text").agg(F.min("doc_id").alias("doc_id"))
     kept = kept.join(reps.select("doc_id"), "doc_id", "left_semi")
-    stats["after_exact_dedup"] = kept.count()
-    _lap("exact_dedup")
+    kept = kept.observe(obs_exact, n)
 
     # 3. near-dedup on the LINEAR reps contract (round 12): doc_dedup_reps
     # — band bucket-MIN star edges, Jaccard-verified, star CC — emits one
@@ -494,33 +513,47 @@ def build_training_corpus(
         .select("doc_id")
     )
     kept = kept.join(keepers, "doc_id", "left_semi")
-    stats["after_near_dedup"] = kept.count()
-    _lap("near_dedup")
+    kept = kept.observe(obs_near, n)
 
     # 4. PII scrub (audit counts folded into the stats)
     scrubbed = pii_scrub(kept)
-    pii_total = scrubbed.agg(
+    scrubbed = scrubbed.observe(
+        obs_pii,
         F.sum(
             sum(F.col(f"n_{kind}") for kind, _, _ in PII_PATTERNS)
-        ).alias("n")
-    ).collect()[0]["n"]
-    stats["pii_spans_scrubbed"] = int(pii_total or 0)
-    _lap("pii_scrub")
+        ).alias("n"),
+    )
 
-    # 5. stable split + shard write (one JSONL dir per split)
+    # 5. stable split column (inline expression — no self-join needed,
+    # split_expr is the same single definition hash_split serves), then
+    # persist + count: the ONE job that runs the whole pipeline. Every
+    # observation above resolves during it; the split writes below read
+    # the cache.
     final = scrubbed.select(
         "doc_id",
         "lang",
         "source",
         F.col("scrubbed_text").alias("text"),
-    )
-    split_of = hash_split(final).select("doc_id", "split")
-    final = final.join(split_of, "doc_id")
+    ).withColumn("split", split_expr(F.col("doc_id")))
+    final = final.persist()
+    final.count()
+    _lap("pipeline")
+
+    stats["input"] = int(obs_input.get["n"])
+    stats["after_quality"] = int(obs_quality.get["n"])
+    stats["after_exact_dedup"] = int(obs_exact.get["n"])
+    stats["after_near_dedup"] = int(obs_near.get["n"])
+    stats["pii_spans_scrubbed"] = int(obs_pii.get["n"] or 0)
+
+    split_counts = {
+        r["split"]: r["n"] for r in final.groupBy("split").agg(n).collect()
+    }
     for split in ("train", "val", "test"):
+        stats[f"{split}_docs"] = int(split_counts.get(split, 0))
         part = final.filter(F.col("split") == split).drop("split")
-        stats[f"{split}_docs"] = part.count()
         write_jsonl(part, f"{out_dir}/{split}", n_shards=n_shards)
     _lap("split_write")
+    final.unpersist()
     return stats
 
 
