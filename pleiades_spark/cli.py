@@ -165,6 +165,91 @@ def cmd_dedup_nightly(args: argparse.Namespace) -> int:
     return 0
 
 
+def cmd_corpus_stream(args: argparse.Namespace) -> int:
+    """The CONTINUOUS corpus personality (round 13): the batch `corpus`
+    verb's streaming twin, built on the persisted star index. Two
+    modes, mirroring the stream/nightly split of the reps contract:
+
+        # continuously (or per crawl drop): quality-gate, probe-dedup,
+        # scrub, split and append arriving docs to the training shards
+        corpus-stream --index idx --work wdir --in crawl_drop/
+
+        # nightly: finalize the inbox (optionally rolling the index)
+        # and emit keep-first tombstones for deferred new-new merges
+        corpus-stream --finalize --index idx --work wdir \\
+                      --roll idx_n1 --tombstones tomb.parquet
+
+    The work dir accumulates inbox/ (staged minhash rows), assign/
+    (provisional decisions), shards/ (split-partitioned JSONL) and
+    ckpt/ (the streaming checkpoint — re-running with the same work
+    dir resumes, never re-processes). Prints one JSON stats line."""
+    import json
+    import os
+
+    from pyspark.sql import functions as F
+
+    from pleiades_spark.session import get_spark
+    from pleiades_spark.streaming.pipeline import (
+        run_corpus_stream,
+        stream_corpus_finalize,
+    )
+
+    spark = get_spark("pleiades_corpus_stream")
+    stats: dict = {
+        "mode": "finalize" if args.finalize else "ingest",
+        "index": args.index,
+    }
+    if args.finalize:
+        tomb = stream_corpus_finalize(
+            spark,
+            f"{args.work}/inbox",
+            f"{args.work}/assign",
+            args.index,
+            args.threshold,
+            out_index_path=args.roll,
+        )
+        if args.tombstones:
+            tomb.write.mode("overwrite").parquet(args.tombstones)
+            tomb = spark.read.parquet(args.tombstones)
+        stats.update(
+            n_tombstones=tomb.count(),
+            rolled_to=args.roll,
+            tombstones=args.tombstones,
+        )
+    else:
+        if not args.infile:
+            raise SystemExit("ingest mode needs --in")
+        first = spark.read.parquet(args.infile)
+        stream = (
+            spark.readStream.schema(first.schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(args.infile)
+        )
+        inbox, _assign, shards = run_corpus_stream(
+            spark, stream, args.index, args.threshold, work_dir=args.work
+        )
+        kept = {s: 0 for s in ("train", "val", "test")}
+        if os.path.isdir(shards):
+            for r in (
+                spark.read.schema(
+                    "doc_id long, lang string, source string, "
+                    "text string, q double"
+                )
+                .json(shards)
+                .groupBy("split")
+                .agg(F.count(F.lit(1)).alias("n"))
+                .collect()
+            ):
+                kept[r["split"]] = int(r["n"])
+        stats.update(
+            inbox_docs=spark.read.parquet(inbox).count(),
+            kept=kept,
+            shards=shards,
+        )
+    print(json.dumps(stats))
+    return 0
+
+
 def cmd_explain(args: argparse.Namespace) -> int:
     """Print the optimized physical plan of a registered gate query —
     the plan-audit loop (`.explain("formatted")`) as a first-class CLI
@@ -436,6 +521,24 @@ def build_parser() -> argparse.ArgumentParser:
     dn.add_argument("--compact", action="store_true")
     dn.add_argument("--target-mb", type=int, default=128)
     dn.set_defaults(fn=cmd_dedup_nightly)
+
+    cs = sub.add_parser(
+        "corpus-stream",
+        help="continuous corpus ingest vs a star index; --finalize reconciles",
+    )
+    cs.add_argument("--index", required=True, help="persisted doc star index dir")
+    cs.add_argument("--work", required=True,
+                    help="work dir (inbox/assign/shards/ckpt live here)")
+    cs.add_argument("--in", dest="infile", default=None,
+                    help="documents parquet dir to stream (ingest mode)")
+    cs.add_argument("--finalize", action="store_true",
+                    help="nightly reconcile: finalize inbox, emit tombstones")
+    cs.add_argument("--roll", default=None,
+                    help="NEW dir for the rolled index (finalize mode)")
+    cs.add_argument("--tombstones", default=None,
+                    help="tombstones parquet output (finalize mode)")
+    cs.add_argument("--threshold", type=float, default=0.6)
+    cs.set_defaults(fn=cmd_corpus_stream)
 
     cp = sub.add_parser("compact", help="small-file compaction (day-partitioned)")
     cp.add_argument("--table", required=True, help="day-partitioned parquet root")

@@ -226,6 +226,24 @@ def temperature_mixture(
     return sampled, lut
 
 
+def quality_expr(text_col: str = "text") -> Column:
+    """The corpus quality composite (type-token ratio + stopword ratio +
+    length saturation), rounded to 6 — the single definition the batch
+    builder, the streaming corpus ingest, and their oracles share. The
+    keep rule everywhere is ``quality_expr() >= 0.5 AND n_chars >= 60``."""
+    from pleiades_spark.functions.text import stopword_count
+
+    toks = tokens(F.col(text_col))
+    n_tok = F.size(toks)
+    ttr = F.size(F.array_distinct(toks)) / n_tok
+    return F.round(
+        0.4 * ttr
+        + 0.4 * (1 - stopword_count(toks) / n_tok)
+        + 0.2 * F.least(n_tok / 100, F.lit(1.0)),
+        6,
+    )
+
+
 SPLIT_TRAIN, SPLIT_VAL = 80, 90  # train <80, val 80-89, test 90-99
 
 
@@ -451,7 +469,6 @@ def build_training_corpus(
 
     from pyspark.sql import Observation
 
-    from pleiades_spark.functions.text import stopword_count, tokens
     from pleiades_spark.operators.dedup import doc_dedup_reps
     from pleiades_spark.sources.jsonl import write_jsonl
 
@@ -474,15 +491,7 @@ def build_training_corpus(
     docs = docs.observe(obs_input, n)
 
     # 1. quality gate (same composite as clean_corpus_pipeline, llm.py)
-    toks = tokens(F.col("text"))
-    n_tok = F.size(toks)
-    ttr = F.size(F.array_distinct(toks)) / n_tok
-    quality = (
-        0.4 * ttr
-        + 0.4 * (1 - stopword_count(toks) / n_tok)
-        + 0.2 * F.least(n_tok / 100, F.lit(1.0))
-    )
-    kept = docs.withColumn("q", F.round(quality, 6)).filter(
+    kept = docs.withColumn("q", quality_expr()).filter(
         (F.col("q") >= 0.5) & (F.col("n_chars") >= 60)
     )
     kept = kept.observe(obs_quality, n)

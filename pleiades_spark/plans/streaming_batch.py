@@ -1199,6 +1199,237 @@ WHERE s.is_new GROUP BY s.vec_id
 """
 
 
+def q_streaming_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CONTINUOUS corpus ingestion end-to-end (round 13): the new slice
+    arrives as two real micro-batches and flows through
+    streaming/pipeline.stream_corpus_batch — quality gate → in-stream
+    staging → persisted-index near-dup probe (drop if assigned to an
+    indexed rep) → PII scrub → split-partitioned JSONL shard append.
+    This gate reads the SHARDS back and returns (doc_id, split, q) per
+    surviving doc. Every decision is a pure per-doc function of (text,
+    static index), so the oracle replays quality + probe + split in one
+    SQL statement; scrub is a fixture no-op (0 PII spans) and is
+    covered by its own unit tests."""
+    from pleiades_spark.plans.llm import JACCARD_THRESHOLD
+    from pleiades_spark.streaming.pipeline import run_corpus_stream
+
+    idx, stream = _doc_reps_stream_setup(spark, sf_dir)
+    _inbox, _assign, shards = run_corpus_stream(
+        spark, stream, idx, JACCARD_THRESHOLD
+    )
+    return (
+        spark.read.schema(
+            "doc_id long, lang string, source string, text string, q double"
+        )
+        .json(shards)
+        .select("doc_id", "split", "q")
+    )
+
+
+def _oracle_streaming_corpus() -> str:
+    from pleiades_spark.functions.hashing import h32_sql
+    from pleiades_spark.functions.text import stopword_count_sql, word_shingles_sql
+    from pleiades_spark.plans.corpus import SPLIT_TRAIN, SPLIT_VAL
+    from pleiades_spark.plans.llm import (
+        _BANDS_RANGE_SQL,
+        _SIG_SQL,
+        _TOKS,
+        INCR_PCT,
+        JACCARD_THRESHOLD,
+    )
+    from pleiades_spark.functions.hashing import LSH_ROWS
+
+    q_sql = f"""round(
+      0.4 * (len(list_distinct({_TOKS})) * 1.0 / len({_TOKS}))
+    + 0.4 * (1 - {stopword_count_sql(_TOKS)} * 1.0 / len({_TOKS}))
+    + 0.2 * least(len({_TOKS}) / 100.0, 1.0), 6)"""
+    split_bucket = (
+        h32_sql("concat('split:', CAST(k.doc_id AS VARCHAR))") + " % 100"
+    )
+    return f"""
+WITH scored AS (
+  SELECT doc_id, text, n_chars,
+         {h32_sql("concat('incr:', CAST(doc_id AS VARCHAR))")} % 100
+           < {INCR_PCT} AS is_new,
+         {q_sql} AS q
+  FROM documents
+), corpus AS (
+  SELECT doc_id, text, is_new, q FROM scored
+  WHERE NOT is_new OR (q >= 0.5 AND n_chars >= 60)
+), sh AS (
+  SELECT doc_id, is_new, {word_shingles_sql('text')} AS sh FROM corpus
+), hashed AS (
+  SELECT doc_id, is_new, list_transform(sh, s -> {h32_sql('s')}) AS hs FROM sh
+), sig AS (
+  SELECT doc_id, is_new, {_SIG_SQL} AS sig,
+         list_distinct(list_transform(hs, h -> CAST(h - 2147483648 AS INTEGER)))
+           AS hset
+  FROM hashed
+), bands AS (
+  SELECT doc_id, is_new, band_idx,
+         array_to_string(sig[band_idx*{LSH_ROWS}+1 : band_idx*{LSH_ROWS}+{LSH_ROWS}], '-') AS band_key
+  FROM sig, {_BANDS_RANGE_SQL}
+), oreps AS (
+  SELECT band_idx, band_key, min(doc_id) AS orep
+  FROM bands WHERE NOT is_new GROUP BY band_idx, band_key
+), cand AS (
+  SELECT DISTINCT b.doc_id, o.orep
+  FROM bands b JOIN oreps o
+    ON b.band_idx = o.band_idx AND b.band_key = o.band_key
+  WHERE b.is_new
+), ver AS (
+  SELECT doc_id, orep FROM (
+    SELECT c.doc_id, c.orep,
+           round(len(list_intersect(a.hset, b.hset)) * 1.0
+                 / (len(a.hset) + len(b.hset)
+                    - len(list_intersect(a.hset, b.hset))), 6) AS jaccard
+    FROM cand c JOIN sig a ON a.doc_id = c.doc_id
+                JOIN sig b ON b.doc_id = c.orep
+  ) WHERE jaccard >= {JACCARD_THRESHOLD}
+), keeps AS (
+  SELECT s.doc_id
+  FROM sig s LEFT JOIN ver v ON v.doc_id = s.doc_id
+  WHERE s.is_new
+  GROUP BY s.doc_id
+  HAVING coalesce(min(v.orep), s.doc_id) = s.doc_id
+)
+SELECT k.doc_id,
+       CASE WHEN {split_bucket} < {SPLIT_TRAIN} THEN 'train'
+            WHEN {split_bucket} < {SPLIT_VAL} THEN 'val'
+            ELSE 'test' END AS split,
+       c.q
+FROM keeps k JOIN corpus c ON c.doc_id = k.doc_id
+"""
+
+
+def q_streaming_corpus_tombstones(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The nightly reconcile of the streaming corpus: after the same
+    two-micro-batch ingest as streaming_corpus, stream_corpus_finalize
+    runs the O(increment) persisted-index finalize over the inbox and
+    diffs it against the provisional keep log — returning the
+    TOMBSTONES (docs appended to the shards in-stream that the finalize
+    merged into another representative; downstream consumers anti-join
+    them away). This is the deferred-merge half of the keep-first
+    contract: new-new near-dup pairs are invisible to the per-arrival
+    probe by design and MUST surface here."""
+    from pleiades_spark.plans.llm import JACCARD_THRESHOLD
+    from pleiades_spark.streaming.pipeline import (
+        run_corpus_stream,
+        stream_corpus_finalize,
+    )
+
+    idx, stream = _doc_reps_stream_setup(spark, sf_dir)
+    inbox, assign, _shards = run_corpus_stream(
+        spark, stream, idx, JACCARD_THRESHOLD
+    )
+    return stream_corpus_finalize(
+        spark, inbox, assign, idx, JACCARD_THRESHOLD
+    ).select("doc_id", "rep_id")
+
+
+def _oracle_streaming_corpus_tombstones() -> str:
+    from pleiades_spark.functions.hashing import h32_sql
+    from pleiades_spark.functions.text import stopword_count_sql, word_shingles_sql
+    from pleiades_spark.plans.llm import (
+        _BANDS_RANGE_SQL,
+        _SIG_SQL,
+        _TOKS,
+        INCR_PCT,
+        JACCARD_THRESHOLD,
+    )
+    from pleiades_spark.functions.hashing import LSH_ROWS
+
+    q_sql = f"""round(
+      0.4 * (len(list_distinct({_TOKS})) * 1.0 / len({_TOKS}))
+    + 0.4 * (1 - {stopword_count_sql(_TOKS)} * 1.0 / len({_TOKS}))
+    + 0.2 * least(len({_TOKS}) / 100.0, 1.0), 6)"""
+    verify = """
+    SELECT e.doc_id, e.rep,
+           round(len(list_intersect(a.hset, b.hset)) * 1.0
+                 / (len(a.hset) + len(b.hset)
+                    - len(list_intersect(a.hset, b.hset))), 6) AS jaccard
+    FROM {src} e JOIN sig a ON a.doc_id = e.doc_id
+                 JOIN sig b ON b.doc_id = e.rep"""
+    return f"""
+WITH RECURSIVE scored AS (
+  SELECT doc_id, text, n_chars,
+         {h32_sql("concat('incr:', CAST(doc_id AS VARCHAR))")} % 100
+           < {INCR_PCT} AS is_new,
+         {q_sql} AS q
+  FROM documents
+), corpus AS (
+  SELECT doc_id, text, is_new FROM scored
+  WHERE NOT is_new OR (q >= 0.5 AND n_chars >= 60)
+), sh AS (
+  SELECT doc_id, is_new, {word_shingles_sql('text')} AS sh FROM corpus
+), hashed AS (
+  SELECT doc_id, is_new, list_transform(sh, s -> {h32_sql('s')}) AS hs FROM sh
+), sig AS (
+  SELECT doc_id, is_new, {_SIG_SQL} AS sig,
+         list_distinct(list_transform(hs, h -> CAST(h - 2147483648 AS INTEGER)))
+           AS hset
+  FROM hashed
+), bands AS (
+  SELECT doc_id, is_new, band_idx,
+         array_to_string(sig[band_idx*{LSH_ROWS}+1 : band_idx*{LSH_ROWS}+{LSH_ROWS}], '-') AS band_key
+  FROM sig, {_BANDS_RANGE_SQL}
+), oreps AS (
+  SELECT band_idx, band_key, min(doc_id) AS orep
+  FROM bands WHERE NOT is_new GROUP BY band_idx, band_key
+), oe AS (
+  SELECT DISTINCT b.doc_id, o.orep AS rep
+  FROM bands b JOIN oreps o
+    ON b.band_idx = o.band_idx AND b.band_key = o.band_key
+  WHERE NOT b.is_new AND b.doc_id != o.orep
+), freps AS (
+  SELECT band_idx, band_key, min(doc_id) AS frep,
+         max(CASE WHEN is_new THEN 1 ELSE 0 END) AS has_new
+  FROM bands GROUP BY band_idx, band_key
+), ne AS (
+  SELECT DISTINCT b.doc_id, f.frep AS rep
+  FROM bands b
+  JOIN freps f
+    ON b.band_idx = f.band_idx AND b.band_key = f.band_key AND f.has_new = 1
+  LEFT JOIN oreps o
+    ON b.band_idx = o.band_idx AND b.band_key = o.band_key
+  WHERE b.doc_id != f.frep AND (b.is_new OR b.doc_id = o.orep)
+), e0 AS (
+  SELECT doc_id, rep FROM oe UNION SELECT doc_id, rep FROM ne
+), ver AS (
+  SELECT doc_id, rep FROM ({verify.format(src='e0')})
+  WHERE jaccard >= {JACCARD_THRESHOLD}
+), edges AS (
+  SELECT doc_id AS u, rep AS w FROM ver
+  UNION SELECT rep, doc_id FROM ver
+), reach(node, r) AS (
+  SELECT u, u FROM edges
+  UNION
+  SELECT e.w, reach.r FROM reach JOIN edges e ON e.u = reach.node
+), cl AS (SELECT node, min(r) AS cluster FROM reach GROUP BY node),
+final AS (
+  SELECT d.doc_id, CAST(coalesce(cl.cluster, d.doc_id) AS BIGINT) AS rep_id
+  FROM corpus d LEFT JOIN cl ON cl.node = d.doc_id
+), pcand AS (
+  SELECT DISTINCT b.doc_id, o.orep AS rep
+  FROM bands b JOIN oreps o
+    ON b.band_idx = o.band_idx AND b.band_key = o.band_key
+  WHERE b.is_new
+), pver AS (
+  SELECT doc_id, rep FROM ({verify.format(src='pcand')})
+  WHERE jaccard >= {JACCARD_THRESHOLD}
+), keeps AS (
+  SELECT s.doc_id
+  FROM sig s LEFT JOIN pver pv ON pv.doc_id = s.doc_id
+  WHERE s.is_new
+  GROUP BY s.doc_id
+  HAVING coalesce(min(pv.rep), s.doc_id) = s.doc_id
+)
+SELECT f.doc_id, f.rep_id
+FROM final f JOIN keeps k ON k.doc_id = f.doc_id
+WHERE f.rep_id != f.doc_id
+"""
+
+
 def q_streaming_ab_welch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The A/B readout as a CONTINUOUS pipeline: the six Welch arm
     moments (counts, Σcents, Σcents² per arm) are a commutative monoid,
@@ -1270,6 +1501,12 @@ QUERIES = [
     Query("streaming_doc_reps_probe", q_streaming_doc_reps_probe,
           _oracle_streaming_doc_reps_probe(),
           "per-arrival provisional rep via stream-static band_index probe"),
+    Query("streaming_corpus", q_streaming_corpus,
+          _oracle_streaming_corpus(),
+          "continuous corpus ingest: quality + index probe + split shards"),
+    Query("streaming_corpus_tombstones", q_streaming_corpus_tombstones,
+          _oracle_streaming_corpus_tombstones(),
+          "nightly finalize diff: keep-first tombstones for deferred merges"),
     Query("streaming_emb_reps", q_streaming_emb_reps,
           _oracle_streaming_emb_reps(),
           "embedding stream inbox + persisted-index finalize == batch nightly"),

@@ -312,11 +312,7 @@ def stream_doc_reps_batch(
     """
     if batch.isEmpty():
         return
-    from pleiades_spark.operators.dedup import (
-        _staged_minhash,
-        _verify_hashed_edges,
-        band_keys,
-    )
+    from pleiades_spark.operators.dedup import _staged_minhash
 
     spark = batch.sparkSession  # the CLONED session — confs must go here
     apply_runtime_confs(spark)
@@ -324,6 +320,22 @@ def stream_doc_reps_batch(
     # blocks free at batch end (GC), never accumulating across batches
     staged = _staged_minhash(batch).localCheckpoint()
     staged.write.mode("append").parquet(inbox_path)
+    assigns = _probe_provisional(spark, staged, index_path, threshold)
+    assigns.write.mode("append").parquet(assign_path)
+
+
+def _probe_provisional(
+    spark: SparkSession, staged: DataFrame, index_path: str, threshold: float
+) -> DataFrame:
+    """Steps 3-5 of stream_doc_reps_batch: probe the persisted band_index
+    with the staged (doc_id, sig, hset) rows, verify candidate edges by
+    exact hashed-shingle Jaccard against rep_hsets, and emit ONE
+    provisional (doc_id, rep_id) per staged doc — min verified persisted
+    orep, else self. A pure per-doc function of (text, static index),
+    shared by the reps-assignment stream and the streaming corpus
+    ingest."""
+    from pleiades_spark.operators.dedup import _verify_hashed_edges, band_keys
+
     band_index = spark.read.parquet(f"{index_path}/band_index")
     rep_hsets = spark.read.parquet(f"{index_path}/rep_hsets")
     bands = staged.select(
@@ -337,7 +349,7 @@ def stream_doc_reps_batch(
     )
     hsets = staged.select("doc_id", "hset").unionAll(rep_hsets)
     verified = _verify_hashed_edges(cand, hsets, threshold)
-    assigns = (
+    return (
         staged.select("doc_id")
         .join(
             verified.groupBy("doc_id").agg(F.min("rep").alias("hit")),
@@ -346,7 +358,6 @@ def stream_doc_reps_batch(
         )
         .select("doc_id", F.coalesce(F.col("hit"), F.col("doc_id")).alias("rep_id"))
     )
-    assigns.write.mode("append").parquet(assign_path)
 
 
 def run_doc_reps_stream(
@@ -390,6 +401,184 @@ def run_doc_reps_stream(
         q.stop()
         q.awaitTermination()
     return inbox, assign
+
+
+def stream_corpus_batch(
+    batch: DataFrame,
+    index_path: str,
+    inbox_path: str,
+    assign_path: str,
+    out_dir: str,
+    threshold: float = 0.6,
+) -> None:
+    """One micro-batch of CONTINUOUS corpus ingestion (round 13) — the
+    streaming twin of operators/corpus.build_training_corpus, built on
+    the persisted star index: arriving raw docs are quality-gated,
+    near-dup-checked against the indexed corpus, scrubbed, split and
+    appended to the training shards, all inside foreachBatch.
+
+    Per batch:
+      1. quality gate — the SAME composite + keep rule as the batch
+         builder (operators/corpus.quality_expr: q >= 0.5 AND
+         n_chars >= 60). Rejected docs cost exactly one projection.
+      2. stage (doc_id, sig, hset) once (_staged_minhash — repartition
+         before hashing, the one-file-micro-batch invariant) and append
+         to the INBOX for the nightly finalize.
+      3. probe the persisted band_index (_probe_provisional): docs whose
+         min verified persisted rep is NOT themselves are near-dups of
+         the indexed corpus — dropped from the shards. Exact duplicates
+         need no separate stage: a copy of any indexed cluster member
+         shares its hset, so the probe verifies it at Jaccard 1 ≥
+         threshold and it drops here. The (doc_id, rep_id) log is
+         appended for the finalize diff.
+      4. survivors are PII-scrubbed and appended to
+         ``out_dir/split=<train|val|test>/`` as JSONL (one write,
+         partitionBy — the split expression is the shared split_expr).
+
+    Every decision is a pure per-doc function of (text, static index) —
+    independent of micro-batch boundaries, so the gate oracle replays
+    the whole ingest in SQL. Two new near-dup docs in DIFFERENT batches
+    (or the same — the probe sees only the PERSISTED index) are BOTH
+    kept provisionally; the nightly finalize (stream_corpus_finalize)
+    merges them and emits the keep-first TOMBSTONE for the later one —
+    the same deferred-merge / batch-reconcile pattern as the reference
+    aggregate personality's continuous increments
+    (pkg/aggregator/kafka/aggregator.go:159-204) and the
+    counters_reconcile kappa gate.
+
+    At 100 TB: identical scale posture to stream_doc_reps_batch (band
+    probes shuffle 16-byte keys, never text; the index is read-only and
+    linear in corpus size), plus the shard append is partitioned by the
+    split column so a batch lands in one write job. Small-file accretion
+    across many micro-batches is the known cost of append streaming —
+    the same maintenance window that rolls the index compacts the
+    shards (maintenance.compact_days precedent).
+    """
+    if batch.isEmpty():
+        return
+    from pleiades_spark.operators.corpus import (
+        pii_scrub,
+        quality_expr,
+        split_expr,
+    )
+    from pleiades_spark.operators.dedup import _staged_minhash
+
+    spark = batch.sparkSession  # the CLONED session — confs must go here
+    apply_runtime_confs(spark)
+    scored = (
+        batch.repartition(F.col("doc_id"))
+        .withColumn("q", quality_expr())
+        .filter((F.col("q") >= 0.5) & (F.col("n_chars") >= 60))
+        .localCheckpoint()  # feeds staging AND the survivor shards
+    )
+    staged = _staged_minhash(scored).localCheckpoint()
+    staged.write.mode("append").parquet(inbox_path)
+    assigns = _probe_provisional(spark, staged, index_path, threshold)
+    assigns = assigns.localCheckpoint()  # feeds the log AND the keep join
+    assigns.write.mode("append").parquet(assign_path)
+    keep = assigns.filter(F.col("rep_id") == F.col("doc_id")).select("doc_id")
+    out = (
+        pii_scrub(scored.join(keep, "doc_id", "left_semi"))
+        .select(
+            "doc_id",
+            "lang",
+            "source",
+            F.col("scrubbed_text").alias("text"),
+            "q",
+        )
+        .withColumn("split", split_expr(F.col("doc_id")))
+    )
+    out.write.partitionBy("split").mode("append").json(out_dir)
+
+
+def run_corpus_stream(
+    spark: SparkSession,
+    stream_docs: DataFrame,
+    index_path: str,
+    threshold: float = 0.6,
+    work_dir: str | None = None,
+) -> tuple[str, str, str]:
+    """Drive the streaming corpus ingest over a bounded source to
+    completion; returns ``(inbox_path, assign_path, shards_dir)``. The
+    inbox + assign log feed stream_corpus_finalize's nightly merge; the
+    shards dir holds the appended JSONL training shards partitioned by
+    split."""
+    import atexit
+    import os
+    import shutil
+    import tempfile
+
+    from pleiades_spark.operators.dedup import _check_index_ok
+
+    _check_index_ok(spark, index_path, "run_corpus_stream")
+    if work_dir is None:
+        work_dir = tempfile.mkdtemp(
+            prefix=f"pleiades_sink_corpusstream_p{os.getpid()}_"
+        )
+        atexit.register(shutil.rmtree, work_dir, ignore_errors=True)
+    inbox = f"{work_dir}/inbox"
+    assign = f"{work_dir}/assign"
+    shards = f"{work_dir}/shards"
+    q = (
+        stream_docs.writeStream.foreachBatch(
+            lambda b, _eid: stream_corpus_batch(
+                b, index_path, inbox, assign, shards, threshold
+            )
+        )
+        .option("checkpointLocation", f"{work_dir}/ckpt")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+        q.awaitTermination()
+    return inbox, assign, shards
+
+
+def stream_corpus_finalize(
+    spark: SparkSession,
+    inbox_path: str,
+    assign_path: str,
+    index_path: str,
+    threshold: float = 0.6,
+    out_index_path: str | None = None,
+) -> DataFrame:
+    """The nightly reconcile of the streaming corpus ingest: run the
+    O(increment) persisted-index finalize over the inbox
+    (doc_dedup_reps_from_index, ``pre_staged=True`` — the stream already
+    paid the text staging; pass ``out_index_path`` to also roll the
+    index forward for tomorrow's stream), then DIFF the final
+    assignment against the provisional keep decisions and return the
+    TOMBSTONES: docs the stream kept (provisional rep == self — already
+    appended to the shards) that the finalize merged into another
+    representative. Downstream training jobs apply tombstones as an
+    anti-join on the shards — the streaming-world equivalent of the
+    batch builder's keeper filter, deferred one night, exactly the
+    kappa reconcile shape counters_reconcile gates for the counters
+    table.
+
+    Output: one (doc_id, rep_id) row per tombstoned doc. Linear in
+    stream volume end-to-end: the finalize is O(increment), the diff is
+    one join of two (id, id) tables.
+    """
+    from pleiades_spark.operators.dedup import doc_dedup_reps_from_index
+
+    final = doc_dedup_reps_from_index(
+        spark.read.parquet(inbox_path),
+        index_path,
+        threshold,
+        out_index_path=out_index_path,
+        pre_staged=True,
+    )
+    kept = (
+        spark.read.parquet(assign_path)
+        .filter(F.col("rep_id") == F.col("doc_id"))
+        .select("doc_id")
+    )
+    return final.join(kept, "doc_id", "left_semi").filter(
+        F.col("rep_id") != F.col("doc_id")
+    )
 
 
 def stream_emb_reps_batch(

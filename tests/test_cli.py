@@ -238,3 +238,59 @@ def test_serve_graceful_shutdown(spark, tmp_path):
     finally:
         if proc.poll() is None:
             proc.kill()
+
+
+def test_corpus_stream_personality_end_to_end(spark, tmp_path, capsys):
+    """corpus-stream personality: bootstrap an index over the old half
+    of the fixture docs, stream the new half (ingest mode), then
+    finalize with an index roll — both verbs print consistent stats and
+    the rolled index carries the finalize's merges."""
+    from pyspark.sql import functions as F
+
+    from pleiades_spark import catalog
+    from pleiades_spark.operators.dedup import write_reps_index
+
+    docs = catalog.load(spark, "/root/testdata/sf0.001", "documents")
+    old = docs.filter(F.col("doc_id") % 2 == 0)
+    new = docs.filter(F.col("doc_id") % 2 == 1)
+    idx = tmp_path / "idx"
+    write_reps_index(old, str(idx), 0.6)
+    drop = tmp_path / "drop"
+    new.write.parquet(str(drop))
+
+    parser = build_parser()
+    work = tmp_path / "work"
+    args = parser.parse_args(
+        ["corpus-stream", "--index", str(idx), "--work", str(work),
+         "--in", str(drop)]
+    )
+    assert args.fn(args) == 0
+    ingest = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert ingest["mode"] == "ingest"
+    n_kept = sum(ingest["kept"].values())
+    assert 0 < n_kept <= ingest["inbox_docs"] <= new.count()
+
+    tomb_out = tmp_path / "tomb.parquet"
+    args = parser.parse_args(
+        ["corpus-stream", "--finalize", "--index", str(idx),
+         "--work", str(work), "--roll", str(tmp_path / "idx_n1"),
+         "--tombstones", str(tomb_out)]
+    )
+    assert args.fn(args) == 0
+    fin = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert fin["mode"] == "finalize"
+    assert fin["n_tombstones"] >= 0
+    # the roll produced a complete, marker-committed index
+    assert (tmp_path / "idx_n1" / "_INDEX_OK").exists()
+    # tombstoned docs are a subset of the stream's provisional keeps
+    if fin["n_tombstones"]:
+        kept_ids = {
+            r.doc_id
+            for r in spark.read.parquet(str(work / "assign"))
+            .filter(F.col("rep_id") == F.col("doc_id"))
+            .collect()
+        }
+        tomb_ids = {
+            r.doc_id for r in spark.read.parquet(str(tomb_out)).collect()
+        }
+        assert tomb_ids <= kept_ids

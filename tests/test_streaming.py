@@ -579,3 +579,102 @@ def test_stream_emb_reps_cross_batch(spark, tmp_path):
     }
     assert final == expected
     assert final[777] == final[778]  # deferred merge in the finalize
+
+
+def test_stream_corpus_cross_batch(spark, tmp_path):
+    """Round-13 continuous corpus ingest, cross-batch:
+    (a) low-quality docs are rejected in-stream and never reach the
+        inbox OR the shards;
+    (b) near-dups of the INDEXED corpus are dropped from the shards at
+        arrival (probe-verified against the persisted rep);
+    (c) a new-new near-dup pair arriving in DIFFERENT micro-batches is
+        kept twice (keep-first contract), and the finalize emits
+        exactly the later doc as a tombstone pointing at the cluster
+        rep;
+    (d) shard rows carry the deterministic split_expr assignment."""
+    import os
+
+    from pleiades_spark.operators.corpus import split_expr
+    from pleiades_spark.operators.dedup import write_reps_index
+    from pleiades_spark.plans.streaming_batch import _stage_parts
+    from pleiades_spark.streaming.pipeline import (
+        run_corpus_stream,
+        stream_corpus_finalize,
+    )
+
+    rows = []
+    for g in range(2):
+        base = " ".join(f"g{g}w{i}" for i in range(80))
+        for c in range(8):
+            rows.append((g * 100 + c, f"{base} t{g}x{c}"))
+    for i in range(20):
+        rows.append((10_000 + i, " ".join(f"u{i}v{j}" for j in range(60))))
+    nn = " ".join(f"nn{j}" for j in range(80))
+    rows.append((777, nn + " a1"))
+    rows.append((778, nn + " a2"))
+    rows.append((555, "the " * 79 + "the"))  # all-stopword: q ≈ 0.165
+    docs = spark.createDataFrame(
+        [(i, t, "en", "src0", len(t)) for i, t in rows],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    is_new = (
+        (F.col("doc_id") % 2 == 0)
+        | (F.col("doc_id") == 777)
+        | (F.col("doc_id") == 555)
+    )
+    old = docs.filter(~is_new)
+    new_raw = docs.filter(is_new)
+
+    idx = str(tmp_path / "idx")
+    write_reps_index(old, idx, 0.6)
+
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    # batch 1 = odd ids (777 alone), batch 2 = even ids (778, 555 among them)
+    _stage_parts(
+        [new_raw.filter(F.col("doc_id") % 2 == 1),
+         new_raw.filter(F.col("doc_id") % 2 == 0)],
+        src,
+    )
+    stream = (
+        spark.readStream.schema(new_raw.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    inbox, assign, shards = run_corpus_stream(
+        spark, stream, idx, 0.6, work_dir=str(tmp_path / "work")
+    )
+
+    # (a) the quality reject reached nothing; everyone else reached the inbox
+    inbox_ids = {r.doc_id for r in spark.read.parquet(inbox).collect()}
+    assert 555 not in inbox_ids
+    assert inbox_ids == {r.doc_id for r in new_raw.collect()} - {555}
+
+    shard_rows = (
+        spark.read.schema(
+            "doc_id long, lang string, source string, text string, q double"
+        )
+        .json(shards)
+        .collect()
+    )
+    got = {r.doc_id: r for r in shard_rows}
+    # (b) indexed-group members dropped, uniques + both new-new docs kept
+    expected_keep = {10_000 + i for i in range(0, 20, 2)} | {777, 778}
+    assert set(got) == expected_keep
+    # (d) split matches the deterministic expression
+    splits = {
+        r.doc_id: r.split
+        for r in new_raw.select(
+            "doc_id", split_expr(F.col("doc_id")).alias("split")
+        ).collect()
+    }
+    for doc_id, row in got.items():
+        assert row.split == splits[doc_id]
+        assert row.q >= 0.5 and row.text  # scrub is a no-op on clean text
+
+    # (c) finalize tombstones exactly the later-arriving new-new doc
+    tomb = {
+        r.doc_id: r.rep_id
+        for r in stream_corpus_finalize(spark, inbox, assign, idx, 0.6).collect()
+    }
+    assert tomb == {778: 777}
