@@ -235,6 +235,10 @@ HEADLINE = [
     "streaming_doc_reps_probe",
     "streaming_emb_reps",
     "streaming_emb_reps_probe",
+    # round 13 (cont.): continuous corpus ingestion + nightly tombstone
+    # reconcile — the e2e streaming twin of the corpus personality
+    "streaming_corpus",
+    "streaming_corpus_tombstones",
 ]
 
 # Queries that get a THIRD timed rep (iterative driver-loop and
@@ -270,6 +274,8 @@ MIN_OF_3 = {
     "streaming_doc_reps_probe",
     "streaming_emb_reps",
     "streaming_emb_reps_probe",
+    "streaming_corpus",
+    "streaming_corpus_tombstones",
 }
 
 

@@ -179,6 +179,10 @@ def cmd_corpus_stream(args: argparse.Namespace) -> int:
         corpus-stream --finalize --index idx --work wdir \\
                       --roll idx_n1 --tombstones tomb.parquet
 
+        # periodically: rewrite the shard dirs' per-micro-batch small
+        # files into size-targeted ones (rename-atomic per split)
+        corpus-stream --compact-shards --work wdir [--target-mb 128]
+
     The work dir accumulates inbox/ (staged minhash rows), assign/
     (provisional decisions), shards/ (split-partitioned JSONL) and
     ckpt/ (the streaming checkpoint — re-running with the same work
@@ -195,11 +199,25 @@ def cmd_corpus_stream(args: argparse.Namespace) -> int:
     )
 
     spark = get_spark("pleiades_corpus_stream")
-    stats: dict = {
-        "mode": "finalize" if args.finalize else "ingest",
-        "index": args.index,
-    }
-    if args.finalize:
+    mode = (
+        "compact-shards"
+        if args.compact_shards
+        else ("finalize" if args.finalize else "ingest")
+    )
+    if mode != "compact-shards" and not args.index:
+        raise SystemExit(f"{mode} mode needs --index")
+    stats: dict = {"mode": mode, "index": args.index}
+    if args.compact_shards:
+        from pleiades_spark.maintenance import compact_corpus_shards
+
+        stats.update(
+            files=compact_corpus_shards(
+                spark,
+                f"{args.work}/shards",
+                target_bytes=args.target_mb * 1024 * 1024,
+            )
+        )
+    elif args.finalize:
         tomb = stream_corpus_finalize(
             spark,
             f"{args.work}/inbox",
@@ -526,18 +544,21 @@ def build_parser() -> argparse.ArgumentParser:
         "corpus-stream",
         help="continuous corpus ingest vs a star index; --finalize reconciles",
     )
-    cs.add_argument("--index", required=True, help="persisted doc star index dir")
+    cs.add_argument("--index", default=None, help="persisted doc star index dir")
     cs.add_argument("--work", required=True,
                     help="work dir (inbox/assign/shards/ckpt live here)")
     cs.add_argument("--in", dest="infile", default=None,
                     help="documents parquet dir to stream (ingest mode)")
     cs.add_argument("--finalize", action="store_true",
                     help="nightly reconcile: finalize inbox, emit tombstones")
+    cs.add_argument("--compact-shards", action="store_true",
+                    help="rewrite the shard dirs into size-targeted files")
     cs.add_argument("--roll", default=None,
                     help="NEW dir for the rolled index (finalize mode)")
     cs.add_argument("--tombstones", default=None,
                     help="tombstones parquet output (finalize mode)")
     cs.add_argument("--threshold", type=float, default=0.6)
+    cs.add_argument("--target-mb", type=int, default=128)
     cs.set_defaults(fn=cmd_corpus_stream)
 
     cp = sub.add_parser("compact", help="small-file compaction (day-partitioned)")

@@ -78,3 +78,62 @@ def compact_days(
     )
     _swap_day_partitions(spark, staged, table_path, ["day"], target_days)
     return n_files
+
+
+# The streaming corpus personality's shard schema (streaming/pipeline.
+# stream_corpus_batch) — JSONL must be read back with an explicit schema
+# (inference would re-scan every file and can widen types per batch).
+CORPUS_SHARD_SCHEMA = (
+    "doc_id long, lang string, source string, text string, q double"
+)
+
+
+def compact_corpus_shards(
+    spark: SparkSession,
+    shards_dir: str,
+    target_bytes: int = TARGET_FILE_BYTES,
+    schema: str = CORPUS_SHARD_SCHEMA,
+) -> dict[str, int]:
+    """Small-file compaction for the streaming corpus shards: each
+    micro-batch of stream_corpus_batch appends one JSONL file per
+    (batch × shuffle partition) under ``split=<name>/`` — the same
+    accretion compact_days exists for on the counters table, so the
+    same maintenance window fixes both. Per split dir: one filesystem
+    listing sizes it, the rewrite reads ONLY that split into
+    ``ceil(bytes / target_bytes)`` files, and the swap is rename-atomic
+    (stage hidden beside it, rename old away, rename staged in, delete
+    old) — readers never see a partially compacted split, and a crash
+    before the swap leaves only a hidden staging dir the rerun
+    overwrites. Splits already at (or under) their target file count
+    are skipped without reading data. Returns {split: n_files_written}
+    for the splits actually rewritten."""
+    apply_runtime_confs(spark)
+    jvm = spark._jvm
+    hconf = spark._jsc.hadoopConfiguration()
+    root = jvm.org.apache.hadoop.fs.Path(shards_dir)
+    fs = root.getFileSystem(hconf)
+    written: dict[str, int] = {}
+    for st in fs.listStatus(root):
+        name = st.getPath().getName()
+        if not name.startswith("split="):
+            continue
+        part = st.getPath()
+        size = fs.getContentSummary(part).getLength()
+        n = max(1, -(-size // target_bytes))
+        n_now = sum(
+            1
+            for f in fs.listStatus(part)
+            if not f.getPath().getName().startswith(("_", "."))
+        )
+        if n_now <= n:
+            continue
+        df = spark.read.schema(schema).json(f"{shards_dir}/{name}")
+        staged = f"{shards_dir}/.compact_{name}"
+        df.repartition(n).write.mode("overwrite").json(staged)
+        old = jvm.org.apache.hadoop.fs.Path(f"{shards_dir}/.old_{name}")
+        fs.delete(old, True)
+        fs.rename(part, old)
+        fs.rename(jvm.org.apache.hadoop.fs.Path(staged), part)
+        fs.delete(old, True)
+        written[name.split("=", 1)[1]] = n
+    return written

@@ -294,3 +294,16 @@ def test_corpus_stream_personality_end_to_end(spark, tmp_path, capsys):
             r.doc_id for r in spark.read.parquet(str(tomb_out)).collect()
         }
         assert tomb_ids <= kept_ids
+
+    # compact-shards verb: content preserved, per-split counts unchanged
+    n_before = sum(ingest["kept"].values())
+    args = parser.parse_args(
+        ["corpus-stream", "--compact-shards", "--work", str(work)]
+    )
+    assert args.fn(args) == 0
+    comp = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert comp["mode"] == "compact-shards"
+    back = spark.read.schema(
+        "doc_id long, lang string, source string, text string, q double"
+    ).json(str(work / "shards"))
+    assert back.count() == n_before

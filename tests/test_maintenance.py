@@ -123,3 +123,62 @@ def test_compact_days_targets_only_requested_days(spark, tmp_path):
     assert len(glob.glob(os.path.join(out, "day=19700", "*.parquet"))) < 10
     # untouched day keeps its original files
     assert len(glob.glob(os.path.join(out, "day=19701", "*.parquet"))) == files_day1
+
+
+def test_compact_corpus_shards_roundtrip(spark, tmp_path):
+    """Shard compaction: many per-micro-batch JSONL files per split →
+    size-targeted file count, rename-atomic, content identical; a split
+    already at its target is left untouched."""
+    from pyspark.sql import functions as F
+
+    from pleiades_spark.maintenance import compact_corpus_shards
+
+    df = spark.createDataFrame(
+        [(i, "en", "src0", f"text {i} " + "x" * 50, 0.9) for i in range(400)],
+        "doc_id long, lang string, source string, text string, q double",
+    ).withColumn(
+        "split", F.when(F.col("doc_id") % 2 == 0, "train").otherwise("val")
+    )
+    shards = tmp_path / "shards"
+    # simulate 8 micro-batch appends -> 8+ files per split dir
+    for k in range(8):
+        df.filter(F.col("doc_id") % 8 == k).repartition(2).write.partitionBy(
+            "split"
+        ).mode("append").json(str(shards))
+
+    def files(split):
+        d = shards / f"split={split}"
+        return [p for p in d.iterdir()
+                if not p.name.startswith(("_", ".")) and p.suffix == ".json"]
+
+    before = {
+        s: sorted(
+            r.doc_id
+            for r in spark.read.schema(
+                "doc_id long, lang string, source string, text string, q double"
+            ).json(str(shards / f"split={s}")).collect()
+        )
+        for s in ("train", "val")
+    }
+    assert len(files("train")) > 1
+
+    written = compact_corpus_shards(spark, str(shards))
+    assert written == {"train": 1, "val": 1}
+    for s in ("train", "val"):
+        assert len(files(s)) == 1
+        after = sorted(
+            r.doc_id
+            for r in spark.read.schema(
+                "doc_id long, lang string, source string, text string, q double"
+            ).json(str(shards / f"split={s}")).collect()
+        )
+        assert after == before[s]
+    # second pass: already at target -> untouched (no rewrite entries)
+    assert compact_corpus_shards(spark, str(shards)) == {}
+    # the partition-discovering root read still sees both splits
+    back = spark.read.schema(
+        "doc_id long, lang string, source string, text string, q double"
+    ).json(str(shards))
+    assert back.count() == 400 and set(
+        r.split for r in back.select("split").distinct().collect()
+    ) == {"train", "val"}

@@ -678,3 +678,60 @@ def test_stream_corpus_cross_batch(spark, tmp_path):
         for r in stream_corpus_finalize(spark, inbox, assign, idx, 0.6).collect()
     }
     assert tomb == {778: 777}
+
+
+def test_stream_corpus_same_workdir_resumes(spark, tmp_path):
+    """The corpus-stream work dir is a resumable unit: re-running the
+    ingest over the same source with the same work dir must process
+    ZERO new files (checkpoint offsets), leaving inbox/assign/shards
+    byte-identical — the no-reprocessing contract the CLI docstring
+    promises."""
+    import os
+
+    from pleiades_spark.operators.dedup import write_reps_index
+    from pleiades_spark.plans.streaming_batch import _stage_parts
+    from pleiades_spark.streaming.pipeline import run_corpus_stream
+
+    docs = spark.createDataFrame(
+        [
+            (i, " ".join(f"u{i}v{j}" for j in range(60)), "en", "s", 400)
+            for i in range(12)
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    idx = str(tmp_path / "idx")
+    write_reps_index(docs.filter(F.col("doc_id") >= 8), idx, 0.6)
+    new_raw = docs.filter(F.col("doc_id") < 8)
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    _stage_parts(
+        [new_raw.filter(F.col("doc_id") < 4),
+         new_raw.filter(F.col("doc_id") >= 4)],
+        src,
+    )
+
+    def listing(root):
+        out = {}
+        for dirpath, _dirs, names in os.walk(root):
+            for n in names:
+                if n.startswith(("_", ".")) or "ckpt" in dirpath:
+                    continue
+                p = os.path.join(dirpath, n)
+                out[os.path.relpath(p, root)] = os.path.getsize(p)
+        return out
+
+    work = str(tmp_path / "work")
+    for run in range(2):
+        stream = (
+            spark.readStream.schema(new_raw.schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src)
+        )
+        inbox, assign, shards = run_corpus_stream(
+            spark, stream, idx, 0.6, work_dir=work
+        )
+        if run == 0:
+            first = listing(work)
+            assert spark.read.parquet(inbox).count() == 8
+    assert listing(work) == first  # nothing re-processed or re-appended
+    assert spark.read.parquet(assign).count() == 8
