@@ -246,8 +246,14 @@ def cmd_corpus_stream(args: argparse.Namespace) -> int:
         inbox, _assign, shards = run_corpus_stream(
             spark, stream, args.index, args.threshold, work_dir=args.work
         )
+        # An ingest where every batch was empty (all files already
+        # checkpointed, or every doc rejected by the quality gate) leaves
+        # inbox/shards absent or partition-dir-less — print zero stats,
+        # not an UNABLE_TO_INFER_SCHEMA / missing-partition error.
         kept = {s: 0 for s in ("train", "val", "test")}
-        if os.path.isdir(shards):
+        if os.path.isdir(shards) and any(
+            n.startswith("split=") for n in os.listdir(shards)
+        ):
             for r in (
                 spark.read.schema(
                     "doc_id long, lang string, source string, "
@@ -259,8 +265,11 @@ def cmd_corpus_stream(args: argparse.Namespace) -> int:
                 .collect()
             ):
                 kept[r["split"]] = int(r["n"])
+        has_inbox = os.path.isdir(inbox) and any(
+            n.startswith("epoch=") for n in os.listdir(inbox)
+        )
         stats.update(
-            inbox_docs=spark.read.parquet(inbox).count(),
+            inbox_docs=spark.read.parquet(inbox).count() if has_inbox else 0,
             kept=kept,
             shards=shards,
         )

@@ -100,18 +100,52 @@ def compact_corpus_shards(
     accretion compact_days exists for on the counters table, so the
     same maintenance window fixes both. Per split dir: one filesystem
     listing sizes it, the rewrite reads ONLY that split into
-    ``ceil(bytes / target_bytes)`` files, and the swap is rename-atomic
-    (stage hidden beside it, rename old away, rename staged in, delete
-    old) — readers never see a partially compacted split, and a crash
-    before the swap leaves only a hidden staging dir the rerun
-    overwrites. Splits already at (or under) their target file count
-    are skipped without reading data. Returns {split: n_files_written}
-    for the splits actually rewritten."""
+    ``ceil(bytes / target_bytes)`` files under a single ``epoch=-1``
+    leaf (the shards are ``split=<name>/epoch=<id>/`` since the
+    idempotent-replay fix — partition discovery needs uniform depth, so
+    the compacted form keeps the nesting; -1 can never collide with a
+    real micro-batch id), and the swap is rename-atomic (stage hidden
+    beside it, rename old away, rename staged in, delete old). A crash
+    anywhere in the window is repaired on the next run: a leftover
+    ``.old_split=X`` whose ``split=X`` is missing means the process died
+    between the two renames — the staged dir (fully written before the
+    swap began) is promoted if present, else the old dir is restored.
+    Splits already at (or under) their target file count are skipped
+    without reading data. Returns {split: n_files_written} for the
+    splits actually rewritten."""
     apply_runtime_confs(spark)
     jvm = spark._jvm
     hconf = spark._jsc.hadoopConfiguration()
     root = jvm.org.apache.hadoop.fs.Path(shards_dir)
     fs = root.getFileSystem(hconf)
+
+    def _p(path: str):
+        return jvm.org.apache.hadoop.fs.Path(path)
+
+    def _n_data_files(path) -> int:
+        n = 0
+        for f in fs.listStatus(path):
+            nm = f.getPath().getName()
+            if nm.startswith(("_", ".")):
+                continue
+            n += _n_data_files(f.getPath()) if f.isDirectory() else 1
+        return n
+
+    # Repair a torn swap from a previous crashed run BEFORE compacting.
+    for st in fs.listStatus(root):
+        name = st.getPath().getName()
+        if not name.startswith(".old_split="):
+            continue
+        split_name = name[len(".old_"):]
+        part = _p(f"{shards_dir}/{split_name}")
+        staged = _p(f"{shards_dir}/.compact_{split_name}")
+        if not fs.exists(part):
+            if fs.exists(staged):
+                fs.rename(staged, part)  # finish the interrupted swap
+            else:
+                fs.rename(st.getPath(), part)  # restore the original
+        fs.delete(_p(f"{shards_dir}/{name}"), True)
+
     written: dict[str, int] = {}
     for st in fs.listStatus(root):
         name = st.getPath().getName()
@@ -120,20 +154,22 @@ def compact_corpus_shards(
         part = st.getPath()
         size = fs.getContentSummary(part).getLength()
         n = max(1, -(-size // target_bytes))
-        n_now = sum(
-            1
-            for f in fs.listStatus(part)
-            if not f.getPath().getName().startswith(("_", "."))
-        )
-        if n_now <= n:
+        if _n_data_files(part) <= n:
             continue
         df = spark.read.schema(schema).json(f"{shards_dir}/{name}")
         staged = f"{shards_dir}/.compact_{name}"
-        df.repartition(n).write.mode("overwrite").json(staged)
-        old = jvm.org.apache.hadoop.fs.Path(f"{shards_dir}/.old_{name}")
+        (
+            df.drop("epoch")
+            .withColumn("epoch", F.lit(-1))
+            .repartition(n)
+            .write.partitionBy("epoch")
+            .mode("overwrite")
+            .json(staged)
+        )
+        old = _p(f"{shards_dir}/.old_{name}")
         fs.delete(old, True)
         fs.rename(part, old)
-        fs.rename(jvm.org.apache.hadoop.fs.Path(staged), part)
+        fs.rename(_p(staged), part)
         fs.delete(old, True)
         written[name.split("=", 1)[1]] = n
     return written

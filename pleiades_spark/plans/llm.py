@@ -3004,14 +3004,13 @@ def q_clean_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     scan and fuses the projections; the only shuffles are the dedup
     groupBy and the final per-lang aggregation.
     """
+    from pleiades_spark.operators.corpus import quality_expr
+
     docs = _t(spark, sf_dir, "documents")
-    toks = tokens(F.col("text"))
-    n_tok = F.size(toks)
-    ttr = F.size(F.array_distinct(toks)) / n_tok
-    quality = 0.4 * ttr + 0.4 * (
-        1 - stopword_count(toks) / n_tok
-    ) + 0.2 * F.least(n_tok / 100, F.lit(1.0))
-    scored = docs.withColumn("q", F.round(quality, 6)).filter(
+    # the ONE quality composite definition (shared with the batch corpus
+    # builder, the streaming ingest, and their oracles) — an inline copy
+    # here would silently diverge on a retune
+    scored = docs.withColumn("q", quality_expr()).filter(
         (F.col("q") >= 0.5) & (F.col("n_chars") >= 60)
     )
     # exact dedup: canonical representative = min doc_id per text

@@ -189,7 +189,14 @@ def _sweep_stale_tmp_dirs(
         m = re.search(r"_p(\d+)_", os.path.basename(p))
         try:
             if m is not None:
-                if not _pid_alive(int(m.group(1))):
+                # dead owner → reap now; alive owner → 7-day fallback.
+                # The fallback covers a recycled PID held by an unrelated
+                # long-lived process (which would otherwise keep a dead
+                # session's sink alive forever) while still not touching
+                # a legitimately long-running stream's day-old sink.
+                if not _pid_alive(int(m.group(1))) or (
+                    now - os.stat(p).st_mtime > 7 * max_age_s
+                ):
                     shutil.rmtree(p, ignore_errors=True)
             elif now - os.stat(p).st_mtime > max_age_s:
                 shutil.rmtree(p, ignore_errors=True)
@@ -959,14 +966,17 @@ def _doc_reps_stream_setup(spark: SparkSession, sf_dir: str):
     serves all three gates) and the NEW slice staged as two micro-batch
     files split even/odd by doc_id, so near-dup partners deliberately
     straddle the batch boundary."""
-    from pleiades_spark.plans.llm import _incr_docs, staged_doc_reps_index
+    from pleiades_spark.plans.llm import INCR_PCT, _incr_docs, staged_doc_reps_index
 
     apply_runtime_confs(spark)
     idx = staged_doc_reps_index(spark, sf_dir)
     new = _incr_docs(spark, sf_dir).filter(F.col("is_new")).drop("is_new")
     src = _staged_src(
         sf_dir,
-        "docs_new_split",
+        # the key carries INCR_PCT: retuning the increment slice must
+        # restage, not silently replay the old slice (the same stale-
+        # artifact class the r12 index-key fix closed)
+        f"docs_new_split_p{INCR_PCT}",
         lambda d: _stage_parts(
             [new.filter(F.col("doc_id") % 2 == 0),
              new.filter(F.col("doc_id") % 2 == 1)],
@@ -1087,14 +1097,14 @@ def _emb_reps_stream_setup(spark: SparkSession, sf_dir: str):
     over the old slice (shared artifact with
     dedup_embedding_reps_persisted) + the new slice staged as two
     even/odd micro-batch files."""
-    from pleiades_spark.plans.llm import _incr_emb, staged_emb_reps_index
+    from pleiades_spark.plans.llm import INCR_PCT, _incr_emb, staged_emb_reps_index
 
     apply_runtime_confs(spark)
     idx = staged_emb_reps_index(spark, sf_dir)
     new = _incr_emb(spark, sf_dir).filter(F.col("is_new")).drop("is_new")
     src = _staged_src(
         sf_dir,
-        "emb_new_split",
+        f"emb_new_split_p{INCR_PCT}",
         lambda d: _stage_parts(
             [new.filter(F.col("vec_id") % 2 == 0),
              new.filter(F.col("vec_id") % 2 == 1)],

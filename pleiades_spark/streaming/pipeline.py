@@ -261,8 +261,57 @@ def lsh_dedup_stream(
     )
 
 
+def _epoch_path(path: str, eid: int) -> str:
+    """Idempotent foreachBatch sink dir for one micro-batch. foreachBatch
+    is AT-LEAST-ONCE: a crash after a blind ``mode("append")`` write but
+    before the checkpoint commit replays the whole batch on restart and
+    duplicates every row it had already landed. Writing each epoch to its
+    own ``epoch=<id>`` partition dir with ``mode("overwrite")`` turns the
+    replay into an overwrite of the partial attempt — the dir's final
+    content is the last (complete) attempt, exactly once. Readers see
+    ``epoch`` as a discovered partition column and ignore it (every
+    consumer selects named columns)."""
+    return f"{path}/epoch={eid}"
+
+
+# Read-only star-index tables resolved ONCE per (session, path) — a
+# maxFilesPerTrigger=1 ingest otherwise re-lists the parquet footers and
+# re-collects rows_bits (a driver job) on EVERY micro-batch, though the
+# index is immutable for the stream's lifetime (rolls write to NEW dirs).
+# Keyed by session id so the cloned foreachBatch session gets its own
+# entry; released by path in the run_* drivers' finally blocks (one
+# stream per index path at a time — the single-box harness contract).
+_STATIC_INDEX_CACHE: dict = {}
+
+
+def _static_index(spark: SparkSession, index_path: str, *tables: str):
+    key = (id(spark), index_path)
+    entry = _STATIC_INDEX_CACHE.setdefault(key, {})
+    for t in tables:
+        if t not in entry:
+            if t == "rows_bits":
+                entry[t] = int(
+                    spark.read.parquet(f"{index_path}/meta")
+                    .collect()[0]["rows_bits"]
+                )
+            else:
+                entry[t] = spark.read.parquet(f"{index_path}/{t}").persist()
+    return [entry[t] for t in tables]
+
+
+def release_static_index(index_path: str) -> None:
+    """Drop (and unpersist) every cached static-index frame for a path —
+    called when its stream stops, so the shared context's storage memory
+    doesn't accumulate across gate runs in one long-lived session."""
+    for key in [k for k in _STATIC_INDEX_CACHE if k[1] == index_path]:
+        for v in _STATIC_INDEX_CACHE.pop(key).values():
+            if hasattr(v, "unpersist"):
+                v.unpersist()
+
+
 def stream_doc_reps_batch(
     batch: DataFrame,
+    eid: int,
     index_path: str,
     inbox_path: str,
     assign_path: str,
@@ -319,9 +368,9 @@ def stream_doc_reps_batch(
     # localCheckpoint: staged feeds the inbox write AND the probe; the
     # blocks free at batch end (GC), never accumulating across batches
     staged = _staged_minhash(batch).localCheckpoint()
-    staged.write.mode("append").parquet(inbox_path)
+    staged.write.mode("overwrite").parquet(_epoch_path(inbox_path, eid))
     assigns = _probe_provisional(spark, staged, index_path, threshold)
-    assigns.write.mode("append").parquet(assign_path)
+    assigns.write.mode("overwrite").parquet(_epoch_path(assign_path, eid))
 
 
 def _probe_provisional(
@@ -336,8 +385,9 @@ def _probe_provisional(
     ingest."""
     from pleiades_spark.operators.dedup import _verify_hashed_edges, band_keys
 
-    band_index = spark.read.parquet(f"{index_path}/band_index")
-    rep_hsets = spark.read.parquet(f"{index_path}/rep_hsets")
+    band_index, rep_hsets = _static_index(
+        spark, index_path, "band_index", "rep_hsets"
+    )
     bands = staged.select(
         "doc_id",
         F.posexplode(band_keys(F.col("sig"))).alias("band_idx", "band_key"),
@@ -388,8 +438,8 @@ def run_doc_reps_stream(
     inbox, assign = f"{work_dir}/inbox", f"{work_dir}/assign"
     q = (
         stream_docs.writeStream.foreachBatch(
-            lambda b, _eid: stream_doc_reps_batch(
-                b, index_path, inbox, assign, threshold
+            lambda b, eid: stream_doc_reps_batch(
+                b, eid, index_path, inbox, assign, threshold
             )
         )
         .option("checkpointLocation", f"{work_dir}/ckpt")
@@ -400,11 +450,13 @@ def run_doc_reps_stream(
     finally:
         q.stop()
         q.awaitTermination()
+        release_static_index(index_path)
     return inbox, assign
 
 
 def stream_corpus_batch(
     batch: DataFrame,
+    eid: int,
     index_path: str,
     inbox_path: str,
     assign_path: str,
@@ -472,10 +524,10 @@ def stream_corpus_batch(
         .localCheckpoint()  # feeds staging AND the survivor shards
     )
     staged = _staged_minhash(scored).localCheckpoint()
-    staged.write.mode("append").parquet(inbox_path)
+    staged.write.mode("overwrite").parquet(_epoch_path(inbox_path, eid))
     assigns = _probe_provisional(spark, staged, index_path, threshold)
     assigns = assigns.localCheckpoint()  # feeds the log AND the keep join
-    assigns.write.mode("append").parquet(assign_path)
+    assigns.write.mode("overwrite").parquet(_epoch_path(assign_path, eid))
     keep = assigns.filter(F.col("rep_id") == F.col("doc_id")).select("doc_id")
     out = (
         pii_scrub(scored.join(keep, "doc_id", "left_semi"))
@@ -488,7 +540,17 @@ def stream_corpus_batch(
         )
         .withColumn("split", split_expr(F.col("doc_id")))
     )
-    out.write.partitionBy("split").mode("append").json(out_dir)
+    # Shards keep split= as the TOP-level partition (the compaction
+    # contract) with the epoch nested under it; dynamic partition
+    # overwrite makes a replayed epoch rewrite exactly its own
+    # (split, epoch) leaf dirs and nothing else.
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    (
+        out.withColumn("epoch", F.lit(eid))
+        .write.partitionBy("split", "epoch")
+        .mode("overwrite")
+        .json(out_dir)
+    )
 
 
 def run_corpus_stream(
@@ -521,8 +583,8 @@ def run_corpus_stream(
     shards = f"{work_dir}/shards"
     q = (
         stream_docs.writeStream.foreachBatch(
-            lambda b, _eid: stream_corpus_batch(
-                b, index_path, inbox, assign, shards, threshold
+            lambda b, eid: stream_corpus_batch(
+                b, eid, index_path, inbox, assign, shards, threshold
             )
         )
         .option("checkpointLocation", f"{work_dir}/ckpt")
@@ -533,6 +595,7 @@ def run_corpus_stream(
     finally:
         q.stop()
         q.awaitTermination()
+        release_static_index(index_path)
     return inbox, assign, shards
 
 
@@ -583,6 +646,7 @@ def stream_corpus_finalize(
 
 def stream_emb_reps_batch(
     batch: DataFrame,
+    eid: int,
     index_path: str,
     inbox_path: str,
     assign_path: str,
@@ -607,12 +671,10 @@ def stream_emb_reps_batch(
     spark = batch.sparkSession
     apply_runtime_confs(spark)
     batch = batch.repartition(F.col("vec_id")).localCheckpoint()
-    batch.write.mode("append").parquet(inbox_path)
-    rows_bits = int(
-        spark.read.parquet(f"{index_path}/meta").collect()[0]["rows_bits"]
+    batch.write.mode("overwrite").parquet(_epoch_path(inbox_path, eid))
+    rows_bits, band_index, rep_vecs = _static_index(
+        spark, index_path, "rows_bits", "band_index", "rep_vecs"
     )
-    band_index = spark.read.parquet(f"{index_path}/band_index")
-    rep_vecs = spark.read.parquet(f"{index_path}/rep_vecs")
     v, banded = _srp_banded(batch, rows_bits)
     cand = (
         banded.join(band_index, ["band_idx", "band_val"])
@@ -630,7 +692,7 @@ def stream_emb_reps_batch(
         )
         .select("vec_id", F.coalesce(F.col("hit"), F.col("vec_id")).alias("rep_id"))
     )
-    assigns.write.mode("append").parquet(assign_path)
+    assigns.write.mode("overwrite").parquet(_epoch_path(assign_path, eid))
 
 
 def run_emb_reps_stream(
@@ -658,8 +720,8 @@ def run_emb_reps_stream(
     inbox, assign = f"{work_dir}/inbox", f"{work_dir}/assign"
     q = (
         stream_emb.writeStream.foreachBatch(
-            lambda b, _eid: stream_emb_reps_batch(
-                b, index_path, inbox, assign, threshold
+            lambda b, eid: stream_emb_reps_batch(
+                b, eid, index_path, inbox, assign, threshold
             )
         )
         .option("checkpointLocation", f"{work_dir}/ckpt")
@@ -670,6 +732,7 @@ def run_emb_reps_stream(
     finally:
         q.stop()
         q.awaitTermination()
+        release_static_index(index_path)
     return inbox, assign
 
 

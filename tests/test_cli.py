@@ -307,3 +307,39 @@ def test_corpus_stream_personality_end_to_end(spark, tmp_path, capsys):
         "doc_id long, lang string, source string, text string, q double"
     ).json(str(work / "shards"))
     assert back.count() == n_before
+
+
+def test_cli_corpus_stream_empty_ingest_zero_stats(spark, tmp_path, capsys):
+    """An ingest where every doc fails the quality gate writes nothing —
+    the stats line must report zeros, not crash on a schema-less inbox
+    or a partition-dir-less shards dir."""
+    import json
+
+    from pyspark.sql import functions as F
+
+    from pleiades_spark.operators.dedup import write_reps_index
+
+    docs = spark.createDataFrame(
+        [(i, " ".join(f"a{i}b{j}" for j in range(60)), "en", "s", 400)
+         for i in range(4)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    idx = tmp_path / "idx"
+    write_reps_index(docs, str(idx), 0.6)
+    # all-stopword docs: quality ~0.16 -> every one rejected in-stream
+    junk = spark.createDataFrame(
+        [(100 + i, "the " * 79 + "the", "en", "s", 320) for i in range(3)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    drop = tmp_path / "drop"
+    junk.write.parquet(str(drop))
+
+    parser = build_parser()
+    args = parser.parse_args(
+        ["corpus-stream", "--index", str(idx),
+         "--work", str(tmp_path / "work"), "--in", str(drop)]
+    )
+    assert args.fn(args) == 0
+    got = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert got["inbox_docs"] == 0
+    assert got["kept"] == {"train": 0, "val": 0, "test": 0}

@@ -140,16 +140,19 @@ def test_compact_corpus_shards_roundtrip(spark, tmp_path):
         "split", F.when(F.col("doc_id") % 2 == 0, "train").otherwise("val")
     )
     shards = tmp_path / "shards"
-    # simulate 8 micro-batch appends -> 8+ files per split dir
+    # simulate 8 micro-batch epochs -> 8+ files nested per split dir
+    # (split=<name>/epoch=<id>/ — the idempotent-replay shard layout)
     for k in range(8):
-        df.filter(F.col("doc_id") % 8 == k).repartition(2).write.partitionBy(
-            "split"
-        ).mode("append").json(str(shards))
+        df.filter(F.col("doc_id") % 8 == k).withColumn(
+            "epoch", F.lit(k)
+        ).repartition(2).write.partitionBy("split", "epoch").mode(
+            "append"
+        ).json(str(shards))
 
     def files(split):
         d = shards / f"split={split}"
-        return [p for p in d.iterdir()
-                if not p.name.startswith(("_", ".")) and p.suffix == ".json"]
+        return [p for p in d.rglob("*.json")
+                if not p.name.startswith(("_", "."))]
 
     before = {
         s: sorted(
@@ -182,3 +185,56 @@ def test_compact_corpus_shards_roundtrip(spark, tmp_path):
     assert back.count() == 400 and set(
         r.split for r in back.select("split").distinct().collect()
     ) == {"train", "val"}
+
+
+def test_compact_corpus_shards_repairs_torn_swap(spark, tmp_path):
+    """Crash-window repair: a previous run that died between the two
+    swap renames leaves `.old_split=X` (and possibly `.compact_split=X`)
+    with `split=X` missing — the next run must restore the split before
+    compacting, in BOTH crash variants."""
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from pleiades_spark.maintenance import compact_corpus_shards
+
+    df = spark.createDataFrame(
+        [(i, "en", "s", f"text {i} " + "x" * 50, 0.9) for i in range(100)],
+        "doc_id long, lang string, source string, text string, q double",
+    ).withColumn(
+        "split", F.when(F.col("doc_id") % 2 == 0, "train").otherwise("val")
+    )
+    shards = tmp_path / "shards"
+    for k in range(4):
+        df.filter(F.col("doc_id") % 4 == k).withColumn(
+            "epoch", F.lit(k)
+        ).repartition(2).write.partitionBy("split", "epoch").mode(
+            "append"
+        ).json(str(shards))
+
+    def split_ids(split):
+        return sorted(
+            r.doc_id
+            for r in spark.read.schema(
+                "doc_id long, lang string, source string, text string, q double"
+            ).json(str(shards / f"split={split}")).collect()
+        )
+
+    want = {s: split_ids(s) for s in ("train", "val")}
+
+    # variant 1: died after renaming part away, staged fully written ->
+    # the staged dir must be promoted
+    staged = shards / ".compact_split=train"
+    shutil.copytree(shards / "split=train", staged)
+    (shards / "split=train").rename(shards / ".old_split=train")
+    compact_corpus_shards(spark, str(shards))
+    assert split_ids("train") == want["train"]
+    assert not (shards / ".old_split=train").exists()
+    assert not (shards / ".compact_split=train").exists()
+
+    # variant 2: died after renaming part away, no staged dir -> the old
+    # dir must be restored
+    (shards / "split=val").rename(shards / ".old_split=val")
+    compact_corpus_shards(spark, str(shards))
+    assert split_ids("val") == want["val"]
+    assert not (shards / ".old_split=val").exists()

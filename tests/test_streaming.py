@@ -735,3 +735,81 @@ def test_stream_corpus_same_workdir_resumes(spark, tmp_path):
             assert spark.read.parquet(inbox).count() == 8
     assert listing(work) == first  # nothing re-processed or re-appended
     assert spark.read.parquet(assign).count() == 8
+
+
+def test_stream_batch_replay_is_idempotent(spark, tmp_path):
+    """foreachBatch is AT-LEAST-ONCE: a crash between a sink write and
+    the checkpoint commit replays the whole micro-batch. Re-running the
+    SAME epoch must leave inbox/assign/shards with exactly one copy of
+    every row (epoch-dir overwrite, not blind append) — the failure mode
+    the blind-append version duplicated."""
+    from pleiades_spark.operators.dedup import write_reps_index
+    from pleiades_spark.streaming.pipeline import (
+        release_static_index,
+        stream_corpus_batch,
+        stream_doc_reps_batch,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (i, " ".join(f"u{i}v{j}" for j in range(60)), "en", "s", 400)
+            for i in range(10)
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    idx = str(tmp_path / "idx")
+    write_reps_index(docs.filter(F.col("doc_id") >= 6), idx, 0.6)
+    batch = docs.filter(F.col("doc_id") < 6)
+
+    work = tmp_path / "corpus"
+    for _replay in range(2):  # second call = the replayed epoch
+        stream_corpus_batch(
+            batch, 0, idx, str(work / "inbox"), str(work / "assign"),
+            str(work / "shards"), 0.6,
+        )
+    assert spark.read.parquet(str(work / "inbox")).count() == 6
+    assert spark.read.parquet(str(work / "assign")).count() == 6
+    shard_ids = [
+        r.doc_id
+        for r in spark.read.schema(
+            "doc_id long, lang string, source string, text string, q double"
+        ).json(str(work / "shards")).collect()
+    ]
+    assert sorted(shard_ids) == list(range(6))  # one copy each, no dups
+
+    work2 = tmp_path / "reps"
+    for _replay in range(2):
+        stream_doc_reps_batch(
+            batch, 3, idx, str(work2 / "inbox"), str(work2 / "assign"), 0.6
+        )
+    assert spark.read.parquet(str(work2 / "inbox")).count() == 6
+    assigns = spark.read.parquet(str(work2 / "assign"))
+    assert assigns.count() == 6  # one provisional row per doc, once
+    assert assigns.select("doc_id").distinct().count() == 6
+    release_static_index(idx)
+
+
+def test_sweep_reaps_recycled_pid_sink_by_age(tmp_path, monkeypatch):
+    """A sink dir whose embedded owner PID was recycled by an unrelated
+    live process must still fall to the 7×max_age fallback; a fresh
+    live-owner sink and a dead-owner sink behave as before."""
+    import os
+    import tempfile
+    import time
+
+    from pleiades_spark.plans.streaming_batch import _sweep_stale_tmp_dirs
+
+    monkeypatch.setattr(tempfile, "gettempdir", lambda: str(tmp_path))
+    live = os.getpid()  # stands in for a recycled PID: alive, unrelated
+    old_live = tmp_path / f"pleiades_sink_a_p{live}_x"
+    fresh_live = tmp_path / f"pleiades_sink_b_p{live}_y"
+    dead = tmp_path / "pleiades_sink_c_p999999999_z"
+    for d in (old_live, fresh_live, dead):
+        d.mkdir()
+    stale = time.time() - 8 * 86400
+    os.utime(old_live, (stale, stale))
+
+    _sweep_stale_tmp_dirs(max_age_s=86400.0)
+    assert not old_live.exists()   # alive owner but a week stale -> reaped
+    assert fresh_live.exists()     # alive owner, fresh -> kept
+    assert not dead.exists()       # dead owner -> reaped immediately
