@@ -239,6 +239,7 @@ HEADLINE = [
     # reconcile — the e2e streaming twin of the corpus personality
     "streaming_corpus",
     "streaming_corpus_tombstones",
+    "streaming_corpus_final",
 ]
 
 # Queries that get a THIRD timed rep (iterative driver-loop and
@@ -276,6 +277,7 @@ MIN_OF_3 = {
     "streaming_emb_reps_probe",
     "streaming_corpus",
     "streaming_corpus_tombstones",
+    "streaming_corpus_final",
 }
 
 

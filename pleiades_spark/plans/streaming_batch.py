@@ -1440,6 +1440,58 @@ WHERE f.rep_id != f.doc_id
 """
 
 
+def q_streaming_corpus_final(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The WHOLE streaming-corpus lifecycle end-to-end (round 13): the
+    two-micro-batch ingest (streaming_corpus), the nightly finalize
+    (streaming_corpus_tombstones), and then the downstream serving step
+    — apply_tombstones anti-joins the reconcile's tombstones off the
+    appended shards to produce the final training-corpus view. This is
+    the frame a training job actually reads; gating it pins the
+    keep-first contract's END state: provisional keeps minus deferred
+    new-new merges == docs whose FINAL two-phase rep is themselves."""
+    from pleiades_spark.plans.llm import JACCARD_THRESHOLD
+    from pleiades_spark.streaming.pipeline import (
+        apply_tombstones,
+        run_corpus_stream,
+        stream_corpus_finalize,
+    )
+
+    idx, stream = _doc_reps_stream_setup(spark, sf_dir)
+    inbox, assign, shards = run_corpus_stream(
+        spark, stream, idx, JACCARD_THRESHOLD
+    )
+    tomb = stream_corpus_finalize(spark, inbox, assign, idx, JACCARD_THRESHOLD)
+    shard_df = spark.read.schema(
+        "doc_id long, lang string, source string, text string, q double"
+    ).json(shards)
+    return apply_tombstones(shard_df, tomb).select("doc_id", "split", "q")
+
+
+def _oracle_streaming_corpus_final() -> str:
+    """Same CTE chain as the tombstones oracle (two-phase final + the
+    provisional keeps), different tail: the docs BOTH grains keep, with
+    their split and quality — the served corpus."""
+    from pleiades_spark.functions.hashing import h32_sql
+    from pleiades_spark.plans.corpus import SPLIT_TRAIN, SPLIT_VAL
+
+    base = _oracle_streaming_corpus_tombstones()
+    tail_from = base.rindex("SELECT f.doc_id, f.rep_id")
+    split_bucket = (
+        h32_sql("concat('split:', CAST(k.doc_id AS VARCHAR))") + " % 100"
+    )
+    return base[:tail_from] + f"""
+SELECT k.doc_id,
+       CASE WHEN {split_bucket} < {SPLIT_TRAIN} THEN 'train'
+            WHEN {split_bucket} < {SPLIT_VAL} THEN 'val'
+            ELSE 'test' END AS split,
+       sc.q
+FROM final f
+JOIN keeps k ON k.doc_id = f.doc_id
+JOIN scored sc ON sc.doc_id = k.doc_id
+WHERE f.rep_id = f.doc_id
+"""
+
+
 def q_streaming_ab_welch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The A/B readout as a CONTINUOUS pipeline: the six Welch arm
     moments (counts, Σcents, Σcents² per arm) are a commutative monoid,
@@ -1517,6 +1569,9 @@ QUERIES = [
     Query("streaming_corpus_tombstones", q_streaming_corpus_tombstones,
           _oracle_streaming_corpus_tombstones(),
           "nightly finalize diff: keep-first tombstones for deferred merges"),
+    Query("streaming_corpus_final", q_streaming_corpus_final,
+          _oracle_streaming_corpus_final(),
+          "served corpus view: shards anti-join tombstones (full lifecycle)"),
     Query("streaming_emb_reps", q_streaming_emb_reps,
           _oracle_streaming_emb_reps(),
           "embedding stream inbox + persisted-index finalize == batch nightly"),

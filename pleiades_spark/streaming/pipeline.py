@@ -644,6 +644,21 @@ def stream_corpus_finalize(
     )
 
 
+def apply_tombstones(shards: DataFrame, tombstones: DataFrame) -> DataFrame:
+    """Serve the FINAL corpus view from the streaming shards: anti-join
+    the nightly reconcile's tombstones (stream_corpus_finalize) off the
+    appended JSONL shards — the downstream half of the keep-first
+    contract, now first-class instead of a docstring instruction.
+
+    Scale: tombstones are the DEFERRED new-new merges only — bounded by
+    one row per near-dup doc that arrived since the last index roll, so
+    the side is broadcast explicitly (a shards-sized shuffle to drop a
+    handful of ids would be the wrong plan at 100 TB)."""
+    return shards.join(
+        F.broadcast(tombstones.select("doc_id")), "doc_id", "left_anti"
+    )
+
+
 def stream_emb_reps_batch(
     batch: DataFrame,
     eid: int,

@@ -673,11 +673,19 @@ def test_stream_corpus_cross_batch(spark, tmp_path):
         assert row.q >= 0.5 and row.text  # scrub is a no-op on clean text
 
     # (c) finalize tombstones exactly the later-arriving new-new doc
-    tomb = {
-        r.doc_id: r.rep_id
-        for r in stream_corpus_finalize(spark, inbox, assign, idx, 0.6).collect()
-    }
+    from pleiades_spark.streaming.pipeline import apply_tombstones
+
+    tomb_df = stream_corpus_finalize(spark, inbox, assign, idx, 0.6)
+    tomb = {r.doc_id: r.rep_id for r in tomb_df.collect()}
     assert tomb == {778: 777}
+
+    # (e) the served view: shards minus tombstones == docs whose final
+    # rep is themselves
+    shard_df = spark.read.schema(
+        "doc_id long, lang string, source string, text string, q double"
+    ).json(shards)
+    final_ids = {r.doc_id for r in apply_tombstones(shard_df, tomb_df).collect()}
+    assert final_ids == expected_keep - {778}
 
 
 def test_stream_corpus_same_workdir_resumes(spark, tmp_path):
