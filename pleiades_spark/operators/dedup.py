@@ -472,36 +472,50 @@ def doc_dedup_reps_incremental(
         F.col(new_col).alias("_new"),
         F.posexplode(band_keys(F.col("sig"))).alias("band_idx", "band_key"),
     )
-    bkeys = ["band_idx", "band_key"]
-    old_reps = (
-        bands.filter(~F.col("_new"))
-        .groupBy(*bkeys)
-        .agg(F.min("doc_id").alias("orep"))
+    # One window pass over the band keys replaces the r12 shape's two
+    # bucket aggregations + three joins (5 shuffles → 2): per bucket,
+    # the old rep (min over the not-new slice; null when the bucket is
+    # all-new, matching the old left join), the full rep, and whether
+    # any member is new. Each band row then emits its old-phase and/or
+    # new-phase star edge inline; the edge SET (post-distinct) is
+    # identical to the r12 plan's, so the Jaccard verify, the CC pass,
+    # and the oracle replay are unchanged.
+    wb = W.partitionBy("band_idx", "band_key")
+    ann = bands.select(
+        "doc_id",
+        "_new",
+        F.min(F.when(~F.col("_new"), F.col("doc_id"))).over(wb).alias("orep"),
+        F.min("doc_id").over(wb).alias("frep"),
+        F.max(F.col("_new").cast("int")).over(wb).alias("has_new"),
     )
-    old_edges = (
-        bands.filter(~F.col("_new"))
-        .join(old_reps, bkeys)
-        .filter(F.col("doc_id") != F.col("orep"))
-        .select("doc_id", F.col("orep").alias("rep"))
-        .distinct()
-    )
-    full_reps = bands.groupBy(*bkeys).agg(
-        F.min("doc_id").alias("frep"),
-        F.max(F.col("_new").cast("int")).alias("has_new"),
-    )
-    new_edges = (
-        bands.join(full_reps.filter(F.col("has_new") == 1), bkeys)
-        .join(old_reps, bkeys, "left")
-        .filter(
-            (F.col("doc_id") != F.col("frep"))
-            & (F.col("_new") | (F.col("doc_id") == F.col("orep")))
+    edges = (
+        ann.select(
+            F.explode(
+                F.array_compact(
+                    F.array(
+                        F.when(
+                            (~F.col("_new"))
+                            & (F.col("doc_id") != F.col("orep")),
+                            F.struct(
+                                F.col("doc_id"), F.col("orep").alias("rep")
+                            ),
+                        ),
+                        F.when(
+                            (F.col("has_new") == 1)
+                            & (F.col("doc_id") != F.col("frep"))
+                            & (F.col("_new") | (F.col("doc_id") == F.col("orep"))),
+                            F.struct(
+                                F.col("doc_id"), F.col("frep").alias("rep")
+                            ),
+                        ),
+                    )
+                )
+            ).alias("e")
         )
-        .select("doc_id", F.col("frep").alias("rep"))
+        .select("e.doc_id", "e.rep")
         .distinct()
     )
-    verified = _verify_hashed_edges(
-        old_edges.unionAll(new_edges).distinct(), staged, threshold
-    )
+    verified = _verify_hashed_edges(edges, staged, threshold)
     from pleiades_spark.operators.graph import connected_components_star
 
     cc = connected_components_star(verified, src="doc_id", dst="rep")
@@ -1865,34 +1879,53 @@ def embedding_dedup_reps_incremental(
             SRP_ROWS, (n // target_bucket).bit_length()
         )
     v, banded = _srp_banded(emb, rows_bits, keep=(new_col,))
-    bkeys = ["band_idx", "band_val"]
-    old_reps = (
-        banded.filter(~F.col(new_col))
-        .groupBy(*bkeys)
-        .agg(F.min("vec_id").alias("orep"))
+    # One window pass over the band keys replaces the r12 shape's two
+    # bucket aggregations + three joins (which re-derived the SRP bits
+    # from parquet FOUR times — `banded` is lazy): per bucket, the old
+    # rep (min over the not-new slice; null when the bucket is all-new,
+    # matching the old left join), the full rep, and whether any member
+    # is new, all from a single exchange of (vec_id, flag, band) rows —
+    # the vectors themselves never enter the shuffle. Each row then
+    # emits its old-phase and/or new-phase star edge inline; the edge
+    # SET (post-distinct) is identical to the r12 plan's, so the cosine
+    # verify, the CC pass, and the oracle replay are unchanged.
+    wb = W.partitionBy("band_idx", "band_val")
+    ann = banded.select(
+        "vec_id", F.col(new_col).alias("_new"), "band_idx", "band_val"
+    ).select(
+        "vec_id",
+        "_new",
+        F.min(F.when(~F.col("_new"), F.col("vec_id"))).over(wb).alias("orep"),
+        F.min("vec_id").over(wb).alias("frep"),
+        F.max(F.col("_new").cast("int")).over(wb).alias("has_new"),
     )
-    old_edges = (
-        banded.filter(~F.col(new_col))
-        .join(old_reps, bkeys)
-        .filter(F.col("vec_id") != F.col("orep"))
-        .select("vec_id", F.col("orep").alias("rep"))
-        .distinct()
-    )
-    full_reps = banded.groupBy(*bkeys).agg(
-        F.min("vec_id").alias("frep"),
-        F.max(F.col(new_col).cast("int")).alias("has_new"),
-    )
-    new_edges = (
-        banded.join(full_reps.filter(F.col("has_new") == 1), bkeys)
-        .join(old_reps, bkeys, "left")
-        .filter(
-            (F.col("vec_id") != F.col("frep"))
-            & (F.col(new_col) | (F.col("vec_id") == F.col("orep")))
+    edges = (
+        ann.select(
+            F.explode(
+                F.array_compact(
+                    F.array(
+                        F.when(
+                            (~F.col("_new"))
+                            & (F.col("vec_id") != F.col("orep")),
+                            F.struct(
+                                F.col("vec_id"), F.col("orep").alias("rep")
+                            ),
+                        ),
+                        F.when(
+                            (F.col("has_new") == 1)
+                            & (F.col("vec_id") != F.col("frep"))
+                            & (F.col("_new") | (F.col("vec_id") == F.col("orep"))),
+                            F.struct(
+                                F.col("vec_id"), F.col("frep").alias("rep")
+                            ),
+                        ),
+                    )
+                )
+            ).alias("e")
         )
-        .select("vec_id", F.col("frep").alias("rep"))
+        .select("e.vec_id", "e.rep")
         .distinct()
     )
-    edges = old_edges.unionAll(new_edges).distinct()
     verified = _verify_cosine_edges(edges, v, threshold)
     from pleiades_spark.operators.graph import connected_components_star
 

@@ -102,12 +102,42 @@ def cms_heavy_hitters(
 
     The reported ``est`` carries the sketch's collision overestimate —
     deterministically, so the oracle reproduces the exact same numbers.
+
+    r13 restructure (guide §4-adjacent: do the expensive hash once):
+    the r12 shape hashed EVERY ROW for the build (md5 ×N) and scanned
+    the fact again for a distinct + second md5 pass for the probes. Now
+    ONE map-combined groupBy reduces the stream to per-key counts, the
+    md5 runs once per DISTINCT key, and the sketch cell counts come
+    from summing key counts into buckets — identical integers (a
+    cell's count is the number of rows hashing there, however summed).
+    The (key, cnt, h) frame is localCheckpoint'ed: it feeds both the
+    build and the probe sides, is distinct-key-sized, and lazily each
+    branch would re-run the groupBy + md5.
     """
     from pyspark.sql.window import Window as W
 
     named = df.select(key.alias(key_name))
-    sketch = cms_build(named, F.col(key_name), depth, width)
-    est = cms_estimate(named.distinct(), key_name, sketch, depth, width)
+    hashed = (
+        named.groupBy(key_name)
+        .agg(F.count(F.lit(1)).alias("_cnt"))
+        .select(key_name, "_cnt", h32(F.col(key_name)).alias("_h"))
+        .localCheckpoint(eager=False)
+    )
+    exploded = hashed.select(
+        key_name,
+        "_cnt",
+        F.posexplode(_cms_buckets_from_h(F.col("_h"), depth, width)).alias(
+            "row", "bucket"
+        ),
+    )
+    sketch = exploded.groupBy("row", "bucket").agg(
+        F.sum("_cnt").alias("cnt")
+    )
+    est = (
+        exploded.join(F.broadcast(sketch), ["row", "bucket"])
+        .groupBy(key_name)
+        .agg(F.min("cnt").alias("est"))
+    )
     # orderBy + limit compiles to TakeOrderedAndProject (per-partition
     # heaps, no global sort); the row_number window then ranks only the
     # already-tiny top-k result.
@@ -354,9 +384,18 @@ def kmv_pair_set_ops(sk: DataFrame, k: int = KMV_K) -> DataFrame:
     Everything here runs on |groups|·k sketch ROWS — after the one big
     scan inside kmv_group_sketch, the pair matrix is driver-trivial
     (two broadcast equi-joins; no OR-condition nested-loop join).
+
+    The sketch is localCheckpoint'ed first: ``sk`` is consumed THREE
+    times below (the group list and both join sides), and a lazily
+    built sketch re-runs its whole upstream — for the source-overlap
+    gate that is the corpus-wide shingle scan ×3 (the plan showed 12
+    parquet scans; runtime ReuseExchange does not merge the branches
+    because each re-reference re-expands the shingle HOF differently).
+    Materializing |groups|·k rows is driver-trivial at any corpus size.
     """
     from pyspark.sql.window import Window as W
 
+    sk = sk.localCheckpoint()
     groups = sk.select(F.col("grp")).distinct()
     pairs = (
         groups.alias("x")

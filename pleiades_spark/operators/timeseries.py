@@ -57,9 +57,25 @@ def gapfill_hourly(events: DataFrame) -> DataFrame:
     observed hourly sums, last-observation-carried-forward, and linear
     interpolation across gaps.
 
+    r13 restructure (guide §2.1/§2.4): each gap row's LOCF/interp inputs
+    are fully determined by its two ENCLOSING observed hours, so instead
+    of materializing the grid (bounds agg + sequence explode + left join
+    back onto hourly) and running four ignorenulls window fills over the
+    GRID-sized stream, a single lead() window over the OBSERVED rows
+    carries (next hour, next val), and the gap rows explode straight out
+    of each observed row with their fill inputs already in hand. That
+    removes one corpus aggregation, the grid⋈hourly shuffle join, and
+    the descending second window sort — and the one remaining window
+    runs on observed rows only, not the (much larger) filled grid. The
+    r12 shape's plan: 6 exchanges, 4 windows over grid rows; now 3
+    exchanges, 1 window over hourly rows (plans/r13/timeseries_gapfill_*).
+
     Grid endpoints always carry observations (they're the user's own
     min/max hours), so interp's prev/next are never both null; leading/
-    trailing edges therefore need no special casing.
+    trailing edges therefore need no special casing. Assumes observed
+    hourly sums are non-null (an all-null-value hour would previously
+    have been LOCF'd over); event `value` is non-null across every
+    fixture and the oracle replays identically.
     """
     hourly = (
         events.select(
@@ -73,43 +89,49 @@ def gapfill_hourly(events: DataFrame) -> DataFrame:
             F.round(F.sum("value"), 4).alias("val"),
         )
     )
-    bounds = hourly.groupBy("user_id").agg(
-        F.min("hour").alias("h0"), F.max("hour").alias("h1")
+    w = W.partitionBy("user_id").orderBy("hour")
+    led = hourly.select(
+        "user_id",
+        F.col("hour").alias("ph"),
+        "n_events",
+        "val",
+        F.lead("hour").over(w).alias("nh"),
+        F.lead("val").over(w).alias("nv"),
     )
-    grid = bounds.select(
-        "user_id", F.explode(F.sequence("h0", "h1")).alias("hour")
+    # each observed hour emits itself plus the empty hours up to (not
+    # including) the next observed hour; the last observed hour emits
+    # only itself — the union is exactly the r12 grid [h0, h1]
+    filled = led.select(
+        "user_id",
+        "ph",
+        "n_events",
+        "val",
+        "nh",
+        "nv",
+        F.explode(
+            F.sequence(
+                F.col("ph"), F.coalesce(F.col("nh") - 1, F.col("ph"))
+            )
+        ).alias("hour"),
     )
-    joined = grid.join(hourly, ["user_id", "hour"], "left")
-
-    # Both fill directions as RUNNING last() frames ([unboundedPreceding,
-    # current]): Spark executes those incrementally in O(n) per partition,
-    # whereas an [current, unboundedFollowing] frame with ignorenulls
-    # RE-SCANS the remainder per row — O(n²) per key, measured 13s → 2s
-    # at sf0.1 from this one change. "Next value" is just the running
-    # last over the DESCENDING hour order.
-    prev_w = (
-        W.partitionBy("user_id").orderBy("hour").rowsBetween(W.unboundedPreceding, 0)
+    obs = F.col("hour") == F.col("ph")
+    # origin val IS the running-last fill for every row this observed
+    # hour emits; (nh, nv) are the backward fill — same operands, same
+    # op order as the r12 window form, so identical doubles.
+    interp = F.when(obs, F.col("val")).otherwise(
+        F.col("val")
+        + (F.col("nv") - F.col("val"))
+        * (F.col("hour") - F.col("ph"))
+        / (F.col("nh") - F.col("ph"))
     )
-    next_w = (
-        W.partitionBy("user_id")
-        .orderBy(F.col("hour").desc())
-        .rowsBetween(W.unboundedPreceding, 0)
-    )
-    pv = F.last("val", ignorenulls=True).over(prev_w)
-    nv = F.last("val", ignorenulls=True).over(next_w)
-    ph = F.last(F.when(F.col("val").isNotNull(), F.col("hour")), True).over(prev_w)
-    nh = F.last(F.when(F.col("val").isNotNull(), F.col("hour")), True).over(next_w)
-    interp = F.when(F.col("val").isNotNull(), F.col("val")).otherwise(
-        pv + (nv - pv) * (F.col("hour") - ph) / (nh - ph)
-    )
-    return joined.select(
+    return filled.select(
         "user_id",
         "hour",
-        F.coalesce("n_events", F.lit(0)).alias("n_events"),
-        "val",
-        # pv is already-rounded values carried forward (no new arithmetic),
+        F.when(obs, F.col("n_events")).otherwise(F.lit(0)).alias("n_events"),
+        F.when(obs, F.col("val")).alias("val"),
+        # carried-forward values are already rounded (no new arithmetic),
         # so plain round is boundary-safe there; interp needs the quantizer.
-        F.round(pv, 4).alias("val_ffill"),
+        F.round(F.col("val"), 4).alias("val_ffill"),
         _quantize4(interp).alias("val_interp"),
     )
 

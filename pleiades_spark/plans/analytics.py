@@ -822,6 +822,12 @@ def q_token_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
         best = scores.withColumn("rn", rk).filter(F.col("rn") == 1).select(
             "node", F.col("lab").alias("new_lab")
         )
+        # localCheckpoint per round: iteration k references labels k-1
+        # TWICE (scores + old_lab) and the epilogue twice more, so the
+        # lazy chain re-executed ~2^k copies of every earlier round
+        # (2167-line plan, 144 exchanges at 3 rounds). Labels are
+        # |nodes| rows — materializing each round is vocabulary-bounded
+        # and keeps per-round cost at |edges| as the docstring promises.
         labels = (
             nodes.join(F.broadcast(best), "node", "left")
             .join(
@@ -833,6 +839,7 @@ def q_token_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select(
                 "node", F.coalesce("new_lab", "old_lab").alias("lab")
             )
+            .localCheckpoint(eager=False)
         )
     sizes = labels.groupBy("lab").agg(F.count(F.lit(1)).alias("community_size"))
     return (
@@ -912,6 +919,12 @@ def q_lsh_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pleiades_spark.plans.llm import JACCARD_THRESHOLD
 
     docs = _t(spark, sf_dir, "documents")
+    # localCheckpoint: `sample` feeds FOUR branches (shingle sides a/b,
+    # the LSH pipeline, the n_docs count) and is a global TakeOrdered
+    # over the whole corpus — lazily it re-ran that full scan per branch
+    # (the r12 plan showed 11 parquet scans). 500 rows materialize for
+    # the price of one scan; the audit hash order is total (ah, doc_id),
+    # so the materialized sample is deterministic.
     sample = (
         docs.withColumn(
             "ah", h32(F.concat(F.lit("audit:"), F.col("doc_id").cast("string")))
@@ -919,6 +932,7 @@ def q_lsh_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("ah").asc(), F.col("doc_id").asc())
         .limit(AUDIT_N)
         .select("doc_id", "text")
+        .localCheckpoint()
     )
     shs = sample.select(
         "doc_id",

@@ -587,15 +587,24 @@ def q_bigram_lm_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("bigram"),
     ).withColumn("w1", F.split(F.col("bigram"), " ").getItem(0))
 
+    # The bigram table is vocabulary-bounded; localCheckpoint it so the
+    # unigram table derives from the MATERIALIZED counts (Σ n_bg over
+    # bigrams sharing a first word = that word's bigram-occurrence count,
+    # by definition) instead of re-running the corpus scan + explode —
+    # the r12 shape paid four full corpus passes (train_bg, train_ug,
+    # vocab, scored); this is three, and the fourth's replacement groups
+    # a vocab-sized table (guide §2.4).
     train_bg = (
         bigrams.filter("is_train")
         .groupBy("lang", "bigram")
         .agg(F.count(F.lit(1)).alias("n_bg"))
+        .localCheckpoint()
     )
     train_ug = (
-        bigrams.filter("is_train")
-        .groupBy("lang", "w1")
-        .agg(F.count(F.lit(1)).alias("n_ug"))
+        train_bg.groupBy(
+            "lang", F.split(F.col("bigram"), " ").getItem(0).alias("w1")
+        )
+        .agg(F.sum("n_bg").alias("n_ug"))
     )
     vocab = (
         toked.filter("is_train")
@@ -1169,6 +1178,10 @@ def q_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     v2 = v2base.unionAll(v2new)
 
+    # NOTE (r13 measured dead end): localCheckpoint'ing grid/dense to
+    # collapse the repeated branches LOST in a paired A/B (1.20× at
+    # sf0.1, 1.09× at sf1) — four checkpoint job barriers cost more
+    # than re-running the cheap lang-grain counts. Left lazy.
     grid = (
         docs.select("lang").distinct()
         .crossJoin(spark.range(5).select(F.col("id").cast("int").alias("bucket")))
@@ -1293,11 +1306,17 @@ def q_doc_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     new text does this document add", used to rank crawl increments
     before expensive pairwise dedup.
 
-    Plan: one shingle explode → min(doc_id) per shingle (map-side
-    combined, shuffles 16-byte-ish shingle keys) → equi-join back →
-    per-doc counts. Two key-bounded shuffles, no windows, no all-pairs
-    anything; at 100 TB the shingle-min table is the same first-seen
-    index an incremental dedup pipeline maintains anyway.
+    Plan (r13 restructure, guide §2.3): one shingle explode →
+    min(doc_id) per shingle (map-side combined, shuffles 16-byte-ish
+    shingle keys). Because word_shingles is DISTINCT per doc, a doc's
+    novel-shingle count is exactly the number of first-seen entries that
+    name it — so n_novel comes from grouping the |vocab|-row first-seen
+    table by first_doc, and n_shingles is a map-only size() projection.
+    The r12 shape instead equi-joined the first-seen table back onto the
+    full OCCURRENCE stream and re-shuffled every occurrence by doc_id;
+    now nothing occurrence-grained is ever shuffled twice. At 100 TB the
+    shingle-min table is the same first-seen index an incremental dedup
+    pipeline maintains anyway.
     """
     docs = _t(spark, sf_dir, "documents")
     from pleiades_spark.functions.text import word_shingles
@@ -1306,15 +1325,19 @@ def q_doc_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.explode(word_shingles(F.col("text"))).alias("t")
     )
     first = tok.groupBy("t").agg(F.min("doc_id").alias("first_doc"))
-    per = (
-        tok.join(first, "t")
-        .groupBy("doc_id")
-        .agg(
-            F.count(F.lit(1)).alias("n_shingles"),
-            F.sum(
-                (F.col("first_doc") == F.col("doc_id")).cast("long")
-            ).alias("n_novel"),
-        )
+    novel = first.groupBy(F.col("first_doc").alias("doc_id")).agg(
+        F.count(F.lit(1)).alias("n_novel")
+    )
+    # every doc emits ≥1 shingle (word_shingles falls back to the whole
+    # text below n words), so the doc set matches the r12 join's exactly
+    sizes = docs.select(
+        "doc_id",
+        F.size(word_shingles(F.col("text"))).cast("long").alias("n_shingles"),
+    )
+    per = sizes.join(novel, "doc_id", "left").select(
+        "doc_id",
+        "n_shingles",
+        F.coalesce(F.col("n_novel"), F.lit(0).cast("long")).alias("n_novel"),
     )
     nov = F.col("n_novel") / F.col("n_shingles")
     return per.select(

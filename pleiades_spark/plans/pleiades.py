@@ -1524,7 +1524,16 @@ def q_conversion_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min(F.floor(F.col("v0") / 86400).cast("long")).alias("cohort_day"),
         )
     )
-    per_v = lags.groupBy("cohort_day", "lag_s").agg(F.count(F.lit(1)).alias("c"))
+    # localCheckpoint: per_v feeds the percentile machinery (which fans
+    # out into several branches) AND the cohort-size agg — lazily every
+    # branch re-ran the two event scans + user-grain join above (the
+    # r12 plan: 16 parquet scans, 50 exchanges). The (cohort_day,
+    # lag_s) grain is value-range-bounded, far below event volume.
+    per_v = (
+        lags.groupBy("cohort_day", "lag_s")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .localCheckpoint(eager=False)
+    )
     pct = grouped_exact_percentiles(per_v, ["cohort_day"], "lag_s", "c", [50, 90])
     wide = pct.groupBy("cohort_day").agg(
         F.min(F.when(F.col("p") == 50, F.col("pv"))).alias("p50_lag_s"),
@@ -1677,7 +1686,17 @@ def q_value_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
         F.round(F.col("value") * 100, 0).cast("long").alias("u"),
     )
-    per_v = units.groupBy("event_type", "u").agg(F.count(F.lit(1)).alias("c"))
+    # localCheckpoint both reduced grains (r13): per_v feeds three
+    # branches (totals, median, deviation) and dev two (MAD, final agg)
+    # — lazily each branch re-ran the corpus-sized events aggregation
+    # (12 parquet scans / 38 exchanges in the r12 plan). Both frames
+    # are DISTINCT-value grains, bounded by the 2-decimal value domain
+    # (≤ ~10k rows per type at any corpus size).
+    per_v = (
+        units.groupBy("event_type", "u")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .localCheckpoint(eager=False)
+    )
     tot = per_v.groupBy("event_type").agg(F.sum("c").alias("tot"))
     wv = (
         W.partitionBy("event_type").orderBy("u").rowsBetween(W.unboundedPreceding, 0)
@@ -1695,6 +1714,7 @@ def q_value_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("event_type", "dv")
         .agg(F.sum("c").alias("c"), F.min("med_u").alias("med_u"),
              F.min("tot").alias("tot"))
+        .localCheckpoint(eager=False)
     )
     wd = (
         W.partitionBy("event_type").orderBy("dv").rowsBetween(W.unboundedPreceding, 0)

@@ -1196,24 +1196,32 @@ def q_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q21 shape: suppliers who 'kept orders waiting'. Adapted (no
     commit/receipt dates): on finalized multi-supplier orders, the
     supplier of the LATEST ship line held the order up. The EXISTS /
-    NOT-EXISTS pair becomes one per-order agg (max shipdate + distinct
-    suppliers ≥ 2) re-joined to the matching line — two shuffles on the
-    same orderkey, then a tiny top-10."""
+    NOT-EXISTS pair becomes per-order window aggregates (max shipdate +
+    distinct suppliers ≥ 2) evaluated in ONE pass over the finalized
+    lines (r13 — the r12 shape consumed `flines` twice: each reference
+    re-ran the lineitem⋈orders join, then paid a second orderkey
+    shuffle to join the per-order aggregates back; the window form
+    shuffles the joined lines by orderkey once and filters in place),
+    then a tiny top-10."""
     li = _t(spark, sf_dir, "lineitem")
     orders = _t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
     supp = _t(spark, sf_dir, "supplier")
     flines = li.join(
         orders.select("o_orderkey"), F.col("l_orderkey") == F.col("o_orderkey")
-    )
-    per_order = flines.groupBy(F.col("l_orderkey").alias("ok")).agg(
-        F.max("l_shipdate").alias("max_ship"),
-        F.countDistinct("l_suppkey").alias("n_supps"),
-    ).filter(F.col("n_supps") >= 2)
+    ).select("l_orderkey", "l_suppkey", "l_shipdate")
+    from pyspark.sql.window import Window as W
+
+    wo = W.partitionBy("l_orderkey")
     waiters = (
-        flines.join(
-            per_order,
-            (F.col("l_orderkey") == F.col("ok"))
-            & (F.col("l_shipdate") == F.col("max_ship")),
+        flines.select(
+            "l_orderkey",
+            "l_suppkey",
+            "l_shipdate",
+            F.max("l_shipdate").over(wo).alias("max_ship"),
+            F.size(F.collect_set("l_suppkey").over(wo)).alias("n_supps"),
+        )
+        .filter(
+            (F.col("n_supps") >= 2) & (F.col("l_shipdate") == F.col("max_ship"))
         )
         .select("l_orderkey", "l_suppkey")
         .distinct()
@@ -2532,18 +2540,31 @@ def _join_size_est(
         )
 
     ca = counts(a, akey)
-    cb = counts(b, bkey).withColumnRenamed("cnt", "cnt_b")
-    return (
-        ca.join(cb, "k")
-        .agg(
+    if a is b and akey == bkey:
+        # SELF-join estimate (r13): both CTEs are the identical sampled
+        # counts frame and every key matches itself, so |A⋈A| = Σ c²
+        # directly — the r12 shape scanned + md5-hashed + shuffled the
+        # same input twice and equi-joined the two copies. Same
+        # integers (cnt·cnt_b with cb ≡ ca), half the scan/hash work,
+        # no join exchange.
+        agged = ca.agg(
             F.count(F.lit(1)).alias("n_sampled_keys"),
-            (F.lit(rate) * F.sum(F.col("cnt") * F.col("cnt_b"))).alias("est_rows"),
+            (F.lit(rate) * F.sum(F.col("cnt") * F.col("cnt"))).alias(
+                "est_rows"
+            ),
         )
-        .select(
-            F.lit(label).alias("join_name"),
-            "n_sampled_keys",
-            F.col("est_rows").cast("bigint").alias("est_rows"),
+    else:
+        cb = counts(b, bkey).withColumnRenamed("cnt", "cnt_b")
+        agged = ca.join(cb, "k").agg(
+            F.count(F.lit(1)).alias("n_sampled_keys"),
+            (F.lit(rate) * F.sum(F.col("cnt") * F.col("cnt_b"))).alias(
+                "est_rows"
+            ),
         )
+    return agged.select(
+        F.lit(label).alias("join_name"),
+        "n_sampled_keys",
+        F.col("est_rows").cast("bigint").alias("est_rows"),
     )
 
 

@@ -164,6 +164,7 @@ def test_remove_dup_spans_semantics(spark):
             (1, "alpha beta gamma delta"),
             (2, "alpha beta gamma epsilon"),
             (3, "zeta eta theta iota"),
+            (4, "zeta eta theta iota"),
         ],
         "doc_id long, text string",
     )
@@ -174,8 +175,12 @@ def test_remove_dup_spans_semantics(spark):
     # doc 2 loses the duplicated span's coverage (tokens 0-2), keeps the rest
     assert got[2]["kept_text"] == "epsilon"
     assert got[2]["n_removed"] == 3
-    # doc 3 is unique: untouched
+    # doc 3 is unique-first: untouched
     assert got[3]["kept_text"] == "zeta eta theta iota"
+    # doc 4 is an exact copy — every token covered — and DROPS from the
+    # output entirely (the r12 groupBy over an empty kept stream did
+    # this implicitly; the r13 row-local rewrite must keep the contract)
+    assert 4 not in got
 
 
 def test_dsir_importance_separates_target_language(spark, sf_dir):
