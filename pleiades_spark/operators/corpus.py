@@ -742,19 +742,23 @@ def remove_dup_spans(docs: DataFrame) -> DataFrame:
     Plan: positional shingle occurrences (NOT distinct — removal needs
     every occurrence) explode in the scan; ownership is a window over the
     shingle key (count + first-occurrence rank in one shuffle); removed
-    occurrences re-explode to covered token positions and aggregate to
-    ONE sorted position-array per doc; that doc-grain frame (only docs
-    that lose something — broadcast-sized until duplication is rampant)
-    joins back to the tokenized corpus, and the strip + reassembly run
-    ROW-LOCALLY (array_except over the position range keeps first-array
-    order, so no (pos, tok) sort is needed). The r12 shape instead
-    posexploded every token and shuffled the full token stream twice
-    more (left-anti join on (doc_id, pos), then groupBy(doc_id) with a
-    collect_list of (pos, tok) structs) — guide §2.3: the heavy bytes
-    now stay in the scan, and only covered POSITIONS are ever shuffled.
-    Docs whose every token is covered drop from the output (the
-    groupBy over an empty kept stream did that implicitly; the filter
-    keeps the contract).
+    occurrences re-explode to covered token positions; a left-anti join
+    drops them from the token stream; per-doc reassembly sorts the
+    surviving (pos, token) pairs inside the row (sort_array on structs —
+    collect_list order is partition-nondeterministic, the sort makes it
+    total). Shuffle keys: shingle, then (doc_id, pos), then doc_id —
+    never text blobs beyond the shingle string itself.
+
+    r13 MEASURED DEAD END, kept as the codegen'd shape above: a
+    row-local rewrite (covered positions aggregated to one array per
+    doc, strip via array_except + transform/element_at rebuild — no
+    token-stream shuffles after the ownership window) won 0.80×/0.78×
+    at sf0.1/sf1 but REGRESSED 2.88× at sf10 (paired A/B: 24.0 s →
+    69.3 s min) — the per-element INTERPRETED HOF rebuild over every
+    kept token dwarfs the saved exchanges once docs×tokens grow, the
+    exact trade CLAUDE.md's HOF invariant documents (HOFs only pay for
+    avoided shuffles until the element count catches up). The anti-join
+    + collect_list tail stays whole-stage-codegen'd at every scale.
     """
     toked = docs.select(
         "doc_id", tokens(F.col("text")).alias("toks")
@@ -774,39 +778,32 @@ def remove_dup_spans(docs: DataFrame) -> DataFrame:
         "rk", F.row_number().over(wrank)
     )
     removed = marked.filter((F.col("cnt") > 1) & (F.col("rk") > 1))
-    covered_arr = (
+    covered = (
         removed.select(
             "doc_id", F.explode(F.expr("sequence(p, p + 2)")).alias("pos")
         )
-        .groupBy("doc_id")
-        .agg(F.array_sort(F.collect_set("pos")).alias("cov"))
+        .distinct()
     )
+    toks_pos = toked.select(
+        "doc_id", "n_tokens", F.posexplode("toks").alias("pos", "tok")
+    )
+    kept = toks_pos.join(covered, ["doc_id", "pos"], "left_anti")
     return (
-        toked.join(covered_arr, "doc_id", "left")
-        .select(
-            "doc_id",
-            "n_tokens",
-            "toks",
-            F.array_except(
-                F.sequence(F.lit(0), F.col("n_tokens") - 1),
-                F.coalesce(F.col("cov"), F.array().cast("array<int>")),
-            ).alias("kept_pos"),
-        )
-        .select(
-            "doc_id",
-            "n_tokens",
-            F.size("kept_pos").cast("long").alias("n_kept"),
-            (F.col("n_tokens").cast("long") - F.size("kept_pos")).alias(
-                "n_removed"
-            ),
+        kept.groupBy("doc_id")
+        .agg(
+            F.max("n_tokens").alias("n_tokens"),
+            F.count(F.lit(1)).alias("n_kept"),
             F.array_join(
                 F.transform(
-                    "kept_pos", lambda i: F.element_at("toks", i + F.lit(1))
+                    F.array_sort(
+                        F.collect_list(F.struct(F.col("pos"), F.col("tok")))
+                    ),
+                    lambda s: s["tok"],
                 ),
                 " ",
             ).alias("kept_text"),
         )
-        .filter(F.col("n_kept") > 0)
+        .withColumn("n_removed", F.col("n_tokens") - F.col("n_kept"))
         .select("doc_id", "n_tokens", "n_kept", "n_removed", "kept_text")
     )
 
