@@ -87,6 +87,11 @@ def tfidf_top_terms(docs: DataFrame, k: int = 5) -> DataFrame:
     """
     terms = docs.select("doc_id", F.explode(tokens(F.col("text"))).alias("term"))
     tf = terms.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    # NOTE (r13, measured dead end): deriving df from tf
+    # (tf.groupBy("term").count() — same rows by tf's distinct grain)
+    # looked like it should drop one tokenize pass, but the tf subtree is
+    # NOT exchange-reused at runtime and the paired A/B regressed 1.48×
+    # at sf10 (neutral at sf0.1/sf1). Keep the direct distinct form.
     df_ = terms.distinct().groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     n = docs.agg(F.count(F.lit(1)).alias("n_docs"))
     scored = (

@@ -1576,7 +1576,12 @@ def q_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("l_quantity").cast("long").alias("w"),
     )
     per_v = rows.groupBy("l_returnflag", "v").agg(F.sum("w").alias("wv"))
-    tot = rows.groupBy("l_returnflag").agg(F.sum("w").alias("tot"))
+    # total weight re-aggregated from per_v (Σ wv per flag ≡ Σ w per
+    # flag — integer sums, associative): the row-grain groupBy over a
+    # third lineitem scan becomes a |per_v|-grain groupBy whose per_v
+    # subtree is canonically identical to the other branches, so runtime
+    # ReuseExchange shares one scan+partial-agg (r13 opt).
+    tot = per_v.groupBy("l_returnflag").agg(F.sum("wv").alias("tot"))
 
     bucketed = per_v.withColumn(
         "b", F.floor(F.col("v") / MEDIAN_BUCKET_STEP).cast("long")
@@ -2419,6 +2424,13 @@ def q_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem")
     orders = _t(spark, sf_dir, "orders")
     ev = _t(spark, sf_dir, "events")
+    # NOTE (r13, measured dead end): sharing one scan per table via
+    # GROUPING SETS ((k1),(k2)) (Expand; grouping_id-keyed profiles,
+    # typed tie-break columns preserving the per-key top-10 comparator)
+    # was implemented, oracle-verified at 3 SFs, and REVERTED: paired
+    # A/B 0.94/1.06/1.09 at sf0.1/sf1/sf10 — the Expand streams 2× rows
+    # through the partial agg and the merged hash table (partkey+suppkey
+    # groups in one task) costs more than the saved scan.
     parts = [
         _skew_profile(li, "l_partkey", "lineitem.l_partkey"),
         _skew_profile(li, "l_suppkey", "lineitem.l_suppkey"),
@@ -2723,6 +2735,13 @@ def q_fk_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
     survive the scan, so ReadSchema is the key column alone.
     """
     parts = []
+    # NOTE (r13, measured dead end): folding both counts into ONE left
+    # OUTER join pass (count(*) + count of hit-IS-NULL; count-preserving
+    # since parent keys are PKs) removed the second child scan but
+    # regressed 1.26× at sf10 in the paired A/B — the outer join streams
+    # every matched child row through the probe+agg, where left_anti
+    # short-circuits matches and the count-only scan is cheap. Keep the
+    # anti-join form.
     for label, child, ckey, parent, pkey in _FK_RELATIONS:
         c = _t(spark, sf_dir, child).select(F.col(ckey).alias("k"))
         p = _t(spark, sf_dir, parent).select(F.col(pkey).alias("k"))

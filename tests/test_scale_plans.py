@@ -424,6 +424,13 @@ def test_weighted_median_windows_are_aggregation_grain(spark, sf_dir):
     # phase-1 aggregation exists: weight per (flag, value) collapses ties
     # before any window sees the data
     assert "partial_sum" in plan
+    # r13: the per-flag total must re-aggregate per_v's wv (copy-invariant
+    # grain, exchange-shared with the other per_v branches), never sum the
+    # raw row weights over a third full scan
+    import re
+
+    assert re.search(r"sum\(wv#\d+L?\)(#\d+L?)? AS tot#", plan)
+    assert not re.search(r"sum\(w#\d+L?\)(#\d+L?)? AS tot#", plan)
 
 
 def test_interval_join_bucketized_equi_join_only(spark, sf_dir):
