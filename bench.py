@@ -1,15 +1,21 @@
 """Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR (default
 /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
 
-Prints THREE JSON lines: a compact summary {"metric": ..., "value":
+Prints FOUR JSON lines: a compact summary {"metric": ..., "value":
 total_sec, "unit": "sec", "sf": ..., "n_queries": N}, then the full line
 {"metric": ..., "value": ..., "unit": "sec", "queries": {name: sec},
 "sf": ...} for humans and tools/scale_report.py, then the compact
-summary AGAIN as the final line. The driver keeps the TAIL of stdout
-and parses the last JSON line it sees — round 6's summary-first change
-still left the truncated 105-entry map as the tail, so BENCH_r07.json
-recorded parsed=null. Ending with the short line guarantees the tail is
-always a complete, parseable JSON object.
+summary again as a fallback, then a FINAL line = compact summary + a
+"queries" subset of the slowest queries packed into 1800 bytes. The
+driver keeps a 2000-byte TAIL of stdout and parses the last JSON line
+it sees — round 6's summary-first change still left the truncated
+105-entry map as the tail, so BENCH_r07.json recorded parsed=null, and
+rounds 12-13 ended with the compact line so PERF got no per-query map
+at all (per_query: {}). The 152 query names alone are 2501 bytes, so a
+complete full-map final line can never fit that window; the slowest-N
+subset is the largest per-query view the driver can physically parse.
+Full per-query timings AND medians also go to the sidecar
+$PLEIADES_BENCH_DETAIL (default bench_detail.json).
 
 Each query executes end-to-end via the noop sink (full plan runs, no
 driver-side result transfer skewing the number). A warmup query first
@@ -301,6 +307,38 @@ MIN_OF_3 = {
 }
 
 
+TAIL_LINE_BUDGET = 1800  # driver tail window is 2000 bytes; leave room
+# for the preceding compact fallback line so BOTH parse from the tail.
+
+
+def tail_line(timings: dict[str, float], total: float, sf: float) -> str:
+    """The driver-facing final stdout line: compact summary + a
+    "queries" subset of the slowest queries packed into
+    TAIL_LINE_BUDGET bytes (all 152 names alone exceed the driver's
+    2000-byte tail window, so this is the largest per-query view it
+    can physically parse). Values rounded to 2 decimals."""
+    tail_obj = {
+        "metric": "headline_queries_total_runtime",
+        "value": total,
+        "unit": "sec",
+        "sf": sf,
+        "n_queries": len(timings),
+        "queries": {},
+    }
+    budget = TAIL_LINE_BUDGET - len(json.dumps(tail_obj, separators=(",", ":")))
+    shown: dict[str, float] = {}
+    for k, v in sorted(timings.items(), key=lambda kv: -kv[1]):
+        v2 = round(v, 2)
+        # per-entry cost: '"name":val' plus a separating comma
+        cost = len(json.dumps({k: v2}, separators=(",", ":"))) - 1
+        if cost > budget:
+            continue
+        shown[k] = v2
+        budget -= cost
+    tail_obj["queries"] = shown
+    return json.dumps(tail_obj, separators=(",", ":"))
+
+
 def main() -> None:
     m = re.search(r"sf([0-9.]+)", SF_DIR)
     sf = float(m.group(1)) if m else -1.0
@@ -357,26 +395,59 @@ def main() -> None:
             "n_queries": len(timings),
         }
     )
-    # Compact summary FIRST (bounded head captures) ...
+    # Round-14 stdout protocol (VERDICT r13 item 1: restore
+    # driver-parseable per-query output). The driver captures a
+    # 2000-byte TAIL ring buffer and json-parses the LAST line
+    # (BENCH_r07.json parsed=null: a map-final line whose start fell
+    # outside the window is unparseable; BENCH_r08+ parsed the short
+    # final line). The 152 query names alone are 2501 bytes, so NO
+    # complete full-map line can ever end the stdout and still parse —
+    # instead the FINAL line is the compact summary plus a "queries"
+    # subset of the SLOWEST queries packed into a hard 1800-byte line
+    # budget (the perf-relevant cells; ~55-70 queries, everything
+    # cheaper is sub-second at sf0.1). The full map still goes out on
+    # line 2 (all queries, 2 decimals) and, with 3-decimal values and
+    # per-query medians, to the sidecar JSON $PLEIADES_BENCH_DETAIL
+    # (default bench_detail.json) per the same verdict item. Nothing is
+    # removed or renamed: line 2 carries every entry; the final line is
+    # a driver-window-sized view of it.
     print(compact, flush=True)
-    # ... full per-query map for humans and tools/scale_report.py ...
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total_runtime",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "queries_median": medians,
-                "sf": sf,
-            }
-        ),
-        flush=True,
+    full_line = json.dumps(
+        {
+            "metric": "headline_queries_total_runtime",
+            "value": total,
+            "unit": "sec",
+            "queries": {k: round(v, 2) for k, v in timings.items()},
+            "sf": sf,
+        },
+        separators=(",", ":"),
     )
-    # ... and compact summary LAST: the driver keeps the stdout TAIL and
-    # parses the final line, so the run must END with a short complete
-    # JSON object (BENCH_r07.json parsed=null was the truncated map).
+    print(full_line, flush=True)
+
+    detail_path = os.environ.get("PLEIADES_BENCH_DETAIL", "bench_detail.json")
+    try:
+        with open(detail_path, "w") as f:
+            json.dump(
+                {
+                    "metric": "headline_queries_total_runtime",
+                    "value": total,
+                    "unit": "sec",
+                    "queries": timings,
+                    "queries_median": medians,
+                    "sf": sf,
+                    "cpus": os.environ.get("SPARK_GRAFT_CPUS", ""),
+                },
+                f,
+                indent=1,
+            )
+    except OSError:
+        pass  # read-only CWD: stdout lines still carry everything but medians
+
+    # Compact fallback immediately before the final line (both fit the
+    # 2000-byte window together: <=1800 + ~115 + newlines), then the
+    # subset-map FINAL line the driver parses.
     print(compact, flush=True)
+    print(tail_line(timings, total, sf), flush=True)
 
 
 if __name__ == "__main__":

@@ -6,6 +6,7 @@ lesson). The tool must now reject unknown names BEFORE building a
 Spark session.
 """
 
+import json
 import subprocess
 import sys
 
@@ -148,3 +149,42 @@ def test_gen_scale_fixture_mutate_mode(spark):
         # edited tokens carry the per-copy suffix (deterministic form)
         assert all(b.startswith(a) and b.endswith("zw1")
                    for a, b in zip(base, c1) if a != b)
+
+
+def test_bench_tail_line_fits_driver_window():
+    """The driver parses the LAST stdout line from a 2000-byte tail ring
+    buffer (BENCH_r07.json parsed=null is the counterexample). The final
+    line must (a) stay within budget so it plus the compact fallback fit
+    the window, (b) be valid JSON carrying a non-empty per-query map,
+    (c) keep the slowest queries."""
+    import bench
+    from pleiades_spark.plans import collect_queries
+
+    registry = collect_queries()
+    # worst case: every headline query present with a 4-digit timing
+    timings = {n: 999.999 for n in bench.HEADLINE if n in registry}
+    assert len(timings) > 100
+    line = bench.tail_line(timings, sum(timings.values()), 0.1)
+    assert len(line) <= bench.TAIL_LINE_BUDGET
+    obj = json.loads(line)
+    assert obj["n_queries"] == len(timings)
+    assert 0 < len(obj["queries"]) < len(timings)
+    # compact fallback + final line together fit the 2000-byte window
+    compact = json.dumps(
+        {
+            "metric": "headline_queries_total_runtime",
+            "value": 99999.999,
+            "unit": "sec",
+            "sf": 0.1,
+            "n_queries": len(timings),
+        }
+    )
+    assert len(compact) + 1 + len(line) + 1 <= 2000
+    # slowest-first: everything shown is at least as slow as anything omitted
+    uneven = {n: float(i % 97) + 0.25 for i, n in enumerate(sorted(timings))}
+    obj2 = json.loads(bench.tail_line(uneven, sum(uneven.values()), 0.1))
+    shown = set(obj2["queries"])
+    top10 = [k for k, _ in sorted(uneven.items(), key=lambda kv: -kv[1])[:10]]
+    # greedy packing may admit short-named cheap entries at the budget
+    # boundary, but the slowest queries must always make the line
+    assert set(top10) <= shown
