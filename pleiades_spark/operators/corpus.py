@@ -28,7 +28,11 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
 
 from pleiades_spark.functions.hashing import h32
-from pleiades_spark.functions.text import tokens, word_shingles
+from pleiades_spark.functions.text import (
+    tokens,
+    word_shingles,
+    word_shingles_from_tokens,
+)
 
 CHUNK_SIZE = 32
 CHUNK_STRIDE = 24  # 8-token overlap between consecutive chunks
@@ -308,8 +312,15 @@ def decontaminate(docs: DataFrame, max_df: int = DECONTAM_MAX_DF) -> DataFrame:
     split_docs = docs.withColumn("split", split_expr(F.col("doc_id")))
 
     def shingled(side: DataFrame) -> DataFrame:
-        return side.select(
-            "doc_id", F.explode(word_shingles(F.col("text"))).alias("sh")
+        # staged tokens (r14): one split per row instead of ~6 inline
+        return (
+            side.select("doc_id", "text", tokens(F.col("text")).alias("toks"))
+            .select(
+                "doc_id",
+                F.explode(
+                    word_shingles_from_tokens(F.col("toks"), F.col("text"))
+                ).alias("sh"),
+            )
         )
 
     eval_sh = shingled(split_docs.filter(F.col("split") == "test"))
@@ -712,8 +723,15 @@ def dup_span_stats(docs: DataFrame) -> DataFrame:
     partition holds one shingle's postings, bounded by that shingle's
     df, not the corpus.
     """
-    sh = docs.select(
-        "doc_id", F.explode(word_shingles(F.col("text"))).alias("sh")
+    # staged tokens (r14): one split per row instead of ~6 inline
+    sh = (
+        docs.select("doc_id", "text", tokens(F.col("text")).alias("toks"))
+        .select(
+            "doc_id",
+            F.explode(
+                word_shingles_from_tokens(F.col("toks"), F.col("text"))
+            ).alias("sh"),
+        )
     )
     return (
         sh.withColumn("df", F.count(F.lit(1)).over(W.partitionBy("sh")))
@@ -770,7 +788,11 @@ def remove_dup_spans(docs: DataFrame) -> DataFrame:
     ).withColumn("n_tokens", F.size("toks"))
     occ = toked.filter(F.col("n_tokens") >= 3).select(
         "doc_id",
-        F.explode(
+        # explode_OUTER (r14): the inferred Filter(size(transform(...))>0)
+        # re-evaluated the whole positional-shingle construction per row
+        # below this projection; n_tokens >= 3 guarantees a non-empty
+        # array, so outer is row-identical. Paired A/B at sf10: 0.91x.
+        F.explode_outer(
             F.expr(
                 "transform(sequence(0, size(toks) - 3),"
                 " i -> struct(i AS p, concat_ws(' ', slice(toks, i + 1, 3)) AS sh))"
@@ -789,8 +811,13 @@ def remove_dup_spans(docs: DataFrame) -> DataFrame:
         )
         .distinct()
     )
+    # posexplode_OUTER (r14): plain posexplode infers
+    # Filter(size(split(text))>0) which re-splits the text per row below
+    # the toks projection; split() never yields an empty array and text
+    # is non-null, so outer is row-identical. This filter was the 0.91x
+    # the rule-exclusion A/B measured on this query at sf10.
     toks_pos = toked.select(
-        "doc_id", "n_tokens", F.posexplode("toks").alias("pos", "tok")
+        "doc_id", "n_tokens", F.posexplode_outer("toks").alias("pos", "tok")
     )
     kept = toks_pos.join(covered, ["doc_id", "pos"], "left_anti")
     return (

@@ -49,7 +49,11 @@ from pleiades_spark.functions.hashing import (
     perm_hash,
     srp_planes,
 )
-from pleiades_spark.functions.text import word_shingles
+from pleiades_spark.functions.text import (
+    tokens,
+    word_shingles,
+    word_shingles_from_tokens,
+)
 from pleiades_spark.functions.vectors import as_double, cosine, dot, norm
 
 # MEASURED DEAD END (round 10): unrolling the pair-verify dot to a
@@ -2286,16 +2290,28 @@ def prefix_jaccard_pairs(
     # distinct hashed shingles, shifted to signed int (h - 2^31 is a
     # lossless bijection of [0, 2^32) onto the int range — 4-byte rows
     # both in the prefix shuffle and the verify arrays)
-    sh_tbl = docs.select(
-        "doc_id",
-        F.array_distinct(
-            F.transform(
-                word_shingles(F.col("text")),
-                lambda s: (h32(s) - F.lit(2**31)).cast("int"),
-            )
-        ).alias("hs"),
+    sh_tbl = (
+        docs.select("doc_id", "text", tokens(F.col("text")).alias("toks"))
+        .select(
+            "doc_id",
+            F.array_distinct(
+                F.transform(
+                    # staged tokens (r14): one split/row instead of ~6
+                    word_shingles_from_tokens(F.col("toks"), F.col("text")),
+                    lambda s: (h32(s) - F.lit(2**31)).cast("int"),
+                )
+            ).alias("hs"),
+        )
     )
-    tok = sh_tbl.select("doc_id", F.explode("hs").alias("t"))
+    # explode_OUTER (r14): plain explode makes InferFiltersFromGenerate
+    # add Filter(size(hs)>0) which pushes below the projection by alias
+    # substitution and re-evaluates the ENTIRE shingle+md5 chain per row
+    # (CASE WHEN branches are excluded from codegen CSE). hs is never
+    # null/empty by construction (word_shingles falls back to
+    # array(text)), so outer is row-identical and skips the inferred
+    # filter: paired in-session A/B at sf10 measured the rule exclusion
+    # at 0.69x on this query (28.2 -> 19.4 s).
+    tok = sh_tbl.select("doc_id", F.explode_outer("hs").alias("t"))
     df_tbl = tok.groupBy("t").agg(F.count(F.lit(1)).alias("df"))
     # Rarity order WITHOUT a global rank: sort each document's hashed
     # shingle array by the (df, token) struct — array_sort on structs
@@ -2436,7 +2452,13 @@ def prefix_containment_pairs(
     sc = docs.sparkSession.sparkContext
     if docs.rdd.getNumPartitions() < sc.defaultParallelism:
         docs = docs.repartition(sc.defaultParallelism, F.col("doc_id"))
-    sh_tbl = docs.select("doc_id", word_shingles(F.col("text")).alias("sh"))
+    # staged tokens (r14): one split per row instead of ~6 inline
+    sh_tbl = docs.select(
+        "doc_id", "text", tokens(F.col("text")).alias("toks")
+    ).select(
+        "doc_id",
+        word_shingles_from_tokens(F.col("toks"), F.col("text")).alias("sh"),
+    )
     tok = sh_tbl.select("doc_id", F.explode("sh").alias("t"))
     df_tbl = tok.groupBy("t").agg(F.count(F.lit(1)).alias("df"))
     ordered = (
@@ -2610,11 +2632,18 @@ def containment_lsh_pairs(
     # the uncached plan). Same precedent as minhash_lsh_pairs' signed
     # cache; MEMORY_AND_DISK, ~n_docs × |shingles| × 8 B.
     hs_tbl = (
-        docs.select(
+        docs.select("doc_id", "text", tokens(F.col("text")).alias("toks"))
+        .select(
             "doc_id",
             F.array_sort(
                 F.array_distinct(
-                    F.transform(word_shingles(F.col("text")), h32)
+                    F.transform(
+                        # staged tokens (r14): one split/row, not ~6
+                        word_shingles_from_tokens(
+                            F.col("toks"), F.col("text")
+                        ),
+                        h32,
+                    )
                 )
             ).alias("hs"),
         )

@@ -491,12 +491,18 @@ def q_repetition_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     signal (high repetition ⇒ templated or degenerate text). Pure map
     stage: 1 − distinct_shingles/total_shingles on the once-materialized
     shingle array."""
-    from pleiades_spark.functions.text import word_shingles
+    from pleiades_spark.functions.text import word_shingles_from_tokens
 
     docs = _t(spark, sf_dir, "documents")
+    # staged tokens (r14): one split per row feeds both the shingle
+    # builder (~6 refs) and n_tok — was 7 splits per row inline
     toked = docs.select(
-        "doc_id", "lang", word_shingles(F.col("text")).alias("sh"),
-        F.size(tokens(F.col("text"))).alias("n_tok"),
+        "doc_id", "lang", "text", tokens(F.col("text")).alias("toks")
+    ).select(
+        "doc_id",
+        "lang",
+        word_shingles_from_tokens(F.col("toks"), F.col("text")).alias("sh"),
+        F.size("toks").alias("n_tok"),
     )
     n_sh = F.greatest(F.col("n_tok") - 2, F.lit(1))  # total trigram windows
     return toked.select(
@@ -1319,10 +1325,19 @@ def q_doc_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     pipeline maintains anyway.
     """
     docs = _t(spark, sf_dir, "documents")
-    from pleiades_spark.functions.text import word_shingles
+    from pleiades_spark.functions.text import word_shingles_from_tokens
 
-    tok = docs.select(
-        "doc_id", F.explode(word_shingles(F.col("text"))).alias("t")
+    # tokens staged as a real column (r14, verdict item 4): the inline
+    # word_shingles(text) form re-splits the text ~6x per row (no CSE
+    # across HOF arguments); same expression tree, bit-identical output
+    tok = (
+        docs.select("doc_id", "text", tokens(F.col("text")).alias("toks"))
+        .select(
+            "doc_id",
+            F.explode(
+                word_shingles_from_tokens(F.col("toks"), F.col("text"))
+            ).alias("t"),
+        )
     )
     first = tok.groupBy("t").agg(F.min("doc_id").alias("first_doc"))
     novel = first.groupBy(F.col("first_doc").alias("doc_id")).agg(
@@ -1330,9 +1345,14 @@ def q_doc_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # every doc emits ≥1 shingle (word_shingles falls back to the whole
     # text below n words), so the doc set matches the r12 join's exactly
-    sizes = docs.select(
-        "doc_id",
-        F.size(word_shingles(F.col("text"))).cast("long").alias("n_shingles"),
+    sizes = (
+        docs.select("doc_id", "text", tokens(F.col("text")).alias("toks"))
+        .select(
+            "doc_id",
+            F.size(
+                word_shingles_from_tokens(F.col("toks"), F.col("text"))
+            ).cast("long").alias("n_shingles"),
+        )
     )
     per = sizes.join(novel, "doc_id", "left").select(
         "doc_id",
@@ -1391,12 +1411,20 @@ def q_source_overlap_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         h32,
         perm_hash,
     )
-    from pleiades_spark.functions.text import word_shingles
+    from pleiades_spark.functions.text import word_shingles_from_tokens
 
     docs = _t(spark, sf_dir, "documents")
-    tokh = docs.select(
-        "source", F.explode(word_shingles(F.col("text"))).alias("t")
-    ).select("source", h32(F.col("t")).alias("h"))
+    # staged tokens (r14): one split per row instead of ~6 inline
+    tokh = (
+        docs.select("source", "text", tokens(F.col("text")).alias("toks"))
+        .select(
+            "source",
+            F.explode(
+                word_shingles_from_tokens(F.col("toks"), F.col("text"))
+            ).alias("t"),
+        )
+        .select("source", h32(F.col("t")).alias("h"))
+    )
     sig = tokh.groupBy("source").agg(
         *[
             F.min(perm_hash(F.col("h"), a, b)).alias(f"m{i}")
@@ -1473,11 +1501,18 @@ def q_kmv_source_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
         kmv_group_sketch,
         kmv_pair_set_ops,
     )
-    from pleiades_spark.functions.text import word_shingles
+    from pleiades_spark.functions.text import word_shingles_from_tokens
 
     docs = _t(spark, sf_dir, "documents")
-    shingled = docs.select(
-        "source", F.explode(word_shingles(F.col("text"))).alias("t")
+    # staged tokens (r14): one split per row instead of ~6 inline
+    shingled = (
+        docs.select("source", "text", tokens(F.col("text")).alias("toks"))
+        .select(
+            "source",
+            F.explode(
+                word_shingles_from_tokens(F.col("toks"), F.col("text"))
+            ).alias("t"),
+        )
     )
     sk = kmv_group_sketch(shingled, "source", F.col("t"))
     return kmv_pair_set_ops(sk).select(

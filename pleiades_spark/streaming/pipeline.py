@@ -209,7 +209,10 @@ def lsh_dedup_stream(
     re-join itself for verification; the static side's shingles come
     from a normal batch join on doc_a.
     """
-    from pleiades_spark.functions.text import word_shingles
+    from pleiades_spark.functions.text import (
+        tokens,
+        word_shingles_from_tokens,
+    )
     from pleiades_spark.operators.dedup import (
         band_keys,
         minhash_signature,
@@ -229,9 +232,13 @@ def lsh_dedup_stream(
     # forces an exchange anyway, this just moves it below the hashing).
     s = (
         stream_docs.repartition(F.col("doc_id"))
+        # staged tokens (r14): one split per row instead of ~6 inline
+        .select("doc_id", "text", tokens(F.col("text")).alias("toks"))
         .select(
             F.col("doc_id").alias("doc_b"),
-            word_shingles(F.col("text")).alias("sh_b"),
+            word_shingles_from_tokens(F.col("toks"), F.col("text")).alias(
+                "sh_b"
+            ),
         )
         .withColumn("sig", minhash_signature(F.col("sh_b")))
     )

@@ -6,6 +6,7 @@ and the salted aggregation must contain two aggregation phases.
 """
 
 import io
+import re
 from contextlib import redirect_stdout
 
 from pyspark.sql import functions as F
@@ -427,10 +428,15 @@ def test_weighted_median_windows_are_aggregation_grain(spark, sf_dir):
     # r13: the per-flag total must re-aggregate per_v's wv (copy-invariant
     # grain, exchange-shared with the other per_v branches), never sum the
     # raw row weights over a third full scan
-    import re
-
     assert re.search(r"sum\(wv#\d+L?\)(#\d+L?)? AS tot#", plan)
     assert not re.search(r"sum\(w#\d+L?\)(#\d+L?)? AS tot#", plan)
+    # structural pin (ADVICE r13): alias names alone would miss a
+    # regression that reintroduces a row-grain scan under another alias
+    # — the r13 shape holds exactly THREE lineitem scans (the per_v
+    # branches; the saved one was the tot row-grain scan). A fourth
+    # scan means the tot derivation regressed regardless of aliasing.
+    n_scans = plan.count("lineitem.parquet")
+    assert n_scans == 3, f"expected 3 lineitem scans, saw {n_scans}"
 
 
 def test_interval_join_bucketized_equi_join_only(spark, sf_dir):
